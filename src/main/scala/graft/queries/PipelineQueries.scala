@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication, text analysis, similarity search. Written
+  * scale-first: dedup is hash-groupBy (one shuffle on the fingerprint),
+  * near-dup candidates come from an inverted shingle index (never
+  * all-pairs), and ANN broadcasts the small query side.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup: group documents by content hash. At 100 TB this is the
+    * canonical map-side-combinable shuffle on a 128-bit key; md5 keeps the
+    * oracle portable (same hex in Spark and DuckDB).
+    */
+  val q20_dedup_exact = QueryDef(
+    "q20_dedup_exact",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(md5(lower(col("text"))).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1"""),
+  )
+
+  /** Dedup survivors: keep the lowest doc_id per fingerprint (the
+    * keep-first policy of a training-data dedup pass).
+    */
+  val q21_dedup_survivors = QueryDef(
+    "q21_dedup_survivors",
+    (s, d) => {
+      val w = Window.partitionBy(md5(lower(col("text")))).orderBy("doc_id")
+      docs(s, d)
+        .select(col("doc_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("doc_id")
+    },
+    Some("""SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1"""),
+  )
+
+  /** Document fingerprint: whitespace-normalized content hash — the
+    * pre-hash normalization step of an exact-dedup pipeline.
+    */
+  val q22_fingerprint = QueryDef(
+    "q22_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents"""),
+  )
+
+  /** N-gram Jaccard near-dup detection, exact and scalable: word-3-gram
+    * shingles → inverted index self-join (pairs only materialize for docs
+    * that actually share a shingle) → Jaccard in integer ppm. Never an
+    * all-pairs cross join: the shingle join's fan-out is bounded by
+    * posting-list length, which stays small for distinctive shingles.
+    */
+  val q23_ngram_jaccard = QueryDef(
+    "q23_ngram_jaccard",
+    (s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(size(w) - 2, 0))," +
+              " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("x")
+        .join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(col("a"), col("b"),
+          floor(col("common") * 1000000L / (col("na") + col("nb") - col("common")))
+            .cast("long").as("jaccard_ppm"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in generate_series(1, greatest(len(w) - 2, 0))]) AS sh
+             FROM w),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT a, b,
+        cast(floor(common * 1000000 / (na.n + nb.n - common)) AS BIGINT) AS jaccard_ppm
+      FROM pairs JOIN sizes na ON pairs.a = na.doc_id
+                 JOIN sizes nb ON pairs.b = nb.doc_id"""),
+  )
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens via pure string arithmetic (exact
+    * in both engines; the docs are single-space separated).
+    */
+  val q24_token_count = QueryDef(
+    "q24_token_count",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast("long").as("n_tokens"),
+          col("n_chars")),
+    Some("""SELECT doc_id,
+      cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      n_chars FROM documents"""),
+  )
+
+  /** Quality scoring: length / mean-token-length signals in exact integer
+    * milli-units.
+    */
+  val q25_quality_score = QueryDef(
+    "q25_quality_score",
+    (s, d) => {
+      val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+      val nLetters = length(regexp_replace(col("text"), " ", ""))
+      docs(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          nTok.cast("long").as("n_tokens"),
+          floor(nLetters * 1000.0 / nTok).cast("long").as("avg_token_len_milli"))
+    },
+    Some("""SELECT doc_id,
+      cast(length(text) AS BIGINT) AS len_chars,
+      cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      cast(floor(length(replace(text, ' ', '')) * 1000.0 /
+           (length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS avg_token_len_milli
+      FROM documents"""),
+  )
+
+  /** Language-ID signal: stopword-frequency heuristic (occurrences of
+    * common English function words), the classic n-gram/lexicon langid
+    * building block, as exact integer counts.
+    */
+  val q26_lang_signal = QueryDef(
+    "q26_lang_signal",
+    (s, d) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def occ(word: String) =
+        ((length(padded) - length(regexp_replace(padded, s" $word ", " "))) /
+          (word.length + 1)).cast("long")
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          occ("the").as("n_the"), occ("a").as("n_a"), occ("of").as("n_of"))
+    },
+    Some("""SELECT doc_id, lang,
+      cast((length(p) - length(replace(p, ' the ', ' '))) / 4 AS BIGINT) AS n_the,
+      cast((length(p) - length(replace(p, ' a ', ' '))) / 2 AS BIGINT) AS n_a,
+      cast((length(p) - length(replace(p, ' of ', ' '))) / 3 AS BIGINT) AS n_of
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)"""),
+  )
+
+  // ------------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-k ANN baseline: the query set is small →
+    * broadcast it against the full vector table (no shuffle of the big
+    * side), rank per query. Scores are used for ordering only, never
+    * emitted, so float ulp differences can't break the hash match (rank
+    * gaps were verified ≫ float error on this data).
+    */
+  val q27_ann_cosine_topk = QueryDef(
+    "q27_ann_cosine_topk",
+    (s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      val q = broadcast(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      e.join(q, col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+            (col("nq") * col("nv")))
+        .select(col("qid"), col("vec_id"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("neighbor"))
+    },
+    Some("""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nv FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM n WHERE vec_id % 50 = 0),
+      s AS (SELECT qid, vec_id,
+              list_sum([qv[i] * v[i] for i in generate_series(1, len(v))]) / (nq * nv) AS cos
+            FROM n, q WHERE vec_id <> qid)
+      SELECT qid, cast(rnk AS BIGINT) AS rnk, vec_id AS neighbor
+      FROM (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM s)
+      WHERE rnk <= 10"""),
+  )
+
+  /** Per-label embedding stats: integer-exact reduction over a vector
+    * column (micro-units of the first dimension — float→double cast is
+    * exact, so both engines see identical doubles).
+    */
+  val q28_embed_label_stats = QueryDef(
+    "q28_embed_label_stats",
+    (s, d) =>
+      embs(s, d)
+        .select(col("label"),
+          round(element_at(col("embedding").cast("array<double>"), 1) * 1000000)
+            .cast("long").as("d1_micro"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("d1_micro").as("sum_d1_micro")),
+    Some("""SELECT label, count(*) AS n,
+      CAST(sum(cast(round(cast(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_d1_micro
+      FROM embeddings GROUP BY label"""),
+  )
+
+  val pipeline: Seq[QueryDef] = Seq(
+    q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
+    q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
+    q28_embed_label_stats,
+  )
+}

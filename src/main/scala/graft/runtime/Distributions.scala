@@ -18,6 +18,7 @@ final class Multinomial[T](items: IndexedSeq[T], weights: IndexedSeq[Double]) ex
     a
   }
   private val total = cum.last
+  require(total > 0, "multinomial needs positive total weight")
 
   def sample(rng: Random): T = {
     val u = rng.nextDouble() * total
@@ -46,7 +47,7 @@ object Multinomial {
   * table i with probability ∝ (count_i − discount).
   */
 final class ChineseRestaurant(alpha: Double, discount: Double = 0.0) extends Serializable {
-  require(alpha > 0 && discount >= 0 && discount < 1)
+  require(alpha > 0 && discount >= 0 && discount <= 1)
   private val counts = ArrayBuffer[Long]()
   private var total = 0L // customers seated so far
 
@@ -74,6 +75,7 @@ final class ChineseRestaurant(alpha: Double, discount: Double = 0.0) extends Ser
   */
 object Gamma {
   def sample(rng: Random, shape: Double, scale: Double): Double = {
+    require(shape > 0 && scale > 0, s"gamma needs shape>0, scale>0 (got $shape, $scale)")
     if (shape < 1.0) {
       val u = rng.nextDouble()
       sample(rng, shape + 1.0, scale) * math.pow(u, 1.0 / shape)
