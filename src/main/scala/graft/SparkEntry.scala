@@ -26,9 +26,71 @@ object SparkEntry {
 }
 
 /** Queries exercising the synthetic-data engine itself (no SQL oracle —
-  * generator output is checked by rows>0 here and by ScalaTest
-  * statistical/format oracles in src/test). Populated as the engine lands.
+  * generator output is checked by rows>0 here and by the ScalaTest
+  * statistical/format oracles in src/test). Row counts are fixed per
+  * query: generation cost is schema-driven, not sf-driven.
   */
 object SynthQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+  import graft.api.{CannedSources, Processors}
+  import graft.synth.Synth
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+
+  def defs: Seq[QueryDef] = Seq(
+    q("g30_synth_iot")((s, _) => CannedSources.iotData(s, 1000)),
+    q("g31_synth_phone")((s, _) => CannedSources.phoneNumber(s, 50000, Some(497))),
+    q("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
+    q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
+    q("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
+      """[{"class": "dns", "flat": true, "meanQueries": 50}]""", 1000)),
+    q("g35_synth_cpoc")((s, _) => Synth.dataFrame(s,
+      """[{"name": "user", "class": "id"},
+          {"name": "history", "class": "common-point-of-compromise"}]""", 2000)),
+    q("g36_synth_changer")((s, _) => Synth.dataFrame(s,
+      """[{"name": "cust", "class": "id"},
+          {"name": "track", "class": "changer", "count": 8, "rate": "1/d", "values": [
+            {"name": "state", "class": "state"},
+            {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000)),
+    q("g37_synth_vehicle")((s, _) => Synth.dataFrame(s,
+      """[{"name": "v", "class": "vehicle"},
+          {"name": "vin", "class": "vin", "verbose": true},
+          {"name": "imei", "class": "imei", "unique": true}]""", 20000)),
+    q("g38_synth_identity")((s, _) => Synth.dataFrame(s,
+      """[{"name": "name", "class": "name", "type": "first_last"},
+          {"name": "email", "class": "email-name"},
+          {"name": "address", "class": "address"},
+          {"name": "ssn", "class": "ssn"},
+          {"name": "username", "class": "username"},
+          {"name": "country", "class": "country"},
+          {"name": "language", "class": "language"},
+          {"name": "os", "class": "os"},
+          {"name": "word", "class": "word"}]""", 20000)),
+    q("g39_synth_header")((s, _) => Synth.dataFrame(s,
+      """[{"name": "h", "class": "header"},
+          {"name": "hm", "class": "header", "type": "mal1"}]""", 10000)),
+    q("g40_synth_measures")((s, _) => Synth.dataFrame(s,
+      """[{"name": "g", "class": "gamma", "alpha": 3, "beta": 2},
+          {"name": "n", "class": "normal", "mean": 10, "sd": 2, "min": 5, "max": 15},
+          {"name": "fk", "class": "foreign-key", "size": "1M", "skew": 1},
+          {"name": "py", "class": "pitman_yor", "alpha": 5, "discount": 0.2},
+          {"name": "vec", "class": "vector", "length": 16, "mean": 0, "sd": 1},
+          {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+          {"name": "burst", "class": "bursts", "value": {"class": "double"}}]""", 20000)),
+    q("g41_correlator")((s, d) => Processors.correlate(
+      s.read.parquet(s"$d/orders.parquet"),
+      """[{"name": "device", "class": "uuid"}, {"name": "ip", "class": "ipv4"}]""",
+      "correlated").success),
+    q("g42_transactions")((s, d) => Processors.transactions(
+      s.read.parquet(s"$d/orders.parquet"), "o_orderkey")),
+    q("g43_removefields")((s, d) => Processors.removeFields(
+      Synth.dataFrame(s, """[{"name": "t", "class": "toll"}, {"name": "u", "class": "uuid"}]""", 5000),
+      Seq("u", "t.location.city"))),
+    q("g44_sink_template")((s, _) => Processors.renderTemplate(
+      CannedSources.phoneNumber(s, 5000),
+      "call ${phone} now")),
+    q("g45_sink_xml")((s, _) => Processors.toXml(
+      Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
+        {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
+  )
 }

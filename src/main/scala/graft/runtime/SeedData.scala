@@ -1,0 +1,297 @@
+package graft.runtime
+
+/** Compact, original seed tables for the domain/lookup samplers.
+  *
+  * The reference bundles large resource files (census name frequencies,
+  * a zip-code database, VIN code tables — see SURVEY §2.1.2). Shipping
+  * those verbatim is neither possible (zip.csv is a missing blob,
+  * /root/reference/.MISSING_LARGE_BLOBS) nor desirable; these tables are
+  * small original lists with the same *shape* (weighted multinomials,
+  * keyed lookup rows), which is what the operator semantics need. All
+  * tables are broadcast-sized by design: lookups stay map-side at any
+  * scale.
+  */
+object SeedData {
+
+  // ------------------------------------------------------------------ names
+
+  val maleFirst: Vector[(String, Double)] = Vector(
+    "JAMES" -> 3.3, "JOHN" -> 3.2, "ROBERT" -> 3.1, "MICHAEL" -> 3.0,
+    "WILLIAM" -> 2.5, "DAVID" -> 2.4, "RICHARD" -> 1.7, "CHARLES" -> 1.5,
+    "JOSEPH" -> 1.4, "THOMAS" -> 1.4, "DANIEL" -> 1.0, "MATTHEW" -> 0.9,
+    "KEVIN" -> 0.7, "BRIAN" -> 0.7, "GEORGE" -> 0.6, "ERIC" -> 0.5,
+    "CARLOS" -> 0.4, "OMAR" -> 0.2, "CHEN" -> 0.2, "RAJ" -> 0.2,
+  )
+  val femaleFirst: Vector[(String, Double)] = Vector(
+    "MARY" -> 2.6, "PATRICIA" -> 1.1, "LINDA" -> 1.0, "BARBARA" -> 1.0,
+    "ELIZABETH" -> 0.9, "JENNIFER" -> 0.9, "MARIA" -> 0.8, "SUSAN" -> 0.8,
+    "MARGARET" -> 0.7, "DOROTHY" -> 0.7, "LISA" -> 0.7, "NANCY" -> 0.7,
+    "KAREN" -> 0.6, "BETTY" -> 0.6, "HELEN" -> 0.6, "SANDRA" -> 0.6,
+    "WEI" -> 0.2, "FATIMA" -> 0.2, "PRIYA" -> 0.2, "SOFIA" -> 0.3,
+  )
+  val lastNames: Vector[(String, Double)] = Vector(
+    "SMITH" -> 1.0, "JOHNSON" -> 0.8, "WILLIAMS" -> 0.7, "BROWN" -> 0.6,
+    "JONES" -> 0.6, "GARCIA" -> 0.6, "MILLER" -> 0.5, "DAVIS" -> 0.5,
+    "RODRIGUEZ" -> 0.5, "MARTINEZ" -> 0.5, "HERNANDEZ" -> 0.4, "LOPEZ" -> 0.4,
+    "GONZALEZ" -> 0.4, "WILSON" -> 0.4, "ANDERSON" -> 0.4, "THOMAS" -> 0.4,
+    "TAYLOR" -> 0.4, "MOORE" -> 0.3, "JACKSON" -> 0.3, "MARTIN" -> 0.3,
+    "LEE" -> 0.3, "NGUYEN" -> 0.3, "KIM" -> 0.2, "PATEL" -> 0.2,
+    "CHEN" -> 0.2, "WANG" -> 0.2, "SINGH" -> 0.2, "COHEN" -> 0.1,
+  )
+
+  // ---------------------------------------------------------------- streets
+
+  val streetFirst: Vector[String] = Vector(
+    "OLD", "NEW", "NORTH", "SOUTH", "EAST", "WEST", "UPPER", "LOWER",
+    "GRAND", "LITTLE", "BIG", "ROYAL",
+  )
+  val streetSecond: Vector[String] = Vector(
+    "OAK", "MAPLE", "CEDAR", "PINE", "ELM", "WALNUT", "CHESTNUT", "WILLOW",
+    "RIVER", "LAKE", "HILL", "VALLEY", "MEADOW", "FOREST", "SPRING", "SUNSET",
+  )
+  val streetThird: Vector[String] = Vector(
+    "STREET", "AVENUE", "ROAD", "LANE", "DRIVE", "COURT", "PLACE", "WAY",
+    "BOULEVARD", "TERRACE",
+  )
+
+  // ------------------------------------------------------------ geo / zips
+
+  /** (cityName, state, lat, lon, zipPrefix, nZips) — coordinates are the
+    * well-known public city centroids; zips are synthesized inside each
+    * prefix block. 10001 → NEW YORK matches the reference's
+    * lookup-consistency oracle (TestCommuterData.java:70).
+    */
+  val cities: Vector[(String, String, Double, Double, Int, Int)] = Vector(
+    ("NEW YORK", "NY", 40.7128, -74.0060, 100, 40),
+    ("LOS ANGELES", "CA", 34.0522, -118.2437, 900, 30),
+    ("CHICAGO", "IL", 41.8781, -87.6298, 606, 25),
+    ("HOUSTON", "TX", 29.7604, -95.3698, 770, 25),
+    ("PHOENIX", "AZ", 33.4484, -112.0740, 850, 15),
+    ("PHILADELPHIA", "PA", 39.9526, -75.1652, 191, 15),
+    ("SAN ANTONIO", "TX", 29.4241, -98.4936, 782, 12),
+    ("SAN DIEGO", "CA", 32.7157, -117.1611, 921, 12),
+    ("DALLAS", "TX", 32.7767, -96.7970, 752, 12),
+    ("SEATTLE", "WA", 47.6062, -122.3321, 981, 12),
+    ("DENVER", "CO", 39.7392, -104.9903, 802, 10),
+    ("BOSTON", "MA", 42.3601, -71.0589, 21, 10),
+    ("ATLANTA", "GA", 33.7490, -84.3880, 303, 10),
+    ("MIAMI", "FL", 25.7617, -80.1918, 331, 10),
+    ("MINNEAPOLIS", "MN", 44.9778, -93.2650, 554, 8),
+    ("DETROIT", "MI", 42.3314, -83.0458, 482, 8),
+    ("PORTLAND", "OR", 45.5152, -122.6784, 972, 8),
+    ("ANCHORAGE", "AK", 61.2181, -149.9003, 995, 4),
+    ("HONOLULU", "HI", 21.3069, -157.8583, 968, 4),
+  )
+
+  final case class ZipRow(zip: String, city: String, state: String,
+      latitude: Double, longitude: Double)
+
+  /** Synthesized zip table: nZips rows per city inside its prefix block,
+    * jittered around the centroid with a deterministic per-zip offset.
+    */
+  val zips: Vector[ZipRow] = cities.flatMap { case (city, st, lat, lon, prefix, n) =>
+    (1 to n).map { i =>
+      val z = prefix * 100 + i
+      val h = Rng.mix(z.toLong)
+      val dLat = ((h & 0xffff) / 65535.0 - 0.5) * 0.4
+      val dLon = (((h >>> 16) & 0xffff) / 65535.0 - 0.5) * 0.4
+      ZipRow(f"$z%05d", city, st, lat + dLat, lon + dLon)
+    }
+  }
+  /** Continental-US subset (the reference's onlyContinental flag excludes
+    * AK/HI — ZipSampler latitude/longitude bounds).
+    */
+  val continentalZips: Vector[ZipRow] =
+    zips.filterNot(z => z.state == "AK" || z.state == "HI")
+
+  // ------------------------------------------------- categorical multinomials
+
+  val states: Vector[(String, Double)] = Vector(
+    "CA" -> 11.7, "TX" -> 8.6, "FL" -> 6.4, "NY" -> 6.0, "PA" -> 3.9,
+    "IL" -> 3.8, "OH" -> 3.5, "GA" -> 3.2, "NC" -> 3.1, "MI" -> 3.0,
+    "NJ" -> 2.7, "VA" -> 2.6, "WA" -> 2.3, "AZ" -> 2.2, "MA" -> 2.1,
+    "TN" -> 2.0, "IN" -> 2.0, "MO" -> 1.8, "MD" -> 1.8, "WI" -> 1.7,
+    "CO" -> 1.7, "MN" -> 1.7, "SC" -> 1.5, "AL" -> 1.5, "LA" -> 1.4,
+    "KY" -> 1.3, "OR" -> 1.3, "OK" -> 1.2, "CT" -> 1.1, "UT" -> 1.0,
+    "IA" -> 0.9, "NV" -> 0.9, "AR" -> 0.9, "MS" -> 0.9, "KS" -> 0.9,
+    "NM" -> 0.6, "NE" -> 0.6, "WV" -> 0.5, "ID" -> 0.5, "HI" -> 0.4,
+    "NH" -> 0.4, "ME" -> 0.4, "MT" -> 0.3, "RI" -> 0.3, "DE" -> 0.3,
+    "SD" -> 0.3, "ND" -> 0.2, "AK" -> 0.2, "VT" -> 0.2, "WY" -> 0.2,
+  )
+  val countries: Vector[(String, Double)] = Vector(
+    "united states" -> 20.0, "china" -> 18.0, "india" -> 17.0,
+    "indonesia" -> 3.5, "brazil" -> 2.7, "pakistan" -> 2.8, "nigeria" -> 2.6,
+    "bangladesh" -> 2.1, "russia" -> 1.9, "mexico" -> 1.6, "japan" -> 1.6,
+    "germany" -> 1.1, "france" -> 0.9, "united kingdom" -> 0.9,
+    "italy" -> 0.8, "canada" -> 0.5, "spain" -> 0.6, "australia" -> 0.3,
+    "netherlands" -> 0.2, "sweden" -> 0.1,
+  )
+  val languages: Vector[(String, Double)] = Vector(
+    "english" -> 25.0, "mandarin" -> 18.0, "hindi" -> 11.0, "spanish" -> 11.0,
+    "french" -> 5.0, "arabic" -> 5.0, "bengali" -> 4.0, "russian" -> 4.0,
+    "portuguese" -> 4.0, "indonesian" -> 3.0, "german" -> 2.0,
+    "japanese" -> 2.0, "turkish" -> 1.5, "korean" -> 1.5, "italian" -> 1.0,
+  )
+  /** Same membership domain as the reference's dist.browser (the browser
+    * membership oracle in TestDataSynthesizer.java:86-103).
+    */
+  val browsers: Vector[(String, Double)] = Vector(
+    "Chrome" -> 50.0, "Safari" -> 18.0, "Mobile" -> 15.0,
+    "Firefox" -> 12.0, "IE" -> 5.0,
+  )
+  val osList: Vector[(String, Double)] = Vector(
+    "Windows" -> 40.0, "Android" -> 25.0, "iOS" -> 15.0, "macOS" -> 10.0,
+    "Linux" -> 6.0, "ChromeOS" -> 4.0,
+  )
+
+  // --------------------------------------------------------------- usernames
+
+  /** Rank-weighted username stems (1/rank weights, like the reference's
+    * UsernameSampler names.txt).
+    */
+  val usernames: Vector[String] = Vector(
+    "shadow", "falcon", "pixel", "nova", "echo", "raven", "atlas", "comet",
+    "ember", "quartz", "drift", "onyx", "zephyr", "lumen", "vortex", "sable",
+    "cinder", "frost", "blaze", "orbit", "delta", "sierra", "tango", "viper",
+    "cobra", "lynx", "puma", "wolf", "hawk", "bear",
+  )
+
+  // ------------------------------------------------------------------ words
+
+  /** Frequency-weighted common-English head (Zipf-ish weights) plus a
+    * long tail of regular content words; feeds the `word` / `text`
+    * samplers' Pitman–Yor base distribution.
+    */
+  val words: Vector[(String, Double)] = {
+    val head = Vector(
+      "the" -> 7.0, "of" -> 3.5, "and" -> 3.0, "to" -> 2.6, "a" -> 2.3,
+      "in" -> 2.1, "is" -> 1.1, "was" -> 1.0, "that" -> 1.0, "for" -> 0.9,
+      "it" -> 0.9, "on" -> 0.8, "with" -> 0.7, "he" -> 0.7, "be" -> 0.7,
+      "his" -> 0.6, "as" -> 0.6, "at" -> 0.5, "by" -> 0.5, "she" -> 0.5,
+      "had" -> 0.4, "not" -> 0.4, "are" -> 0.4, "but" -> 0.4, "from" -> 0.4,
+      "or" -> 0.3, "have" -> 0.3, "an" -> 0.3, "they" -> 0.3, "which" -> 0.3,
+      "one" -> 0.3, "you" -> 0.3, "were" -> 0.3, "her" -> 0.3, "all" -> 0.3,
+      "their" -> 0.2, "there" -> 0.2, "been" -> 0.2, "has" -> 0.2, "when" -> 0.2,
+    )
+    val tail = Vector(
+      "time", "year", "people", "way", "day", "man", "thing", "woman", "life",
+      "child", "world", "school", "state", "family", "student", "group",
+      "country", "problem", "hand", "part", "place", "case", "week", "company",
+      "system", "program", "question", "work", "government", "number", "night",
+      "point", "home", "water", "room", "mother", "area", "money", "story",
+      "fact", "month", "lot", "right", "study", "book", "eye", "job", "word",
+      "business", "issue", "side", "kind", "head", "house", "service", "friend",
+      "father", "power", "hour", "game", "line", "end", "member", "law", "car",
+      "city", "community", "name", "president", "team", "minute", "idea",
+      "body", "information", "back", "parent", "face", "others", "level",
+      "office", "door", "health", "person", "art", "war", "history", "party",
+      "result", "change", "morning", "reason", "research", "girl", "guy",
+      "moment", "air", "teacher", "force", "education",
+    ).map(_ -> 0.05)
+    head ++ tail
+  }
+
+  // --------------------------------------------------------------- internet
+
+  val tlds: Vector[(String, Double)] = Vector(
+    "com" -> 60.0, "org" -> 10.0, "net" -> 8.0, "io" -> 5.0, "co" -> 4.0,
+    "edu" -> 3.0, "gov" -> 2.0, "biz" -> 2.0, "info" -> 2.0, "us" -> 2.0,
+    "uk" -> 1.0, "de" -> 1.0,
+  )
+  /** Warm-start corporate domains for the email/domain Pitman–Yor, in the
+    * role of the reference's f500-domains.csv.
+    */
+  val corpDomains: Vector[String] = Vector(
+    "acmecorp.com", "globex.com", "initech.com", "umbrella.org",
+    "stark.io", "wayne.co", "wonka.com", "tyrell.net", "cyberdyne.com",
+    "aperture.org", "hooli.io", "pied-piper.com", "dunder-mifflin.com",
+    "oscorp.com", "massive-dynamic.com", "soylent.co", "weyland.org",
+    "vandelay.com", "prestige.net", "bluth.co",
+  )
+
+  // -------------------------------------------------------------------- ssn
+
+  /** Area-code → state blocks with the reference's shape (SsnSampler
+    * seeds): "normal" issued areas plus the "extra" unissued set.
+    */
+  val ssnAreas: Vector[(Int, String, String)] = {
+    // (areaCode, state, type): a compressed public-knowledge mapping of
+    // the pre-2011 SSA area-number allocation (sampled blocks).
+    val blocks = Vector(
+      (1, 10, "NH"), (10, 34, "MA"), (35, 39, "RI"), (40, 49, "CT"),
+      (50, 134, "NY"), (135, 158, "NJ"), (159, 211, "PA"), (212, 220, "MD"),
+      (221, 222, "DE"), (223, 231, "VA"), (232, 236, "WV"), (237, 246, "NC"),
+      (247, 251, "SC"), (252, 260, "GA"), (261, 267, "FL"), (268, 302, "OH"),
+      (303, 317, "IN"), (318, 361, "IL"), (362, 386, "MI"), (387, 399, "WI"),
+      (400, 407, "KY"), (408, 415, "TN"), (416, 424, "AL"), (425, 428, "MS"),
+      (429, 432, "AR"), (433, 439, "LA"), (440, 448, "OK"), (449, 467, "TX"),
+      (468, 477, "MN"), (478, 485, "IA"), (486, 500, "MO"), (501, 502, "ND"),
+      (503, 504, "SD"), (505, 508, "NE"), (509, 515, "KS"), (516, 517, "MT"),
+      (518, 519, "ID"), (520, 520, "WY"), (521, 524, "CO"), (525, 525, "NM"),
+      (526, 527, "AZ"), (528, 529, "UT"), (530, 530, "NV"), (531, 539, "WA"),
+      (540, 544, "OR"), (545, 573, "CA"), (574, 574, "AK"), (575, 576, "HI"),
+    )
+    blocks.flatMap { case (lo, hi, st) =>
+      (lo to hi by math.max(1, (hi - lo) / 3)).map(a => (a, st, "normal"))
+    } ++ Vector((900, "XX", "extra"), (950, "XX", "extra"))
+  }
+
+  // -------------------------------------------------------------------- vin
+
+  /** (WMI, country, make) — public world-manufacturer-identifier examples. */
+  val vinWmi: Vector[(String, String, String)] = Vector(
+    ("1FA", "usa", "Ford"), ("1G1", "usa", "Chevrolet"), ("1HG", "usa", "Honda"),
+    ("2T1", "canada", "Toyota"), ("3VW", "mexico", "Volkswagen"),
+    ("5YJ", "usa", "Tesla"), ("JHM", "japan", "Honda"), ("JN1", "japan", "Nissan"),
+    ("JT2", "japan", "Toyota"), ("KMH", "korea", "Hyundai"),
+    ("KNA", "korea", "Kia"), ("WAU", "germany", "Audi"), ("WBA", "germany", "BMW"),
+    ("WDB", "germany", "Mercedes-Benz"), ("WVW", "germany", "Volkswagen"),
+    ("YV1", "sweden", "Volvo"), ("ZFA", "italy", "Fiat"), ("VF1", "france", "Renault"),
+  )
+  val vinModels: Vector[String] = Vector(
+    "sedan", "coupe", "suv", "pickup", "wagon", "hatchback", "van", "roadster")
+  val vinEngines: Vector[String] = Vector(
+    "I4", "I4T", "V6", "V6T", "V8", "EV", "HYBRID", "DIESEL")
+
+  /** VIN year code letters (public standard; I/O/Q/U/Z and 0 excluded). */
+  val vinYearCodes: String = "ABCDEFGHJKLMNPRSTVWXY123456789"
+
+  // ------------------------------------------------------------ user agents
+
+  /** Browser → user-agent template (original strings in the public UA
+    * format; the reference bundles per-browser UA frequency tables).
+    */
+  val userAgents: Map[String, Vector[String]] = Map(
+    "Chrome" -> Vector(
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/%d.0.0.0 Safari/537.36",
+      "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/%d.0.0.0 Safari/537.36"),
+    "Firefox" -> Vector(
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:%d.0) Gecko/20100101 Firefox/%d.0",
+      "Mozilla/5.0 (X11; Linux x86_64; rv:%d.0) Gecko/20100101 Firefox/%d.0"),
+    "Safari" -> Vector(
+      "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/%d.0 Safari/605.1.15"),
+    "Mobile" -> Vector(
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/%d.0 Mobile/15E148 Safari/604.1",
+      "Mozilla/5.0 (Linux; Android 14) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/%d.0.0.0 Mobile Safari/537.36"),
+    "IE" -> Vector(
+      "Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0) like Gecko"),
+  )
+
+  /** Training text for the Markov-chain text samplers — an original
+    * public-domain-style passage (the reference trains on bundled classic
+    * texts; any English corpus gives the same operator semantics).
+    */
+  val markovTraining: String =
+    """the quick brown fox jumps over the lazy dog and the dog barks at the
+      |fox while the fox runs through the green field toward the old farm
+      |house where the farmer keeps a flock of white geese and a herd of
+      |cattle that graze beside the slow river under the wide open sky
+      |every morning the farmer walks the long dirt road to the market in
+      |the small town and sells fresh eggs and sweet corn to the people
+      |who come from the city to buy good food and see the quiet country
+      |the children play near the tall oak tree by the stone bridge and
+      |watch the silver fish swim in the clear water below the mill
+      |when the sun sets behind the far hills the whole valley turns gold
+      |and the birds fly home to their nests in the deep woods""".stripMargin
+      .replaceAll("\\s+", " ").trim
+}

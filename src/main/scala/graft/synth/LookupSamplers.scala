@@ -1,0 +1,351 @@
+package graft.synth
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.runtime.{ChineseRestaurant, Checksums, Multinomial, SeedData}
+
+/** Domain/lookup generators — the §2.1.2 family. All draw from the
+  * compact seed tables in graft.runtime.SeedData (broadcast-sized;
+  * serialized once per task with the sampler tree).
+  */
+object LookupSamplers {
+
+  /** `string` (samplers/StringSampler.java:78-96): multinomial over a
+    * user-supplied value→weight map.
+    */
+  final class StringDistSampler(dist: Multinomial[String]) extends Sampler {
+    val dataType: DataType = StringType
+    def sample(ctx: GenContext): Any = dist.sample(ctx.rng)
+  }
+
+  /** Weighted categorical over a seed table — covers `country`, `state`,
+    * `language`, `browser`, `os` (reference CountrySampler etc., all thin
+    * subclasses of StringSampler).
+    */
+  final class CategorySampler(dist: Multinomial[String]) extends Sampler {
+    val dataType: DataType = StringType
+    def sample(ctx: GenContext): Any = dist.sample(ctx.rng)
+  }
+
+  /** `username` (samplers/UsernameSampler.java:30-55): rank-weighted stem
+    * plus a small numeric suffix.
+    */
+  final class UsernameSampler extends Sampler {
+    val dataType: DataType = StringType
+    private val stems = Multinomial.byRank(SeedData.usernames)
+    def sample(ctx: GenContext): Any =
+      stems.sample(ctx.rng) + (ctx.rng.nextInt(1000))
+  }
+
+  /** `name` (samplers/NameSampler.java:110-131): census-style first/last;
+    * types first/last/first_last/last_first; publishes the drawn name on
+    * the side channel for `email-name` (NameSampler.java:56,114).
+    */
+  final class NameSampler(tpe: String) extends Sampler {
+    val dataType: DataType = StringType
+    private val first = Multinomial(SeedData.maleFirst ++ SeedData.femaleFirst)
+    private val last = Multinomial(SeedData.lastNames)
+    def sample(ctx: GenContext): Any = {
+      val f = first.sample(ctx.rng)
+      val l = last.sample(ctx.rng)
+      val v = tpe match {
+        case "first"      => f
+        case "last"       => l
+        case "last_first" => s"$l, $f"
+        case _            => s"$f $l"
+      }
+      ctx.side("previousName") = (f, l)
+      v
+    }
+  }
+
+  /** `street-name` (samplers/StreetNameSampler.java:63): three
+    * independent draws joined with spaces.
+    */
+  final class StreetNameSampler extends Sampler {
+    val dataType: DataType = StringType
+    private val a = Multinomial.uniform(SeedData.streetFirst)
+    private val b = Multinomial.uniform(SeedData.streetSecond)
+    private val c = Multinomial.uniform(SeedData.streetThird)
+    def sample(ctx: GenContext): Any =
+      s"${a.sample(ctx.rng)} ${b.sample(ctx.rng)} ${c.sample(ctx.rng)}"
+  }
+
+  /** `address` (samplers/AddressSampler.java:41): skewed street number +
+    * street name.
+    */
+  final class AddressSampler extends Sampler {
+    val dataType: DataType = StringType
+    private val fk = new ScalarSamplers.ForeignKeySampler(100000, 0.5)
+    private val street = new StreetNameSampler
+    def sample(ctx: GenContext): Any =
+      s"${fk.sample(ctx).asInstanceOf[Long] + 1} ${street.sample(ctx)}"
+  }
+
+  /** `zip` (samplers/ZipSampler.java:148-277): a row from the zip table;
+    * options: onlyContinental, zip prefix match, lat/long bounding box,
+    * fuzz, `fields` projection, verbose=false → just the zip string.
+    * Geo predicates pre-filter the dimension table (no rejection loop —
+    * SURVEY §4's planned improvement).
+    */
+  final class ZipSampler(fields: Option[Seq[String]], onlyContinental: Boolean,
+      prefix: Option[String], latMin: Option[Double], latMax: Option[Double],
+      lonMin: Option[Double], lonMax: Option[Double], fuzz: Option[Double],
+      verbose: Boolean) extends Sampler {
+
+    private val allFields = Seq("zip", "city", "state", "latitude", "longitude")
+    private val kept = fields.map(_.filter(allFields.contains)).getOrElse(allFields)
+    private val rows: Vector[SeedData.ZipRow] = {
+      val base = if (onlyContinental) SeedData.continentalZips else SeedData.zips
+      val p = prefix.map(p => base.filter(_.zip.startsWith(p))).getOrElse(base)
+      val g = p.filter(z =>
+        latMin.forall(z.latitude >= _) && latMax.forall(z.latitude <= _) &&
+          lonMin.forall(z.longitude >= _) && lonMax.forall(z.longitude <= _))
+      require(g.nonEmpty, "zip: no rows match the requested constraints")
+      g
+    }
+    val dataType: DataType =
+      if (!verbose) StringType
+      else StructType(kept.map {
+        case f @ ("latitude" | "longitude") => StructField(f, DoubleType)
+        case f                              => StructField(f, StringType)
+      })
+    def sample(ctx: GenContext): Any = {
+      val z = rows(ctx.rng.nextInt(rows.length))
+      if (!verbose) z.zip
+      else {
+        val lat = z.latitude + fuzz.map(f => (ctx.rng.nextDouble() - 0.5) * f).getOrElse(0.0)
+        val lon = z.longitude + fuzz.map(f => (ctx.rng.nextDouble() - 0.5) * f).getOrElse(0.0)
+        Row.fromSeq(kept.map {
+          case "zip"       => z.zip
+          case "city"      => z.city
+          case "state"     => z.state
+          case "latitude"  => lat
+          case "longitude" => lon
+        })
+      }
+    }
+  }
+
+  /** `ssn` (samplers/SsnSampler.java:115-141): seeded area code + random
+    * group/serial, AAA-GG-SSSS; `fields` keep-list adds state/type.
+    */
+  final class SsnSampler(fields: Option[Seq[String]], types: Seq[String]) extends Sampler {
+    private val areas = SeedData.ssnAreas.filter(a => types.contains(a._3))
+    require(areas.nonEmpty, "ssn: no area codes for requested types")
+    private val kept = fields.getOrElse(Seq("ssn"))
+    val dataType: DataType =
+      if (kept == Seq("ssn")) StringType
+      else StructType(kept.map(f => StructField(f, StringType)))
+    def sample(ctx: GenContext): Any = {
+      val (area, state, tpe) = areas(ctx.rng.nextInt(areas.length))
+      val ssn = f"$area%03d-${ctx.rng.nextInt(99) + 1}%02d-${ctx.rng.nextInt(9999) + 1}%04d"
+      if (kept == Seq("ssn")) ssn
+      else Row.fromSeq(kept.map {
+        case "ssn"         => ssn
+        case "state"       => state
+        case "description" => tpe
+        case _             => ssn
+      })
+    }
+  }
+
+  /** `vin` (samplers/VinSampler.java:94-207): WMI by country/make, year
+    * code letter, real ISO-3779 check digit, sequential tail; `verbose`
+    * adds make/model/engine/year fields.
+    */
+  final class VinSampler(countries: Option[Set[String]], makes: Option[Set[String]],
+      yearMin: Int, yearMax: Int, verbose: Boolean) extends Sampler {
+    private val wmis = SeedData.vinWmi.filter { case (_, c, m) =>
+      countries.forall(_.contains(c)) && makes.forall(_.contains(m))
+    }
+    require(wmis.nonEmpty, "vin: no WMI matches the country/make filters")
+    private val vds = "ABCDEFGHJKLMNPRSTUVWXYZ0123456789"
+    val dataType: DataType =
+      if (!verbose) StringType
+      else StructType(Seq(StructField("VIN", StringType),
+        StructField("manufacturer", StringType), StructField("model", StringType),
+        StructField("engine", StringType), StructField("year", IntegerType)))
+    def sample(ctx: GenContext): Any = {
+      val (wmi, _, make) = wmis(ctx.rng.nextInt(wmis.length))
+      val year = yearMin + ctx.rng.nextInt(yearMax - yearMin + 1)
+      val yearCode = SeedData.vinYearCodes.charAt((year - 1980) % 30)
+      val body = (1 to 5).map(_ => vds.charAt(ctx.rng.nextInt(vds.length))).mkString
+      val plant = vds.charAt(ctx.rng.nextInt(vds.length))
+      val serial = f"${ctx.rng.nextInt(1000000)}%06d"
+      val noCheck = s"$wmi$body" + "0" + s"$yearCode$plant$serial"
+      val vin = noCheck.updated(8, Checksums.vinCheckChar(noCheck))
+      if (!verbose) vin
+      else Row(vin, make, SeedData.vinModels(ctx.rng.nextInt(SeedData.vinModels.length)),
+        SeedData.vinEngines(ctx.rng.nextInt(SeedData.vinEngines.length)), year)
+    }
+  }
+
+  /** `vehicle` (samplers/AutoCertification.java:116-174): VIN + plate +
+    * expiration date.
+    */
+  final class VehicleSampler extends Sampler {
+    private val vin = new VinSampler(None, None, 2000, 2024, verbose = false)
+    private val letters = "ABCDEFGHJKLMNPRSTUVWXYZ"
+    val dataType: DataType = StructType(Seq(
+      StructField("vin", StringType), StructField("license", StringType),
+      StructField("expiration", StringType)))
+    private val ft = graft.runtime.FancyTime("yyyy-MM-dd")
+    def sample(ctx: GenContext): Any = {
+      val plate = (1 to 3).map(_ => letters.charAt(ctx.rng.nextInt(letters.length))).mkString +
+        "-" + f"${ctx.rng.nextInt(1000)}%03d"
+      val expMs = 1375315200000L + (ctx.rng.nextDouble() * 3 * 365.25 * 86400000L).toLong
+      Row(vin.sample(ctx), plate, ft.formatMillis(expMs))
+    }
+  }
+
+  /** `word` (samplers/WordSampler.java:36, distributions/TermGenerator):
+    * Pitman–Yor over a frequency-weighted vocabulary with generated
+    * neologisms past the table.
+    */
+  final class WordSampler(alpha: Double, discount: Double) extends Sampler {
+    val dataType: DataType = StringType
+    private val crp = new ChineseRestaurant(alpha, discount)
+    private val base = SeedData.words.map(_._1)
+    def sample(ctx: GenContext): Any = {
+      val idx = crp.sample(ctx.rng)
+      if (idx < base.length) base(idx)
+      else s"w${java.lang.Long.toUnsignedString(graft.runtime.Rng.mix(idx.toLong), 36)}"
+    }
+  }
+
+  /** `text` (samplers/TextSampler.java:40-91): draws from a user bag or a
+    * bundled quote table.
+    */
+  final class TextBagSampler(bag: Multinomial[String]) extends Sampler {
+    val dataType: DataType = StringType
+    def sample(ctx: GenContext): Any = bag.sample(ctx.rng)
+  }
+
+  /** `ipv4` (samplers/IpV4AddressSampler.java:44-63): public or
+    * private-range dotted quad.
+    */
+  final class Ipv4Sampler(priv: Boolean) extends Sampler {
+    val dataType: DataType = StringType
+    def sample(ctx: GenContext): Any =
+      if (priv) s"10.${ctx.rng.nextInt(256)}.${ctx.rng.nextInt(256)}.${ctx.rng.nextInt(254) + 1}"
+      else {
+        var a = ctx.rng.nextInt(223) + 1 // public unicast leading octet
+        if (a == 10 || a == 127) a += 1
+        s"$a.${ctx.rng.nextInt(256)}.${ctx.rng.nextInt(256)}.${ctx.rng.nextInt(254) + 1}"
+      }
+  }
+
+  /** `imei` (samplers/ImeiSampler.java:74-130): 8-digit TAC + 6-digit
+    * serial + Luhn check digit. Uniqueness: the serial embeds the row id
+    * (disjoint per row — deterministic, no Bloom filter needed).
+    */
+  final class ImeiSampler(unique: Boolean) extends Sampler {
+    val dataType: DataType = StringType
+    private val tacs = Vector("35332811", "49015420", "35693803", "86723902", "01326300")
+    def sample(ctx: GenContext): Any = {
+      val tac = tacs(ctx.rng.nextInt(tacs.length))
+      val serial =
+        if (unique) f"${ctx.rowId % 1000000}%06d"
+        else f"${ctx.rng.nextInt(1000000)}%06d"
+      val body = tac + serial
+      body + Checksums.luhnCheckDigit(body)
+    }
+  }
+
+  /** Shared domain Pitman–Yor: warm-started with corporate domains, then
+    * surname+TLD coinages (reference EmailSampler.java:63-76).
+    */
+  final class DomainDraw extends Serializable {
+    private val crp = new ChineseRestaurant(10.0, 0.3)
+    private val tld = Multinomial(SeedData.tlds)
+    private val last = Multinomial(SeedData.lastNames)
+    private val coined = scala.collection.mutable.ArrayBuffer[String]()
+    def draw(ctx: GenContext): String = {
+      val idx = crp.sample(ctx.rng)
+      if (idx < SeedData.corpDomains.length) SeedData.corpDomains(idx)
+      else {
+        val i = idx - SeedData.corpDomains.length
+        if (i < coined.length) coined(i)
+        else {
+          val d = last.sample(ctx.rng).toLowerCase + "." + tld.sample(ctx.rng)
+          coined += d
+          d
+        }
+      }
+    }
+  }
+
+  /** `email` (samplers/EmailSampler.java:169): first.last@domain. */
+  final class EmailSampler extends Sampler {
+    val dataType: DataType = StringType
+    private val first = Multinomial(SeedData.maleFirst ++ SeedData.femaleFirst)
+    private val last = Multinomial(SeedData.lastNames)
+    private val domains = new DomainDraw
+    def sample(ctx: GenContext): Any =
+      s"${first.sample(ctx.rng).toLowerCase}.${last.sample(ctx.rng).toLowerCase}@${domains.draw(ctx)}"
+  }
+
+  /** `email-name` (samplers/EmailNameSampler.java:170-178): reuses the
+    * most recent `name` draw in the same record via the side channel.
+    */
+  final class EmailNameSampler extends Sampler {
+    val dataType: DataType = StringType
+    private val fallback = new EmailSampler
+    private val domains = new DomainDraw
+    def sample(ctx: GenContext): Any = ctx.side.get("previousName") match {
+      case Some((f: String, l: String)) =>
+        s"${f.toLowerCase}.${l.toLowerCase}@${domains.draw(ctx)}"
+      case _ => fallback.sample(ctx)
+    }
+  }
+
+  /** `domain` (samplers/DomainSampler.java:112-123): {domain, revDomain}. */
+  final class DomainSampler extends Sampler {
+    val dataType: DataType = StructType(Seq(
+      StructField("domain", StringType), StructField("revDomain", StringType)))
+    private val domains = new DomainDraw
+    def sample(ctx: GenContext): Any = {
+      val d = domains.draw(ctx)
+      Row(d, d.split('.').reverse.mkString("."))
+    }
+  }
+
+  /** `header` (samplers/HeaderSampler.java:44-157): HTTP request header
+    * block with sampled browser → UA, language, encoding; `type`
+    * normal/ababil/mal1..3 emulate hostile traffic shapes (no UA, odd
+    * ordering, stale protocol).
+    */
+  final class HeaderSampler(tpe: String, prolog: Option[String]) extends Sampler {
+    val dataType: DataType = StringType
+    private val browser = Multinomial(SeedData.browsers)
+    private val lang = Multinomial(Vector("en-US" -> 6.0, "en-GB" -> 1.5,
+      "es-ES" -> 1.0, "zh-CN" -> 1.2, "de-DE" -> 0.8, "fr-FR" -> 0.8))
+    def sample(ctx: GenContext): Any = {
+      val b = browser.sample(ctx.rng)
+      val uas = SeedData.userAgents(b)
+      val uaT = uas(ctx.rng.nextInt(uas.length))
+      val ver = 90 + ctx.rng.nextInt(40)
+      val ua = uaT.replace("%d", ver.toString)
+      val path = s"/page/${ctx.rng.nextInt(1000)}"
+      val sb = new StringBuilder
+      prolog.foreach(p => sb.append(p).append("\r\n"))
+      tpe match {
+        case "ababil" =>
+          sb.append(s"GET $path HTTP/1.0\r\n")
+          sb.append("Connection: close\r\n")
+        case m if m.startsWith("mal") =>
+          sb.append(s"GET $path HTTP/1.1\r\n")
+          sb.append("Host: target\r\n")
+          if (m != "mal1") sb.append(s"User-Agent: ${ua.take(20)}\r\n")
+        case _ =>
+          sb.append(s"GET $path HTTP/1.1\r\n")
+          sb.append("Host: example.com\r\n")
+          sb.append(s"User-Agent: $ua\r\n")
+          sb.append(s"Accept-Language: ${lang.sample(ctx.rng)}\r\n")
+          sb.append("Accept-Encoding: gzip, deflate\r\n")
+      }
+      sb.append("\r\n").toString
+    }
+  }
+}

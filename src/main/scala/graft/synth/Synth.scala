@@ -1,0 +1,87 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, StructType}
+import graft.runtime.Rng
+
+/** The DataSynthesizer analog (processors/DataSynthesizer.java:59-108,
+  * CLI Synth.java:63-193), Spark-first:
+  *
+  *   - the generator schema compiles ONCE per task (vs per-thread
+  *     ThreadLocal re-parse) and the record schema is computed statically
+  *     from the sampler tree (vs sample-one-and-infer,
+  *     DataSynthesizerBase.java:176-207);
+  *   - generation is a `mapPartitions` source over `spark.range(n)` —
+  *     the one legitimately imperative per-partition stage; everything
+  *     downstream is ordinary Catalyst;
+  *   - each partition's RNG stream is seeded from (seed, partitionId), so
+  *     a run is bit-reproducible under any scheduling and scales to any
+  *     executor count with zero coordination or shuffle. At 100 TB this
+  *     is embarrassingly parallel: rows/partitions never communicate.
+  */
+object Synth {
+
+  /** Generate `n` records of `schemaJson` (the generator DSL of SURVEY
+    * §1.2) as a DataFrame.
+    */
+  def dataFrame(spark: SparkSession, schemaJson: String, n: Long,
+      seed: Long = 42L, partitions: Int = 0): DataFrame = {
+    // compile on the driver first: validates the spec and fixes the schema
+    val schema = Compiler.structType(Compiler.compileSchema(schemaJson))
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val rdd = spark.sparkContext.range(0L, n, 1L, p).mapPartitionsWithIndex {
+      (pid, ids) =>
+        val entries = Compiler.compileSchema(schemaJson) // fresh state per task
+        val ctx = new GenContext(Rng.forPartition(seed, pid), 0L)
+        ids.flatMap(id => emitRows(entries, ctx, id))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Assemble the output row(s) for one input id. Flat generators fan out
+    * into the full cross product of their element lists (the documented
+    * semantics of the reference's crossProduct, SchemaSampler.java:132-158;
+    * its early-return bug is intentionally not reproduced — SURVEY §7.4(5)).
+    */
+  private[graft] def emitRows(entries: Seq[Compiler.FieldEntry], ctx: GenContext,
+      id: Long): Iterator[Row] = {
+    ctx.newRecord(id)
+    // Sample every entry once, in spec order (side-channel coupling and
+    // per-record state depend on that order).
+    val sampled: Seq[(Compiler.FieldEntry, Any)] = entries.map(e => e -> (e match {
+      case Compiler.Single(_, s)      => s.sample(ctx)
+      case Compiler.Multi(_, _, s)    => s.sample(ctx)
+      case Compiler.Generator(_, s)   => s.sample(ctx)
+    }))
+    val genLists: Seq[Seq[Any]] = sampled.collect {
+      case (_: Compiler.Generator, v) => v.asInstanceOf[Seq[Any]]
+    }
+    if (genLists.isEmpty) {
+      Iterator.single(Row.fromSeq(sampled.flatMap {
+        case (_: Compiler.Single, v)   => Seq(v)
+        case (_: Compiler.Multi, v)    => v.asInstanceOf[Row].toSeq
+        case _                         => Nil
+      }))
+    } else {
+      // full cross product over generator element lists (usually one list)
+      val cross: Iterator[Seq[Any]] =
+        genLists.foldLeft(Iterator.single(Seq.empty[Any])) { (acc, list) =>
+          acc.flatMap(prefix => list.iterator.map(prefix :+ _))
+        }
+      cross.map { chosen =>
+        var gi = 0
+        val cells = sampled.flatMap {
+          case (_: Compiler.Single, v) => Seq(v)
+          case (_: Compiler.Multi, v)  => v.asInstanceOf[Row].toSeq
+          case (g: Compiler.Generator, _) =>
+            val elem = chosen(gi); gi += 1
+            (elem, g.s.dataType) match {
+              case (r: Row, ArrayType(_: StructType, _)) => r.toSeq
+              case (v, _)                                => Seq(v)
+            }
+        }
+        Row.fromSeq(cells)
+      }
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{CannedSources, Processors, SchemaRegistry}
+import graft.synth.Synth
+
+/** Processor-layer tests mirroring the reference's processor oracles
+  * (TestTransactions.java:69-77 smoke + shape checks).
+  */
+class ProcessorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("correlator embeds 1..k sampled records per input row") {
+    val out = Processors.correlate(orders.limit(100),
+      """[{"name": "device", "class": "uuid"}]""", "corr", maxFanOut = 4)
+    val n = out.success.count()
+    assert(n >= 100 && n <= 400)
+    assert(out.success.columns.contains("corr"))
+    assert(out.correlation.columns.toSeq == Seq("device"))
+    assert(out.original.count() == 100)
+  }
+
+  test("transactions attaches 0..5 merged terminal transactions per row") {
+    val out = Processors.transactions(orders.limit(200), "o_orderkey", nTerminals = 10)
+    val rows = out.select(col("o_orderkey"), size(col("transactions")).as("k")).collect()
+    assert(rows.length == 200) // 0-transaction orders are kept, not dropped
+    rows.foreach(r => assert(r.getAs[Int]("k") >= 0 && r.getAs[Int]("k") <= 5))
+    assert(rows.exists(_.getAs[Int]("k") == 0) && rows.exists(_.getAs[Int]("k") > 0))
+    // terminal fields merged into each transaction struct
+    val tx = out.select(explode(col("transactions")).as("t")).select("t.*")
+    assert(tx.columns.toSet ==
+      Set("seq", "amount_cents", "terminal_id", "zip", "city", "state"))
+    assert(tx.select("amount_cents").collect().forall(_.getLong(0) <= 20000))
+  }
+
+  test("removeFields drops top-level and nested paths") {
+    val df = Synth.dataFrame(spark,
+      """[{"name": "t", "class": "toll"}, {"name": "u", "class": "uuid"}]""", 10)
+    val out = Processors.removeFields(df, Seq("u", "t.location.city"))
+    assert(!out.columns.contains("u"))
+    val loc = out.select("t.location.*").columns.toSet
+    assert(!loc.contains("city") && loc.contains("zip"))
+  }
+
+  test("phone number honors a fixed area code (TestPhoneNumber oracle)") {
+    CannedSources.phoneNumber(spark, 30, Some(497)).collect()
+      .foreach(r => assert(r.getString(0).matches("^497-\\d{3}-\\d{4}$")))
+  }
+
+  test("text generator emits the requested word count per row") {
+    CannedSources.textGenerator(spark, 10, 7).collect()
+      .foreach(r => assert(r.getString(0).split(" ").length == 7))
+  }
+
+  test("schema registry compiles named schemas (DataGenerator analog)") {
+    val reg = new SchemaRegistry
+    reg.register("pings", """[{"name": "ip", "class": "ipv4"}]""")
+    assert(reg.dataFrame(spark, "pings", 25).count() == 25)
+    assertThrows[NoSuchElementException](reg.dataFrame(spark, "nope", 1))
+  }
+
+  test("xml + template sinks render per-row strings") {
+    val df = Synth.dataFrame(spark, """[{"name": "b", "class": "browser"}]""", 5)
+    val xml = Processors.toXml(df).collect().map(_.getString(0))
+    xml.foreach(x => assert(x.matches("^<record><b>.*</b></record>$")))
+    val t = Processors.renderTemplate(df, "ua=${b}!").collect().map(_.getString(0))
+    t.foreach(x => assert(x.startsWith("ua=") && x.endsWith("!")))
+  }
+
+  test("streaming synth source generates windowed-aggregatable records") {
+    import graft.streaming.SynthStream
+    val stream = SynthStream.stream(spark,
+      """[{"name": "browser", "class": "browser"}]""", rowsPerSecond = 100)
+    assert(stream.isStreaming)
+    val counts = SynthStream.windowedCounts(stream, "browser")
+    val q = counts.writeStream.format("memory").queryName("synth_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val got = spark.sql("select sum(n) from synth_counts").collect()(0)
+      assert(!got.isNullAt(0) && got.getLong(0) > 0)
+    } finally q.stop()
+  }
+}
