@@ -33,6 +33,7 @@ object SparkEntry {
 object SynthQueries {
   import graft.api.{CannedSources, Processors}
   import graft.synth.Synth
+  import org.apache.spark.sql.functions.col
 
   private def q(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
@@ -92,5 +93,35 @@ object SynthQueries {
     q("g45_sink_xml")((s, _) => Processors.toXml(
       Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
         {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
+
+    // -------- LLM-pipeline operators whose outputs are approximate
+    // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
+    // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
+    q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.05)),
+    q("g47_simhash_pairs")((s, d) => graft.ops.Dedup.simHashPairs(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 16)),
+    // threshold 0.15 / 4 bits: this corpus's random embeddings top out
+    // near cosine 0.4, so a 0.5 threshold returns nothing — thresholds
+    // must be set from the data's similarity distribution
+    q("g48_embed_neardup")((s, d) => graft.ops.Dedup.embeddingNearDup(
+      s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+      threshold = 0.15, nBits = 4)),
+    q("g49_ann_ivf")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
+      graft.ops.Similarity.ivfTopK(vecs,
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, centroids,
+        nProbe = 4)
+    }),
+    q("g50_multimodal_decode")((s, d) => {
+      val assets = graft.ops.Multimodal.asAsset(
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "image", "png")
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.decodeFeatures(assets, "payload"), "payload", 4)
+        .drop("payload")
+    }),
   )
 }

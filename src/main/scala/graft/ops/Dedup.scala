@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each written for
+  * the 100 TB shape:
+  *
+  *   - exact dedup = one hash-shuffle with map-side combine;
+  *   - MinHash-LSH = signatures computed scan-side in pure codegen'd
+  *     column expressions (no UDF), then a band-bucket join — candidate
+  *     pairs only materialize inside buckets, never all-pairs;
+  *   - SimHash = 64-bit signatures + banded prefix buckets;
+  *   - embedding near-dup = signed-random-projection buckets + cosine
+  *     verification inside buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `idCol` per normalized-content hash.
+    * Equivalent reference-free SQL: row_number over fingerprint. The
+    * shuffle key is the 128-bit md5, so skew is impossible unless the
+    * corpus is one giant duplicate class.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingle set as an array column (distinct). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val w = split(lower(textCol), "\\s+")
+    val parts = (0 until n).map(i => element_at(w, col("i") + i))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+  }
+
+  /** MinHash signature columns: minhash_j = min over shingles of
+    * xxhash64(shingle, salt_j). Pure higher-order-function Catalyst
+    * expressions — whole-stage-codegen'd, no UDF, no driver state.
+    */
+  private def minhashCol(sh: Column, salt: Int): Column =
+    array_min(transform(sh, s => xxhash64(s, lit(salt))))
+
+  /** LSH candidate pairs at `numHashes` permutations in `bands` bands:
+    * docs sharing any band bucket become candidates; candidates are then
+    * verified with exact shingle-set Jaccard. Never compares documents
+    * that share no bucket.
+    *
+    * Returns (a, b, jaccard) for verified pairs with jaccard >= threshold.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSh = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleWords).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sigs = (0 until numHashes).map(j => minhashCol(col("__sh"), j).as(s"__m$j"))
+    val signed = withSh.select((col("__id") +: col("__sh") +: sigs): _*)
+    // band key = hash of that band's signature slice
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }
+    val buckets = signed
+      .select(col("__id"), col("__sh"), explode(array(bandKeys: _*)).as("__bk"))
+      .select(col("__id"), col("__sh"), col("__bk.band"), col("__bk.sig"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("x.__sh").as("sha"),
+        col("y.__id").as("b"), col("y.__sh").as("shb"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("__common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("__common") / (size(col("sha")) + size(col("shb")) - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token stream: bit k of the signature is the
+    * sign of the sum over tokens of ±1 (bit k of the token hash).
+    * Expressed with aggregate() over the token array — codegen'd.
+    */
+  def simhashCol(textColName: String): Column =
+    // per-bit counters (array<int>[64]) accumulated over tokens, then
+    // folded into a 64-bit signature; written as a SQL expr because the
+    // Scala DSL's shiftright only accepts a literal Int shift amount
+    expr(s"""
+      aggregate(
+        zip_with(
+          aggregate(
+            split(lower(`$textColName`), '\\\\s+'),
+            array_repeat(0, 64),
+            (acc, tok) -> transform(acc, (c, i) ->
+              c + CASE WHEN shiftright(xxhash64(tok), i) & 1L = 1L THEN 1 ELSE -1 END)),
+          sequence(0, 63),
+          (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
+        0L, (acc, x) -> acc | x)
+    """)
+
+  /** SimHash near-dup pairs: bucket on 4 × 16-bit signature bands (two
+    * signatures within Hamming distance 3 must agree on at least one
+    * band), verify with exact Hamming distance.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
+    val banded = sig.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("__bk"))
+      .select(col("__id"), col("__sig"), col("__bk.band"), col("__bk.key"))
+    val hamming = bit_count(col("x.__sig").bitwiseXOR(col("y.__sig"))).cast("long")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"), hamming.as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup via signed random projections: `nBits` hyperplane
+    * signs bucket the vectors; cosine is verified only inside buckets.
+    * Hyperplanes are deterministic hash-derived pseudo-vectors, so no
+    * driver-side randomness ships to executors.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val v = col("__v")
+    val base = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__norm", sqrt(aggregate(v, lit(0d), (a, x) => a + x * x)))
+    // sign bit j: dot(v, h_j) where h_j[i] = ±1 from hash(seed, j, i)
+    def signBit(j: Int): Column = {
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          when(xxhash64(lit(seed), lit(j), i).bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
+        lit(0d), (a, x) => a + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    val sig = (0 until nBits).map(signBit).reduce((a, b) => a.bitwiseOR(b))
+    val bucketed = base.withColumn("__sig", sig)
+    val dot = aggregate(zip_with(col("x.__v"), col("y.__v"), (a, b) => a * b),
+      lit(0d), (a, x) => a + x)
+    bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.__sig") === col("y.__sig") && col("x.__id") < col("y.__id"))
+      .withColumn("cosine", dot / (col("x.__norm") * col("y.__norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.__id").as("a"), col("y.__id").as("b"), col("cosine"))
+  }
+}

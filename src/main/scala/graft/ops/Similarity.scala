@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Scale design: the query set is always the small side — broadcast it.
+  * The brute-force path scans every vector once (embarrassingly
+  * parallel); the IVF path prunes the scan to the probed clusters, which
+  * is the standard way to keep ANN sub-linear at 100 TB (cluster
+  * assignment is a partition-prunable column in a real deployment:
+  * write the table partitioned by cluster id).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, z) => acc + z)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+
+  /** Exact cosine top-k per query. `queries` must be broadcast-sized. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("nq", norm(col("qv"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    v.join(q, col("id") =!= col("qid"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+  }
+
+  /** Lloyd k-means on a driver-side sample — centroids are a tiny
+    * broadcastable table (nCentroids × dim doubles). Good enough to
+    * build an IVF index; a production fit would use sampled minibatch
+    * refinement, same output shape.
+    */
+  def fitCentroids(vectors: DataFrame, vecCol: String, nCentroids: Int,
+      iters: Int = 8, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = vectors.select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCentroids, "need at least nCentroids sample vectors")
+    val rng = graft.runtime.Rng.forKey(seed, sample.length.toLong)
+    var centroids = rng.ints(0, sample.length).distinct().limit(nCentroids)
+      .toArray.map(sample(_).clone)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nCentroids)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { x =>
+        val c = nearest(centroids, x)
+        counts(c) += 1
+        var i = 0
+        while (i < x.length) { sums(c)(i) += x(i); i += 1 }
+      }
+      centroids = sums.zip(counts).zipWithIndex.map { case ((s, n), i) =>
+        if (n == 0) centroids(i) else s.map(_ / n)
+      }
+    }
+    centroids
+  }
+
+  private def nearest(cs: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < x.length) { val t = cs(c)(i) - x(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign each vector its IVF cluster id (the partition-pruning column). */
+  def assignClusters(vectors: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Double]) => nearest(cs.value, v.toArray))
+    vectors.withColumn("cluster", assign(col(vecCol).cast("array<double>")))
+  }
+
+  /** IVF top-k: probe only the `nProbe` clusters nearest to each query —
+    * the scan shrinks by ~nCentroids/nProbe. Exactness is traded for
+    * recall, the standard IVF contract.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val assigned = assignClusters(vectors, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+        col("cluster"))
+      .withColumn("nv", norm(col("v")))
+    val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val probes = udf { (v: Seq[Double]) =>
+      val x = v.toArray
+      cs.value.indices
+        .map(c => c -> {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = cs.value(c)(i) - x(i); d += t * t; i += 1 }
+          d
+        })
+        .sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("nq", norm(col("qv")))
+      .withColumn("probe", explode(probes(col("qv")))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+  }
+}

@@ -227,9 +227,66 @@ object PipelineQueries {
       FROM embeddings GROUP BY label"""),
   )
 
+  /** BPE-ish subword token counting (graft.ops.TextAnalysis
+    * .bpeTokenCount): word pieces + digit runs + punctuation marks — the
+    * token-budget signal of a training pipeline, with a portable regex
+    * (same semantics in Java regex and RE2).
+    */
+  val q29_bpe_tokens = QueryDef(
+    "q29_bpe_tokens",
+    (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.ops.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe")),
+    Some("""SELECT doc_id,
+      cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+      FROM documents"""),
+  )
+
+  /** Language-ID heuristic (graft.ops.TextAnalysis.langIdGuess): charset
+    * ratio then stopword density, mirrored exactly in the oracle.
+    */
+  val q30_langid_guess = QueryDef(
+    "q30_langid_guess",
+    (s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        graft.ops.TextAnalysis.langIdGuess(col("text")).as("guess")),
+    Some("""SELECT doc_id, lang,
+      CASE
+        WHEN length(regexp_replace(text, '[ -~]', '', 'g')) * 1.0 /
+             greatest(length(text), 1) > 0.3 THEN 'cjk-ish'
+        WHEN (
+          (length(p) - length(replace(p, ' the ', ' '))) / 4 +
+          (length(p) - length(replace(p, ' a ', ' '))) / 2 +
+          (length(p) - length(replace(p, ' of ', ' '))) / 3 +
+          (length(p) - length(replace(p, ' and ', ' '))) / 4 +
+          (length(p) - length(replace(p, ' to ', ' '))) / 3 +
+          (length(p) - length(replace(p, ' in ', ' '))) / 3
+        ) * 1.0 / greatest(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1, 1)
+          > 0.08 THEN 'en-ish'
+        ELSE 'latin-other'
+      END AS guess
+      FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents)"""),
+  )
+
+  /** Multimodal ingest metadata (graft.ops.Multimodal.asAsset): byte
+    * length of the binary payload — the oracle-checkable slice of the
+    * multimodal plumbing (decode features are stubbed, rows-only g50).
+    */
+  val q31_multimodal_bytes = QueryDef(
+    "q31_multimodal_bytes",
+    (s, d) =>
+      graft.ops.Multimodal.asAsset(
+        docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", "image", "png")
+        .select(col("doc_id"), col("payload_meta.modality"),
+          col("payload_meta.n_bytes")),
+    Some("""SELECT doc_id, 'image' AS modality,
+      cast(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
-    q28_embed_label_stats,
+    q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
   )
 }

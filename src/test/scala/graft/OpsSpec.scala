@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator tests: planted-duplicate detection, recall
+  * bounds for the approximate (LSH/IVF) paths against exact ground
+  * truth, and determinism of the stubbed multimodal decode.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup keeps lowest id per normalized content") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L)) // 2 is a case/whitespace dup of 1
+  }
+
+  test("minhash-lsh finds planted near-duplicates with exact jaccard verification") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val nearDup = base + " omega extra" // jaccard ≈ 0.85: well inside LSH recall
+    val planted = Seq((9001L, base), (9002L, nearDup), (9003L, base))
+      .toDF("doc_id", "text")
+    val df = docs.select($"doc_id", $"text").union(planted)
+    val pairs = Dedup.minHashLsh(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9001L, 9003L))) // identical docs always pair
+    assert(pairs.contains((9001L, 9002L)) || pairs.contains((9002L, 9003L)),
+      s"near-dup not found in $pairs")
+  }
+
+  test("simhash: identical text pairs at hamming 0, disjoint text far apart") {
+    val df = Seq((1L, "the quick brown fox jumps over dogs"),
+      (2L, "the quick brown fox jumps over dogs"),
+      (3L, "zq xw vv uu tt ss rr qq pp oo")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 0L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("embedding near-dup finds planted identical vectors") {
+    val v = (1 to 64).map(_.toFloat / 64)
+    val planted = Seq((8001L, v, 0), (8002L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+    val df = embs.union(planted)
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((8001L, 8002L)))
+  }
+
+  test("ivf top-k recall >= 0.5 vs brute force at nProbe=4/16") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Similarity.fitCentroids(embs, "embedding", 16)
+    val approx = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      centroids, nProbe = 4)
+      .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("bpe token count on known strings") {
+    // single digits tokenize individually: "42" -> "4","2"
+    val df = Seq(("a1b2!", 5), ("hello, world 42", 5), ("", 0)).toDF("text", "want")
+    df.select(TextAnalysis.bpeTokenCount($"text").as("got"), $"want").collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("langid guess: stopword-dense english vs non-ascii vs other") {
+    val df = Seq(
+      ("the cat sat on the mat and the dog in a house of cards", "en-ish"),
+      ("世界 你好 世界 你好 世界 你好 世界 你好", "cjk-ish"),
+      ("zxcv qwer asdf poiu lkjh mnbv", "latin-other")).toDF("text", "want")
+    df.select(TextAnalysis.langIdGuess($"text").as("got"), $"want").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("rolling hash is order-sensitive; md5 fingerprint is not case-sensitive") {
+    val df = Seq(("a b c", "c b a", "A  b C")).toDF("x", "y", "z")
+    val r = df.select(
+      TextAnalysis.rollingHash($"x").as("hx"), TextAnalysis.rollingHash($"y").as("hy"),
+      TextAnalysis.fingerprint($"x").as("fx"), TextAnalysis.fingerprint($"z").as("fz"))
+      .collect()(0)
+    assert(r.getAs[Long]("hx") != r.getAs[Long]("hy"))
+    assert(r.getAs[String]("fx") == r.getAs[String]("fz"))
+  }
+
+  test("multimodal decode stub is deterministic and frame sampling fans out") {
+    val assets = Multimodal.asAsset(
+      docs.limit(20).select($"doc_id", $"text".cast("binary").as("payload")),
+      "payload", "image", "png")
+    val d1 = Multimodal.decodeFeatures(assets, "payload")
+      .select($"doc_id", $"payload_decoded.width").collect().map(_.toString).sorted
+    val d2 = Multimodal.decodeFeatures(assets, "payload")
+      .select($"doc_id", $"payload_decoded.width").collect().map(_.toString).sorted
+    assert(d1.toSeq == d2.toSeq)
+    val frames = Multimodal.sampleFrames(assets, "payload", 4)
+    assert(frames.count() == 80) // 20 assets x 4 frames
+    assert(frames.columns.contains("frame_offset_bytes"))
+  }
+}
