@@ -37,17 +37,20 @@ object Dedup {
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
   }
 
-  /** MinHash signature columns: minhash_j = min over shingles of
-    * xxhash64(shingle, salt_j). Pure higher-order-function Catalyst
-    * expressions — whole-stage-codegen'd, no UDF, no driver state.
-    */
-  private def minhashCol(sh: Column, salt: Int): Column =
-    array_min(transform(sh, s => xxhash64(s, lit(salt))))
-
   /** LSH candidate pairs at `numHashes` permutations in `bands` bands:
     * docs sharing any band bucket become candidates; candidates are then
     * verified with exact shingle-set Jaccard. Never compares documents
     * that share no bucket.
+    *
+    * Performance shape (it matters at 100 TB):
+    *   - each shingle string is hashed ONCE; the `numHashes`
+    *     permutations are derived by re-mixing the 64-bit hash with a
+    *     salt (long→long, cheap) instead of re-hashing strings;
+    *   - the band-bucket explode and self-join carry only (id, band,
+    *     sig) — the shingle arrays stay out of the 16× fan-out and the
+    *     shuffle, and are joined back only for DISTINCT candidate pairs;
+    *   - the bucketed signature table is persisted across the self-join
+    *     (the same materialization an index build would write out).
     *
     * Returns (a, b, jaccard) for verified pairs with jaccard >= threshold.
     */
@@ -59,24 +62,29 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleWords).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val sigs = (0 until numHashes).map(j => minhashCol(col("__sh"), j).as(s"__m$j"))
-    val signed = withSh.select((col("__id") +: col("__sh") +: sigs): _*)
-    // band key = hash of that band's signature slice
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+    // minhash_j = min over pre-hashed shingles of remix(hash, salt_j)
+    val sigs = (0 until numHashes).map(j =>
+      array_min(transform(col("__hs"), h => xxhash64(h, lit(j)))).as(s"__m$j"))
+    val signed = withSh.select((col("__id") +: sigs): _*)
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
     val buckets = signed
-      .select(col("__id"), col("__sh"), explode(array(bandKeys: _*)).as("__bk"))
-      .select(col("__id"), col("__sh"), col("__bk.band"), col("__bk.sig"))
+      .select(col("__id"), explode(array(bandKeys: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.band"), col("__bk.sig"))
+      .persist()
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a"), col("x.__sh").as("sha"),
-        col("y.__id").as("b"), col("y.__sh").as("shb"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .dropDuplicates("a", "b")
+    val shMap = withSh.select(col("__id"), col("__sh"))
     candidates
+      .join(shMap.select(col("__id").as("a"), col("__sh").as("sha")), "a")
+      .join(shMap.select(col("__id").as("b"), col("__sh").as("shb")), "b")
       .withColumn("__common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("__common") / (size(col("sha")) + size(col("shb")) - col("__common")))
