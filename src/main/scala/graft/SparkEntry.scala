@@ -94,6 +94,22 @@ object SynthQueries {
       Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
         {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
 
+    // Catalyst fast path: 1M rows of a wide stateless schema as pure
+    // codegen'd column expressions (compare with g38's interpreter rate)
+    q("g51_columns_fast")((s, _) => Synth.dataFrameAuto(s,
+      """[{"name": "u", "class": "uuid"},
+          {"name": "ip", "class": "ipv4"},
+          {"name": "n", "class": "int", "min": 0, "max": 1000000},
+          {"name": "x", "class": "normal", "mean": 0, "sd": 1},
+          {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+          {"name": "st", "class": "state"},
+          {"name": "b", "class": "browser"},
+          {"name": "phone", "class": "join", "separator": "-",
+           "value": {"class": "sequence", "array": [
+             {"class": "int", "min": 200, "max": 999},
+             {"class": "int", "min": 200, "max": 999},
+             {"class": "int", "min": 1000, "max": 9999}]}}]""", 1000000)),
+
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).

@@ -1,0 +1,220 @@
+package graft.synth
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.spec.{FieldSpec, SpecParser}
+import graft.runtime.SeedData
+
+/** The Catalyst fast path: compiles the STATELESS sampler subset to pure
+  * Column expressions over `spark.range(n)` — fully whole-stage-codegen'd
+  * generation, no interpreter, no RDD (SURVEY §7.3 "pure built-ins").
+  *
+  * Randomness is `u(field, id) = shiftrightunsigned(xxhash64(id, seed,
+  * fieldSalt), 11) * 2^-53` — a deterministic uniform in [0,1) keyed by
+  * (seed, field, row), so output is reproducible under ANY partitioning
+  * (stronger than the interpreter path, whose streams are per-partition)
+  * and re-plannable by AQE without changing results.
+  *
+  * Unsupported specs (stateful clocks, CRPs, simulations, flat
+  * generators) return None and the caller falls back to the interpreter;
+  * `Synth.dataFrameAuto` wires that up.
+  */
+object ColumnCompiler {
+
+  private final case class Ctx(seed: Long, path: String) {
+    def child(p: String): Ctx = copy(path = s"$path/$p")
+    def salt(extra: String = ""): Long =
+      graft.runtime.Rng.mix2(seed, (path + extra).hashCode.toLong)
+  }
+
+  /** Deterministic uniform [0,1) for this field path and row id. */
+  private def u(ctx: Ctx, extra: String = ""): Column =
+    shiftrightunsigned(xxhash64(col("id"), lit(ctx.salt(extra))), 11) *
+      lit(1.1102230246251565e-16)
+
+  private def hashBits(ctx: Ctx, extra: String = ""): Column =
+    xxhash64(col("id"), lit(ctx.salt(extra)))
+
+  def supported(schemaJson: String): Boolean =
+    try compileSchema(schemaJson, 42L).isDefined
+    catch { case _: Exception => false }
+
+  /** Compile a whole schema to (name, Column) pairs, or None if any field
+    * needs the interpreter.
+    */
+  def compileSchema(schemaJson: String, seed: Long): Option[Seq[(String, Column)]] = {
+    val specs = SpecParser.parse(schemaJson)
+    val out = Seq.newBuilder[(String, Column)]
+    for (f <- specs) {
+      f.clazz match {
+        case "flatten" =>
+          val sub = f.node("value").map(SpecParser.parseField)
+            .getOrElse(return None)
+          val prefix = f.str("prefix").getOrElse(f.name.map(_ + "-").getOrElse(""))
+          sub.clazz match {
+            case "zip" | "gis" => // struct of known fields → prefixed columns
+              val zc = zipColumns(Ctx(seed, prefix + "zip"), sub).getOrElse(return None)
+              zc.foreach { case (n, c) => out += ((prefix + n, c)) }
+            case _ => return None
+          }
+        case _ =>
+          val c = compile(f, Ctx(seed, f.name.getOrElse(f.clazz))).getOrElse(return None)
+          out += ((f.name.getOrElse(f.clazz), c))
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Weighted pick from a small table as a chained CASE over the
+    * cumulative distribution (codegen-able for dimension-sized tables).
+    */
+  private def multinomialCol(ctx: Ctx, items: Seq[(String, Double)]): Option[Column] = {
+    if (items.isEmpty || items.length > 64) return None
+    val total = items.map(_._2).sum
+    val uu = u(ctx)
+    var cum = 0.0
+    var expr: Column = lit(items.last._1)
+    // build from the end: when(u < cum_k, item_k) descending
+    val cums = items.map { case (v, w) => cum += w / total; (v, cum) }
+    expr = cums.init.reverse.foldLeft(lit(items.last._1): Column) {
+      case (acc, (v, c)) => when(uu < c, v).otherwise(acc)
+    }
+    Some(expr)
+  }
+
+  private def zipColumns(ctx: Ctx, f: FieldSpec): Option[Seq[(String, Column)]] = {
+    val fields = f.str("fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("zip", "city", "state", "latitude", "longitude"))
+    val rows = if (f.bool("onlyContinental").contains(true)) SeedData.continentalZips
+      else SeedData.zips
+    if (rows.length > 4096) return None
+    val idx = pmod(hashBits(ctx), lit(rows.length.toLong)).cast("int")
+    def pick[T](vals: Seq[Column]): Column = element_at(array(vals: _*), idx + 1)
+    Some(fields.map {
+      case "zip"       => "zip" -> pick(rows.map(z => lit(z.zip)))
+      case "city"      => "city" -> pick(rows.map(z => lit(z.city)))
+      case "state"     => "state" -> pick(rows.map(z => lit(z.state)))
+      case "latitude"  => "latitude" -> pick(rows.map(z => lit(z.latitude)))
+      case "longitude" => "longitude" -> pick(rows.map(z => lit(z.longitude)))
+      case other       => return None
+    })
+  }
+
+  // scalastyle:off cyclomatic.complexity
+  def compile(f: FieldSpec, ctx: Ctx): Option[Column] = f.clazz match {
+    case "int" | "integer" | "random-int" =>
+      if (f.node("dist").isDefined) return None
+      val min = f.sizeLong("min").getOrElse(0L)
+      val max = f.sizeLong("max").getOrElse(100L)
+      val skew = f.int("skew").getOrElse(0)
+      val draws = (0 to math.abs(skew)).map(k =>
+        (u(ctx, s"#$k") * (max - min) + min).cast("long"))
+      val v = if (skew == 0) draws.head
+        else if (skew > 0) least(draws: _*) else greatest(draws: _*)
+      Some(f.str("format").filter(_.contains("%"))
+        .map(fm => format_string(fm, v)).getOrElse(v))
+    case "double" | "float" =>
+      val min = f.dbl("min").getOrElse(0.0)
+      val max = f.dbl("max").getOrElse(100.0)
+      val skew = f.int("skew").getOrElse(0)
+      val draws = (0 to math.abs(skew)).map(k => u(ctx, s"#$k") * (max - min) + min)
+      Some(if (skew == 0) draws.head
+        else if (skew > 0) least(draws: _*) else greatest(draws: _*))
+    case "normal" if f.dbl("min").isEmpty && f.dbl("max").isEmpty =>
+      // Box–Muller from two keyed uniforms (u1 nudged off zero)
+      val mean = f.dbl("mean").getOrElse(0.0)
+      val sd = f.dbl("sd").orElse(f.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
+      val u1 = u(ctx, "#a") + lit(1e-300)
+      val u2 = u(ctx, "#b")
+      Some(sqrt(log(u1) * -2.0) * cos(u2 * (2 * math.Pi)) * sd + mean)
+    case "uuid" =>
+      val hi = hashBits(ctx, "#hi")
+      val lo = hashBits(ctx, "#lo")
+      // RFC-4122 v4 shape: version nibble 4, variant bits 10
+      val hiV = hi.bitwiseAND(lit(~0xf000L)).bitwiseOR(lit(0x4000L))
+      val loV = lo.bitwiseAND(lit(0x3fffffffffffffffL)).bitwiseOR(lit(Long.MinValue))
+      val hs = format_string("%016x", hiV)
+      val ls = format_string("%016x", loV)
+      Some(concat_ws("-",
+        substring(hs, 1, 8), substring(hs, 9, 4), substring(hs, 13, 4),
+        substring(ls, 1, 4), substring(ls, 5, 12)))
+    case "ipv4" =>
+      val h = hashBits(ctx)
+      def octet(shift: Int) =
+        shiftrightunsigned(h, shift).bitwiseAND(lit(255L))
+      Some(if (f.bool("private").contains(true))
+        concat_ws(".", lit(10), octet(16), octet(8), octet(0).bitwiseAND(lit(253L)) + 1)
+      else
+        concat_ws(".", pmod(octet(24), lit(223L)) + 1, octet(16), octet(8),
+          octet(0).bitwiseAND(lit(253L)) + 1))
+    case "date" =>
+      val fmt = f.str("format").getOrElse("yyyy-MM-dd")
+      val ft = graft.runtime.FancyTime(fmt)
+      val ms: Column = (f.str("start").map(ft.parseMillis), f.str("end").map(ft.parseMillis)) match {
+        case (Some(s), Some(e)) => (u(ctx) * (e - s) + s).cast("long")
+        case _ =>
+          val meanMs = 100.0 * 24 * 3600 * 1000
+          (lit(1375315200000L) - (-log(u(ctx) + 1e-300)) * meanMs).cast("long")
+      }
+      Some(fmt match {
+        case "s" => (ms / 1000L).cast("long").cast("string")
+        case "Q" => ms.cast("string")
+        case p   => date_format(timestamp_millis(ms), p)
+      })
+    case "id" => Some(col("id") + f.long("start").getOrElse(0L))
+    case "string" =>
+      import scala.jdk.CollectionConverters._
+      val items = f.node("dist").map(_.properties().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asDouble(1.0))).getOrElse(return None)
+      multinomialCol(ctx, items)
+    case "country"  => multinomialCol(ctx, SeedData.countries)
+    case "state"    => multinomialCol(ctx, SeedData.states)
+    case "language" => multinomialCol(ctx, SeedData.languages)
+    case "browser"  => multinomialCol(ctx, SeedData.browsers)
+    case "os"       => multinomialCol(ctx, SeedData.osList)
+    case "map" =>
+      import scala.jdk.CollectionConverters._
+      val subs = f.node("value").map { n =>
+        val arr = if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+        arr.map(SpecParser.parseField)
+      }.getOrElse(return None)
+      val cols = subs.map { s =>
+        val nm = s.name.getOrElse(s.clazz)
+        compile(s, ctx.child(nm)).map(_.as(nm)).getOrElse(return None)
+      }
+      Some(struct(cols: _*))
+    case "join" =>
+      val sub = f.node("value").map(SpecParser.parseField).getOrElse(return None)
+      val sep = f.str("separator").getOrElse(",")
+      compile(sub, ctx.child("join")).map(a => array_join(a, sep))
+    case "sequence" if !f.bool("flat").contains(true) =>
+      import scala.jdk.CollectionConverters._
+      f.node("array") match {
+        case Some(arr) =>
+          val specs = arr.elements().asScala.toSeq.map(SpecParser.parseField)
+          val cols = specs.zipWithIndex.map { case (s, i) =>
+            compile(s, ctx.child(s"[$i]")).getOrElse(return None)
+          }
+          // heterogeneous arrays stringify, matching the interpreter
+          // (unresolved Columns can't report a dataType — classify by spec)
+          def kind(s: FieldSpec): String = s.clazz match {
+            case "int" | "integer" | "random-int" | "id" =>
+              if (s.str("format").exists(_.contains("%"))) "string" else "long"
+            case "double" | "float" | "normal" => "double"
+            case _ => "string"
+          }
+          Some(if (specs.map(kind).distinct.length == 1) array(cols: _*)
+            else array(cols.map(_.cast("string")): _*))
+        case None =>
+          val baseSpec = f.node("base").map(SpecParser.parseField).getOrElse(return None)
+          val n = f.node("lengthDistribution").filter(_.isNumber).map(_.asInt)
+            .getOrElse(return None)
+          // per-element randomness: salt the path with the element index
+          val elems = (0 until n).map(i =>
+            compile(baseSpec, ctx.child(s"[$i]")).getOrElse(return None))
+          Some(array(elems: _*))
+      }
+    case _ => None
+  }
+  // scalastyle:on cyclomatic.complexity
+}

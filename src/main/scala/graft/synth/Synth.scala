@@ -21,6 +21,21 @@ import graft.runtime.Rng
   */
 object Synth {
 
+  /** Generate with the best available lowering: the Catalyst column fast
+    * path when every field is stateless (fully codegen'd, reproducible
+    * under any partitioning), else the interpreter source. The two paths
+    * draw from different (both deterministic) random streams.
+    */
+  def dataFrameAuto(spark: SparkSession, schemaJson: String, n: Long,
+      seed: Long = 42L, partitions: Int = 0): DataFrame =
+    ColumnCompiler.compileSchema(schemaJson, seed) match {
+      case Some(cols) =>
+        val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+        spark.range(0L, n, 1L, p)
+          .select(cols.map { case (nm, c) => c.as(nm) }: _*)
+      case None => dataFrame(spark, schemaJson, n, seed, partitions)
+    }
+
   /** Generate `n` records of `schemaJson` (the generator DSL of SURVEY
     * §1.2) as a DataFrame.
     */

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.synth.{ColumnCompiler, Synth}
+
+/** Catalyst fast-path coverage: which schemas take the pure-column
+  * lowering, schema/shape equivalence with the interpreter, and
+  * reference-schema round-trips.
+  */
+class FastPathSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  test("stateless schemas take the fast path; stateful ones fall back") {
+    assert(ColumnCompiler.supported(
+      """[{"name": "u", "class": "uuid"}, {"name": "i", "class": "ipv4"},
+          {"name": "n", "class": "int", "min": 1, "max": 9},
+          {"name": "s", "class": "state"}]"""))
+    assert(!ColumnCompiler.supported(
+      """[{"name": "e", "class": "event", "rate": "1/m"}]""")) // stateful clock
+    assert(!ColumnCompiler.supported(
+      """[{"name": "w", "class": "random-walk"}]"""))
+    assert(!ColumnCompiler.supported(
+      """[{"name": "c", "class": "commuter"}]"""))
+  }
+
+  test("fast path output matches interpreter schema and constraints") {
+    val schema = """[
+      {"name": "u", "class": "uuid"},
+      {"name": "ip", "class": "ipv4"},
+      {"name": "n", "class": "int", "min": 10, "max": 20},
+      {"name": "d", "class": "date", "start": "2020-01-01", "end": "2021-01-01"},
+      {"name": "b", "class": "browser"},
+      {"name": "phone", "class": "join", "separator": "-",
+       "value": {"class": "sequence", "array": [
+         {"class": "int", "min": 200, "max": 999},
+         {"class": "int", "min": 200, "max": 999},
+         {"class": "int", "min": 1000, "max": 9999}]}}
+    ]"""
+    val fast = Synth.dataFrameAuto(spark, schema, 500, seed = 4)
+    val slow = Synth.dataFrame(spark, schema, 500, seed = 4)
+    assert(fast.schema.map(f => (f.name, f.dataType)) ==
+      slow.schema.map(f => (f.name, f.dataType)))
+    val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    fast.collect().foreach { r =>
+      assert(uuidRe.matches(r.getAs[String]("u")), r.getAs[String]("u"))
+      assert(r.getAs[String]("ip").matches("^\\d{1,3}(\\.\\d{1,3}){3}$"))
+      val n = r.getAs[Long]("n"); assert(n >= 10 && n < 20)
+      assert(r.getAs[String]("d").matches("^2020-.*"))
+      assert(Set("Mobile", "Chrome", "Firefox", "Safari", "IE")(r.getAs[String]("b")))
+      assert(r.getAs[String]("phone").matches("^\\d{3}-\\d{3}-\\d{4}$"))
+    }
+  }
+
+  test("fast path is reproducible under different partitioning (stronger than interpreter)") {
+    val schema = """[{"name": "x", "class": "double", "min": 0, "max": 1}]"""
+    val a = Synth.dataFrameAuto(spark, schema, 100, seed = 9, partitions = 1)
+      .collect().map(_.getDouble(0)).toSeq
+    val b = Synth.dataFrameAuto(spark, schema, 100, seed = 9, partitions = 7)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a.sorted == b.sorted) // same multiset regardless of partitioning
+  }
+
+  test("fast path plan is pure codegen over range: no RDD scan, no shuffle") {
+    val df = Synth.dataFrameAuto(spark,
+      """[{"name": "u", "class": "uuid"}, {"name": "n", "class": "int"}]""", 10)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Range"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("reference-shipped schemas round-trip through the engine") {
+    val dir = "/root/reference/nifi-datasynthesizer-processors/src/main/resources/generators"
+    for (name <- Seq("iot-data.json", "terminal.json", "transaction.json",
+      "valid_transaction.json")) {
+      val schema = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$name")), java.nio.charset.StandardCharsets.UTF_8)
+      val df = Synth.dataFrame(spark, schema, 5, seed = 1)
+      assert(df.count() >= 5, s"$name generated no rows")
+    }
+    // transaction.json amounts honor [0, 50000)
+    val tx = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$dir/transaction.json")), java.nio.charset.StandardCharsets.UTF_8)
+    Synth.dataFrame(spark, tx, 200, seed = 2).collect().foreach { r =>
+      val amt = r.getAs[Long]("transaction_amount")
+      assert(amt >= 0 && amt < 50000)
+      // format "s" date renders as epoch seconds
+      assert(r.getAs[String]("transaction_timestamp").matches("^\\d+$"))
+    }
+  }
+}
