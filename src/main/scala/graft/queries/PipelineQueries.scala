@@ -284,9 +284,82 @@ object PipelineQueries {
       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"""),
   )
 
+  // -------------------------------------------------- temporal join family
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** As-of join (graft.ops.AsOfJoin): for each click, the user's most
+    * recent error at-or-before it. Spark lacks the operator; the lowering
+    * is union + last-ignoreNulls window — ONE shuffle, no join node
+    * (SURVEY's custom-operator path (a): compose existing ops). The
+    * oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  val q32_asof_join = QueryDef(
+    "q32_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+      graft.ops.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "ts", Seq("err_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("asof_err_id"), lit(-1L)).as("last_error"))
+    },
+    Some("""SELECT c.user_id, c.event_id, coalesce(e.event_id, -1) AS last_error
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts"""),
+  )
+
+  /** Equi-key bounded range join (graft.ops.AsOfJoin.rangePairs): event
+    * pairs of the same user within 60 s — the per-key bound keeps the
+    * fan-out linear in key cardinality, never a global cross product.
+    */
+  val q33_range_pairs = QueryDef(
+    "q33_range_pairs",
+    (s, d) => {
+      val ev = events(s, d).select("user_id", "event_id", "ts")
+      graft.ops.AsOfJoin.rangePairs(ev, ev.withColumnRenamed("event_id", "eid2"),
+        "user_id", "ts", "ts", lit(60L * 1000000000L))
+        .select(col("l.user_id"), col("l.event_id").as("a"), col("r.eid2").as("b"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS a, b.event_id AS b
+      FROM events a JOIN events b
+      ON a.user_id = b.user_id AND epoch_ns(b.ts) > epoch_ns(a.ts)
+         AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 60000000000"""),
+  )
+
+  /** Multi-level rollup (supplier x returnflag with subtotals) — the
+    * GROUPING SETS family, and the one query that scans the supplier
+    * dimension.
+    */
+  val q34_rollup = QueryDef(
+    "q34_rollup",
+    (s, d) => {
+      s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("li_rollup")
+      s.read.parquet(s"$d/supplier.parquet").createOrReplaceTempView("sup_rollup")
+      s.sql("""SELECT coalesce(s_name, 'ALL') AS sn,
+          coalesce(l_returnflag, 'ALL') AS rf,
+          count(*) AS cnt,
+          sum(cast(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+        FROM li_rollup JOIN sup_rollup ON l_suppkey = s_suppkey
+        GROUP BY ROLLUP(s_name, l_returnflag)""")
+    },
+    Some("""SELECT coalesce(s_name, 'ALL') AS sn, coalesce(l_returnflag, 'ALL') AS rf,
+      count(*) AS cnt,
+      cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY ROLLUP(s_name, l_returnflag)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
+    q32_asof_join, q33_range_pairs, q34_rollup,
   )
 }

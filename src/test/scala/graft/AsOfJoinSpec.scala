@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("asOf picks the latest right row at-or-before each left time") {
+    val left = Seq((1, 10L, "l10"), (1, 20L, "l20"), (2, 5L, "l5"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1, 8L, "r8"), (1, 15L, "r15"), (1, 25L, "r25"), (2, 9L, "r9"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"))
+      .select("payload", "asof_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("l10" -> "r8", "l20" -> "r15", "l5" -> null))
+  }
+
+  test("ties match: right row at the same instant is visible") {
+    val left = Seq((1, 10L, "l")).toDF("k", "t", "payload")
+    val right = Seq((1, 10L, "same")).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v")).collect()(0)
+    assert(out.getAs[String]("asof_v") == "same")
+  }
+
+  test("asOf plan has exactly one shuffle and no join node") {
+    val left = Seq((1, 10L, "l")).toDF("k", "t", "payload")
+    val right = Seq((1, 8L, "r")).toDF("k", "t", "v")
+    val plan = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("rangePairs bounds matches per key and window") {
+    val ev = Seq((1, 0L, 100L), (1, 1L, 130L), (1, 2L, 200L), (2, 3L, 105L))
+      .toDF("k", "id", "t")
+    val pairs = AsOfJoin.rangePairs(ev, ev.withColumnRenamed("id", "id2"),
+      "k", "t", "t", lit(50L))
+      .select(col("l.id"), col("r.id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 130 in (100,150]; 200 outside; k=2 alone
+  }
+}
