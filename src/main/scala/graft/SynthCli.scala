@@ -32,6 +32,7 @@ object SynthCli {
       java.nio.charset.StandardCharsets.UTF_8)
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.expr.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

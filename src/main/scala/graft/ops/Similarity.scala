@@ -20,17 +20,26 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
 
+  /** Cosine between two array<double> columns: uses the native codegen'd
+    * `cosine_sim` expression when the session registered GraftExtensions
+    * (one fused loop), else the portable higher-order-function
+    * composition. Same accumulation order → bit-identical results.
+    */
+  def cosine(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("cosine_sim"))
+      call_function("cosine_sim", a, b)
+    else dot(a, b) / (norm(a) * norm(b))
+
   /** Exact cosine top-k per query. `queries` must be broadcast-sized. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nv", norm(col("v")))
     val q = broadcast(queries
-      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("nq", norm(col("qv"))))
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    v.join(q, col("id") =!= col("qid"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+    val joined = v.join(q, col("id") =!= col("qid"))
+    joined
+      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
@@ -97,7 +106,6 @@ object Similarity {
     val assigned = assignClusters(vectors, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         col("cluster"))
-      .withColumn("nv", norm(col("v")))
     val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
     val probes = udf { (v: Seq[Double]) =>
       val x = v.toArray
@@ -111,11 +119,11 @@ object Similarity {
     }
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("nq", norm(col("qv")))
       .withColumn("probe", explode(probes(col("qv")))))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+    val joined = assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
+    joined
+      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
