@@ -28,14 +28,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingle set as an array column (distinct). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val w = split(lower(textCol), "\\s+")
-    val parts = (0 until n).map(i => element_at(w, col("i") + i))
+  /** Word n-gram shingle set over an ALREADY-MATERIALIZED token-array
+    * column. The tokens must be an attribute (not an inline split):
+    * Catalyst does not common-subexpression-eliminate inside lambda
+    * bodies, so an inline `split()` would be re-evaluated for every
+    * `element_at` — n+1 regex splits of the whole text per shingle, a
+    * quadratic blowup measured at ~90 ms/doc before the fix.
+    */
+  def shinglesFromTokens(tokens: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-  }
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+
+  /** Word n-gram shingle set as an array column (distinct). Only safe
+    * for one-shot use — see shinglesFromTokens for the hot path.
+    */
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesFromTokens(split(lower(textCol), "\\s+"), n)
 
   /** LSH candidate pairs at `numHashes` permutations in `bands` bands:
     * docs sharing any band bucket become candidates; candidates are then
@@ -59,10 +68,21 @@ object Dedup {
       shingleWords: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSh = df
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleWords).as("__sh"))
+    // the signature compute is heavy per row: spread it over the cluster
+    // even when the input is one small file (a single-file scan is ONE
+    // partition, serializing everything downstream)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // persist() is a CollapseProject barrier: without it the optimizer
+    // inlines the split back into every lambda element_at (no CSE inside
+    // lambdas) and the shingle stage goes quadratic in text length
+    val tokens = spread
+      .select(col(idCol).as("__id"), split(lower(col(textCol)), "\\s+").as("__w"))
+      .persist()
+    val withSh = tokens
+      .select(col("__id"), shinglesFromTokens(col("__w"), shingleWords).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .persist()
     // minhash_j = min over pre-hashed shingles of remix(hash, salt_j)
     val sigs = (0 until numHashes).map(j =>
       array_min(transform(col("__hs"), h => xxhash64(h, lit(j)))).as(s"__m$j"))
@@ -81,10 +101,13 @@ object Dedup {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .dropDuplicates("a", "b")
-    val shMap = withSh.select(col("__id"), col("__sh"))
+    // verify on the hashed shingle sets (8-byte longs): same Jaccard as
+    // the string sets up to hash collisions (~2^-64 per pair), and the
+    // intersect runs on primitive comparisons instead of string equality
+    val shMap = withSh.select(col("__id"), col("__hs"))
     candidates
-      .join(shMap.select(col("__id").as("a"), col("__sh").as("sha")), "a")
-      .join(shMap.select(col("__id").as("b"), col("__sh").as("shb")), "b")
+      .join(shMap.select(col("__id").as("a"), col("__hs").as("sha")), "a")
+      .join(shMap.select(col("__id").as("b"), col("__hs").as("shb")), "b")
       .withColumn("__common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("__common") / (size(col("sha")) + size(col("shb")) - col("__common")))
@@ -119,7 +142,8 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
+    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
     val banded = sig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -144,8 +168,9 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
     val v = col("__v")
-    val base = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(v, lit(0d), (a, x) => a + x * x)))
     // sign bit j: dot(v, h_j) where h_j[i] = ±1 from hash(seed, j, i)
     def signBit(j: Int): Column = {
