@@ -72,8 +72,13 @@ object PipelineQueries {
   val q23_ngram_jaccard = QueryDef(
     "q23_ngram_jaccard",
     (s, d) => {
-      val sh = docs(s, d)
+      // persist() barrier: without it CollapseProject inlines the split
+      // into every lambda element_at (no CSE inside lambdas) and the
+      // shingle stage re-splits the text per element
+      val tokens = docs(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .persist()
+      val sh = tokens
         .select(col("doc_id"),
           explode(expr(
             "transform(sequence(1, greatest(size(w) - 2, 0))," +
