@@ -394,11 +394,43 @@ object Queries {
       FROM orders"""),
   )
 
+  /** Quartile bucketing per entity — ntile window. */
+  val q35_ntile = QueryDef(
+    "q35_ntile",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("nt"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      cast(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS nt
+      FROM orders"""),
+  )
+
+  /** Pivot-style conditional aggregation (status columns per customer). */
+  val q36_pivot_status = QueryDef(
+    "q36_pivot_status",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("p")),
+    Some("""SELECT o_custkey,
+      cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+      cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+      cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM orders GROUP BY o_custkey"""),
+  )
+
   val relational: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_join_regions, q03_topk_orders, q04_cumsum_walk,
     q05_change_flags, q06_sessionize, q07_explode_seq, q08_struct_flatten,
     q09_phone_format, q10_drop_fields, q11_array_flatten, q12_correlator_fanout,
     q13_group_collect, q14_distinct_dims, q15_set_ops, q16_row_ids,
-    q17_event_arrival, q18_date_buckets, q19_ipv4_format,
+    q17_event_arrival, q18_date_buckets, q19_ipv4_format, q35_ntile,
+    q36_pivot_status,
   )
 }

@@ -92,8 +92,12 @@ object Compiler {
       new IntSampler(f.sizeLong("min").getOrElse(0L), f.sizeLong("max").getOrElse(100L),
         f.int("skew").getOrElse(0), dist, f.str("format").filter(_.contains("%")))
     case "double" | "float" =>
+      val ddist = f.node("dist").map { d =>
+        Multinomial(d.properties().asScala.toSeq
+          .map(e => e.getKey.toDouble -> e.getValue.asDouble(1.0)))
+      }
       new DoubleSampler(f.dbl("min").getOrElse(0.0), f.dbl("max").getOrElse(100.0),
-        f.int("skew").getOrElse(0), f.str("format").filter(_.contains("%")))
+        f.int("skew").getOrElse(0), ddist, f.str("format").filter(_.contains("%")))
     case "normal" =>
       val sd = f.dbl("sd").orElse(f.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
       new NormalSampler(f.dbl("mean").getOrElse(0.0), sd, f.dbl("min"), f.dbl("max"))

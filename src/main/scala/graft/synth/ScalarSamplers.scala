@@ -38,19 +38,24 @@ object ScalarSamplers {
     }
   }
 
-  /** `double` (samplers/DoubleSampler.java:125-153): same contract over
-    * doubles.
+  /** `double` (samplers/DoubleSampler.java:125-153): same contract as
+    * `int` over doubles, including the discrete `dist` override.
     */
   final class DoubleSampler(min: Double, max: Double, skew: Int,
-      format: Option[String]) extends Sampler {
+      dist: Option[Multinomial[Double]], format: Option[String]) extends Sampler {
     val dataType: DataType = if (format.isDefined) StringType else DoubleType
     def sample(ctx: GenContext): Any = {
-      var best = min + ctx.rng.nextDouble() * (max - min)
-      var i = 0
-      while (i < math.abs(skew)) {
-        val next = min + ctx.rng.nextDouble() * (max - min)
-        best = if (skew > 0) math.min(best, next) else math.max(best, next)
-        i += 1
+      val best = dist match {
+        case Some(m) => m.sample(ctx.rng)
+        case None =>
+          var b = min + ctx.rng.nextDouble() * (max - min)
+          var i = 0
+          while (i < math.abs(skew)) {
+            val next = min + ctx.rng.nextDouble() * (max - min)
+            b = if (skew > 0) math.min(b, next) else math.max(b, next)
+            i += 1
+          }
+          b
       }
       format match {
         case Some(f) => f.format(best)
