@@ -78,26 +78,32 @@ object Compiler {
       fs.name.getOrElse(fs.clazz) -> compile(fs)
     }
   }
-  private def distOf(f: FieldSpec): Option[Multinomial[String]] =
+  /** `dist` option as a multinomial, keys parsed with `parse` — a bad
+    * key names the field instead of surfacing a bare NumberFormatException.
+    */
+  private def distAs[T](f: FieldSpec)(parse: String => T): Option[Multinomial[T]] =
     f.node("dist").map { d =>
-      Multinomial(d.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asDouble(1.0)))
+      Multinomial(d.properties().asScala.toSeq.map { e =>
+        val k = try parse(e.getKey)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${f.clazz} '${f.name.getOrElse("?")}': bad dist key '${e.getKey}'")
+        }
+        k -> e.getValue.asDouble(1.0)
+      })
     }
+  private def distOf(f: FieldSpec): Option[Multinomial[String]] = distAs(f)(identity)
 
   def compile(f: FieldSpec): Sampler = f.clazz match {
     // ------------------------------------------------------------- scalars
     case "int" | "integer" | "random-int" =>
-      val dist = f.node("dist").map { d =>
-        Multinomial(d.properties().asScala.toSeq.map(e => e.getKey.toLong -> e.getValue.asDouble(1.0)))
-      }
       new IntSampler(f.sizeLong("min").getOrElse(0L), f.sizeLong("max").getOrElse(100L),
-        f.int("skew").getOrElse(0), dist, f.str("format").filter(_.contains("%")))
+        f.int("skew").getOrElse(0), distAs(f)(_.toLong),
+        f.str("format").filter(_.contains("%")))
     case "double" | "float" =>
-      val ddist = f.node("dist").map { d =>
-        Multinomial(d.properties().asScala.toSeq
-          .map(e => e.getKey.toDouble -> e.getValue.asDouble(1.0)))
-      }
       new DoubleSampler(f.dbl("min").getOrElse(0.0), f.dbl("max").getOrElse(100.0),
-        f.int("skew").getOrElse(0), ddist, f.str("format").filter(_.contains("%")))
+        f.int("skew").getOrElse(0), distAs(f)(_.toDouble),
+        f.str("format").filter(_.contains("%")))
     case "normal" =>
       val sd = f.dbl("sd").orElse(f.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
       new NormalSampler(f.dbl("mean").getOrElse(0.0), sd, f.dbl("min"), f.dbl("max"))

@@ -108,6 +108,23 @@ class SynthEngineSpec extends AnyFunSuite {
     assert(meanB < 350, s"skewed mean $meanB")
   }
 
+  test("int/double dist option draws only listed values at ~weight ratios") {
+    val df = Synth.dataFrame(spark,
+      """[{"name": "i", "class": "int", "dist": {"10": 3, "20": 1}},
+          {"name": "x", "class": "double", "dist": {"1.5": 3, "2.5": 1}}]""",
+      4000, seed = 17)
+    val rows = df.collect()
+    assert(rows.forall(r => Set(10L, 20L)(r.getAs[Long]("i"))))
+    assert(rows.forall(r => Set(1.5, 2.5)(r.getAs[Double]("x"))))
+    val ratio = rows.count(_.getAs[Double]("x") == 1.5).toDouble /
+      rows.count(_.getAs[Double]("x") == 2.5)
+    assert(ratio > 2.2 && ratio < 4.0, s"weight ratio $ratio") // ~3:1
+    // bad dist key names the field
+    val e = intercept[IllegalArgumentException](Synth.dataFrame(spark,
+      """[{"name": "i", "class": "int", "dist": {"ten": 1}}]""", 1))
+    assert(e.getMessage.contains("'i'") && e.getMessage.contains("ten"))
+  }
+
   test("imei passes Luhn; vin passes ISO-3779 check digit") {
     val df = Synth.dataFrame(spark,
       """[{"name": "imei", "class": "imei"}, {"name": "vin", "class": "vin"}]""",
