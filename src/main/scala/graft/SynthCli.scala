@@ -17,9 +17,20 @@ import graft.synth.Synth
   *     [-threads P] [-seed S] [-fast]
   */
 object SynthCli {
+  private val flagNames = Set("-fast")
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val flags = args.toSet
+    // flags take no value, so pair key/value with an explicit walk —
+    // a fixed sliding(2,2) would mis-pair everything after a flag
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    val flags = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (flagNames(a)) { flags += a; i += 1 }
+      else if (a.startsWith("-") && i + 1 < args.length) { opts(a) = args(i + 1); i += 2 }
+      else sys.error(s"unexpected argument '$a'")
+    }
     val schemaPath = opts.getOrElse("-schema", sys.error("need -schema FILE"))
     val count = SpecParser.parseSize(opts.getOrElse("-count", "1000"))
     val output = opts.getOrElse("-output", sys.error("need -output DIR"))

@@ -105,7 +105,7 @@ object Dedup {
     // the string sets up to hash collisions (~2^-64 per pair), and the
     // intersect runs on primitive comparisons instead of string equality
     val shMap = withSh.select(col("__id"), col("__hs"))
-    candidates
+    val result = candidates
       .join(shMap.select(col("__id").as("a"), col("__hs").as("sha")), "a")
       .join(shMap.select(col("__id").as("b"), col("__hs").as("shb")), "b")
       .withColumn("__common", size(array_intersect(col("sha"), col("shb"))))
@@ -113,6 +113,15 @@ object Dedup {
         col("__common") / (size(col("sha")) + size(col("shb")) - col("__common")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    // the intermediates above are cached barriers (CollapseProject would
+    // re-inline the split into lambda bodies — measured 4x slower without
+    // them). Materialize the small pair result eagerly and free them, so
+    // repeated calls don't pin dead cache in executor storage.
+    val out = result.localCheckpoint(true)
+    tokens.unpersist()
+    withSh.unpersist()
+    buckets.unpersist()
+    out
   }
 
   /** 64-bit SimHash of the token stream: bit k of the signature is the

@@ -107,8 +107,10 @@ object ColumnCompiler {
       val min = f.sizeLong("min").getOrElse(0L)
       val max = f.sizeLong("max").getOrElse(100L)
       val skew = f.int("skew").getOrElse(0)
+      // floor, not cast: double->long truncates toward zero, which would
+      // double the mass at 0 for negative-min ranges
       val draws = (0 to math.abs(skew)).map(k =>
-        (u(ctx, s"#$k") * (max - min) + min).cast("long"))
+        floor(u(ctx, s"#$k") * (max - min) + min).cast("long"))
       val v = if (skew == 0) draws.head
         else if (skew > 0) least(draws: _*) else greatest(draws: _*)
       Some(f.str("format").filter(_.contains("%"))
@@ -142,10 +144,16 @@ object ColumnCompiler {
       val h = hashBits(ctx)
       def octet(shift: Int) =
         shiftrightunsigned(h, shift).bitwiseAND(lit(255L))
+      // public leading octet: 1..223 excluding 10 and 127 (RFC1918 /
+      // loopback), matching the interpreter's contract — draw 1..221
+      // then shift past each excluded value
+      val a0 = pmod(octet(24), lit(221L)) + 1
+      val a1 = a0 + when(a0 >= 10, 1).otherwise(0)
+      val aPub = a1 + when(a1 >= 127, 1).otherwise(0)
       Some(if (f.bool("private").contains(true))
         concat_ws(".", lit(10), octet(16), octet(8), octet(0).bitwiseAND(lit(253L)) + 1)
       else
-        concat_ws(".", pmod(octet(24), lit(223L)) + 1, octet(16), octet(8),
+        concat_ws(".", aPub, octet(16), octet(8),
           octet(0).bitwiseAND(lit(253L)) + 1))
     case "date" =>
       val fmt = f.str("format").getOrElse("yyyy-MM-dd")
@@ -156,10 +164,14 @@ object ColumnCompiler {
           val meanMs = 100.0 * 24 * 3600 * 1000
           (lit(1375315200000L) - (-log(u(ctx) + 1e-300)) * meanMs).cast("long")
       }
+      // NOTE: date_format renders in the session timezone; the engine's
+      // entry points pin spark.sql.session.timeZone=UTC to match
+      // FancyTime. "iso" is the reference's named alias.
       Some(fmt match {
-        case "s" => (ms / 1000L).cast("long").cast("string")
-        case "Q" => ms.cast("string")
-        case p   => date_format(timestamp_millis(ms), p)
+        case "s"   => (ms / 1000L).cast("long").cast("string")
+        case "Q"   => ms.cast("string")
+        case "iso" => date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        case p     => date_format(timestamp_millis(ms), p)
       })
     case "id" => Some(col("id") + f.long("start").getOrElse(0L))
     case "string" =>

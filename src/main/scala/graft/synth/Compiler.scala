@@ -185,11 +185,20 @@ object Compiler {
         f.str("types").map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .getOrElse(Seq("normal")))
     case "vin" =>
+      // `years` is a single year or a "2007-2011" range (the reference's
+      // setYears contract); yearMin/yearMax override individually
+      val yearsOpt = f.str("years").map { y =>
+        y.split("-") match {
+          case Array(lo, hi) => (lo.trim.toInt, hi.trim.toInt)
+          case Array(one)    => (one.trim.toInt, one.trim.toInt)
+          case _ => throw new IllegalArgumentException(s"vin: bad years '$y'")
+        }
+      }
       new VinSampler(
         f.str("countries").map(_.split(",").map(_.trim.toLowerCase).toSet),
         f.str("makes").map(_.split(",").map(_.trim).toSet),
-        f.int("years").map(_ => f.int("yearMin").getOrElse(2000)).orElse(f.int("yearMin")).getOrElse(2000),
-        f.int("yearMax").getOrElse(2024),
+        f.int("yearMin").orElse(yearsOpt.map(_._1)).getOrElse(2000),
+        f.int("yearMax").orElse(yearsOpt.map(_._2)).getOrElse(2024),
         f.bool("verbose").contains(true))
     case "vehicle" => new VehicleSampler
     case "word" =>

@@ -169,7 +169,7 @@ object LookupSamplers {
     def sample(ctx: GenContext): Any = {
       val (wmi, _, make) = wmis(ctx.rng.nextInt(wmis.length))
       val year = yearMin + ctx.rng.nextInt(yearMax - yearMin + 1)
-      val yearCode = SeedData.vinYearCodes.charAt((year - 1980) % 30)
+      val yearCode = SeedData.vinYearCodes.charAt(Math.floorMod(year - 1980, 30))
       val body = (1 to 5).map(_ => vds.charAt(ctx.rng.nextInt(vds.length))).mkString
       val plant = vds.charAt(ctx.rng.nextInt(vds.length))
       val serial = f"${ctx.rng.nextInt(1000000)}%06d"
@@ -237,18 +237,19 @@ object LookupSamplers {
   }
 
   /** `imei` (samplers/ImeiSampler.java:74-130): 8-digit TAC + 6-digit
-    * serial + Luhn check digit. Uniqueness: the serial embeds the row id
-    * (disjoint per row — deterministic, no Bloom filter needed).
+    * serial + Luhn check digit. Uniqueness: the full row id is embedded
+    * in the 12 digits after the "35" TAC prefix — genuinely disjoint up
+    * to 10^12 rows, no Bloom filter, no shared state (the reference
+    * dedups through a Guava BloomFilter, which both costs memory and
+    * can't coordinate across executors).
     */
   final class ImeiSampler(unique: Boolean) extends Sampler {
     val dataType: DataType = StringType
     private val tacs = Vector("35332811", "49015420", "35693803", "86723902", "01326300")
     def sample(ctx: GenContext): Any = {
-      val tac = tacs(ctx.rng.nextInt(tacs.length))
-      val serial =
-        if (unique) f"${ctx.rowId % 1000000}%06d"
-        else f"${ctx.rng.nextInt(1000000)}%06d"
-      val body = tac + serial
+      val body =
+        if (unique) f"35${ctx.rowId % 1000000000000L}%012d"
+        else tacs(ctx.rng.nextInt(tacs.length)) + f"${ctx.rng.nextInt(1000000)}%06d"
       body + Checksums.luhnCheckDigit(body)
     }
   }
