@@ -40,9 +40,11 @@ object Processors {
         rows.flatMap { row =>
           i += 1
           val k = 1 + ctx.rng.nextInt(maxFanOut)
-          (0 until k).iterator.map { _ =>
-            val embedded = Synth.emitRows(es, ctx, i).next()
-            Row.fromSeq(row.toSeq :+ embedded)
+          (0 until k).iterator.flatMap { _ =>
+            // one embedded record per draw; a generator schema yielding an
+            // empty cross product contributes nothing instead of crashing
+            val it = Synth.emitRows(es, ctx, i)
+            if (it.hasNext) Some(Row.fromSeq(row.toSeq :+ it.next())) else None
           }
         }
       }
@@ -67,8 +69,13 @@ object Processors {
        "value": {"class": "zip", "onlyContinental": true,
                  "fields": "zip, city, state"}}
     ]"""
+    // contiguous 0..n-1 index via row_number: monotonically_increasing_id
+    // is partition-offset-based (partitionId*2^33+offset), so a pmod join
+    // key would miss every terminal outside partition 0
     val terminals = Synth.dataFrame(spark, terminalSchema, nTerminals, seed)
-      .withColumn("terminal_idx", monotonically_increasing_id())
+      .withColumn("terminal_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("terminal_id")).cast("long") - 1)
     val amountCap = if (valid) 200 else 50000
 
     // n_tx ∈ [0, maxTx]; explode_outer keeps 0-transaction rows (a plain
@@ -85,11 +92,13 @@ object Processors {
           lit(amountCap * 100L)) + 1)
       .join(broadcast(terminals), Seq("terminal_idx"), "left")
 
+    // sort_array: collect_list order follows shuffle-fetch arrival, which
+    // would break run-to-run reproducibility despite seeded values
     fanned
       .groupBy(col(keyCol))
-      .agg(collect_list(when(col("tx_i").isNotNull, struct(
+      .agg(sort_array(collect_list(when(col("tx_i").isNotNull, struct(
         col("tx_i").as("seq"), col("amount_cents"),
-        col("terminal_id"), col("zip"), col("city"), col("state"))))
+        col("terminal_id"), col("zip"), col("city"), col("state")))))
         .as("transactions"))
       .join(input, keyCol)
   }
@@ -126,8 +135,14 @@ object Processors {
     * `<record>` element per row, fields as child elements.
     */
   def toXml(df: DataFrame, rowTag: String = "record"): DataFrame = {
+    // escape markup and coalesce nulls to empty elements — a bare concat
+    // would null the whole row on one null field and emit invalid XML for
+    // values containing & < >
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c.cast("string"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
     val parts: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
-      Seq(lit(s"<${f.name}>"), col(f.name).cast("string"), lit(s"</${f.name}>"))
+      Seq(lit(s"<${f.name}>"), coalesce(esc(col(f.name)), lit("")), lit(s"</${f.name}>"))
     }
     df.select(concat((lit(s"<$rowTag>") +: parts :+ lit(s"</$rowTag>")): _*).as("xml"))
   }
@@ -136,11 +151,14 @@ object Processors {
     * placeholders substituted per row.
     */
   def renderTemplate(df: DataFrame, template: String): DataFrame = {
-    val pieces = "\\$\\{([^}]+)\\}".r.split(template)
+    // split with limit -1: Regex.split drops trailing empty tokens, which
+    // would silently swallow placeholders at the end of the template
+    val pieces = java.util.regex.Pattern.compile("\\$\\{[^}]+\\}")
+      .split(template, -1).toSeq
     val vars = "\\$\\{([^}]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq
     val cols: Seq[Column] = pieces.zipWithIndex.flatMap { case (p, i) =>
       if (i < vars.length) Seq(lit(p), col(vars(i)).cast("string")) else Seq(lit(p))
-    }.toSeq
+    }
     df.select(concat(cols: _*).as("rendered"))
   }
 }

@@ -36,9 +36,13 @@ object Dedup {
     * quadratic blowup measured at ~90 ms/doc before the fix.
     */
   def shinglesFromTokens(tokens: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+    // guard < n tokens: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    // element_at past the end throws under ANSI mode
+    when(size(tokens) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** Word n-gram shingle set as an array column (distinct). Only safe
     * for one-shot use — see shinglesFromTokens for the hot path.

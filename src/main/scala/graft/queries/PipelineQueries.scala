@@ -81,8 +81,12 @@ object PipelineQueries {
       val sh = tokens
         .select(col("doc_id"),
           explode(expr(
-            "transform(sequence(1, greatest(size(w) - 2, 0))," +
-              " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+            // CASE guard: sequence(1, 0) is DESCENDING and w[i+1] past the
+            // end throws under ANSI for docs with < 3 tokens
+            "CASE WHEN size(w) >= 3 THEN" +
+              " transform(sequence(1, size(w) - 2)," +
+              " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))" +
+              " ELSE array() END")).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("x")
@@ -91,12 +95,18 @@ object PipelineQueries {
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= 2)
-      pairs
+      val result = pairs
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
         .select(col("a"), col("b"),
           floor(col("common") * 1000000L / (col("na") + col("nb") - col("common")))
             .cast("long").as("jaccard_ppm"))
+      // materialize eagerly so the barrier cache can be freed (same
+      // pattern as Dedup.minHashLsh — persisted plans otherwise leak
+      // storage across repeated query runs)
+      val out = result.localCheckpoint(true)
+      tokens.unpersist()
+      out
     },
     Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (SELECT DISTINCT doc_id,

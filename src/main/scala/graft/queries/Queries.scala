@@ -376,7 +376,9 @@ object Queries {
   val q19_ipv4_format = QueryDef(
     "q19_ipv4_format",
     (s, d) => {
-      val key = (col("o_orderkey") * 2654435761L) % 4294967296L
+      // pre-reduce the key before the Knuth multiply: a raw orderkey *
+      // 2654435761 overflows Long (ANSI error) once orderkeys pass ~3.5e9
+      val key = ((col("o_orderkey") % 100000L) * 2654435761L) % 4294967296L
       t(s, d, "orders")
         .select(col("o_orderkey"),
           format_string("%d.%d.%d.%d",
@@ -387,10 +389,10 @@ object Queries {
     },
     Some("""SELECT o_orderkey,
       printf('%d.%d.%d.%d',
-        cast(floor(((o_orderkey * 2654435761) % 4294967296) / 16777216) AS BIGINT) % 256,
-        cast(floor(((o_orderkey * 2654435761) % 4294967296) / 65536) AS BIGINT) % 256,
-        cast(floor(((o_orderkey * 2654435761) % 4294967296) / 256) AS BIGINT) % 256,
-        (o_orderkey * 2654435761) % 4294967296 % 256) AS ip
+        cast(floor((((o_orderkey % 100000) * 2654435761) % 4294967296) / 16777216) AS BIGINT) % 256,
+        cast(floor((((o_orderkey % 100000) * 2654435761) % 4294967296) / 65536) AS BIGINT) % 256,
+        cast(floor((((o_orderkey % 100000) * 2654435761) % 4294967296) / 256) AS BIGINT) % 256,
+        ((o_orderkey % 100000) * 2654435761) % 4294967296 % 256) AS ip
       FROM orders"""),
   )
 

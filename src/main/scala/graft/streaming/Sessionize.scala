@@ -60,7 +60,11 @@ object Sessionize {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // late-but-in-watermark events must never rewind the
+                  // session end (that would pull the timeout horizon
+                  // earlier and close the session prematurely)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) => // silent gap inside the batch: close + reopen
                   emitted ::= Session(key, s.start, s.last, s.n, closed = true)
                   cur = Some(SessionState(t, t, 1))

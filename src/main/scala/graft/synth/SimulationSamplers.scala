@@ -186,7 +186,10 @@ object SimulationSamplers {
       var day = 0
       while (day < days) {
         val dayStart = startMs + day.toLong * dayMs
-        val weekday = ((dayStart / dayMs) + 4) % 7 < 5 // epoch anchor is a Thursday
+        // dow: 0=Sun..6=Sat (epoch day 0 is a Thursday → +4); weekday is
+        // Mon..Fri = 1..5, NOT dow<5 (which would commute on Sundays)
+        val dow = ((dayStart / dayMs) + 4) % 7
+        val weekday = dow >= 1 && dow <= 5
         if (weekday || rng.nextDouble() < 0.3) {
           val out = dayStart + (7 * 3600 + rng.nextInt(2 * 3600)) * 1000L
           trips += simTrip(rng, out, home.latitude, home.longitude, wLat, wLon, "out")

@@ -51,6 +51,26 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("fast path int is uniform over a negative-min range (floor, not truncate)") {
+    val xs = Synth.dataFrameAuto(spark,
+      """[{"name": "x", "class": "int", "min": -10, "max": 10}]""", 20000, seed = 6)
+      .collect().map(_.getLong(0))
+    assert(xs.forall(x => x >= -10 && x < 10))
+    val counts = xs.groupBy(identity).view.mapValues(_.length)
+    val expect = 20000 / 20.0
+    // truncation-toward-zero would give 0 double mass and starve -10
+    counts.foreach { case (v, n) =>
+      assert(math.abs(n - expect) < expect * 0.2, s"value $v count $n vs $expect")
+    }
+    assert(counts.contains(-10L))
+  }
+
+  test("fast path public ipv4 never emits 10/8 or 127/8") {
+    Synth.dataFrameAuto(spark, """[{"name": "ip", "class": "ipv4"}]""", 5000, seed = 7)
+      .collect().map(_.getString(0).split("\\.")(0).toInt)
+      .foreach(a => assert(a != 10 && a != 127 && a >= 1 && a <= 223))
+  }
+
   test("fast path is reproducible under different partitioning (stronger than interpreter)") {
     val schema = """[{"name": "x", "class": "double", "min": 0, "max": 1}]"""
     val a = Synth.dataFrameAuto(spark, schema, 100, seed = 9, partitions = 1)

@@ -28,11 +28,18 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(rows.length == 200) // 0-transaction orders are kept, not dropped
     rows.foreach(r => assert(r.getAs[Int]("k") >= 0 && r.getAs[Int]("k") <= 5))
     assert(rows.exists(_.getAs[Int]("k") == 0) && rows.exists(_.getAs[Int]("k") > 0))
-    // terminal fields merged into each transaction struct
+    // terminal fields merged into each transaction struct — and actually
+    // populated: a broken terminal_idx join would silently null them
     val tx = out.select(explode(col("transactions")).as("t")).select("t.*")
     assert(tx.columns.toSet ==
       Set("seq", "amount_cents", "terminal_id", "zip", "city", "state"))
-    assert(tx.select("amount_cents").collect().forall(_.getLong(0) <= 20000))
+    val txRows = tx.collect()
+    assert(txRows.nonEmpty)
+    txRows.foreach { r =>
+      assert(r.getAs[String]("terminal_id") != null && r.getAs[String]("city") != null,
+        s"unjoined terminal in $r")
+      assert(r.getAs[Long]("amount_cents") <= 20000)
+    }
   }
 
   test("removeFields drops top-level and nested paths") {
