@@ -200,7 +200,9 @@ object Dedup {
     bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.__sig") === col("y.__sig") && col("x.__id") < col("y.__id"))
-      .withColumn("cosine", dot / (col("x.__norm") * col("y.__norm")))
+      // nanvl: zero-norm vectors give NaN, and NaN >= threshold is TRUE
+      // in Spark's ordering — they would pair with everything
+      .withColumn("cosine", nanvl(dot / (col("x.__norm") * col("y.__norm")), lit(-1d)))
       .filter(col("cosine") >= threshold)
       .select(col("x.__id").as("a"), col("y.__id").as("b"), col("cosine"))
   }

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.TaskContext
 
 /** Multimodal column plumbing: images/audio/video ride as opaque
   * `binary` columns with a typed metadata struct; decode / feature

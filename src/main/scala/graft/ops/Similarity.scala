@@ -25,10 +25,16 @@ object Similarity {
     * (one fused loop), else the portable higher-order-function
     * composition. Same accumulation order → bit-identical results.
     */
-  def cosine(df: DataFrame, a: Column, b: Column): Column =
-    if (df.sparkSession.catalog.functionExists("cosine_sim"))
-      call_function("cosine_sim", a, b)
-    else dot(a, b) / (norm(a) * norm(b))
+  def cosine(df: DataFrame, a: Column, b: Column): Column = {
+    val raw =
+      if (df.sparkSession.catalog.functionExists("cosine_sim"))
+        call_function("cosine_sim", a, b)
+      else dot(a, b) / (norm(a) * norm(b))
+    // zero-norm vectors give 0/0 = NaN, and NaN sorts ABOVE every real in
+    // a descending rank — a single all-zero embedding would become the
+    // top neighbor of every query. Map NaN to -1 (worst similarity).
+    nanvl(raw, lit(-1d))
+  }
 
   /** Exact cosine top-k per query. `queries` must be broadcast-sized. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,

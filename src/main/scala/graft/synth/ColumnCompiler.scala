@@ -73,16 +73,20 @@ object ColumnCompiler {
     val total = items.map(_._2).sum
     val uu = u(ctx)
     var cum = 0.0
-    var expr: Column = lit(items.last._1)
-    // build from the end: when(u < cum_k, item_k) descending
     val cums = items.map { case (v, w) => cum += w / total; (v, cum) }
-    expr = cums.init.reverse.foldLeft(lit(items.last._1): Column) {
+    // build from the end: when(u < cum_k, item_k) descending
+    Some(cums.init.reverse.foldLeft(lit(items.last._1): Column) {
       case (acc, (v, c)) => when(uu < c, v).otherwise(acc)
-    }
-    Some(expr)
+    })
   }
 
   private def zipColumns(ctx: Ctx, f: FieldSpec): Option[Seq[(String, Column)]] = {
+    // options the fast path doesn't implement → fall back to the
+    // interpreter rather than silently ignoring the user's constraints
+    val unsupported = Seq("zip", "prefix", "latitudeMin", "latitudeMax",
+      "longitudeMin", "longitudeMax", "latitudeFuzz", "longitudeFuzz", "fuzz")
+    if (unsupported.exists(f.node(_).isDefined)) return None
+    if (!f.bool("verbose").getOrElse(true)) return None
     val fields = f.str("fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("zip", "city", "state", "latitude", "longitude"))
     val rows = if (f.bool("onlyContinental").contains(true)) SeedData.continentalZips
@@ -116,12 +120,15 @@ object ColumnCompiler {
       Some(f.str("format").filter(_.contains("%"))
         .map(fm => format_string(fm, v)).getOrElse(v))
     case "double" | "float" =>
+      if (f.node("dist").isDefined) return None // discrete dist → interpreter
       val min = f.dbl("min").getOrElse(0.0)
       val max = f.dbl("max").getOrElse(100.0)
       val skew = f.int("skew").getOrElse(0)
       val draws = (0 to math.abs(skew)).map(k => u(ctx, s"#$k") * (max - min) + min)
-      Some(if (skew == 0) draws.head
-        else if (skew > 0) least(draws: _*) else greatest(draws: _*))
+      val v = if (skew == 0) draws.head
+        else if (skew > 0) least(draws: _*) else greatest(draws: _*)
+      Some(f.str("format").filter(_.contains("%"))
+        .map(fm => format_string(fm, v)).getOrElse(v))
     case "normal" if f.dbl("min").isEmpty && f.dbl("max").isEmpty =>
       // Box–Muller from two keyed uniforms (u1 nudged off zero)
       val mean = f.dbl("mean").getOrElse(0.0)
@@ -150,19 +157,24 @@ object ColumnCompiler {
       val a0 = pmod(octet(24), lit(221L)) + 1
       val a1 = a0 + when(a0 >= 10, 1).otherwise(0)
       val aPub = a1 + when(a1 >= 127, 1).otherwise(0)
+      // last octet 1..254 uniform via pmod — an AND with non-power-of-two
+      // 253 would make half the values unreachable
+      val last = pmod(octet(0), lit(254L)) + 1
       Some(if (f.bool("private").contains(true))
-        concat_ws(".", lit(10), octet(16), octet(8), octet(0).bitwiseAND(lit(253L)) + 1)
+        concat_ws(".", lit(10), octet(16), octet(8), last)
       else
-        concat_ws(".", aPub, octet(16), octet(8),
-          octet(0).bitwiseAND(lit(253L)) + 1))
+        concat_ws(".", aPub, octet(16), octet(8), last))
     case "date" =>
       val fmt = f.str("format").getOrElse("yyyy-MM-dd")
       val ft = graft.runtime.FancyTime(fmt)
       val ms: Column = (f.str("start").map(ft.parseMillis), f.str("end").map(ft.parseMillis)) match {
-        case (Some(s), Some(e)) => (u(ctx) * (e - s) + s).cast("long")
-        case _ =>
+        case (None, None) =>
           val meanMs = 100.0 * 24 * 3600 * 1000
           (lit(1375315200000L) - (-log(u(ctx) + 1e-300)) * meanMs).cast("long")
+        case (so, eo) => // one-sided bounds default the other (epoch / anchor)
+          val s = so.getOrElse(0L)
+          val e = eo.getOrElse(1375315200000L)
+          (u(ctx) * (e - s) + s).cast("long")
       }
       // NOTE: date_format renders in the session timezone; the engine's
       // entry points pin spark.sql.session.timeZone=UTC to match

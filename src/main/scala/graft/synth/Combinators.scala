@@ -116,6 +116,7 @@ object Combinators {
           val hdr = lines.head.split(sep).map(_.trim)
           lines.tail.map(l => hdr.zip(l.split(sep).map(_.trim)).toMap).toSeq
         }
+      require(rows.nonEmpty, s"lookup: no data rows in $path")
       val cols = rows.head.keys.toSeq.sorted
       val schema = StructType(cols.map(c => StructField(c, StringType)))
       new LookupFileSampler(

@@ -111,6 +111,7 @@ object Compiler {
       val (shape, scale) = (f.dbl("alpha"), f.dbl("beta"), f.dbl("dof"), f.dbl("scale")) match {
         case (Some(a), b, _, _) => (a, 1.0 / b.getOrElse(1.0))
         case (_, _, Some(d), s) => (d, s.getOrElse(1.0))
+        case (None, Some(b), _, _) => (1.0, 1.0 / b) // beta alone applies to default alpha
         case _                  => (1.0, 1.0)
       }
       new GammaSampler(shape, scale)
@@ -171,9 +172,10 @@ object Compiler {
         f.dbl("latitudeMin"), f.dbl("latitudeMax"),
         f.dbl("longitudeMin"), f.dbl("longitudeMax"),
         f.dbl("latitudeFuzz").orElse(f.dbl("fuzz")),
+        f.dbl("longitudeFuzz").orElse(f.dbl("fuzz")),
         f.bool("verbose").getOrElse(true))
     case "toll" =>
-      val zip = new ZipSampler(None, onlyContinental = true, None, None, None, None, None, None, verbose = true)
+      val zip = new ZipSampler(None, onlyContinental = true, None, None, None, None, None, None, None, verbose = true)
       new MapSampler(Seq(
         "location" -> zip,
         "timestamp" -> new DateSampler("yyyy-MM-dd HH:mm:ss",

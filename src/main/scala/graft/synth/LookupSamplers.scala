@@ -90,7 +90,8 @@ object LookupSamplers {
     */
   final class ZipSampler(fields: Option[Seq[String]], onlyContinental: Boolean,
       prefix: Option[String], latMin: Option[Double], latMax: Option[Double],
-      lonMin: Option[Double], lonMax: Option[Double], fuzz: Option[Double],
+      lonMin: Option[Double], lonMax: Option[Double],
+      latFuzz: Option[Double], lonFuzz: Option[Double],
       verbose: Boolean) extends Sampler {
 
     private val allFields = Seq("zip", "city", "state", "latitude", "longitude")
@@ -114,8 +115,9 @@ object LookupSamplers {
       val z = rows(ctx.rng.nextInt(rows.length))
       if (!verbose) z.zip
       else {
-        val lat = z.latitude + fuzz.map(f => (ctx.rng.nextDouble() - 0.5) * f).getOrElse(0.0)
-        val lon = z.longitude + fuzz.map(f => (ctx.rng.nextDouble() - 0.5) * f).getOrElse(0.0)
+        // per-axis one-sided fuzz, matching ZipSampler.java:257-260
+        val lat = z.latitude + latFuzz.map(ctx.rng.nextDouble() * _).getOrElse(0.0)
+        val lon = z.longitude + lonFuzz.map(ctx.rng.nextDouble() * _).getOrElse(0.0)
         Row.fromSeq(kept.map {
           case "zip"       => z.zip
           case "city"      => z.city

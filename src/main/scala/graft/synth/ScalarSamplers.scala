@@ -77,6 +77,11 @@ object ScalarSamplers {
         v = ctx.rng.nextGaussian() * sd + mean
         guard += 1
       }
+      // pathological bounds (essentially no mass inside) exhaust the
+      // rejection guard: clamp so the declared [min,max] contract holds
+      // instead of silently emitting an out-of-range value
+      min.foreach(m => v = math.max(v, m))
+      max.foreach(m => v = math.min(v, m))
       v
     }
   }
@@ -124,11 +129,15 @@ object ScalarSamplers {
     private val epoch = 1375315200000L // 2013-08-01T00:00:00Z, the reference's anchor
     private val meanMs = 100.0 * 24 * 3600 * 1000
     def sample(ctx: GenContext): Any = (startMs, endMs) match {
-      case (Some(s), Some(e)) =>
-        ft.formatMillis(s + (ctx.rng.nextDouble() * (e - s)).toLong)
-      case _ =>
+      case (None, None) =>
         val back = (-math.log(ctx.rng.nextDouble()) * meanMs).toLong
         ft.formatMillis(epoch - back)
+      case (so, eo) =>
+        // one-sided bounds default the other side (epoch / the reference's
+        // 2013-08-01 anchor) instead of silently ignoring the bound
+        val s = so.getOrElse(0L)
+        val e = eo.getOrElse(epoch)
+        ft.formatMillis(s + (ctx.rng.nextDouble() * (e - s)).toLong)
     }
   }
 
@@ -218,7 +227,12 @@ object ScalarSamplers {
       extends Sampler {
     val dataType: DataType = ArrayType(DoubleType, containsNull = false)
     def sample(ctx: GenContext): Any = {
-      val n = length.sample(ctx).asInstanceOf[Long].toInt.max(0)
+      val n = (length.sample(ctx) match {
+        case l: Long   => l.toInt
+        case i: Int    => i
+        case d: Double => d.toInt
+        case other     => other.toString.toDouble.toInt
+      }).max(0)
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
