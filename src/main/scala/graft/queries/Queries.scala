@@ -427,12 +427,73 @@ object Queries {
       FROM orders GROUP BY o_custkey"""),
   )
 
+  /** Semi/anti join operators: customers flagged by order existence. */
+  val q37_semi_anti = QueryDef(
+    "q37_semi_anti",
+    (s, d) => {
+      val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(1L).as("has_orders"))
+      val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(0L).as("has_orders"))
+      semi.unionByName(anti)
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           THEN 1 ELSE 0 END AS has_orders
+      FROM customer"""),
+  )
+
+  /** Date arithmetic family: interval add + day difference. */
+  val q38_date_arith = QueryDef(
+    "q38_date_arith",
+    (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+          datediff(lit(java.sql.Date.valueOf("2024-01-01")),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2024")),
+    Some("""SELECT o_orderkey,
+      cast(o_orderdate + INTERVAL 30 DAY AS DATE) AS d30,
+      cast(datediff('day', cast(o_orderdate AS DATE), DATE '2024-01-01') AS BIGINT) AS days_to_2024
+      FROM orders"""),
+  )
+
+  /** Scalar string-function composite (upper/substr/translate/trim). */
+  val q39_string_funcs = QueryDef(
+    "q39_string_funcs",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("u"),
+          translate(col("p_brand"), "#", "-").as("tr"),
+          length(trim(col("p_type"))).cast("long").as("lt")),
+    Some("""SELECT p_partkey, upper(substr(p_name, 1, 5)) AS u,
+      translate(p_brand, '#', '-') AS tr,
+      cast(length(trim(p_type)) AS BIGINT) AS lt FROM part"""),
+  )
+
+  /** max_by / argmax aggregation: each customer's priciest order. */
+  val q40_argmax = QueryDef(
+    "q40_argmax",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order")),
+    Some("""SELECT o_custkey, max_by(o_orderkey, o_totalprice) AS top_order,
+      min_by(o_orderkey, o_totalprice) AS bottom_order
+      FROM orders GROUP BY o_custkey"""),
+  )
+
   val relational: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_join_regions, q03_topk_orders, q04_cumsum_walk,
     q05_change_flags, q06_sessionize, q07_explode_seq, q08_struct_flatten,
     q09_phone_format, q10_drop_fields, q11_array_flatten, q12_correlator_fanout,
     q13_group_collect, q14_distinct_dims, q15_set_ops, q16_row_ids,
     q17_event_arrival, q18_date_buckets, q19_ipv4_format, q35_ntile,
-    q36_pivot_status,
+    q36_pivot_status, q37_semi_anti, q38_date_arith, q39_string_funcs,
+    q40_argmax,
   )
 }

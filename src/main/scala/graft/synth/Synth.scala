@@ -44,13 +44,16 @@ object Synth {
     // compile on the driver first: validates the spec and fixes the schema
     val schema = Compiler.structType(Compiler.compileSchema(schemaJson))
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val rdd = spark.sparkContext.range(0L, n, 1L, p).mapPartitionsWithIndex {
-      (pid, ids) =>
-        val entries = Compiler.compileSchema(schemaJson) // fresh state per task
-        val ctx = new GenContext(Rng.forPartition(seed, pid), 0L)
-        ids.flatMap(id => emitRows(entries, ctx, id))
+    // typed mapPartitions with a Row encoder: the encoder's codegen'd
+    // serializer converts each Row once, instead of the slower
+    // CatalystTypeConverters walk that createDataFrame(rdd, schema) does
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.range(0L, n, 1L, p).mapPartitions { ids =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val entries = Compiler.compileSchema(schemaJson) // fresh state per task
+      val ctx = new GenContext(Rng.forPartition(seed, pid), 0L)
+      ids.flatMap(id => emitRows(entries, ctx, id))
     }
-    spark.createDataFrame(rdd, schema)
   }
 
   /** Assemble the output row(s) for one input id. Flat generators fan out
