@@ -130,6 +130,12 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, centroids,
         nProbe = 4)
     }),
+    // end-to-end near-dup dedup decision: LSH pairs -> connected
+    // components -> one canonical survivor per cluster (rows-only; the
+    // clustering invariants are asserted in OpsSpec)
+    q("g52_dedup_decision")((s, d) => graft.ops.Clusters.dedupDecision(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8)),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step that
+  * turns (a, b) similarity edges into dedup decisions: every document
+  * gets a cluster id (the minimum doc id reachable through edges), and
+  * the cluster id holder is the canonical survivor.
+  *
+  * Algorithm: iterative min-label propagation (each node adopts the
+  * smallest label among itself and its neighbors) — converges in
+  * O(diameter) rounds, and near-dup graphs have tiny diameters (dup
+  * clusters are near-cliques). Each round is one shuffle; no driver-side
+  * graph state, so it scales to billions of edges. Convergence is
+  * checked with a count of changed labels per round.
+  */
+object Clusters {
+
+  /** pairs: DataFrame with long columns `a`, `b` (undirected edges).
+    * Returns (id, cluster) for every id that appears in any edge;
+    * cluster = min id of its connected component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .union(pairs.select(col("b").cast("long").as("a"), col("a").cast("long").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // each node's new label = min(own, min over neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("nc").as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("neighbor_min"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
+
+  /** Full near-dup dedup decision: run LSH, cluster the verified pairs,
+    * and return every doc with its cluster and a keep flag (the minimum
+    * id in each cluster survives; singletons always survive).
+    */
+  def dedupDecision(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = Dedup.minHashLsh(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("keep", (col("id") === col("cluster")).cast("boolean"))
+  }
+}

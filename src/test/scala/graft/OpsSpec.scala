@@ -68,6 +68,30 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("connected components assigns min-id cluster across chained pairs") {
+    // 1-2, 2-3 chain plus isolated pair 10-11: clusters {1,2,3}->1, {10,11}->10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = graft.ops.Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupDecision keeps one canonical doc per near-dup cluster") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val planted = Seq((9001L, base), (9002L, base + " omega"), (9003L, base))
+      .toDF("doc_id", "text")
+    val df = docs.select($"doc_id", $"text").union(planted)
+    val decision = graft.ops.Clusters.dedupDecision(df, "doc_id", "text", threshold = 0.5)
+    val cluster = decision.filter($"id" >= 9001L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // all three planted docs land in one cluster; only 9001 survives
+    assert(cluster.forall(_._2 == 9001L), cluster.mkString(","))
+    assert(cluster.map(c => c._1 -> c._3).toMap ==
+      Map(9001L -> true, 9002L -> false, 9003L -> false))
+    // every input doc appears exactly once in the decision
+    assert(decision.count() == df.count())
+  }
+
   test("bpe token count on known strings") {
     // single digits tokenize individually: "42" -> "4","2"
     val df = Seq(("a1b2!", 5), ("hello, world 42", 5), ("", 0)).toDF("text", "want")
