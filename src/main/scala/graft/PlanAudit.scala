@@ -56,7 +56,7 @@ object PlanAudit {
       } catch {
         case e: Exception =>
           hardFailures ::= name
-          println(f"$name%-24s PLAN FAILED: ${e.getMessage.take(120)}")
+          println(f"$name%-24s PLAN FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
       }
     }
     println(s"== hard failures: ${hardFailures.size} ${hardFailures.mkString(",")}")

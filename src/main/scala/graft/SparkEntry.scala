@@ -116,7 +116,7 @@ object SynthQueries {
     q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.05)),
     q("g47_simhash_pairs")((s, d) => graft.ops.Dedup.simHashPairs(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 16)),
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 12)),
     // threshold 0.15 / 4 bits: this corpus's random embeddings top out
     // near cosine 0.4, so a 0.5 threshold returns nothing — thresholds
     // must be set from the data's similarity distribution

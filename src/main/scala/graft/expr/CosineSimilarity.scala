@@ -35,17 +35,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_sim needs two array<double> args, got ${left.dataType} / ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // length mismatch / null elements
   override def prettyName: String = "cosine_sim"
 
+  /** Mismatched lengths or null elements yield NULL — matching the
+    * higher-order-function formulation (zip_with pads with nulls, which
+    * null the sum), so swapping lowerings never changes results.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -66,16 +73,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $a.getDouble($i);
-          double $yi = $b.getDouble($i);
-          $dot += $xi * $yi;
-          $nx += $xi * $xi;
-          $ny += $yi * $yi;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $xi = $a.getDouble($i);
+            double $yi = $b.getDouble($i);
+            $dot += $xi * $yi;
+            $nx += $xi * $xi;
+            $ny += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 
@@ -93,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"cosine_sim takes 2 arguments, got ${children.length}")
+        CosineSimilarity(children(0), children(1))
+      }))
   }
 }

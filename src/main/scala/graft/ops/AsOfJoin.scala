@@ -32,24 +32,28 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // harmonized layout: key, time, side (0=right sorts first on ties),
-    // right value columns, left payload columns
+    // The right row travels as ONE struct: carrying each value column
+    // with its own last(ignoreNulls) would resurrect a stale row's value
+    // whenever the true as-of row holds NULL in that column (and could
+    // mix columns from different right rows). A present right row always
+    // has a non-null struct, so last(ignoreNulls) picks exactly the
+    // latest right ROW, nulls and all — the ASOF contract.
+    val rvStructType = struct(rightVals.map(c => right(c)): _*)
     val l = left.select(
       (col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")) ++:
+        lit(null).cast(right.select(rvStructType).schema.head.dataType).as("__rv") +:
         leftCols.map(c => col(c).as(s"__lv_$c"))): _*)
     val r = right.select(
       (col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        rightVals.map(c => col(c).as(s"__rv_$c")) ++:
+        struct(rightVals.map(col): _*).as("__rv") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__lv_$c"))): _*)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select((col("*") +: rightVals.map(c =>
-        last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__lv_$c").as(c)) ++
-        rightVals.map(c => col(s"asof_$c")): _*)
+        rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Range pairs: rows of `right` whose time falls in

@@ -21,7 +21,7 @@ object Clusters {
     * Returns (id, cluster) for every id that appears in any edge;
     * cluster = min id of its connected component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .union(pairs.select(col("b").cast("long").as("a"), col("a").cast("long").as("b")))
       .distinct()
@@ -51,6 +51,11 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would return SPLIT clusters (multiple
+    // "canonical" survivors per true duplicate class) — fail loudly
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter too large — raise maxIters)")
     val out = labels.localCheckpoint(true)
     labels.unpersist()
     out
@@ -62,6 +67,12 @@ object Clusters {
     */
   def dedupDecision(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // ids must be integral: edges are cast to long, and under ANSI a
+    // string id would crash mid-job (with ANSI off it would silently
+    // null the edges and disable dedup entirely)
+    require(Seq("long", "integer", "short", "byte")
+      .contains(df.schema(idCol).dataType.typeName),
+      s"dedupDecision needs an integral id column, got ${df.schema(idCol).dataType}")
     val pairs = Dedup.minHashLsh(df, idCol, textCol, threshold)
     val comps = connectedComponents(pairs)
     df.select(col(idCol).as("id"))

@@ -23,7 +23,9 @@ object Dedup {
     * corpus is one giant duplicate class.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+    // trim + collapse: leading/trailing whitespace (trailing newlines are
+    // near-universal in text files) must not defeat exact dedup
+    val fp = md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
     val w = Window.partitionBy(fp).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -80,7 +82,7 @@ object Dedup {
     // inlines the split back into every lambda element_at (no CSE inside
     // lambdas) and the shingle stage goes quadratic in text length
     val tokens = spread
-      .select(col(idCol).as("__id"), split(lower(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol).as("__id"), split(lower(trim(col(textCol))), "\\s+").as("__w"))
       .persist()
     val withSh = tokens
       .select(col("__id"), shinglesFromTokens(col("__w"), shingleWords).as("__sh"))
@@ -133,34 +135,44 @@ object Dedup {
     * Expressed with aggregate() over the token array — codegen'd.
     */
   def simhashCol(textColName: String): Column =
-    // per-bit counters (array<int>[64]) accumulated over tokens, then
-    // folded into a 64-bit signature; written as a SQL expr because the
-    // Scala DSL's shiftright only accepts a literal Int shift amount
+    // per-bit counters (array<int>[64]) accumulated over PRE-HASHED
+    // tokens (hash each token once; there is no CSE inside lambdas, so
+    // hashing inside the per-bit transform would cost 64 string hashes
+    // per token), then folded into a 64-bit signature. Written as a SQL
+    // expr because the Scala DSL's shiftright needs a literal shift.
     expr(s"""
       aggregate(
         zip_with(
           aggregate(
-            split(lower(`$textColName`), '\\\\s+'),
+            transform(split(lower(trim(`$textColName`)), '\\\\s+'), t -> xxhash64(t)),
             array_repeat(0, 64),
-            (acc, tok) -> transform(acc, (c, i) ->
-              c + CASE WHEN shiftright(xxhash64(tok), i) & 1L = 1L THEN 1 ELSE -1 END)),
+            (acc, h) -> transform(acc, (c, i) ->
+              c + CASE WHEN shiftright(h, i) & 1L = 1L THEN 1 ELSE -1 END)),
           sequence(0, 63),
           (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
         0L, (acc, x) -> acc | x)
     """)
 
-  /** SimHash near-dup pairs: bucket on 4 × 16-bit signature bands (two
-    * signatures within Hamming distance 3 must agree on at least one
-    * band), verify with exact Hamming distance.
+  /** SimHash near-dup pairs, banded with the pigeonhole guarantee: the
+    * 64-bit signature splits into maxHamming+1 bands, so two signatures
+    * within the requested Hamming distance MUST agree on at least one
+    * whole band — recall 1.0 by construction (a fixed 4-band split would
+    * silently drop qualifying pairs for any maxHamming > 3).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (got $maxHamming): more bands than " +
+        "64/4 bits makes the buckets too coarse to prune anything")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
     val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
     val banded = sig.select(col("__id"), col("__sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("__bk"))
       .select(col("__id"), col("__sig"), col("__bk.band"), col("__bk.key"))
     val hamming = bit_count(col("x.__sig").bitwiseXOR(col("y.__sig"))).cast("long")

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count; empty/whitespace-only text counts 0 (a bare
+    * split("") yields [""], which would report a phantom token and let
+    * empty documents slip past n_tokens >= 1 quality filters).
+    */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword-regex token count: word pieces, digit runs, and
     * single punctuation marks — the pre-tokenizer split most BPE
@@ -23,13 +26,15 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Stopword-hit count against a small lexicon — the lexicon arm of a
-    * language-ID heuristic.
+    * language-ID heuristic. Counted by token equality over a
+    * punctuation-stripped split: the replace-length trick undercounts
+    * adjacent repeats (shared delimiter space), misses words touching
+    * punctuation, and breaks on regex metachars in the lexicon.
     */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    stopwords.map { w =>
-      (length(padded) - length(regexp_replace(padded, s" $w ", " "))) / (w.length + 1)
-    }.reduce(_ + _).cast("long")
+    val tokens = split(lower(text), "\\W+")
+    val lex = array(stopwords.map(lit): _*)
+    size(filter(tokens, t => array_contains(lex, t))).cast("long")
   }
 
   /** Non-ASCII character count — the charset arm of language ID (CJK and
@@ -74,9 +79,11 @@ object TextAnalysis {
         floor(digits * 1000.0 / greatest(length(t), lit(1))).cast("long"))
   }
 
-  /** Content fingerprint: md5 of case/whitespace-normalized text. */
+  /** Content fingerprint: md5 of case/whitespace-normalized text
+    * (trimmed — consistent with rollingHash and Dedup.exact).
+    */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** Rolling chained hash over the token stream: h = xxhash64(h, token).
     * Order-sensitive (unlike the md5 bag fingerprint) and overflow-free

@@ -269,18 +269,14 @@ object PipelineQueries {
       CASE
         WHEN length(regexp_replace(text, '[ -~]', '', 'g')) * 1.0 /
              greatest(length(text), 1) > 0.3 THEN 'cjk-ish'
-        WHEN (
-          (length(p) - length(replace(p, ' the ', ' '))) / 4 +
-          (length(p) - length(replace(p, ' a ', ' '))) / 2 +
-          (length(p) - length(replace(p, ' of ', ' '))) / 3 +
-          (length(p) - length(replace(p, ' and ', ' '))) / 4 +
-          (length(p) - length(replace(p, ' to ', ' '))) / 3 +
-          (length(p) - length(replace(p, ' in ', ' '))) / 3
-        ) * 1.0 / greatest(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1, 1)
+        WHEN len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+               t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], t))) * 1.0 /
+             greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
           > 0.08 THEN 'en-ish'
         ELSE 'latin-other'
       END AS guess
-      FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents)"""),
+      FROM documents"""),
   )
 
   /** Multimodal ingest metadata (graft.ops.Multimodal.asAsset): byte

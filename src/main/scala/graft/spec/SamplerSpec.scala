@@ -81,6 +81,7 @@ object SpecParser {
   /** Parse "10", "10K", "2.5M", "1G" (decimal multipliers, Util.java:47-64). */
   def parseSize(s: String): Long = {
     val t = s.trim
+    require(t.nonEmpty, "empty size value")
     val (num, mult) = t.last.toUpper match {
       case 'K' => (t.dropRight(1), 1e3)
       case 'M' => (t.dropRight(1), 1e6)

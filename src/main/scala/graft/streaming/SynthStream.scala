@@ -18,7 +18,10 @@ object SynthStream {
   /** Unbounded synthetic stream of `schemaJson` records at
     * `rowsPerSecond`. Per-row RNG is keyed by the rate source's row value
     * — deterministic replay within a run, independent of micro-batch
-    * boundaries.
+    * boundaries. NOTE: cross-row sampler state (event clocks, random
+    * walks, CRPs) is therefore per-ROW here, not per-partition: those
+    * samplers yield valid values but no cross-row progression — use the
+    * stream's own `event_time` for time semantics.
     */
   def stream(spark: SparkSession, schemaJson: String, rowsPerSecond: Int,
       seed: Long = 42L): DataFrame = {
@@ -30,7 +33,6 @@ object SynthStream {
     implicit val enc = Encoders.row(outSchema)
     rate.mapPartitions { rows =>
       val entries = Compiler.compileSchema(schemaJson)
-      val pid = TaskContext.getPartitionId()
       rows.flatMap { r =>
         val ts = r.getTimestamp(0)
         val id = r.getLong(1)

@@ -26,6 +26,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.getAs[String]("asof_v") == "same")
   }
 
+  test("asOf matches the latest right ROW even when its value is null (no stale carry)") {
+    val left = Seq((1, 3L, "l")).toDF("k", "t", "payload")
+    val right = Seq((1, 1L, Option("old")), (1, 2L, Option.empty[String]))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v")).collect()(0)
+    // DuckDB ASOF contract: the t=2 row matches; its v is null — the
+    // older t=1 row's "old" must not leak through
+    assert(out.getAs[String]("asof_v") == null)
+  }
+
   test("asOf plan has exactly one shuffle and no join node") {
     val left = Seq((1, 10L, "l")).toDF("k", "t", "payload")
     val right = Seq((1, 8L, "r")).toDF("k", "t", "v")

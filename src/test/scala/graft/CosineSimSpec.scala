@@ -40,6 +40,13 @@ class CosineSimSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan) // codegen span covers the projection
   }
 
+  test("mismatched lengths and null elements yield NULL like the HOF path") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1D, 2D), array(1D)) a," +
+        " cosine_sim(array(1D, cast(null as double)), array(1D, 2D)) b").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("type check rejects non-array args with a named error") {
     val e = intercept[Exception](spark.sql("SELECT cosine_sim(1, 2)").collect())
     assert(e.getMessage.contains("cosine_sim") || e.getMessage.contains("DATATYPE"),
