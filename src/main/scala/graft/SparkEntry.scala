@@ -94,6 +94,20 @@ object SynthQueries {
       Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
         {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
 
+    // the IoT flagship via the Catalyst fast path: cumulative event
+    // clocks and random walks as per-row prefix-sum arrays, one explode —
+    // compare with g30 (same schema through the interpreter)
+    q("g53_iot_fast")((s, _) => Synth.dataFrameAuto(s, """[
+      {"name": "device-id", "class": "uuid"},
+      {"name": "device-ip", "class": "ipv4"},
+      {"class": "flatten", "prefix": "",
+       "value": {"class": "zip", "onlyContinental": true, "fields": "latitude, longitude"}},
+      {"class": "sequence", "lengthDistribution": 100, "flat": true,
+       "base": {"class": "map", "value": [
+         {"name": "time", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
+         {"name": "temp", "class": "random-walk", "start": 30, "mean": 0, "sd": 1}]}}
+    ]""", 1000)),
+
     // Catalyst fast path: 1M rows of a wide stateless schema as pure
     // codegen'd column expressions (compare with g38's interpreter rate)
     q("g51_columns_fast")((s, _) => Synth.dataFrameAuto(s,

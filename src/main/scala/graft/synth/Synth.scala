@@ -28,11 +28,23 @@ object Synth {
     */
   def dataFrameAuto(spark: SparkSession, schemaJson: String, n: Long,
       seed: Long = 42L, partitions: Int = 0): DataFrame =
-    ColumnCompiler.compileSchema(schemaJson, seed) match {
-      case Some(cols) =>
+    ColumnCompiler.compilePlan(schemaJson, seed) match {
+      case Some(plan) =>
         val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-        spark.range(0L, n, 1L, p)
-          .select(cols.map { case (nm, c) => c.as(nm) }: _*)
+        val base = spark.range(0L, n, 1L, p)
+        plan.flat match {
+          case None =>
+            base.select(plan.scalars.map { case (nm, c) => c.as(nm) }: _*)
+          case Some((elemFields, arr)) =>
+            // one explode over the zipped element structs; scalar columns
+            // repeat per element (the flat-sequence record shape)
+            base
+              .select((plan.scalars.map { case (nm, c) => c.as(nm) } :+
+                org.apache.spark.sql.functions.explode(arr).as("__e")): _*)
+              .select((plan.scalars.map { case (nm, _) =>
+                org.apache.spark.sql.functions.col(nm) } ++
+                elemFields.map(f => org.apache.spark.sql.functions.col(s"__e.$f"))): _*)
+        }
       case None => dataFrame(spark, schemaJson, n, seed, partitions)
     }
 

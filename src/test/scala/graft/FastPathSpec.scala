@@ -89,6 +89,36 @@ class FastPathSpec extends AnyFunSuite {
     assert(!plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("flat IoT sequence takes the fast path: shapes, monotone clocks, walk continuity") {
+    val iot = """[
+      {"name": "device-id", "class": "uuid"},
+      {"class": "flatten", "prefix": "",
+       "value": {"class": "zip", "onlyContinental": true, "fields": "latitude, longitude"}},
+      {"class": "sequence", "lengthDistribution": 100, "flat": true,
+       "base": {"class": "map", "value": [
+         {"name": "time", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
+         {"name": "temp", "class": "random-walk", "start": 30, "mean": 0, "sd": 1}]}}
+    ]"""
+    assert(graft.synth.ColumnCompiler.compilePlan(iot, 1L).isDefined)
+    val df = Synth.dataFrameAuto(spark, iot, 5, seed = 3)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Range") && !plan.contains("Scan ExistingRDD"), plan.take(400))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(df.columns.toSeq == Seq("device-id", "latitude", "longitude", "time", "temp"))
+    // per-device event clocks are strictly monotone (prefix-sum arrivals)
+    rows.groupBy(_.getAs[String]("device-id")).values.foreach { dev =>
+      assert(dev.length == 100)
+      val times = dev.map(_.getAs[String]("time")).toSeq
+      assert(times == times.sorted)
+      // walk steps are N(0,1): successive temps differ by a few degrees
+      val temps = dev.map(_.getAs[Double]("temp")).toSeq
+      temps.sliding(2).foreach { case Seq(a, b) =>
+        assert(math.abs(b - a) < 6, s"walk step ${b - a}")
+      }
+    }
+  }
+
   test("reference-shipped schemas round-trip through the engine") {
     val dir = "/root/reference/nifi-datasynthesizer-processors/src/main/resources/generators"
     for (name <- Seq("iot-data.json", "terminal.json", "transaction.json",
