@@ -13,7 +13,7 @@ object CannedSources {
     * series.
     */
   def iotData(spark: SparkSession, nDevices: Long, seed: Long = 42L): DataFrame =
-    Synth.dataFrame(spark, """[
+    Synth.dataFrameAuto(spark, """[
       {"name": "device-id", "class": "uuid"},
       {"name": "device-ip", "class": "ipv4"},
       {"class": "flatten", "prefix": "",

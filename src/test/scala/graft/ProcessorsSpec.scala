@@ -61,6 +61,24 @@ class ProcessorsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(0).split(" ").length == 7))
   }
 
+  test("lookup file sampler reads csv/json dimension rows") {
+    val dir = java.nio.file.Files.createTempDirectory("lookup").toFile
+    val csv = new java.io.File(dir, "dim.csv")
+    java.nio.file.Files.writeString(csv.toPath, "code,label\nA,alpha\nB,beta\nC,gamma\n")
+    val df = Synth.dataFrame(spark,
+      s"""[{"name": "d", "class": "lookup", "file": "${csv.getAbsolutePath}"}]""", 50)
+    val rows = df.select("d.code", "d.label").collect()
+    assert(rows.length == 50)
+    val valid = Map("A" -> "alpha", "B" -> "beta", "C" -> "gamma")
+    rows.foreach(r => assert(valid(r.getString(0)) == r.getString(1)))
+    // header-only file fails with a named error
+    val empty = new java.io.File(dir, "empty.csv")
+    java.nio.file.Files.writeString(empty.toPath, "code,label\n")
+    val e = intercept[IllegalArgumentException](Synth.dataFrame(spark,
+      s"""[{"name": "d", "class": "lookup", "file": "${empty.getAbsolutePath}"}]""", 1))
+    assert(e.getMessage.contains("no data rows"))
+  }
+
   test("schema registry compiles named schemas (DataGenerator analog)") {
     val reg = new SchemaRegistry
     reg.register("pings", """[{"name": "ip", "class": "ipv4"}]""")
