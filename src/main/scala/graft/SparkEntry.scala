@@ -140,8 +140,11 @@ object SynthQueries {
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
     q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.05)),
+    // maxHamming 3 = 4 bands of 16 bits: selective buckets. Larger
+    // distances keep recall 1.0 (pigeonhole banding) but the narrower
+    // band keys stop pruning — 13 bands of 4 bits benched 2x slower.
     q("g47_simhash_pairs")((s, d) => graft.ops.Dedup.simHashPairs(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 12)),
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 3)),
     // threshold 0.15 / 4 bits: this corpus's random embeddings top out
     // near cosine 0.4, so a 0.5 threshold returns nothing — thresholds
     // must be set from the data's similarity distribution

@@ -164,6 +164,9 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming): more bands than " +
         "64/4 bits makes the buckets too coarse to prune anything")
+    // NOTE: recall stays 1.0 at any allowed maxHamming (pigeonhole), but
+    // pruning power falls with band width (64/(maxHamming+1) bits) —
+    // beyond ~7 the candidate set grows toward all-pairs
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1

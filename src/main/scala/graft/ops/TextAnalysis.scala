@@ -79,6 +79,30 @@ object TextAnalysis {
         floor(digits * 1000.0 / greatest(length(t), lit(1))).cast("long"))
   }
 
+  /** Unigram language-model log-probability in integer milli-nats — the
+    * classic LM-based quality filter for training corpora (low score =
+    * gibberish or out-of-domain). The lexicon's log-probs are
+    * precomputed on the driver as INTEGERS, so the score is a sum of
+    * ints: exact, engine-portable, no float drift. OOV tokens get a
+    * fixed penalty.
+    */
+  val oovPenaltyMilli: Long = -12000L
+  lazy val unigramLogProbsMilli: Seq[(String, Long)] = {
+    val total = graft.runtime.SeedData.words.map(_._2).sum
+    graft.runtime.SeedData.words.map { case (w, freq) =>
+      w -> math.round(math.log(freq / total) * 1000)
+    }
+  }
+
+  def unigramScore(text: Column): Column = {
+    val lex = map(unigramLogProbsMilli.flatMap { case (w, lp) =>
+      Seq(lit(w), lit(lp))
+    }: _*) // literal map: constant-folded once, cheap per-element lookup
+    val tokens = split(lower(trim(text)), "\\s+")
+    aggregate(tokens, lit(0L),
+      (acc, t) => acc + coalesce(element_at(lex, t), lit(oovPenaltyMilli)))
+  }
+
   /** Content fingerprint: md5 of case/whitespace-normalized text
     * (trimmed — consistent with rollingHash and Dedup.exact).
     */

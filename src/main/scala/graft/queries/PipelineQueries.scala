@@ -367,10 +367,34 @@ object PipelineQueries {
       GROUP BY ROLLUP(s_name, l_returnflag)"""),
   )
 
+  /** Unigram-LM quality score (graft.ops.TextAnalysis.unigramScore): the
+    * oracle bakes the SAME precomputed integer log-probs into a VALUES
+    * lexicon, so both engines sum identical ints — exact match with no
+    * cross-engine float arithmetic at all.
+    */
+  val q41_lm_quality: QueryDef = {
+    val lexValues = graft.ops.TextAnalysis.unigramLogProbsMilli
+      .map { case (w, lp) => s"('$w', $lp)" }
+      .mkString(", ")
+    QueryDef(
+      "q41_lm_quality",
+      (s, d) =>
+        docs(s, d).select(col("doc_id"),
+          graft.ops.TextAnalysis.unigramScore(col("text")).as("lm_milli")),
+      Some(s"""WITH lex(w, lp) AS (VALUES $lexValues),
+        tok AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+                FROM documents)
+        SELECT doc_id, cast(sum(coalesce(lp, ${graft.ops.TextAnalysis.oovPenaltyMilli})) AS BIGINT)
+          AS lm_milli
+        FROM tok LEFT JOIN lex ON t = w GROUP BY doc_id"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
-    q32_asof_join, q33_range_pairs, q34_rollup,
+    q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
   )
 }

@@ -108,6 +108,17 @@ class OpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("unigram LM score ranks common English above gibberish") {
+    val df = Seq(
+      ("good", "the of and to a in the of and to"),
+      ("bad", "zxqj wvvk pllm qqrs ttnb mmzx yyab ccdd eeff gghh"))
+      .toDF("tag", "text")
+    val scores = df.select($"tag", TextAnalysis.unigramScore($"text").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scores("good") > scores("bad"))
+    assert(scores("bad") == 10 * TextAnalysis.oovPenaltyMilli) // all OOV
+  }
+
   test("rolling hash is order-sensitive; md5 fingerprint is not case-sensitive") {
     val df = Seq(("a b c", "c b a", "A  b C")).toDF("x", "y", "z")
     val r = df.select(
