@@ -41,16 +41,7 @@ object SynthQueries {
   def defs: Seq[QueryDef] = Seq(
     // pinned to the interpreter path as the baseline for g53 (the canned
     // CannedSources.iotData routes through dataFrameAuto = fast path)
-    q("g30_synth_iot")((s, _) => Synth.dataFrame(s, """[
-      {"name": "device-id", "class": "uuid"},
-      {"name": "device-ip", "class": "ipv4"},
-      {"class": "flatten", "prefix": "",
-       "value": {"class": "zip", "onlyContinental": true, "fields": "latitude, longitude"}},
-      {"class": "sequence", "lengthDistribution": 100, "flat": true,
-       "base": {"class": "map", "value": [
-         {"name": "time", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
-         {"name": "temp", "class": "random-walk", "start": 30, "mean": 0, "sd": 1}]}}
-    ]""", 1000)),
+    q("g30_synth_iot")((s, _) => Synth.dataFrame(s, CannedSources.iotSchemaJson, 1000)),
     q("g31_synth_phone")((s, _) => CannedSources.phoneNumber(s, 50000, Some(497))),
     q("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
     q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
@@ -108,16 +99,7 @@ object SynthQueries {
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
-    q("g53_iot_fast")((s, _) => Synth.dataFrameAuto(s, """[
-      {"name": "device-id", "class": "uuid"},
-      {"name": "device-ip", "class": "ipv4"},
-      {"class": "flatten", "prefix": "",
-       "value": {"class": "zip", "onlyContinental": true, "fields": "latitude, longitude"}},
-      {"class": "sequence", "lengthDistribution": 100, "flat": true,
-       "base": {"class": "map", "value": [
-         {"name": "time", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
-         {"name": "temp", "class": "random-walk", "start": 30, "mean": 0, "sd": 1}]}}
-    ]""", 1000)),
+    q("g53_iot_fast")((s, _) => Synth.dataFrameAuto(s, CannedSources.iotSchemaJson, 1000)),
 
     // Catalyst fast path: 1M rows of a wide stateless schema as pure
     // codegen'd column expressions (compare with g38's interpreter rate)

@@ -8,12 +8,12 @@ import graft.synth.Synth
   */
 object CannedSources {
 
-  /** IotData (processors/synthesizers/iot/IotData.java:31-53 +
-    * resources/generators/iot-data.json): device dims × 100-reading flat
-    * series.
+  /** The shipped IoT schema (reference
+    * processors/src/main/resources/generators/iot-data.json) — the ONE
+    * copy used by iotData, both bench queries (g30 interpreter / g53
+    * fast path), and tests, so the path comparison can never drift.
     */
-  def iotData(spark: SparkSession, nDevices: Long, seed: Long = 42L): DataFrame =
-    Synth.dataFrameAuto(spark, """[
+  val iotSchemaJson: String = """[
       {"name": "device-id", "class": "uuid"},
       {"name": "device-ip", "class": "ipv4"},
       {"class": "flatten", "prefix": "",
@@ -23,7 +23,13 @@ object CannedSources {
          {"name": "time", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
          {"name": "temp", "class": "random-walk", "start": 30, "mean": 0, "sd": 1}]},
        "flat": true}
-    ]""", nDevices, seed)
+    ]"""
+
+  /** IotData (processors/synthesizers/iot/IotData.java:31-53): device
+    * dims × 100-reading flat series.
+    */
+  def iotData(spark: SparkSession, nDevices: Long, seed: Long = 42L): DataFrame =
+    Synth.dataFrameAuto(spark, iotSchemaJson, nDevices, seed)
 
   /** PhoneNumber (processors/synthesizers/telephony/PhoneNumber.java
     * :35-95): NNN-NNN-NNNN with optional fixed area code.

@@ -52,10 +52,14 @@ object Clusters {
     }
     edges.unpersist()
     // silent non-convergence would return SPLIT clusters (multiple
-    // "canonical" survivors per true duplicate class) — fail loudly
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(graph diameter too large — raise maxIters)")
+    // "canonical" survivors per true duplicate class) — fail loudly, but
+    // free the cached labels first so failed calls don't pin storage
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(graph diameter too large — raise maxIters)")
+    }
     val out = labels.localCheckpoint(true)
     labels.unpersist()
     out

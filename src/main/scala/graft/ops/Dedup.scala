@@ -169,7 +169,8 @@ object Dedup {
     // beyond ~7 the candidate set grows toward all-pairs
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val mask = (1L << bandBits) - 1
+    // Scala shifts mod 64: (1L << 64) - 1 would be 0, not all-ones
+    val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
     val banded = sig.select(col("__id"), col("__sig"),

@@ -379,11 +379,14 @@ object PipelineQueries {
     QueryDef(
       "q41_lm_quality",
       (s, d) =>
+        // coalesce pins null-text behavior: Spark would keep a null-score
+        // row while DuckDB's unnest(NULL) would drop the doc entirely
         docs(s, d).select(col("doc_id"),
-          graft.ops.TextAnalysis.unigramScore(col("text")).as("lm_milli")),
+          graft.ops.TextAnalysis.unigramScore(coalesce(col("text"), lit("")))
+            .as("lm_milli")),
       Some(s"""WITH lex(w, lp) AS (VALUES $lexValues),
         tok AS (SELECT doc_id,
-                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+                  unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS t
                 FROM documents)
         SELECT doc_id, cast(sum(coalesce(lp, ${graft.ops.TextAnalysis.oovPenaltyMilli})) AS BIGINT)
           AS lm_milli

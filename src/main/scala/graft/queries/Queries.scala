@@ -474,16 +474,23 @@ object Queries {
       cast(length(trim(p_type)) AS BIGINT) AS lt FROM part"""),
   )
 
-  /** max_by / argmax aggregation: each customer's priciest order. */
+  /** max_by / argmax aggregation: each customer's priciest order. The
+    * ordering key is composite (price cents major, orderkey minor) so a
+    * within-customer price tie can never make the two engines pick
+    * different orders (max_by on a tied key is engine-arbitrary).
+    */
   val q40_argmax = QueryDef(
     "q40_argmax",
-    (s, d) =>
+    (s, d) => {
+      val ord = cents(col("o_totalprice")) * 10000000L + col("o_orderkey")
       t(s, d, "orders")
         .groupBy("o_custkey")
-        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order")),
-    Some("""SELECT o_custkey, max_by(o_orderkey, o_totalprice) AS top_order,
-      min_by(o_orderkey, o_totalprice) AS bottom_order
+        .agg(max_by(col("o_orderkey"), ord).as("top_order"),
+          min_by(col("o_orderkey"), ord).as("bottom_order"))
+    },
+    Some("""SELECT o_custkey,
+      max_by(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+      min_by(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order
       FROM orders GROUP BY o_custkey"""),
   )
 

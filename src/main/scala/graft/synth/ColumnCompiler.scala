@@ -39,11 +39,14 @@ object ColumnCompiler {
     try compileSchema(schemaJson, 42L).isDefined
     catch { case _: Exception => false }
 
-  /** A fast-path plan: per-row scalar columns plus at most one flat
-    * sequence (an array of structs exploded into rows).
+  /** A fast-path plan: scalar columns before/after at most one flat
+    * sequence (an array of structs exploded into rows). The before/after
+    * split preserves the interpreter's spec-order column layout.
     */
-  final case class FastPlan(scalars: Seq[(String, Column)],
-      flat: Option[(Seq[String], Column)])
+  final case class FastPlan(before: Seq[(String, Column)],
+      flat: Option[(Seq[String], Column)], after: Seq[(String, Column)]) {
+    def scalars: Seq[(String, Column)] = before ++ after
+  }
 
   /** Compile a whole schema to (name, Column) pairs, or None if any field
     * needs the interpreter.
@@ -56,8 +59,10 @@ object ColumnCompiler {
     */
   def compilePlan(schemaJson: String, seed: Long): Option[FastPlan] = {
     val specs = SpecParser.parse(schemaJson)
-    val out = Seq.newBuilder[(String, Column)]
+    val before = Seq.newBuilder[(String, Column)]
+    val after = Seq.newBuilder[(String, Column)]
     var flat: Option[(Seq[String], Column)] = None
+    def out = if (flat.isEmpty) before else after
     for (f <- specs) {
       f.clazz match {
         case "flatten" =>
@@ -79,7 +84,7 @@ object ColumnCompiler {
           out += ((f.name.getOrElse(f.clazz), c))
       }
     }
-    Some(FastPlan(out.result(), flat))
+    Some(FastPlan(before.result(), flat, after.result()))
   }
 
   /** Per-row prefix-sum array: cumsum_i = sum of steps 1..i, built with
@@ -104,6 +109,7 @@ object ColumnCompiler {
     import scala.jdk.CollectionConverters._
     val n = f.node("lengthDistribution").filter(_.isNumber).map(_.asInt)
       .getOrElse(return None)
+    if (n <= 0) return None // sequence(1, 0) is descending — interpreter handles
     val baseSpec = f.node("base").map(SpecParser.parseField).getOrElse(return None)
     if (baseSpec.clazz != "map") return None
     val subs = baseSpec.node("value").map { v =>
@@ -143,11 +149,15 @@ object ColumnCompiler {
             sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
               cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
           transform(prefixSum(steps), x => x + start)
-        case "int" | "integer" | "random-int" if s.node("dist").isEmpty =>
+        case "int" | "integer" | "random-int"
+            if s.node("dist").isEmpty && s.node("skew").isEmpty &&
+              s.node("format").isEmpty =>
           val min = s.sizeLong("min").getOrElse(0L)
           val max = s.sizeLong("max").getOrElse(100L)
           transform(idx, i => floor(uElem(c, "")(i) * (max - min) + min).cast("long"))
-        case "double" | "float" if s.node("dist").isEmpty =>
+        case "double" | "float"
+            if s.node("dist").isEmpty && s.node("skew").isEmpty &&
+              s.node("format").isEmpty =>
           val min = s.dbl("min").getOrElse(0.0)
           val max = s.dbl("max").getOrElse(100.0)
           transform(idx, i => uElem(c, "")(i) * (max - min) + min)
@@ -270,9 +280,10 @@ object ColumnCompiler {
         case (None, None) =>
           val meanMs = 100.0 * 24 * 3600 * 1000
           (lit(1375315200000L) - (-log(u(ctx) + 1e-300)) * meanMs).cast("long")
-        case (so, eo) => // one-sided bounds default the other (epoch / anchor)
+        case (so, eo) => // one-sided bounds default the other; never inverted
           val s = so.getOrElse(0L)
-          val e = eo.getOrElse(1375315200000L)
+          val e = eo.getOrElse(math.max(1375315200000L, s + 86400000L))
+          if (e <= s) return None // inverted explicit bounds → interpreter error
           (u(ctx) * (e - s) + s).cast("long")
       }
       // NOTE: date_format renders in the session timezone; the engine's

@@ -133,10 +133,12 @@ object ScalarSamplers {
         val back = (-math.log(ctx.rng.nextDouble()) * meanMs).toLong
         ft.formatMillis(epoch - back)
       case (so, eo) =>
-        // one-sided bounds default the other side (epoch / the reference's
-        // 2013-08-01 anchor) instead of silently ignoring the bound
+        // one-sided bounds default the other side: start → epoch 1970,
+        // end → the 2013-08-01 anchor, but never BEFORE the given start
+        // (a start after the anchor must not invert the range)
         val s = so.getOrElse(0L)
-        val e = eo.getOrElse(epoch)
+        val e = eo.getOrElse(math.max(epoch, s + 86400000L))
+        require(e > s, s"date: start must precede end ($s >= $e)")
         ft.formatMillis(s + (ctx.rng.nextDouble() * (e - s)).toLong)
     }
   }

@@ -36,14 +36,16 @@ object Synth {
           case None =>
             base.select(plan.scalars.map { case (nm, c) => c.as(nm) }: _*)
           case Some((elemFields, arr)) =>
+            import org.apache.spark.sql.functions.{col => fcol, explode}
             // one explode over the zipped element structs; scalar columns
-            // repeat per element (the flat-sequence record shape)
+            // repeat per element, and the element fields land at the flat
+            // sequence's spec position (matching the interpreter layout)
             base
               .select((plan.scalars.map { case (nm, c) => c.as(nm) } :+
-                org.apache.spark.sql.functions.explode(arr).as("__e")): _*)
-              .select((plan.scalars.map { case (nm, _) =>
-                org.apache.spark.sql.functions.col(nm) } ++
-                elemFields.map(f => org.apache.spark.sql.functions.col(s"__e.$f"))): _*)
+                explode(arr).as("__e")): _*)
+              .select((plan.before.map { case (nm, _) => fcol(nm) } ++
+                elemFields.map(f => fcol(s"__e.$f")) ++
+                plan.after.map { case (nm, _) => fcol(nm) }): _*)
         }
       case None => dataFrame(spark, schemaJson, n, seed, partitions)
     }
