@@ -306,6 +306,30 @@ object ColumnCompiler {
     case "language" => multinomialCol(ctx, SeedData.languages)
     case "browser"  => multinomialCol(ctx, SeedData.browsers)
     case "os"       => multinomialCol(ctx, SeedData.osList)
+    case "name" if f.str("type").forall(t =>
+        Set("first", "last", "first_last").contains(t.toLowerCase)) =>
+      val first = multinomialCol(ctx.child("f"),
+        SeedData.maleFirst ++ SeedData.femaleFirst).getOrElse(return None)
+      val last = multinomialCol(ctx.child("l"), SeedData.lastNames)
+        .getOrElse(return None)
+      Some(f.str("type").map(_.toLowerCase) match {
+        case Some("first") => first
+        case Some("last")  => last
+        case _             => concat_ws(" ", first, last)
+      })
+    case "street-name" =>
+      def uni(part: String, items: Seq[String]): Option[Column] =
+        multinomialCol(ctx.child(part), items.map(_ -> 1.0))
+      for {
+        a <- uni("a", SeedData.streetFirst)
+        b <- uni("b", SeedData.streetSecond)
+        c <- uni("c", SeedData.streetThird)
+      } yield concat_ws(" ", a, b, c)
+    case "username" =>
+      // rank-weighted stem + numeric suffix (UsernameSampler contract)
+      val stems = SeedData.usernames.zipWithIndex.map { case (s, i) => s -> 1.0 / (i + 1) }
+      multinomialCol(ctx.child("stem"), stems).map(stem =>
+        concat(stem, pmod(hashBits(ctx, "#sfx"), lit(1000L)).cast("string")))
     case "map" =>
       import scala.jdk.CollectionConverters._
       val subs = f.node("value").map { n =>

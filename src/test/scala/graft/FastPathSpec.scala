@@ -119,6 +119,35 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("fast path preserves spec-order column layout around a flat sequence") {
+    val schema = """[
+      {"name": "before", "class": "uuid"},
+      {"class": "sequence", "lengthDistribution": 3, "flat": true,
+       "base": {"class": "map", "value": [
+         {"name": "t", "class": "event", "rate": "1/m"},
+         {"name": "v", "class": "double", "min": 0, "max": 1}]}},
+      {"name": "after", "class": "state"}
+    ]"""
+    val fast = Synth.dataFrameAuto(spark, schema, 2, seed = 1)
+    val slow = Synth.dataFrame(spark, schema, 2, seed = 1)
+    assert(fast.columns.toSeq == slow.columns.toSeq)
+    assert(fast.columns.toSeq == Seq("before", "t", "v", "after"))
+    assert(fast.count() == 6 && slow.count() == 6)
+  }
+
+  test("name-family lookups take the fast path with valid shapes") {
+    val df = Synth.dataFrameAuto(spark, """[
+      {"name": "n", "class": "name", "type": "first_last"},
+      {"name": "st", "class": "street-name"},
+      {"name": "u", "class": "username"}]""", 200, seed = 2)
+    assert(df.queryExecution.executedPlan.toString().contains("Range"))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("n").matches("^[A-Z]+ [A-Z]+$"))
+      assert(r.getAs[String]("st").split(" ").length == 3)
+      assert(r.getAs[String]("u").matches("^[a-z]+\\d{1,3}$"))
+    }
+  }
+
   test("reference-shipped schemas round-trip through the engine") {
     val dir = "/root/reference/nifi-datasynthesizer-processors/src/main/resources/generators"
     for (name <- Seq("iot-data.json", "terminal.json", "transaction.json",
