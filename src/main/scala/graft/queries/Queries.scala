@@ -494,6 +494,42 @@ object Queries {
       FROM orders GROUP BY o_custkey"""),
   )
 
+  /** percent_rank in integer milli-units (floor of exact k/(n-1) — same
+    * double both engines).
+    */
+  val q42_percent_rank = QueryDef(
+    "q42_percent_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          floor(percent_rank().over(w) * 1000).cast("long").as("pr"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      cast(floor(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) * 1000)
+        AS BIGINT) AS pr
+      FROM orders"""),
+  )
+
+  /** RANGE-frame window: moving sum over an orderkey value range (not a
+    * row count) — the frame family q04's ROWS frame doesn't cover.
+    */
+  val q43_range_frame = QueryDef(
+    "q43_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("mv"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv
+      FROM orders"""),
+  )
+
   val relational: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_join_regions, q03_topk_orders, q04_cumsum_walk,
     q05_change_flags, q06_sessionize, q07_explode_seq, q08_struct_flatten,
@@ -501,6 +537,6 @@ object Queries {
     q13_group_collect, q14_distinct_dims, q15_set_ops, q16_row_ids,
     q17_event_arrival, q18_date_buckets, q19_ipv4_format, q35_ntile,
     q36_pivot_status, q37_semi_anti, q38_date_arith, q39_string_funcs,
-    q40_argmax,
+    q40_argmax, q42_percent_rank, q43_range_frame,
   )
 }

@@ -62,6 +62,20 @@ class DistributionSpec extends AnyFunSuite {
     }
   }
 
+  test("fast-path flat sequence: event gaps are Exp(60s) for rate 1/m") {
+    val df = Synth.dataFrameAuto(spark, graft.api.CannedSources.iotSchemaJson,
+      50, seed = 11)
+    val ft = graft.runtime.FancyTime("yyyy-MM-dd HH:mm:ss")
+    val gaps = df.select("device-id", "time").collect()
+      .groupBy(_.getString(0)).values.flatMap { dev =>
+        val ts = dev.map(r => ft.parseMillis(r.getString(1))).sorted
+        ts.sliding(2).map { case Array(a, b) => (b - a) / 1000.0 }
+      }.toArray
+    val mean = gaps.sum / gaps.length
+    assert(mean > 54 && mean < 66, s"mean gap $mean s") // se ≈ 60/√4950 ≈ 0.9
+    assert(gaps.forall(_ >= 0))
+  }
+
   test("exponential date sampler: mean distance before epoch ≈ 100 days") {
     val ft = graft.runtime.FancyTime("yyyy-MM-dd")
     val epoch = 1375315200000L
