@@ -42,6 +42,19 @@ object SynthStream {
     }
   }
 
+  /** Streaming exact dedup: drop re-occurrences of a content
+    * fingerprint within the watermark horizon — the streaming face of
+    * the batch dedup pass (state per distinct fingerprint is bounded by
+    * the watermark, so memory doesn't grow with stream length).
+    */
+  def dedupStream(stream: DataFrame, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Watermarked windowed rollup over a generated stream — the demo
     * composition of SURVEY §7.4(6): bursty generator → event-time window
     * counts with late-data tolerance.

@@ -62,6 +62,20 @@ class DistributionSpec extends AnyFunSuite {
     }
   }
 
+  test("fast-path flat sequence: random-walk steps are N(0,1)") {
+    val df = Synth.dataFrameAuto(spark, graft.api.CannedSources.iotSchemaJson,
+      50, seed = 12)
+    val steps = df.select("device-id", "time", "temp").collect()
+      .groupBy(_.getString(0)).values.flatMap { dev =>
+        dev.sortBy(_.getString(1)).map(_.getDouble(2)).sliding(2)
+          .map(pair => pair(1) - pair(0))
+      }.toArray
+    val mean = steps.sum / steps.length
+    val sd = math.sqrt(steps.map(x => (x - mean) * (x - mean)).sum / steps.length)
+    assert(math.abs(mean) < 0.05, s"step mean $mean")   // se ≈ 1/√4950 ≈ 0.014
+    assert(math.abs(sd - 1) < 0.05, s"step sd $sd")
+  }
+
   test("fast-path flat sequence: event gaps are Exp(60s) for rate 1/m") {
     val df = Synth.dataFrameAuto(spark, graft.api.CannedSources.iotSchemaJson,
       50, seed = 11)

@@ -94,6 +94,28 @@ class ProcessorsSpec extends AnyFunSuite {
     t.foreach(x => assert(x.startsWith("ua=") && x.endsWith("!")))
   }
 
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(col("_1").cast("timestamp").as("event_time"), col("_2").as("text"))
+    val out = graft.streaming.SynthStream.dedupStream(events, "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, "hello world"), (1001L, "HELLO  world"), (1002L, "other"))
+      q.processAllAvailable()
+      input.addData((1003L, "hello world"), (1004L, "third"))
+      q.processAllAvailable()
+      val texts = spark.sql("select text from dedup_stream").collect()
+        .map(_.getString(0)).sorted
+      // case/whitespace variants and the cross-batch repeat all collapse
+      assert(texts.length == 3, texts.mkString("|"))
+    } finally q.stop()
+  }
+
   test("streaming synth source generates windowed-aggregatable records") {
     import graft.streaming.SynthStream
     val stream = SynthStream.stream(spark,
