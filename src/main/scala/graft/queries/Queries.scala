@@ -530,6 +530,24 @@ object Queries {
       FROM orders"""),
   )
 
+  /** lead + cume_dist — the forward-looking and cumulative-rank window
+    * functions the other window queries don't cover.
+    */
+  val q44_lead_cume = QueryDef(
+    "q44_lead_cume",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("nxt"),
+          floor(cume_dist().over(w) * 1000).cast("long").as("cd"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      coalesce(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), -1) AS nxt,
+      cast(floor(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) * 1000) AS BIGINT) AS cd
+      FROM orders"""),
+  )
+
   val relational: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_join_regions, q03_topk_orders, q04_cumsum_walk,
     q05_change_flags, q06_sessionize, q07_explode_seq, q08_struct_flatten,
@@ -537,6 +555,6 @@ object Queries {
     q13_group_collect, q14_distinct_dims, q15_set_ops, q16_row_ids,
     q17_event_arrival, q18_date_buckets, q19_ipv4_format, q35_ntile,
     q36_pivot_status, q37_semi_anti, q38_date_arith, q39_string_funcs,
-    q40_argmax, q42_percent_rank, q43_range_frame,
+    q40_argmax, q42_percent_rank, q43_range_frame, q44_lead_cume,
   )
 }

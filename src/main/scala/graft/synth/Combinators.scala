@@ -13,6 +13,7 @@ object Combinators {
     val dataType: DataType =
       StructType(fields.map { case (n, s) => StructField(n, s.dataType) })
     def sample(ctx: GenContext): Any = Row.fromSeq(fields.map(_._2.sample(ctx)))
+    override def restart(): Unit = fields.foreach(_._2.restart())
   }
 
   /** `sequence` (samplers/SequenceSampler.java:70-145), non-flat form:
@@ -32,6 +33,10 @@ object Combinators {
     private val stringify = base.isRight &&
       base.toOption.exists(_.map(_.dataType).distinct.length > 1)
     val dataType: DataType = ArrayType(elementType, containsNull = false)
+    override def restart(): Unit = base match {
+      case Left((b, len)) => b.restart(); len.restart()
+      case Right(ss)      => ss.foreach(_.restart())
+    }
     def sample(ctx: GenContext): Any = base match {
       case Left((b, len)) =>
         val n = len.sample(ctx) match {
@@ -52,6 +57,7 @@ object Combinators {
     */
   final class JoinSampler(value: Sampler, separator: String) extends Sampler {
     val dataType: DataType = StringType
+    override def restart(): Unit = value.restart()
     def sample(ctx: GenContext): Any = value.sample(ctx) match {
       case s: Seq[_] => s.map(String.valueOf).mkString(separator)
       case other     => String.valueOf(other)
@@ -62,6 +68,7 @@ object Combinators {
     * nesting level.
     */
   final class ArrayFlattenSampler(value: Sampler) extends Sampler {
+    override def restart(): Unit = value.restart()
     val dataType: DataType = value.dataType match {
       case ArrayType(ArrayType(e, _), _) => ArrayType(e, containsNull = false)
       case other                         => other

@@ -26,4 +26,11 @@ final class GenContext(val rng: java.util.Random, var rowId: Long) {
 trait Sampler extends Serializable {
   def dataType: DataType
   def sample(ctx: GenContext): Any
+
+  /** Per-record state reset — the reference's restart() contract
+    * (SchemaSampler.java:160-164): random walks restart from `start` for
+    * each output record, while progressive clocks (event arrivals, CRPs)
+    * intentionally persist. Composite samplers forward to children.
+    */
+  def restart(): Unit = ()
 }

@@ -175,6 +175,10 @@ object ScalarSamplers {
       value += step
       if (verbose) Row(value, step) else value
     }
+    // the reference's RandomWalkSampler.restart() resets to start
+    // (RandomWalkSampler.java:65-67) — without this, record 2's walk
+    // would continue from record 1's endpoint
+    override def restart(): Unit = value = start
   }
 
   /** `foreign-key` (samplers/ForeignKeySampler.java:67-78): int key in

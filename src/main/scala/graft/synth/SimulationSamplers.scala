@@ -89,6 +89,7 @@ object SimulationSamplers {
     * persists across rows within a partition (reference: per-thread).
     */
   final class BurstsSampler(value: Sampler) extends Sampler {
+    override def restart(): Unit = value.restart()
     val dataType: DataType = StructType(Seq(
       StructField("time", StringType), StructField("timestamp_s", LongType),
       StructField("timestamp_ms", LongType), StructField("value", value.dataType)))

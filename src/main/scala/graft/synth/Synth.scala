@@ -78,6 +78,13 @@ object Synth {
   private[graft] def emitRows(entries: Seq[Compiler.FieldEntry], ctx: GenContext,
       id: Long): Iterator[Row] = {
     ctx.newRecord(id)
+    // per-record restart (SchemaSampler.java:160-164): random walks reset
+    // to start; progressive clocks/CRPs persist (their restart is a no-op)
+    entries.foreach {
+      case Compiler.Single(_, s)    => s.restart()
+      case Compiler.Multi(_, _, s)  => s.restart()
+      case Compiler.Generator(_, s) => s.restart()
+    }
     // Sample every entry once, in spec order (side-channel coupling and
     // per-record state depend on that order).
     val sampled: Seq[(Compiler.FieldEntry, Any)] = entries.map(e => e -> (e match {

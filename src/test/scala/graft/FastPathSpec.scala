@@ -148,6 +148,28 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("IoT flagship: fast path and interpreter agree distributionally (two-sample KS)") {
+    // compare the per-device FINAL temps: within-device points are a
+    // correlated walk, so the independent sample unit is the device
+    // (endpoint ~ N(30, 10) for 100 unit steps)
+    def finals(fast: Boolean): Array[Double] = {
+      val df = if (fast) Synth.dataFrameAuto(spark, graft.api.CannedSources.iotSchemaJson, 400, 8)
+        else Synth.dataFrame(spark, graft.api.CannedSources.iotSchemaJson, 400, 8)
+      df.select("device-id", "time", "temp").collect()
+        .groupBy(_.getString(0)).values
+        .map(dev => dev.maxBy(_.getString(1)).getDouble(2)).toArray
+    }
+    val a = finals(fast = true).sorted
+    val b = finals(fast = false).sorted
+    var i = 0; var j = 0; var d = 0.0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) i += 1 else j += 1
+      d = math.max(d, math.abs(i.toDouble / a.length - j.toDouble / b.length))
+    }
+    // 400 independent endpoints per side: KS crit ≈ 1.63·sqrt(2/400) = 0.115 at α=.01
+    assert(d < 0.115, s"two-sample KS over IoT endpoint temps: $d")
+  }
+
   test("reference-shipped schemas round-trip through the engine") {
     val dir = "/root/reference/nifi-datasynthesizer-processors/src/main/resources/generators"
     for (name <- Seq("iot-data.json", "terminal.json", "transaction.json",
