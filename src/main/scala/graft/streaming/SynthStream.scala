@@ -44,15 +44,20 @@ object SynthStream {
 
   /** Streaming exact dedup: drop re-occurrences of a content
     * fingerprint within the watermark horizon — the streaming face of
-    * the batch dedup pass (state per distinct fingerprint is bounded by
-    * the watermark, so memory doesn't grow with stream length).
+    * the batch dedup pass. `dropDuplicatesWithinWatermark` is the
+    * state-bounded variant: plain `dropDuplicates("__fp")` would keep
+    * every fingerprint forever (the event-time column isn't in the
+    * subset, so the watermark never evicts) — OOM on a long stream.
+    * With the *WithinWatermark* form each fingerprint's state row is
+    * dropped once the watermark passes its expiry, so state size tracks
+    * the distinct-fingerprint rate times the horizon, not stream length.
     */
   def dedupStream(stream: DataFrame, textCol: String,
       watermark: String = "10 minutes"): DataFrame =
     stream
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark("event_time", watermark)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** Watermarked windowed rollup over a generated stream — the demo

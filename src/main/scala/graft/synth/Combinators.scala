@@ -39,6 +39,10 @@ object Combinators {
     }
     def sample(ctx: GenContext): Any = base match {
       case Left((b, len)) =>
+        // the reference restarts the repeated base before every array
+        // sample (SequenceSampler.java:131-138) — this is what resets an
+        // embedded random-walk per record; top-level samplers never restart
+        b.restart()
         val n = len.sample(ctx) match {
           case l: Long => l.toInt
           case i: Int  => i

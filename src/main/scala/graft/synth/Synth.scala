@@ -78,13 +78,13 @@ object Synth {
   private[graft] def emitRows(entries: Seq[Compiler.FieldEntry], ctx: GenContext,
       id: Long): Iterator[Row] = {
     ctx.newRecord(id)
-    // per-record restart (SchemaSampler.java:160-164): random walks reset
-    // to start; progressive clocks/CRPs persist (their restart is a no-op)
-    entries.foreach {
-      case Compiler.Single(_, s)    => s.restart()
-      case Compiler.Multi(_, _, s)  => s.restart()
-      case Compiler.Generator(_, s) => s.restart()
-    }
+    // NO top-level restart: the reference's SchemaSampler.sample()
+    // (SchemaSampler.java:87-129) never calls restart() while generating —
+    // restart() is only invoked by containers on their children
+    // (SequenceSampler.java:134 restarts its base per array sample;
+    // MapSampler delegates). So a top-level random-walk drifts
+    // cumulatively across records; one embedded in a sequence resets per
+    // record via the sequence's own base.restart().
     // Sample every entry once, in spec order (side-channel coupling and
     // per-record state depend on that order).
     val sampled: Seq[(Compiler.FieldEntry, Any)] = entries.map(e => e -> (e match {

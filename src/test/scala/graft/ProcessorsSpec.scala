@@ -116,6 +116,34 @@ class ProcessorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state is evicted past the watermark (re-emits after horizon)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(col("_1").cast("timestamp").as("event_time"), col("_2").as("text"))
+    val out = graft.streaming.SynthStream.dedupStream(events, "text", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, "hello world"), (1002L, "other"))
+      q.processAllAvailable()
+      // within the horizon: duplicate dropped; push the watermark far ahead
+      input.addData((1003L, "hello world"), (10000L, "advance"))
+      q.processAllAvailable()
+      // watermark is now ~9400s > the fingerprint's 1600s expiry, so its
+      // state row is gone — the same text must be emitted AGAIN (this is
+      // what bounds state: dropDuplicates("__fp") would keep it forever
+      // and emit only once)
+      input.addData((10001L, "hello world"))
+      q.processAllAvailable()
+      val n = spark.sql("select count(*) from dedup_evict where text = 'hello world'")
+        .collect()(0).getLong(0)
+      assert(n == 2, s"expected re-emit after watermark eviction, got $n occurrence(s)")
+    } finally q.stop()
+  }
+
   test("streaming synth source generates windowed-aggregatable records") {
     import graft.streaming.SynthStream
     val stream = SynthStream.stream(spark,

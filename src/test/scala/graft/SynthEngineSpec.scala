@@ -182,6 +182,47 @@ class SynthEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("top-level random-walk drifts cumulatively across records " +
+      "(SchemaSampler.java:87-129 never restarts during sample)") {
+    // 256 independent partition streams x 100 records each; the walk at
+    // local record k has accumulated k+1 N(0,1) steps, so its variance
+    // across partitions must be ~k+1 — a per-record restart (the round-2
+    // bug) would pin it at ~1 for every k.
+    val nPart = 256
+    val perPart = 100
+    val rows = Synth.dataFrame(spark,
+      """[{"name": "i", "class": "id"},
+          {"name": "w", "class": "random-walk", "start": 0, "mean": 0, "sd": 1}]""",
+      nPart.toLong * perPart, seed = 5, partitions = nPart)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Double]("w")))
+    def secondMomentAtLocal(k: Int): Double = {
+      val vs = rows.collect { case (i, w) if i % perPart == k => w }
+      assert(vs.length == nPart)
+      vs.map(v => v * v).sum / vs.length
+    }
+    val v9 = secondMomentAtLocal(9) // E = 10, sd of estimate ~0.9
+    val v99 = secondMomentAtLocal(99) // E = 100, sd of estimate ~8.8
+    assert(v9 > 6 && v9 < 15, s"var at record 9 = $v9, want ~10")
+    assert(v99 > 65 && v99 < 140, s"var at record 99 = $v99, want ~100")
+    assert(v99 / v9 > 4, s"variance must grow linearly in record index, ratio ${v99 / v9}")
+  }
+
+  test("sequence-embedded random-walk still restarts per record " +
+      "(SequenceSampler.java:131-138 restarts its base per array sample)") {
+    val rows = Synth.dataFrame(spark,
+      """[{"class": "sequence", "lengthDistribution": 20, "flat": true,
+           "base": {"class": "map", "value": [
+             {"name": "w", "class": "random-walk", "start": 50, "mean": 0, "sd": 1}]}}]""",
+      200, seed = 6, partitions = 4).collect().map(_.getAs[Double]("w"))
+    // 200 records x 20 elements; every record's first element is one step
+    // from 50 — if the walk carried across records, late records would
+    // wander far from the start
+    val firstElems = rows.grouped(20).map(_.head).toSeq
+    assert(firstElems.length == 200)
+    firstElems.foreach(w => assert(math.abs(w - 50) < 6,
+      s"first element $w should be ~1 step from start 50"))
+  }
+
   test("changer emits snapshots with exactly one change flag per mutation") {
     val df = Synth.dataFrame(spark,
       """[{"name": "c", "class": "changer", "count": 6, "values": [
