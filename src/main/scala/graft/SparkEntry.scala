@@ -33,10 +33,27 @@ object SparkEntry {
 object SynthQueries {
   import graft.api.{CannedSources, Processors}
   import graft.synth.Synth
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{base64, col, to_json}
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 
   private def q(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** The driver's checker canonicalizes results through pandas
+    * `sort_values`, which crashes on struct/array/map cells (unhashable
+    * ndarray/dict). Project every nested column through `to_json` (and
+    * binary through base64) so each gNN row reports a real `spark_rows`
+    * instead of a checker error. Values are unchanged — JSON is just the
+    * stable scalar encoding of the nested payload.
+    */
+  private def checkerSafe(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(df(f.name)).as(f.name)
+        case BinaryType                                => base64(df(f.name)).as(f.name)
+        case _                                         => df(f.name)
+      }
+    }: _*)
 
   def defs: Seq[QueryDef] = Seq(
     // pinned to the interpreter path as the baseline for g53 (the canned
@@ -47,18 +64,18 @@ object SynthQueries {
     q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
     q("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
       """[{"class": "dns", "flat": true, "meanQueries": 50}]""", 1000)),
-    q("g35_synth_cpoc")((s, _) => Synth.dataFrame(s,
+    q("g35_synth_cpoc")((s, _) => checkerSafe(Synth.dataFrame(s,
       """[{"name": "user", "class": "id"},
-          {"name": "history", "class": "common-point-of-compromise"}]""", 2000)),
-    q("g36_synth_changer")((s, _) => Synth.dataFrame(s,
+          {"name": "history", "class": "common-point-of-compromise"}]""", 2000))),
+    q("g36_synth_changer")((s, _) => checkerSafe(Synth.dataFrame(s,
       """[{"name": "cust", "class": "id"},
           {"name": "track", "class": "changer", "count": 8, "rate": "1/d", "values": [
             {"name": "state", "class": "state"},
-            {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000)),
-    q("g37_synth_vehicle")((s, _) => Synth.dataFrame(s,
+            {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000))),
+    q("g37_synth_vehicle")((s, _) => checkerSafe(Synth.dataFrame(s,
       """[{"name": "v", "class": "vehicle"},
           {"name": "vin", "class": "vin", "verbose": true},
-          {"name": "imei", "class": "imei", "unique": true}]""", 20000)),
+          {"name": "imei", "class": "imei", "unique": true}]""", 20000))),
     q("g38_synth_identity")((s, _) => Synth.dataFrame(s,
       """[{"name": "name", "class": "name", "type": "first_last"},
           {"name": "email", "class": "email-name"},
@@ -72,23 +89,38 @@ object SynthQueries {
     q("g39_synth_header")((s, _) => Synth.dataFrame(s,
       """[{"name": "h", "class": "header"},
           {"name": "hm", "class": "header", "type": "mal1"}]""", 10000)),
-    q("g40_synth_measures")((s, _) => Synth.dataFrame(s,
+    q("g40_synth_measures")((s, _) => checkerSafe(Synth.dataFrame(s,
       """[{"name": "g", "class": "gamma", "alpha": 3, "beta": 2},
           {"name": "n", "class": "normal", "mean": 10, "sd": 2, "min": 5, "max": 15},
           {"name": "fk", "class": "foreign-key", "size": "1M", "skew": 1},
           {"name": "py", "class": "pitman_yor", "alpha": 5, "discount": 0.2},
           {"name": "vec", "class": "vector", "length": 16, "mean": 0, "sd": 1},
           {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
-          {"name": "burst", "class": "bursts", "value": {"class": "double"}}]""", 20000)),
-    q("g41_correlator")((s, d) => Processors.correlate(
+          {"name": "burst", "class": "bursts", "value": {"class": "double"}}]""", 20000))),
+    q("g41_correlator")((s, d) => checkerSafe(Processors.correlate(
       s.read.parquet(s"$d/orders.parquet"),
       """[{"name": "device", "class": "uuid"}, {"name": "ip", "class": "ipv4"}]""",
-      "correlated").success),
-    q("g42_transactions")((s, d) => Processors.transactions(
-      s.read.parquet(s"$d/orders.parquet"), "o_orderkey")),
-    q("g43_removefields")((s, d) => Processors.removeFields(
+      "correlated").success)),
+    q("g42_transactions")((s, d) => checkerSafe(Processors.transactions(
+      s.read.parquet(s"$d/orders.parquet"), "o_orderkey"))),
+    q("g43_removefields")((s, d) => checkerSafe(Processors.removeFields(
       Synth.dataFrame(s, """[{"name": "t", "class": "toll"}, {"name": "u", "class": "uuid"}]""", 5000),
-      Seq("u", "t.location.city"))),
+      Seq("u", "t.location.city")))),
+    // the transactions fan-out + amounts, hash-match-checkable: the
+    // processor's deterministic xxhash64 fan-out is reproduced in DuckDB
+    // via DuckXxHash (mod-2^64 HUGEINT arithmetic), so this derived view
+    // of g42 gets a REAL oracle, not a rows-only check
+    QueryDef("g54_tx_fanout",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, explode_outer, lit}
+        val tx = Processors.transactions(
+          s.read.parquet(s"$d/orders.parquet").select("o_orderkey"), "o_orderkey")
+        tx.select(col("o_orderkey"), explode_outer(col("transactions")).as("tx"))
+          .select(col("o_orderkey"),
+            coalesce(col("tx.seq"), lit(-1L)).as("seq"),
+            coalesce(col("tx.amount_cents"), lit(-1L)).as("amount_cents"))
+      },
+      Some(TxFanoutOracle.sql)),
     q("g44_sink_template")((s, _) => Processors.renderTemplate(
       CannedSources.phoneNumber(s, 5000),
       "call ${phone} now")),
@@ -151,9 +183,45 @@ object SynthQueries {
         s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload", "image", "png")
-      graft.ops.Multimodal.sampleFrames(
+      checkerSafe(graft.ops.Multimodal.sampleFrames(
         graft.ops.Multimodal.decodeFeatures(assets, "payload"), "payload", 4)
-        .drop("payload")
+        .drop("payload"))
     }),
   )
+}
+
+/** DuckDB oracle for g54_tx_fanout: per order key, the deterministic
+  * transaction fan-out (`pmod(xxhash64(key, 42), 6)` sequences) and each
+  * transaction's amount (`pmod(xxhash64(key, seq, 'amt', 42), 20000)+1`),
+  * with (-1, -1) rows marking zero-fan-out keys (Spark's explode_outer).
+  * Built from DuckXxHash stages; validated bit-equal to Spark xxhash64.
+  */
+object TxFanoutOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    // Spark's xxhash64(key, lit(42L)) is TWO chained rounds: the running
+    // hash starts at 42, absorbs the key, then absorbs the literal 42.
+    // The amount chain re-seeds from the single-round hash of the key:
+    // h2 = xxh64(seq | h1), h3 = xxh64('amt' | h2), h4 = xxh64(42 | h3).
+    val hashed = chain("s0",
+      s"SELECT o_orderkey, ${unsigned("o_orderkey")} AS v FROM orders")
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("h1b", "42::HUGEINT", "h1out"))
+    val ch = hashed
+      .cte("keyss",
+        s"SELECT o_orderkey, h1out, ${pmod("h1bout", 6)} AS n_tx FROM ${hashed.last}")
+      .cte("expl", "SELECT o_orderkey, h1out, " +
+        "unnest(generate_series(1, CAST(n_tx AS INT))) AS seq FROM keyss WHERE n_tx > 0")
+      .cte("expl2", s"SELECT o_orderkey, seq, h1out, ${unsigned("seq")} AS vs FROM expl")
+      .steps(hashLongSteps("h2", "vs", "h1out"))
+      .steps(hashShortBytesSteps("h3",
+        "amt".getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_.toInt), "h2out"))
+      .steps(hashLongSteps("h4", "42::HUGEINT", "h3out"))
+    ch.render(
+      "SELECT o_orderkey, CAST(seq AS BIGINT) AS seq, " +
+        s"CAST(${pmod("h4out", 20000)} + 1 AS BIGINT) AS amount_cents FROM ${ch.last} " +
+        "UNION ALL SELECT o_orderkey, CAST(-1 AS BIGINT) AS seq, " +
+        "CAST(-1 AS BIGINT) AS amount_cents FROM keyss WHERE n_tx = 0")
+  }
 }

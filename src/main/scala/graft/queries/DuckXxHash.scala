@@ -1,0 +1,118 @@
+package graft.queries
+
+/** Generates DuckDB SQL that reproduces Spark's `xxhash64` (XXH64)
+  * bit-for-bit, so hash-derived generator outputs (deterministic fan-out
+  * counts, amounts) get REAL driver oracles instead of rows-only checks.
+  *
+  * Arithmetic runs in HUGEINT (int128) with explicit mod-2^64 wraparound:
+  * DuckDB has no unsigned-64 wraparound multiply, so `a*b mod 2^64` is
+  * split as `(lo(a)*b + (hi(a)*b mod 2^32) * 2^32) mod 2^64` — every
+  * intermediate stays below 2^97, inside HUGEINT range. XOR runs through
+  * UBIGINT casts (DuckDB's xor() is defined on integer types; values are
+  * always in [0, 2^64) here so the casts are lossless).
+  *
+  * Each hash step is emitted as one nested-SELECT stage: fmix-style
+  * `x ^= x >> n` uses its input twice, and inlining would blow up the
+  * expression tree exponentially across an 11-step hash.
+  *
+  * Validated (this repo's round-4 notes): matches
+  * `org.apache.spark.sql.functions.xxhash64` on long and short-string
+  * inputs exactly, including Spark's multi-argument chaining (each
+  * argument hashed with the running hash as seed, initial seed 42).
+  */
+object DuckXxHash {
+  private val M = "18446744073709551616::HUGEINT" // 2^64
+  private val HALF = "9223372036854775808::HUGEINT" // 2^63
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+
+  /** `a * b mod 2^64` for HUGEINT expression `a`, constant `b`. */
+  private def mulmod(a: String, b: BigInt): String =
+    s"(((($a) % 4294967296) * $b::HUGEINT + " +
+      s"(((($a) // 4294967296) * $b::HUGEINT) % 4294967296) * 4294967296) % $M)"
+
+  private def rotl(x: String, n: Int): String = {
+    val s = BigInt(1) << n
+    val h = BigInt(1) << (64 - n)
+    s"(((($x) % $h::HUGEINT) * $s::HUGEINT) + (($x) // $h::HUGEINT))"
+  }
+
+  private def xor(a: String, b: String): String =
+    s"xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT))::HUGEINT"
+
+  private def shr(x: String, n: Int): String =
+    s"(($x) // ${BigInt(1) << n}::HUGEINT)"
+
+  private def fmixSteps(pfx: String, in: String): Seq[(String, String)] = Seq(
+    s"${pfx}f1" -> xor(in, shr(in, 33)),
+    s"${pfx}f2" -> mulmod(s"${pfx}f1", P2),
+    s"${pfx}f3" -> xor(s"${pfx}f2", shr(s"${pfx}f2", 29)),
+    s"${pfx}f4" -> mulmod(s"${pfx}f3", P3),
+    s"${pfx}out" -> xor(s"${pfx}f4", shr(s"${pfx}f4", 32)))
+
+  /** XXH64 of one 8-byte long (Spark's per-argument primitive for
+    * LongType). `v` and `seed` are HUGEINT expressions in [0, 2^64);
+    * result lands in column `<pfx>out`.
+    */
+  def hashLongSteps(pfx: String, v: String, seed: String): Seq[(String, String)] = Seq(
+    s"${pfx}a0" -> s"((($seed) + $P5::HUGEINT + 8) % $M)",
+    s"${pfx}k1" -> mulmod(v, P2),
+    s"${pfx}k2" -> rotl(s"${pfx}k1", 31),
+    s"${pfx}k3" -> mulmod(s"${pfx}k2", P1),
+    s"${pfx}a1" -> xor(s"${pfx}a0", s"${pfx}k3"),
+    s"${pfx}a2" -> s"((${mulmod(rotl(s"${pfx}a1", 27), P1)} + $P4::HUGEINT) % $M)"
+  ) ++ fmixSteps(pfx, s"${pfx}a2")
+
+  /** XXH64 of a constant byte string shorter than 4 bytes (the 1-byte
+    * tail loop only) — enough for Spark's `lit("amt")`-style salts.
+    */
+  def hashShortBytesSteps(pfx: String, bytes: Seq[Int], seed: String): Seq[(String, String)] = {
+    require(bytes.length < 4, "only the 1-byte tail path is emitted")
+    val init = Seq(s"${pfx}b0" -> s"((($seed) + $P5::HUGEINT + ${bytes.length}) % $M)")
+    val tail = bytes.zipWithIndex.flatMap { case (b, i) =>
+      val prev = if (i == 0) s"${pfx}b0" else s"${pfx}b${i}r"
+      Seq(
+        s"${pfx}b${i + 1}x" -> xor(prev, (BigInt(b & 0xff) * P5).mod(BigInt(1) << 64).toString),
+        s"${pfx}b${i + 1}r" -> mulmod(rotl(s"${pfx}b${i + 1}x", 11), P1))
+    }
+    // rename the last rotated value into the chain position fmix expects
+    (init ++ tail :+ (s"${pfx}tl" -> s"${pfx}b${bytes.length}r")) ++ fmixSteps(pfx, s"${pfx}tl")
+  }
+
+  /** A chain of MATERIALIZED CTEs, one per hash step. MATERIALIZED is
+    * load-bearing: DuckDB inlines plain subqueries/CTEs into a single
+    * projection, and an 11-step hash whose steps each reference their
+    * input 2-3 times explodes exponentially under inlining (the
+    * un-materialized form never finished planning on 15k rows; the
+    * materialized form runs in ~5 s).
+    */
+  final case class Chain(ctes: Seq[(String, String)], last: String) {
+    /** Append one CTE per (column, expr) step, each selecting the
+      * previous CTE's columns plus the new one.
+      */
+    def steps(ss: Seq[(String, String)]): Chain =
+      ss.foldLeft(this) { case (ch, (name, expr)) =>
+        ch.cte(s"c_$name", s"SELECT *, ($expr) AS $name FROM ${ch.last}")
+      }
+    def cte(name: String, sql: String): Chain = Chain(ctes :+ (name -> sql), name)
+    def render(finalSelect: String): String =
+      s"WITH ${ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")}\n$finalSelect"
+  }
+  def chain(baseName: String, baseSql: String): Chain =
+    Chain(Seq(baseName -> baseSql), baseName)
+
+  /** A signed BIGINT column reinterpreted as unsigned-64 HUGEINT. */
+  def unsigned(col: String): String =
+    s"(((CAST($col AS HUGEINT) % $M) + $M) % $M)"
+
+  /** An unsigned-64 HUGEINT expression reinterpreted as signed BIGINT. */
+  def signed(expr: String): String =
+    s"CAST(CASE WHEN ($expr) >= $HALF THEN ($expr) - $M ELSE ($expr) END AS BIGINT)"
+
+  /** Spark `pmod(<signed hash>, n)` over an unsigned-64 hash expression. */
+  def pmod(expr: String, n: Long): String =
+    s"CAST((((${signed(expr)} % $n) + $n) % $n) AS BIGINT)"
+}
