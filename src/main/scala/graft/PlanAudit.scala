@@ -16,11 +16,14 @@ import org.apache.spark.sql.execution.QueryExecution
   *     the table) or be a full-schema consumer by design.
   */
 object PlanAudit {
+  // ONLY genuine theta-joins belong here. The LSH/SimHash/SRP bucket
+  // self-joins all carry equi-keys (band/sig) beside the a < b filter, so
+  // they must plan as hash or sort-merge joins — whitelisting them would
+  // mask a regression to BNLJ, the scale-killer shape.
   private val nestedLoopAllowed = Set(
     "q27_ann_cosine_topk", // deliberate: broadcast query side vs all vectors
     "g49_ann_ivf",         // deliberate: probed-cluster join is a theta join
-    "g46_minhash_lsh", "g47_simhash_pairs", "g48_embed_neardup",
-  ) // bucket self-joins carry an inequality (a < b) beside the equi-keys
+  )
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

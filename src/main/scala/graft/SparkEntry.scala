@@ -152,19 +152,36 @@ object SynthQueries {
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
+    // threshold 0.5 with banding auto-derived from it (chooseBanding):
+    // the corpus's real near-dups sit at jaccard >= 0.9, well above the
+    // capture floor. The round-2 call used threshold 0.05 with a fixed
+    // 16x4 banding — mismatched on both sides (s-curve midpoint 0.5
+    // misses 0.05-pairs; a banding loose enough for 0.05 admits nearly
+    // all pairs, the candidate-set scale-killer).
     q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.05)),
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.5)),
     // maxHamming 3 = 4 bands of 16 bits: selective buckets. Larger
     // distances keep recall 1.0 (pigeonhole banding) but the narrower
     // band keys stop pruning — 13 bands of 4 bits benched 2x slower.
     q("g47_simhash_pairs")((s, d) => graft.ops.Dedup.simHashPairs(
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 3)),
-    // threshold 0.15 / 4 bits: this corpus's random embeddings top out
-    // near cosine 0.4, so a 0.5 threshold returns nothing — thresholds
-    // must be set from the data's similarity distribution
-    q("g48_embed_neardup")((s, d) => graft.ops.Dedup.embeddingNearDup(
-      s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
-      threshold = 0.15, nBits = 4)),
+    // the raw corpus is random vectors (max pairwise cosine ~0.5, no true
+    // near-dups), so near-dup detection is exercised against a
+    // deterministically perturbed copy of the corpus: each planted pair
+    // sits at cosine ~0.998 and must be recovered at threshold 0.98 by
+    // the multi-table SRP index (16-bit buckets x 4 tables)
+    q("g48_embed_neardup")((s, d) => {
+      import org.apache.spark.sql.functions.{lit, pmod, transform, xxhash64}
+      val base = s.read.parquet(s"$d/embeddings.parquet")
+      val perturbed = base
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+              .cast("double") / lit(10000.0))).cast("float")))
+      graft.ops.Dedup.embeddingNearDup(base.unionByName(perturbed),
+        "vec_id", "embedding", threshold = 0.98)
+    }),
     q("g49_ann_ivf")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)

@@ -52,10 +52,47 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     shinglesFromTokens(split(lower(textCol), "\\s+"), n)
 
-  /** LSH candidate pairs at `numHashes` permutations in `bands` bands:
-    * docs sharing any band bucket become candidates; candidates are then
-    * verified with exact shingle-set Jaccard. Never compares documents
-    * that share no bucket.
+  /** Estimated LSH capture probability for a pair at similarity `j`
+    * under (bands, rowsPerBand) banding: 1 - (1 - j^r)^b.
+    */
+  def lshCaptureProb(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Derive (bands, rowsPerBand) from the Jaccard threshold: among the
+    * divisor pairs of `numHashes`, take the MOST SELECTIVE banding (the
+    * steepest s-curve / largest midpoint) that still captures pairs AT
+    * the threshold with probability >= `captureFloor`. A fixed banding
+    * ignores the threshold: 16 bands x 4 rows has its s-curve midpoint at
+    * j ~= 0.5, so it captures ~50% of barely-qualifying pairs at
+    * threshold 0.5 and nearly none at 0.2 — silently wrong results, and
+    * at low thresholds the opposite failure (a too-permissive banding
+    * admits close to all pairs, the candidate-set scale-killer at 100 TB).
+    * Thresholds so low that even single-row bands can't reach the floor
+    * are rejected loudly rather than returning a recall the caller didn't
+    * ask for.
+    */
+  def chooseBanding(numHashes: Int, threshold: Double,
+      captureFloor: Double = 0.9): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0, 1]")
+    val divisorPairs = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)) // (bands, rowsPerBand)
+    val viable = divisorPairs.filter { case (b, r) =>
+      lshCaptureProb(threshold, b, r) >= captureFloor
+    }
+    require(viable.nonEmpty,
+      f"threshold $threshold%.3f is below the capture floor of $numHashes-hash " +
+        f"LSH (best capture ${divisorPairs.map { case (b, r) => lshCaptureProb(threshold, b, r) }.max}%.3f " +
+        f"< $captureFloor%.2f) — raise the threshold, add hashes, or lower captureFloor")
+    // most selective viable banding = fewest bands (longest rows-per-band)
+    viable.minBy(_._1)
+  }
+
+  /** LSH candidate pairs at `numHashes` permutations: docs sharing any
+    * band bucket become candidates; candidates are then verified with
+    * exact shingle-set Jaccard. Never compares documents that share no
+    * bucket. Banding follows the threshold via [[chooseBanding]] unless
+    * `bands` is given explicitly (0 = auto).
     *
     * Performance shape (it matters at 100 TB):
     *   - each shingle string is hashed ONCE; the `numHashes`
@@ -70,10 +107,13 @@ object Dedup {
     * Returns (a, b, jaccard) for verified pairs with jaccard >= threshold.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double, numHashes: Int = 64, bands: Int = 0,
       shingleWords: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+    val (nBands, rowsPerBand) =
+      if (bands > 0) {
+        require(numHashes % bands == 0, "bands must divide numHashes")
+        (bands, numHashes / bands)
+      } else chooseBanding(numHashes, threshold)
     // the signature compute is heavy per row: spread it over the cluster
     // even when the input is one small file (a single-file scan is ONE
     // partition, serializing everything downstream)
@@ -93,7 +133,7 @@ object Dedup {
     val sigs = (0 until numHashes).map(j =>
       array_min(transform(col("__hs"), h => xxhash64(h, lit(j)))).as(s"__m$j"))
     val signed = withSh.select((col("__id") +: sigs): _*)
-    val bandKeys = (0 until bands).map { b =>
+    val bandKeys = (0 until nBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
@@ -189,37 +229,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup via signed random projections: `nBits` hyperplane
-    * signs bucket the vectors; cosine is verified only inside buckets.
+  /** Embedding near-dup via MULTI-TABLE signed random projections:
+    * `nTables` independent `nBits`-bit signatures bucket the vectors;
+    * a pair is a candidate if it collides in ANY table (recall via the
+    * union), and each table's buckets are narrow (pruning via 2^nBits
+    * keys). Cosine is verified once per distinct candidate pair.
     * Hyperplanes are deterministic hash-derived pseudo-vectors, so no
     * driver-side randomness ships to executors.
+    *
+    * Why multi-table: one wide table (few bits) degenerates to ~n²/2^bits
+    * in-bucket verification — quadratic at scale; one narrow table has
+    * recall p^bits that collapses for any p < 1. k narrow tables give
+    * recall 1-(1-p^bits)^k with candidate volume ~k·n²/2^bits — the
+    * standard LSH recall/pruning trade, tunable without widening buckets.
+    * At the defaults (16 bits, 4 tables) a cosine-0.998 near-dup is
+    * caught with p ≈ 0.99 while random pairs (p_bit ≈ 0.5) collide with
+    * probability ~6e-5 — sublinear candidate growth at 100× corpus size.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double, nBits: Int = 16, nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits <= 63, s"nBits $nBits not in [1, 63]")
+    require(nTables >= 1, s"nTables $nTables must be positive")
     val v = col("__v")
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__norm", sqrt(aggregate(v, lit(0d), (a, x) => a + x * x)))
-    // sign bit j: dot(v, h_j) where h_j[i] = ±1 from hash(seed, j, i)
-    def signBit(j: Int): Column = {
+      .persist()
+    // sign bit (t, j): dot(v, h_tj) where h_tj[i] = ±1 from hash(seed, t, j, i)
+    def tableSig(t: Int): Column = (0 until nBits).map { j =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          when(xxhash64(lit(seed), lit(j), i).bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
+          when(xxhash64(lit(seed), lit(t), lit(j), i).bitwiseAND(lit(1L)) === 1L, x)
+            .otherwise(-x)),
         lit(0d), (a, x) => a + x)
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    val sig = (0 until nBits).map(signBit).reduce((a, b) => a.bitwiseOR(b))
-    val bucketed = base.withColumn("__sig", sig)
-    val dot = aggregate(zip_with(col("x.__v"), col("y.__v"), (a, b) => a * b),
+    }.reduce((a, b) => a.bitwiseOR(b))
+    // buckets carry only (id, table, sig): vectors stay out of the
+    // nTables-way fan-out and the self-join shuffle
+    val buckets = base.select(col("__id"), explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), tableSig(t).as("sig"))): _*)).as("__bk"))
+      .select(col("__id"), col("__bk.t").as("__t"), col("__bk.sig").as("__sig"))
+      .persist()
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.__t") === col("y.__t") && col("x.__sig") === col("y.__sig") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .dropDuplicates("a", "b") // the any-table union: verify each pair ONCE
+    val dot = aggregate(zip_with(col("__va"), col("__vb"), (a, b) => a * b),
       lit(0d), (a, x) => a + x)
-    bucketed.as("x")
-      .join(bucketed.as("y"),
-        col("x.__sig") === col("y.__sig") && col("x.__id") < col("y.__id"))
+    val vecs = base.select(col("__id"), col("__v"), col("__norm"))
+    val result = candidates
+      .join(vecs.select(col("__id").as("a"), col("__v").as("__va"), col("__norm").as("__na")), "a")
+      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb"), col("__norm").as("__nb")), "b")
       // nanvl: zero-norm vectors give NaN, and NaN >= threshold is TRUE
       // in Spark's ordering — they would pair with everything
-      .withColumn("cosine", nanvl(dot / (col("x.__norm") * col("y.__norm")), lit(-1d)))
+      .withColumn("cosine", nanvl(dot / (col("__na") * col("__nb")), lit(-1d)))
       .filter(col("cosine") >= threshold)
-      .select(col("x.__id").as("a"), col("y.__id").as("b"), col("cosine"))
+      .select(col("a"), col("b"), col("cosine"))
+    val out = result.localCheckpoint(true)
+    base.unpersist()
+    buckets.unpersist()
+    out
   }
 }

@@ -46,6 +46,52 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("chooseBanding follows the threshold (s-curve), rejects uncapturable thresholds") {
+    // high threshold -> few long bands (selective); low -> many short bands
+    val (b08, r08) = Dedup.chooseBanding(64, 0.8)
+    assert(Dedup.lshCaptureProb(0.8, b08, r08) >= 0.9)
+    val (b05, r05) = Dedup.chooseBanding(64, 0.5)
+    assert(Dedup.lshCaptureProb(0.5, b05, r05) >= 0.9)
+    assert(r08 >= r05, s"higher threshold must get an equal-or-steeper curve: $r08 vs $r05")
+    // every returned banding is exact
+    assert(b08 * r08 == 64 && b05 * r05 == 64)
+    // the most selective viable banding is returned: the next-fewer-bands
+    // divisor pair must fall below the capture floor
+    val tighter = (1 until b08).filter(64 % _ == 0)
+    assert(tighter.forall(b => Dedup.lshCaptureProb(0.8, b, 64 / b) < 0.9))
+    // a threshold no 64-hash banding can capture is rejected loudly
+    val e = intercept[IllegalArgumentException](Dedup.chooseBanding(64, 0.001))
+    assert(e.getMessage.contains("capture floor"))
+  }
+
+  test("multi-table SRP: planted near-dups recovered, candidate set stays sparse") {
+    import org.apache.spark.sql.functions.{lit, pmod, transform, xxhash64}
+    val base = embs
+    // perturbed copy: per-element noise in ±10% -> cosine ~0.998 pairs
+    val perturbed = base
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        (x.cast("double") *
+          (lit(1.0) + (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+            .cast("double") / lit(10000.0))).cast("float")))
+    val n = base.count()
+    val pairs = Dedup.embeddingNearDup(base.unionByName(perturbed),
+      "vec_id", "embedding", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: each planted (v, v*(1+eps)) pair is a bucket collision in
+    // >= 1 of the 4 tables with p ~0.99
+    val found = (0L until n).count(i => pairs.contains((i, i + 1000000L)))
+    assert(found >= (n * 0.9).toInt, s"recall too low: $found / $n")
+    // pruning: random pairs (p_bit ~0.5) almost never collide in a
+    // 16-bit table; threshold -1 admits EVERY candidate, so the result
+    // size is the candidate-set size — must be far below all-pairs
+    val candidates = Dedup.embeddingNearDup(base, "vec_id", "embedding",
+      threshold = -1.0).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 20,
+      s"candidate set $candidates not sparse vs all-pairs $allPairs")
+  }
+
   test("embedding near-dup finds planted identical vectors") {
     val v = (1 to 64).map(_.toFloat / 64)
     val planted = Seq((8001L, v, 0), (8002L, v, 0))
