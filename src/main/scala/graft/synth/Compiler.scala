@@ -270,7 +270,8 @@ object Compiler {
       new CpocSampler(f.dbl("meanTransactions").getOrElse(30.0))
     case "commuter" =>
       new CommuterSampler(f.str("home").orElse(f.str("home-location")),
-        f.int("days").getOrElse(5), f.bool("flat").contains(true))
+        f.int("days").getOrElse(5), f.bool("flat").contains(true),
+        f.dbl("work").getOrElse(10.0))
 
     case other => throw new IllegalArgumentException(s"unhandled sampler class '$other'")
   }

@@ -139,22 +139,32 @@ object SimulationSamplers {
     }
   }
 
-  /** `commuter` (drive/Commuter.java:114-194 + drive/Car.java physics):
-    * home (zip) + work; Poisson weekday-rush trip decisions; each trip
-    * emitted as 1 Hz points {latitude, longitude, t, timestamp, mph,
-    * rpm, throttle} along the great-circle home→work with a
-    * trapezoidal speed profile (accelerate / cruise / decelerate) —
-    * an original kinematic model with the reference's output shape.
+  /** `commuter` (drive/Commuter.java:114-194 + the drive/Car.java +
+    * drive/Engine.java physics, ported in [[DrivePhysics]]): home (zip) +
+    * work (gaussian scatter at `workMeanKm`); commute times drawn from an
+    * inhomogeneous Poisson process with weekday rush peaks (7-9 to work,
+    * 16-18 home, Commuter.java:231-250); errands near home while waiting;
+    * each trip planned as urban/highway segments and driven through the
+    * gearbox/throttle/drag engine at 1 Hz, emitting {latitude, longitude,
+    * t, timestamp, mph, rpm, throttle}.
+    *
+    * Divergences from the reference, both deliberate: rush hours are in
+    * UTC (the engine pins the session timezone to UTC; the reference uses
+    * US/Central), and post-errand scheduling uses the day-appropriate
+    * errand rate (the reference re-uses the weekend rate after any first
+    * errand, Commuter.java:146 — a quirk, not a modeled behavior).
     */
-  final class CommuterSampler(homeZipPrefix: Option[String], days: Int, flat: Boolean)
-      extends Sampler {
+  final class CommuterSampler(homeZipPrefix: Option[String], days: Int, flat: Boolean,
+      workMeanKm: Double = 10.0) extends Sampler {
+    import DrivePhysics.{Engine, Geo, Mph}
     private val pointType = StructType(Seq(
       StructField("latitude", DoubleType), StructField("longitude", DoubleType),
       StructField("t", LongType), StructField("timestamp", StringType),
       StructField("mph", DoubleType), StructField("rpm", DoubleType),
       StructField("throttle", DoubleType)))
     private val tripType = StructType(Seq(
-      StructField("start_ms", LongType), StructField("direction", StringType),
+      StructField("start_ms", LongType), StructField("type", StringType),
+      StructField("distance_km", DoubleType), StructField("duration_s", DoubleType),
       StructField("points", ArrayType(pointType, containsNull = false))))
     val dataType: DataType =
       if (flat) ArrayType(pointType, containsNull = false)
@@ -163,6 +173,8 @@ object SimulationSamplers {
           StructField("zip", StringType), StructField("city", StringType),
           StructField("state", StringType), StructField("latitude", DoubleType),
           StructField("longitude", DoubleType)))),
+        StructField("work", StructType(Seq(
+          StructField("latitude", DoubleType), StructField("longitude", DoubleType)))),
         StructField("trips", ArrayType(tripType, containsNull = false))))
     private val zips = homeZipPrefix match {
       case Some(p) =>
@@ -171,72 +183,103 @@ object SimulationSamplers {
       case None => SeedData.continentalZips
     }
     private val ft = FancyTime("yyyy-MM-dd HH:mm:ss")
-    private val startMs = 1375315200000L
+    private val startS: Double = 1375315200.0 // 2013-08-01 00:00 UTC (a Thursday)
+    private val ErrandSizeKm = 20.0
+    private val daySecs = 24 * 3600.0
+
+    private def isWeekend(t: Double): Boolean = {
+      val dow = ((t / daySecs).toLong + 4) % 7 // epoch day 0 = Thursday
+      dow == 0 || dow == 6
+    }
+    private def hourOfDay(t: Double): Int = ((t % daySecs) / 3600).toInt
+
+    /** Commute hazard rate per second (Commuter.java:232-250). */
+    private def commuteRate(toWork: Boolean, t: Double): Double = {
+      val perDay =
+        if (isWeekend(t)) 0.1
+        else {
+          val h = hourOfDay(t)
+          val peak = if (toWork) h >= 7 && h < 9 else h >= 16 && h < 18
+          if (peak) 10.0 else 2.0
+        }
+      perDay / daySecs
+    }
+
+    /** Next commute departure: integrate the piecewise-constant hazard
+      * hour by hour until an Exp(1) budget is exhausted
+      * (Commuter.java:215-230).
+      */
+    private def nextCommute(toWork: Boolean, t0: Double, rng: java.util.Random): Double = {
+      var t = t0
+      var budget = -math.log(1 - rng.nextDouble())
+      while (true) {
+        val nextHour = 3600.0 * ((t / 3600).toLong + 1)
+        val step = commuteRate(toWork, t) * (nextHour - t)
+        if (step > budget) return t + budget / step * (nextHour - t)
+        budget -= step
+        t = nextHour
+      }
+      t // unreachable
+    }
+
+    private def errandRate(t: Double): Double =
+      (if (isWeekend(t)) 0.9 else 0.5) / daySecs
 
     def sample(ctx: GenContext): Any = {
       val rng = ctx.rng
       val home = zips(rng.nextInt(zips.length))
-      // work site: 5–25 km offset from home
-      val distKm = 5 + rng.nextDouble() * 20
-      val bearing = rng.nextDouble() * 2 * math.Pi
-      val dLat = distKm / 111.0 * math.cos(bearing)
-      val dLon = distKm / (111.0 * math.cos(math.toRadians(home.latitude))) * math.sin(bearing)
-      val (wLat, wLon) = (home.latitude + dLat, home.longitude + dLon)
+      val homeGeo = Geo.fromDegrees(home.latitude, home.longitude)
+      val workGeo = homeGeo.nearby(workMeanKm, rng)
+      val endS = startS + days * daySecs
+      val engine = new Engine
 
       val trips = Vector.newBuilder[Row]
-      var day = 0
-      while (day < days) {
-        val dayStart = startMs + day.toLong * dayMs
-        // dow: 0=Sun..6=Sat (epoch day 0 is a Thursday → +4); weekday is
-        // Mon..Fri = 1..5, NOT dow<5 (which would commute on Sundays)
-        val dow = ((dayStart / dayMs) + 4) % 7
-        val weekday = dow >= 1 && dow <= 5
-        if (weekday || rng.nextDouble() < 0.3) {
-          val out = dayStart + (7 * 3600 + rng.nextInt(2 * 3600)) * 1000L
-          trips += simTrip(rng, out, home.latitude, home.longitude, wLat, wLon, "out")
-          val back = dayStart + (16 * 3600 + rng.nextInt(3 * 3600)) * 1000L
-          trips += simTrip(rng, back, wLat, wLon, home.latitude, home.longitude, "back")
-        }
-        day += 1
+      def drive(t0: Double, from: Geo, to: Geo, kind: String): Double = {
+        val points = Vector.newBuilder[Row]
+        engine.time = t0
+        val tEnd = DrivePhysics.driveTo(rng, t0, from, to, (t, eng, pos) => {
+          val ms = (t * 1000).toLong
+          points += Row(pos.latDeg, pos.lonDeg, ms, ft.formatMillis(ms),
+            eng.speed / Mph, eng.rpm, eng.throttle)
+        }, engine)
+        trips += Row((t0 * 1000).toLong, kind, from.distanceKm(to), tEnd - t0,
+          points.result())
+        tEnd
       }
-      val tripRows = trips.result()
-      if (flat) tripRows.flatMap(_.getAs[Seq[Row]](2))
-      else Row(Row(home.zip, home.city, home.state, home.latitude, home.longitude), tripRows)
-    }
 
-    /** Trapezoidal speed profile along the straight (locally-flat) path. */
-    private def simTrip(rng: java.util.Random, t0: Long,
-        lat0: Double, lon0: Double, lat1: Double, lon1: Double, dir: String): Row = {
-      val kmPerLat = 111.0
-      val kmPerLon = 111.0 * math.cos(math.toRadians(lat0))
-      val distKm = math.sqrt(math.pow((lat1 - lat0) * kmPerLat, 2) +
-        math.pow((lon1 - lon0) * kmPerLon, 2))
-      val cruiseMph = 35 + rng.nextDouble() * 30
-      val cruiseKmS = cruiseMph * 1.609344 / 3600
-      val accelS = 15.0 + rng.nextInt(10)
-      val totalS = math.max((distKm / cruiseKmS + accelS).toInt, (2 * accelS).toInt)
-      val stride = math.max(1, totalS / 120) // cap ≈120 points/trip
-      val points = Vector.newBuilder[Row]
-      var s = 0
-      var traveled = 0.0
-      while (s <= totalS) {
-        val speedFrac =
-          if (s < accelS) s / accelS
-          else if (s > totalS - accelS) (totalS - s) / accelS
-          else 1.0
-        val mph = cruiseMph * speedFrac
-        traveled += cruiseKmS * speedFrac * stride
-        val frac = math.min(1.0, traveled / math.max(distKm, 1e-9))
-        val lat = lat0 + (lat1 - lat0) * frac
-        val lon = lon0 + (lon1 - lon0) * frac
-        val rpm = 700 + mph * 40 + rng.nextGaussian() * 50
-        val throttle = math.max(0.0, math.min(1.0,
-          speedFrac * 0.6 + rng.nextGaussian() * 0.05))
-        val t = t0 + s * 1000L
-        points += Row(lat, lon, t, ft.formatMillis(t), mph, rpm, throttle)
-        s += stride
+      var t = startS
+      var atHome = true
+      while (t < endS) {
+        val tCommute = nextCommute(atHome, t, rng)
+        if (atHome) {
+          // errands fill the wait before the next to-work departure
+          var tErrand = t + -math.log(1 - rng.nextDouble()) / errandRate(t)
+          var tooLong = false
+          while (!tooLong && tErrand < tCommute && tErrand < endS) {
+            val spot = homeGeo.nearby(ErrandSizeKm, rng)
+            t = drive(tErrand, homeGeo, spot, "errand_out")
+            t += rng.nextDouble() * 900 + 300 // dwell 5-20 min
+            t = drive(t, spot, homeGeo, "errand_return")
+            tErrand = t + -math.log(1 - rng.nextDouble()) / errandRate(t)
+            tooLong = tErrand >= tCommute || tErrand >= endS
+          }
+          if (tCommute < endS) {
+            t = drive(tCommute, homeGeo, workGeo, "to_work")
+            atHome = false
+          } else t = endS
+        } else {
+          if (tCommute < endS) t = drive(tCommute, workGeo, homeGeo, "to_home")
+          else t = endS
+          atHome = true
+        }
       }
-      Row(t0, dir, points.result())
+
+      val tripRows = trips.result()
+      if (flat) tripRows.flatMap(_.getAs[Seq[Row]](4))
+      else Row(
+        Row(home.zip, home.city, home.state, home.latitude, home.longitude),
+        Row(workGeo.latDeg, workGeo.lonDeg),
+        tripRows)
     }
   }
 
