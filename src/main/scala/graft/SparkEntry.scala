@@ -195,6 +195,45 @@ object SynthQueries {
     q("g52_dedup_decision")((s, d) => graft.ops.Clusters.dedupDecision(
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8)),
 
+    // Structured Streaming made driver-visible: the events table replayed
+    // through a bounded file stream into a watermarked tumbling-window
+    // aggregation (AvailableNow trigger, memory sink); the returned batch
+    // result must hash-match DuckDB's equivalent batch GROUP BY. This is
+    // the same readStream → watermark → window → writeStream pipeline a
+    // live source would use — only the trigger bounds it.
+    QueryDef("g55_stream_counts",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, expr, lit, timestamp_micros,
+          unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "g55_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        // ts is bigint NANOS; integer `div` keeps precision (a double
+        // division would lose micros above 2^53)
+        // the file-stream source only accepts directories (it anchors its
+        // listing at a basePath directory); events.parquet is a single
+        // file, so expose it through a temp directory symlink
+        val streamDir = java.nio.file.Files.createTempDirectory("g55_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val counts = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+        event_type, count(*) AS n FROM events GROUP BY 1, 2""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")

@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs batched per partition.
   *
-  * The Spark-side mechanics here are real (schemas, partition batching,
-  * deterministic outputs); the codec itself is a clearly marked STUB —
-  * this container has no image/audio libraries, and in Scala the decode
-  * seam is `mapPartitions` (the JVM analog of the Python API's
-  * `mapInPandas`: one iterator per partition, batch-amortized setup).
-  * Swap `decodeStub` for a real codec (e.g. javacv / TwelveMonkeys)
-  * without touching any plumbing.
+  * Image payloads in the JDK's ImageIO formats (PNG/JPEG/GIF/BMP) are
+  * decoded for REAL — width/height/channels plus an 8-dim content
+  * feature (quadrant lumas, global RGB means, aspect). Payloads ImageIO
+  * can't read (and audio/video codecs, which this container lacks) fall
+  * back to `decodeStub`, a clearly marked deterministic fake with the
+  * same signature — a real codec swaps in without touching plumbing.
+  * The decode seam is a typed `Dataset.mapPartitions` (the JVM analog of
+  * the Python API's `mapInPandas`: one iterator per partition, so codec
+  * setup amortizes per task, and rows stay in Tungsten via the Row
+  * encoder instead of round-tripping through the RDD API).
   */
 object Multimodal {
 
@@ -49,30 +52,85 @@ object Multimodal {
     (width, height, 3, features)
   }
 
+  /** Real image decode through the JDK's ImageIO (PNG/JPEG/GIF/BMP).
+    * Returns None for payloads that aren't a readable image — the caller
+    * falls back to the stub. A magic-byte sniff runs first so arbitrary
+    * binary blobs don't pay ImageIO's reader-discovery cost per row.
+    */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 8) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    val looksImage =
+      (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // png
+        (b(0) == 0xff && b(1) == 0xd8) ||                            // jpeg
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||               // gif
+        (b(0) == 'B' && b(1) == 'M')                                 // bmp
+    if (!looksImage) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        // 8-dim content feature: mean luma per quadrant (4), global mean
+        // R/G/B (3), aspect ratio (1) — deterministic, codec-independent
+        val sums = new Array[Double](3)
+        val quad = new Array[Double](4)
+        val quadN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val bl = rgb & 0xff
+            sums(0) += r; sums(1) += g; sums(2) += bl
+            val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quad(qi) += 0.299 * r + 0.587 * g + 0.114 * bl
+            quadN(qi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val features = Array(
+          (quad(0) / math.max(1L, quadN(0)) / 255).toFloat,
+          (quad(1) / math.max(1L, quadN(1)) / 255).toFloat,
+          (quad(2) / math.max(1L, quadN(2)) / 255).toFloat,
+          (quad(3) / math.max(1L, quadN(3)) / 255).toFloat,
+          (sums(0) / n / 255).toFloat, (sums(1) / n / 255).toFloat,
+          (sums(2) / n / 255).toFloat, w.toFloat / h)
+        Some((w, h, channels, features))
+      }
+    } catch { case _: Exception => None }
+  }
+
   private val decodedType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
   /** Decode + feature-extract a binary asset column, batched per
-    * partition. Output schema = input schema + `<binCol>_decoded`
-    * struct. The per-partition loop is where a real codec would be
-    * initialized once per task (not per row).
+    * partition via a typed Dataset.mapPartitions (no RDD round-trip —
+    * the Row encoder keeps rows in Tungsten). Real ImageIO decode for
+    * image payloads; the deterministic stub for everything else.
     */
   def decodeFeatures(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(s"${binCol}_decoded", decodedType))
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // real codec init would happen HERE, once per partition
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // per-task codec setup would happen HERE (ImageIO is stateless)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, c, f) = decodeStub(if (bytes == null) Array.emptyByteArray else bytes)
+        val safe = if (bytes == null) Array.emptyByteArray else bytes
+        val (w, h, c, f) = decodeImage(safe).getOrElse(decodeStub(safe))
         Row.fromSeq(r.toSeq :+ Row(w, h, c, f.toSeq))
       }
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Video frame sampling plumbing: one row per sampled frame index at

@@ -264,7 +264,8 @@ object Compiler {
     case "dns" =>
       new DnsSampler(f.dbl("meanQueries").getOrElse(20.0),
         f.bool("flat").contains(true),
-        f.str("fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        f.str("fields").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+        f.dbl("v4Prob").orElse(f.dbl("ipV4Probability")).getOrElse(0.3))
     case "bursts" => new BurstsSampler(compile(sub(f, "value")))
     case "common-point-of-compromise" =>
       new CpocSampler(f.dbl("meanTransactions").getOrElse(30.0))

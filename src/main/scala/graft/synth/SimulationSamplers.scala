@@ -39,26 +39,60 @@ object SimulationSamplers {
     }
   }
 
-  /** `dns` (samplers/DnsSampler.java:334-390): one simulated user — IP
-    * plus a `queries` array of {domain, revDomain, time, timestamp_ms,
-    * timestamp_s} from the bursty day/night machine. `flat` mode is
-    * handled by the composer (the array becomes a row generator with the
-    * IP merged into each element, DnsSampler.java:377-389).
+  /** Mixed-family source address (distributions/IpAddressDistribution
+    * .java:29-64): 30% IPv4 (4 random bytes) / 70% IPv6 (16 random
+    * bytes, 10% of which zero bytes 2-7, emulating sparse prefixes).
+    * Returns (text form, hex form, isV4) — the reference's `ip` / `ipx`
+    * / `ipV4` triple. IPv6 text is uncompressed colon-hex with per-group
+    * leading zeros stripped (InetAddress's own format).
+    */
+  private[synth] final class IpAddressDraw(v4Probability: Double) extends Serializable {
+    def draw(rng: java.util.Random): (String, String, Boolean) =
+      if (rng.nextDouble() < v4Probability) {
+        val b = new Array[Byte](4)
+        rng.nextBytes(b)
+        val text = b.map(x => (x & 0xff).toString).mkString(".")
+        (text, b.map(x => f"${x & 0xff}%02x").mkString, true)
+      } else {
+        val b = new Array[Byte](16)
+        rng.nextBytes(b)
+        if (rng.nextDouble() < 0.1) {
+          var i = 2
+          while (i < 8) { b(i) = 0; i += 1 }
+        }
+        val groups = (0 until 8).map(g =>
+          (((b(2 * g) & 0xff) << 8) | (b(2 * g + 1) & 0xff)).toHexString)
+        (groups.mkString(":"), b.map(x => f"${x & 0xff}%02x").mkString, false)
+      }
+  }
+
+  /** `dns` (samplers/DnsSampler.java:334-390): one simulated user — a
+    * mixed v4/v6 source address triple {ip, ipx, ipV4} plus a `queries`
+    * array of {domain, revDomain, time, timestamp_ms, timestamp_s} from
+    * the bursty day/night machine. `flat` mode is handled by the composer
+    * (the array becomes a row generator with the address merged into each
+    * element, DnsSampler.java:377-389).
     */
   final class DnsSampler(meanQueries: Double, flat: Boolean,
-      fields: Option[Seq[String]]) extends Sampler {
+      fields: Option[Seq[String]], v4Probability: Double = 0.3) extends Sampler {
     private val allQ = Seq("domain", "revDomain", "time", "timestamp_ms", "timestamp_s")
     private val keptQ = fields.map(_.filter(allQ.contains)).getOrElse(allQ)
+    private val allIp = Seq("ip", "ipx", "ipV4")
+    private val keptIp = fields.map(_.filter(allIp.contains)).getOrElse(allIp)
     private val qType = StructType(keptQ.map {
       case f @ ("timestamp_ms" | "timestamp_s") => StructField(f, LongType)
       case f                                    => StructField(f, StringType)
     })
+    private val ipFields = keptIp.map {
+      case "ipV4" => StructField("ipV4", BooleanType)
+      case f      => StructField(f, StringType)
+    }
     val dataType: DataType =
-      if (flat) ArrayType(StructType(
-        StructField("ip", StringType) +: qType.fields.toSeq), containsNull = false)
-      else StructType(Seq(StructField("ip", StringType),
-        StructField("queries", ArrayType(qType, containsNull = false))))
-    private val ip = new LookupSamplers.Ipv4Sampler(priv = false)
+      if (flat) ArrayType(StructType(ipFields ++ qType.fields.toSeq),
+        containsNull = false)
+      else StructType(ipFields :+
+        StructField("queries", ArrayType(qType, containsNull = false)))
+    private val ip = new IpAddressDraw(v4Probability)
     private val domains = new LookupSamplers.DomainDraw
     private val ft = FancyTime("yyyy-MM-dd HH:mm:ss")
     private val startMs = 1375315200000L
@@ -66,7 +100,12 @@ object SimulationSamplers {
     def sample(ctx: GenContext): Any = {
       val clock = new BurstyClock(ctx.rng, startMs, 3600 * 1000.0, 2000.0, 8.0)
       val n = 1 + (-meanQueries * math.log(ctx.rng.nextDouble())).toInt
-      val userIp = ip.sample(ctx).asInstanceOf[String]
+      val (text, hex, isV4) = ip.draw(ctx.rng)
+      val ipVals: Seq[Any] = keptIp.map {
+        case "ip"   => text
+        case "ipx"  => hex
+        case "ipV4" => isV4
+      }
       val queries = (0 until n).map { _ =>
         val t = clock.next()
         val d = domains.draw(ctx)
@@ -79,8 +118,8 @@ object SimulationSamplers {
         }
         Row.fromSeq(vals)
       }
-      if (flat) queries.map(q => Row.fromSeq(userIp +: q.toSeq))
-      else Row(userIp, queries)
+      if (flat) queries.map(q => Row.fromSeq(ipVals ++ q.toSeq))
+      else Row.fromSeq(ipVals :+ queries)
     }
   }
 

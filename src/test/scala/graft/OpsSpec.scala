@@ -175,6 +175,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("fx") == r.getAs[String]("fz"))
   }
 
+  test("multimodal decode reads real PNG dimensions through ImageIO") {
+    // render a real 6x4 PNG in memory: red left half, blue right half
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (x < 3) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload")
+      .select($"id", $"payload_decoded.*").collect().sortBy(_.getLong(0))
+    val real = out(0)
+    assert(real.getInt(1) == 6 && real.getInt(2) == 4, s"decoded ${real}")
+    val feats = real.getSeq[Float](4)
+    // left quadrants are pure red (luma 0.299), right pure blue (0.114)
+    assert(math.abs(feats(0) - 0.299f) < 0.02, s"NW luma ${feats(0)}")
+    assert(math.abs(feats(1) - 0.114f) < 0.02, s"NE luma ${feats(1)}")
+    assert(math.abs(feats(7) - 1.5f) < 1e-6, "aspect ratio")
+    // non-image payload falls back to the deterministic stub (not a crash)
+    val stub = out(1)
+    assert(stub.getInt(1) >= 64 && stub.getInt(2) >= 64)
+  }
+
   test("multimodal decode stub is deterministic and frame sampling fans out") {
     val assets = Multimodal.asAsset(
       docs.limit(20).select($"doc_id", $"text".cast("binary").as("payload")),

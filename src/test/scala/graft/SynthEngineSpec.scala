@@ -160,13 +160,29 @@ class SynthEngineSpec extends AnyFunSuite {
     }
   }
 
-  test("dns flat mode fans queries into rows with the user ip merged in") {
+  test("dns flat mode fans queries into rows with a mixed v4/v6 source address") {
     val df = Synth.dataFrame(spark,
-      """[{"class": "dns", "flat": true, "meanQueries": 10}]""", 3, seed = 13)
-    assert(df.columns.toSeq.take(2) == Seq("ip", "domain"))
-    assert(df.count() >= 3)
-    // monotonic per-user times would need a user key; check types instead
+      """[{"class": "dns", "flat": true, "meanQueries": 10}]""", 200, seed = 13)
+    assert(df.columns.toSeq.take(4) == Seq("ip", "ipx", "ipV4", "domain"))
+    assert(df.count() >= 200)
     assert(df.schema("timestamp_ms").dataType.typeName == "long")
+    val v4Re = "^\\d{1,3}(\\.\\d{1,3}){3}$".r
+    val v6Re = "^[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}$".r
+    val users = df.select("ip", "ipx", "ipV4").distinct().collect()
+    users.foreach { r =>
+      val (ip, ipx, isV4) = (r.getString(0), r.getString(1), r.getBoolean(2))
+      if (isV4) {
+        assert(v4Re.matches(ip), s"bad v4 '$ip'")
+        assert(ipx.length == 8)
+      } else {
+        assert(v6Re.matches(ip), s"bad v6 '$ip'")
+        assert(ipx.length == 32)
+      }
+    }
+    // the 30/70 v4/v6 mix (IpAddressDistribution.java:29): binomial
+    // 3-sigma band around 0.3 for ~200 users
+    val v4Frac = users.count(_.getBoolean(2)).toDouble / users.length
+    assert(v4Frac > 0.17 && v4Frac < 0.43, s"v4 fraction $v4Frac, want ~0.3")
   }
 
   test("commuter emits plausible 1 Hz traces") {
