@@ -58,8 +58,17 @@ object Similarity {
     */
   def fitCentroids(vectors: DataFrame, vecCol: String, nCentroids: Int,
       iters: Int = 8, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = vectors.select(col(vecCol).cast("array<double>"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    // a corpus-wide random sample, NOT limit(): limit takes the first
+    // partitions in order, so at scale the fit would only ever see the
+    // leading shard of the corpus (first-partitions bias). The fraction
+    // overshoots by 10% then trims to keep the collect bounded.
+    val total = vectors.count()
+    val base = vectors.select(col(vecCol).cast("array<double>"))
+    val sampled =
+      if (total <= sampleSize) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, 1.1 * sampleSize / total), seed)
+    val sample = sampled.limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= nCentroids, "need at least nCentroids sample vectors")
     val rng = graft.runtime.Rng.forKey(seed, sample.length.toLong)
     var centroids = rng.ints(0, sample.length).distinct().limit(nCentroids)

@@ -161,6 +161,25 @@ object ColumnCompiler {
           val min = s.dbl("min").getOrElse(0.0)
           val max = s.dbl("max").getOrElse(100.0)
           transform(idx, i => uElem(c, "")(i) * (max - min) + min)
+        case "normal" if s.dbl("min").isEmpty && s.dbl("max").isEmpty =>
+          val mean = s.dbl("mean").getOrElse(0.0)
+          val sd = s.dbl("sd").orElse(s.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
+          transform(idx, i =>
+            sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
+              cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
+        case "uuid" =>
+          def hb(extra: String): Column => Column = i =>
+            xxhash64(col("id"), lit(c.salt(extra)), i)
+          transform(idx, { i =>
+            val hiV = hb("#hi")(i).bitwiseAND(lit(~0xf000L)).bitwiseOR(lit(0x4000L))
+            val loV = hb("#lo")(i).bitwiseAND(lit(0x3fffffffffffffffL))
+              .bitwiseOR(lit(Long.MinValue))
+            val hs = format_string("%016x", hiV)
+            val ls = format_string("%016x", loV)
+            concat_ws("-",
+              substring(hs, 1, 8), substring(hs, 9, 4), substring(hs, 13, 4),
+              substring(ls, 1, 4), substring(ls, 5, 12))
+          })
         case _ => return None
       }
       name -> arr

@@ -189,13 +189,8 @@ object ScalarSamplers {
   final class ForeignKeySampler(size: Long, skew: Double) extends Sampler {
     val dataType: DataType = LongType
     private val table: Option[Array[Double]] =
-      if (size <= (1 << 20)) {
-        val a = new Array[Double](size.toInt)
-        var s = 0.0
-        var i = 0
-        while (i < size) { s += math.pow(i + 1.0, -skew); a(i) = s; i += 1 }
-        Some(a)
-      } else None
+      if (size <= (1 << 20)) Some(ForeignKeySampler.cumulativeTable(size.toInt, skew))
+      else None
     def sample(ctx: GenContext): Any = table match {
       case Some(a) =>
         val u = ctx.rng.nextDouble() * a(a.length - 1)
@@ -211,6 +206,25 @@ object ScalarSamplers {
             .max(0).min(size - 1)
         }
     }
+  }
+
+  object ForeignKeySampler {
+    // the cumulative Zipf table is deterministic read-only data, so build
+    // it ONCE per JVM per (size, skew) instead of per task: a 1M-entry
+    // table costs ~1M pow() calls, and every partition re-deriving it
+    // serialized a measurable chunk of generation time (per-executor
+    // memoization is the right scale shape — no driver shipping, no
+    // cross-executor coordination, bounded by distinct configs)
+    private val tables =
+      scala.collection.concurrent.TrieMap.empty[(Int, Double), Array[Double]]
+    private[synth] def cumulativeTable(size: Int, skew: Double): Array[Double] =
+      tables.getOrElseUpdate((size, skew), {
+        val a = new Array[Double](size)
+        var s = 0.0
+        var i = 0
+        while (i < size) { s += math.pow(i + 1.0, -skew); a(i) = s; i += 1 }
+        a
+      })
   }
 
   /** `pitman_yor` / `long-tail` (samplers/LongTailSampler.java:41,

@@ -89,6 +89,29 @@ class FastPathSpec extends AnyFunSuite {
     assert(!plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("flat sequence with normal and uuid elements takes the fast path") {
+    val schema = """[
+      {"name": "device", "class": "uuid"},
+      {"class": "sequence", "lengthDistribution": 50, "flat": true,
+       "base": {"class": "map", "value": [
+         {"name": "reading_id", "class": "uuid"},
+         {"name": "noise", "class": "normal", "mean": 5, "sd": 2}]}}
+    ]"""
+    assert(graft.synth.ColumnCompiler.compilePlan(schema, 42L).isDefined,
+      "normal/uuid elements should compile to the fast path")
+    val rows = Synth.dataFrameAuto(spark, schema, 40, seed = 21).collect()
+    assert(rows.length == 2000)
+    val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    rows.foreach(r => assert(uuidRe.matches(r.getAs[String]("reading_id"))))
+    // per-element uuids are distinct (salted by element index, not constant)
+    assert(rows.map(_.getAs[String]("reading_id")).distinct.length == 2000)
+    val xs = rows.map(_.getAs[Double]("noise"))
+    val mean = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+    assert(math.abs(mean - 5) < 0.2, s"mean $mean")
+    assert(math.abs(sd - 2) < 0.2, s"sd $sd")
+  }
+
   test("flat IoT sequence takes the fast path: shapes, monotone clocks, walk continuity") {
     val iot = """[
       {"name": "device-id", "class": "uuid"},
