@@ -19,15 +19,40 @@ object SeedData {
     "JAMES" -> 3.3, "JOHN" -> 3.2, "ROBERT" -> 3.1, "MICHAEL" -> 3.0,
     "WILLIAM" -> 2.5, "DAVID" -> 2.4, "RICHARD" -> 1.7, "CHARLES" -> 1.5,
     "JOSEPH" -> 1.4, "THOMAS" -> 1.4, "DANIEL" -> 1.0, "MATTHEW" -> 0.9,
-    "KEVIN" -> 0.7, "BRIAN" -> 0.7, "GEORGE" -> 0.6, "ERIC" -> 0.5,
-    "CARLOS" -> 0.4, "OMAR" -> 0.2, "CHEN" -> 0.2, "RAJ" -> 0.2,
+    "ANTHONY" -> 0.8, "MARK" -> 0.8, "DONALD" -> 0.8, "STEVEN" -> 0.8,
+    "PAUL" -> 0.8, "ANDREW" -> 0.7, "JOSHUA" -> 0.7, "KENNETH" -> 0.7,
+    "KEVIN" -> 0.7, "BRIAN" -> 0.7, "GEORGE" -> 0.6, "EDWARD" -> 0.6,
+    "RONALD" -> 0.6, "TIMOTHY" -> 0.6, "JASON" -> 0.6, "JEFFREY" -> 0.6,
+    "RYAN" -> 0.5, "JACOB" -> 0.5, "GARY" -> 0.5, "NICHOLAS" -> 0.5,
+    "ERIC" -> 0.5, "JONATHAN" -> 0.5, "STEPHEN" -> 0.5, "LARRY" -> 0.4,
+    "JUSTIN" -> 0.4, "SCOTT" -> 0.4, "BRANDON" -> 0.4, "BENJAMIN" -> 0.4,
+    "SAMUEL" -> 0.4, "GREGORY" -> 0.4, "FRANK" -> 0.4, "ALEXANDER" -> 0.4,
+    "RAYMOND" -> 0.3, "PATRICK" -> 0.3, "JACK" -> 0.3, "DENNIS" -> 0.3,
+    "JERRY" -> 0.3, "TYLER" -> 0.3, "AARON" -> 0.3, "JOSE" -> 0.3,
+    "ADAM" -> 0.3, "HENRY" -> 0.3, "NATHAN" -> 0.3, "DOUGLAS" -> 0.3,
+    "ZACHARY" -> 0.2, "PETER" -> 0.2, "KYLE" -> 0.2, "WALTER" -> 0.2,
+    "CARLOS" -> 0.4, "JUAN" -> 0.3, "LUIS" -> 0.3, "MIGUEL" -> 0.2,
+    "OMAR" -> 0.2, "CHEN" -> 0.2, "RAJ" -> 0.2, "AMIR" -> 0.2,
+    "IVAN" -> 0.2, "SERGEI" -> 0.1, "HIROSHI" -> 0.1, "KWAME" -> 0.1,
   )
   val femaleFirst: Vector[(String, Double)] = Vector(
     "MARY" -> 2.6, "PATRICIA" -> 1.1, "LINDA" -> 1.0, "BARBARA" -> 1.0,
     "ELIZABETH" -> 0.9, "JENNIFER" -> 0.9, "MARIA" -> 0.8, "SUSAN" -> 0.8,
     "MARGARET" -> 0.7, "DOROTHY" -> 0.7, "LISA" -> 0.7, "NANCY" -> 0.7,
     "KAREN" -> 0.6, "BETTY" -> 0.6, "HELEN" -> 0.6, "SANDRA" -> 0.6,
+    "DONNA" -> 0.5, "CAROL" -> 0.5, "RUTH" -> 0.5, "SHARON" -> 0.5,
+    "MICHELLE" -> 0.5, "LAURA" -> 0.5, "SARAH" -> 0.5, "KIMBERLY" -> 0.5,
+    "DEBORAH" -> 0.4, "JESSICA" -> 0.4, "SHIRLEY" -> 0.4, "CYNTHIA" -> 0.4,
+    "ANGELA" -> 0.4, "MELISSA" -> 0.4, "BRENDA" -> 0.4, "AMY" -> 0.4,
+    "ANNA" -> 0.4, "REBECCA" -> 0.3, "VIRGINIA" -> 0.3, "KATHLEEN" -> 0.3,
+    "PAMELA" -> 0.3, "MARTHA" -> 0.3, "DEBRA" -> 0.3, "AMANDA" -> 0.3,
+    "STEPHANIE" -> 0.3, "CAROLYN" -> 0.3, "CHRISTINE" -> 0.3, "MARIE" -> 0.3,
+    "JANET" -> 0.3, "CATHERINE" -> 0.3, "FRANCES" -> 0.2, "ANN" -> 0.2,
+    "JOYCE" -> 0.2, "DIANE" -> 0.2, "ALICE" -> 0.2, "JULIE" -> 0.2,
+    "HEATHER" -> 0.2, "TERESA" -> 0.2, "DORIS" -> 0.2, "GLORIA" -> 0.2,
+    "EVELYN" -> 0.2, "JEAN" -> 0.2, "CHERYL" -> 0.2, "MILDRED" -> 0.2,
     "WEI" -> 0.2, "FATIMA" -> 0.2, "PRIYA" -> 0.2, "SOFIA" -> 0.3,
+    "ELENA" -> 0.2, "YUKI" -> 0.1, "AISHA" -> 0.1, "INGRID" -> 0.1,
   )
   val lastNames: Vector[(String, Double)] = Vector(
     "SMITH" -> 1.0, "JOHNSON" -> 0.8, "WILLIAMS" -> 0.7, "BROWN" -> 0.6,
@@ -35,8 +60,30 @@ object SeedData {
     "RODRIGUEZ" -> 0.5, "MARTINEZ" -> 0.5, "HERNANDEZ" -> 0.4, "LOPEZ" -> 0.4,
     "GONZALEZ" -> 0.4, "WILSON" -> 0.4, "ANDERSON" -> 0.4, "THOMAS" -> 0.4,
     "TAYLOR" -> 0.4, "MOORE" -> 0.3, "JACKSON" -> 0.3, "MARTIN" -> 0.3,
-    "LEE" -> 0.3, "NGUYEN" -> 0.3, "KIM" -> 0.2, "PATEL" -> 0.2,
+    "LEE" -> 0.3, "PEREZ" -> 0.3, "THOMPSON" -> 0.3, "WHITE" -> 0.3,
+    "HARRIS" -> 0.3, "SANCHEZ" -> 0.3, "CLARK" -> 0.3, "RAMIREZ" -> 0.3,
+    "LEWIS" -> 0.3, "ROBINSON" -> 0.3, "WALKER" -> 0.3, "YOUNG" -> 0.2,
+    "ALLEN" -> 0.2, "KING" -> 0.2, "WRIGHT" -> 0.2, "SCOTT" -> 0.2,
+    "TORRES" -> 0.2, "NGUYEN" -> 0.3, "HILL" -> 0.2, "FLORES" -> 0.2,
+    "GREEN" -> 0.2, "ADAMS" -> 0.2, "NELSON" -> 0.2, "BAKER" -> 0.2,
+    "HALL" -> 0.2, "RIVERA" -> 0.2, "CAMPBELL" -> 0.2, "MITCHELL" -> 0.2,
+    "CARTER" -> 0.2, "ROBERTS" -> 0.2, "GOMEZ" -> 0.2, "PHILLIPS" -> 0.2,
+    "EVANS" -> 0.2, "TURNER" -> 0.2, "DIAZ" -> 0.2, "PARKER" -> 0.2,
+    "CRUZ" -> 0.2, "EDWARDS" -> 0.2, "COLLINS" -> 0.2, "REYES" -> 0.2,
+    "STEWART" -> 0.2, "MORRIS" -> 0.2, "MORALES" -> 0.2, "MURPHY" -> 0.2,
+    "COOK" -> 0.2, "ROGERS" -> 0.2, "GUTIERREZ" -> 0.2, "ORTIZ" -> 0.2,
+    "MORGAN" -> 0.1, "COOPER" -> 0.1, "PETERSON" -> 0.1, "BAILEY" -> 0.1,
+    "REED" -> 0.1, "KELLY" -> 0.1, "HOWARD" -> 0.1, "RAMOS" -> 0.1,
+    "KIM" -> 0.2, "COX" -> 0.1, "WARD" -> 0.1, "RICHARDSON" -> 0.1,
+    "WATSON" -> 0.1, "BROOKS" -> 0.1, "CHAVEZ" -> 0.1, "WOOD" -> 0.1,
+    "JAMES" -> 0.1, "BENNETT" -> 0.1, "GRAY" -> 0.1, "MENDOZA" -> 0.1,
+    "RUIZ" -> 0.1, "HUGHES" -> 0.1, "PRICE" -> 0.1, "ALVAREZ" -> 0.1,
+    "CASTILLO" -> 0.1, "SANDERS" -> 0.1, "PATEL" -> 0.2, "MYERS" -> 0.1,
+    "LONG" -> 0.1, "ROSS" -> 0.1, "FOSTER" -> 0.1, "JIMENEZ" -> 0.1,
     "CHEN" -> 0.2, "WANG" -> 0.2, "SINGH" -> 0.2, "COHEN" -> 0.1,
+    "LIU" -> 0.1, "ZHANG" -> 0.1, "KHAN" -> 0.1, "ALI" -> 0.1,
+    "TRAN" -> 0.1, "YANG" -> 0.1, "IVANOV" -> 0.05, "SATO" -> 0.05,
+    "MULLER" -> 0.05, "SILVA" -> 0.1, "SANTOS" -> 0.1, "PEREIRA" -> 0.05,
   )
 
   // ---------------------------------------------------------------- streets
@@ -79,6 +126,39 @@ object SeedData {
     ("MINNEAPOLIS", "MN", 44.9778, -93.2650, 554, 8),
     ("DETROIT", "MI", 42.3314, -83.0458, 482, 8),
     ("PORTLAND", "OR", 45.5152, -122.6784, 972, 8),
+    ("SAN FRANCISCO", "CA", 37.7749, -122.4194, 941, 12),
+    ("SAN JOSE", "CA", 37.3382, -121.8863, 951, 10),
+    ("AUSTIN", "TX", 30.2672, -97.7431, 787, 10),
+    ("JACKSONVILLE", "FL", 30.3322, -81.6557, 322, 8),
+    ("COLUMBUS", "OH", 39.9612, -82.9988, 432, 8),
+    ("CHARLOTTE", "NC", 35.2271, -80.8431, 282, 8),
+    ("INDIANAPOLIS", "IN", 39.7684, -86.1581, 462, 8),
+    ("NASHVILLE", "TN", 36.1627, -86.7816, 372, 8),
+    ("MEMPHIS", "TN", 35.1495, -90.0490, 381, 6),
+    ("BALTIMORE", "MD", 39.2904, -76.6122, 212, 8),
+    ("LOUISVILLE", "KY", 38.2527, -85.7585, 402, 6),
+    ("MILWAUKEE", "WI", 43.0389, -87.9065, 532, 6),
+    ("ALBUQUERQUE", "NM", 35.0844, -106.6504, 871, 6),
+    ("TUCSON", "AZ", 32.2226, -110.9747, 857, 6),
+    ("SACRAMENTO", "CA", 38.5816, -121.4944, 958, 8),
+    ("KANSAS CITY", "MO", 39.0997, -94.5786, 641, 6),
+    ("LAS VEGAS", "NV", 36.1699, -115.1398, 891, 8),
+    ("NEW ORLEANS", "LA", 29.9511, -90.0715, 701, 6),
+    ("CLEVELAND", "OH", 41.4993, -81.6944, 441, 6),
+    ("PITTSBURGH", "PA", 40.4406, -79.9959, 152, 6),
+    ("ST LOUIS", "MO", 38.6270, -90.1994, 631, 6),
+    ("CINCINNATI", "OH", 39.1031, -84.5120, 452, 6),
+    ("SALT LAKE CITY", "UT", 40.7608, -111.8910, 841, 6),
+    ("RICHMOND", "VA", 37.5407, -77.4360, 232, 6),
+    ("BUFFALO", "NY", 42.8864, -78.8784, 142, 6),
+    ("HARTFORD", "CT", 41.7658, -72.6734, 61, 6),
+    ("PROVIDENCE", "RI", 41.8240, -71.4128, 29, 4),
+    ("OMAHA", "NE", 41.2565, -95.9345, 681, 4),
+    ("BOISE", "ID", 43.6150, -116.2023, 837, 4),
+    ("DES MOINES", "IA", 41.5868, -93.6250, 503, 4),
+    ("CHARLESTON", "SC", 32.7765, -79.9311, 294, 4),
+    ("BIRMINGHAM", "AL", 33.5186, -86.8104, 352, 4),
+    ("OKLAHOMA CITY", "OK", 35.4676, -97.5164, 731, 6),
     ("ANCHORAGE", "AK", 61.2181, -149.9003, 995, 4),
     ("HONOLULU", "HI", 21.3069, -157.8583, 968, 4),
   )
@@ -153,7 +233,13 @@ object SeedData {
     "shadow", "falcon", "pixel", "nova", "echo", "raven", "atlas", "comet",
     "ember", "quartz", "drift", "onyx", "zephyr", "lumen", "vortex", "sable",
     "cinder", "frost", "blaze", "orbit", "delta", "sierra", "tango", "viper",
-    "cobra", "lynx", "puma", "wolf", "hawk", "bear",
+    "cobra", "lynx", "puma", "wolf", "hawk", "bear", "storm", "nebula",
+    "photon", "raptor", "glacier", "thunder", "willow", "aurora", "phantom",
+    "rogue", "titan", "spark", "flint", "jet", "crimson", "indigo", "cobalt",
+    "slate", "granite", "mesa", "canyon", "summit", "ridge", "harbor",
+    "anchor", "compass", "beacon", "sentinel", "nomad", "voyager", "pioneer",
+    "scout", "ranger", "drifter", "wanderer", "maverick", "arrow", "bolt",
+    "dash", "fury", "ghost", "haze", "iron", "jade", "karma", "legend",
   )
 
   // ------------------------------------------------------------------ words
@@ -206,7 +292,13 @@ object SeedData {
     "stark.io", "wayne.co", "wonka.com", "tyrell.net", "cyberdyne.com",
     "aperture.org", "hooli.io", "pied-piper.com", "dunder-mifflin.com",
     "oscorp.com", "massive-dynamic.com", "soylent.co", "weyland.org",
-    "vandelay.com", "prestige.net", "bluth.co",
+    "vandelay.com", "prestige.net", "bluth.co", "northwind.com",
+    "contoso.com", "fabrikam.net", "adventure-works.com", "wingtip.io",
+    "tailspin.org", "proseware.com", "lamna.co", "fourthcoffee.com",
+    "woodgrove.net", "alpineski.com", "margies-travel.com", "litware.io",
+    "graphicdesign.org", "cohovineyard.com", "trey-research.net",
+    "baldwin-museum.org", "city-power.com", "humongous.net",
+    "southridge.io", "consolidated-messenger.com",
   )
 
   // -------------------------------------------------------------------- ssn

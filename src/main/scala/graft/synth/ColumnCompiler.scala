@@ -197,7 +197,10 @@ object ColumnCompiler {
     * cumulative distribution (codegen-able for dimension-sized tables).
     */
   private def multinomialCol(ctx: Ctx, items: Seq[(String, Double)]): Option[Column] = {
-    if (items.isEmpty || items.length > 64) return None
+    // cap keeps the CASE chain codegen-friendly (Spark splits oversized
+    // expression trees into helper methods, but dimension tables beyond a
+    // few hundred entries belong in a broadcast join, not an expression)
+    if (items.isEmpty || items.length > 256) return None
     val total = items.map(_._2).sum
     val uu = u(ctx)
     var cum = 0.0

@@ -206,7 +206,9 @@ object Compiler {
     case "word" =>
       new WordSampler(f.dbl("alpha").getOrElse(50.0), f.dbl("discount").getOrElse(0.3))
     case "text" =>
-      (f.node("dist"), f.str("source"), f.int("words")) match {
+      // quote mode key: the reference's setType takes chucknorris /
+      // backtothefuture / gameofthrones (TextSampler.java:56-68)
+      (f.node("dist"), f.str("type").orElse(f.str("source")), f.int("words")) match {
         case (Some(_), _, _)    => new TextBagSampler(distOf(f).get)
         case (_, Some(src), _)  => new QuoteSampler(src)
         case (_, _, Some(n))    => new MarkovTextSampler(n)

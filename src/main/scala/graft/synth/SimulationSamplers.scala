@@ -331,17 +331,83 @@ object SimulationSamplers {
     def sample(ctx: GenContext): Any = markov.produce(ctx.rng, nWords)
   }
 
-  /** Weighted quote bags for the reference's faker-based `text` modes
-    * (TextSampler.java:40-85) — original stand-in quotes.
+  /** Quote bags for the reference's faker-based `text` modes
+    * (TextSampler.java:40-85: chucknorris facts, backtothefuture and
+    * gameofthrones quotes). The faker corpora are licensed franchise
+    * text, so these are ORIGINAL quote bags in the same register per
+    * mode — tough-guy one-liner facts, time-travel lines, and
+    * fantasy-court lines — sized like the faker bags (~20/mode) so
+    * cardinality-sensitive consumers behave the same.
     */
   final class QuoteSampler(which: String) extends Sampler {
     val dataType: DataType = StringType
-    private val quotes = Multinomial.uniform(Vector(
-      s"$which quote about persistence and luck",
-      s"$which quote about time and tides",
-      s"$which quote about roads not taken",
-      s"$which quote about the long game",
-      s"$which quote about staying curious"))
+    private val bags: Map[String, Vector[String]] = Map(
+      "chucknorris" -> Vector(
+        "The champion counted to infinity. Twice before breakfast.",
+        "When the champion enters a room, the room stands at attention.",
+        "The champion once won a staring contest against the sun.",
+        "Compilers ask the champion for permission before throwing errors.",
+        "The champion can divide by zero and carry the remainder.",
+        "Thunder apologizes when it interrupts the champion.",
+        "The champion's to-do list has only one item: done.",
+        "Firewalls call the champion for protection.",
+        "The champion finished the marathon before the starting gun.",
+        "Gravity checks in with the champion every morning.",
+        "The champion once folded a mirror in half.",
+        "Deadlines extend themselves for the champion.",
+        "The champion can hear sign language.",
+        "Mountains move out of the champion's hiking route.",
+        "The champion's shadow asks before following.",
+        "Encryption keys surrender themselves to the champion.",
+        "The champion taught the old dog every new trick it knows.",
+        "Time zones adjust to the champion's schedule.",
+        "The champion whittled a statue out of fog.",
+        "The champion won a game of chess with only a pawn."),
+      "backtothefuture" -> Vector(
+        "Where this road ends, we won't need a road at all.",
+        "Eighty-eight on the dial and history opens like a door.",
+        "If you put your mind to it, no year is out of reach.",
+        "The garage clock is ten minutes slow — on purpose, always.",
+        "Don't let anyone tell you the future is already written.",
+        "That plutonium budget is a serious matter, kid.",
+        "One lightning bolt is all the power the tower will ever need.",
+        "Your parents were young once, stranger than you think.",
+        "The almanac goes back where it belongs, every page of it.",
+        "A hoverboard won't work on water unless you've got power.",
+        "Great things happen when a scientist forgets to be careful.",
+        "This model was built with style, because why not travel in style?",
+        "The space-time continuum dislikes shortcuts and loves irony.",
+        "Meet me at the clock tower when the storm rolls in.",
+        "You're not thinking fourth-dimensionally about this at all.",
+        "Whatever happens tonight, don't go to the dance angry.",
+        "The flux circuits hum when the timeline is about to bend.",
+        "Nobody calls my family cowards and walks away slowly.",
+        "A letter held for decades still arrives exactly on time.",
+        "The future is whatever you make it, so make it a good one."),
+      "gameofthrones" -> Vector(
+        "Winter always sends a raven before it sends the snow.",
+        "A crown weighs most on the head that wanted it least.",
+        "The wall was built by the living against the long night.",
+        "A debt of the old house is always paid, gold or iron.",
+        "Words are wind, but wind can topple towers.",
+        "The direwolf knows its pack even beyond the narrow sea.",
+        "Every lord who plays the great game pays in secrets.",
+        "The throne of swords keeps none of its promises.",
+        "A small council keeps its knives under the table.",
+        "Dragons do not answer to banners or bells.",
+        "The north remembers longer than the south believes.",
+        "A maester's chain is heaviest at the link he never earned.",
+        "Ships of war sail faster on rumors than on wind.",
+        "The old gods keep their court in the weirwood shade.",
+        "A knight without honor is only a sword with legs.",
+        "Valar morghulis, the ferryman says, and poles on.",
+        "The queen's mercy is a door that opens inward only.",
+        "Fire remembers what the snow tries to forget.",
+        "A bastard's name is a wall until he makes it a gate.",
+        "When the ravens go quiet, sharpen everything."),
+    )
+    private val quotes = Multinomial.uniform(
+      bags.getOrElse(which.toLowerCase, bags("backtothefuture")))
     def sample(ctx: GenContext): Any = quotes.sample(ctx.rng)
   }
 }
