@@ -314,41 +314,89 @@ object LookupSamplers {
     }
   }
 
-  /** `header` (samplers/HeaderSampler.java:44-157): HTTP request header
-    * block with sampled browser → UA, language, encoding; `type`
-    * normal/ababil/mal1..3 emulate hostile traffic shapes (no UA, odd
-    * ordering, stale protocol).
+  /** `header` (samplers/HeaderSampler.java:44-201 + the web-headers
+    * template resources): HTTP request header block assembled from the
+    * reference's own template structure. `type` selects the traffic
+    * shape:
+    *
+    *   - normal: full header with UA/accept/language/encoding/referer,
+    *     keep-alive, the stale `If-None-Match: "v9”` etag (curly-quote
+    *     typo and all — it is part of the traffic signature);
+    *   - mal1: same template but `Accept-Encoding: identity`;
+    *   - mal2: same template but whitespace-only encoding;
+    *   - mal3: all header names lowercased (the bot tell);
+    *   - ababil: the fixed MSIE-6 flood shape (no HTTP version in the
+    *     request line, `Accept-Language: fr`, no-cache pragmas).
     */
   final class HeaderSampler(tpe: String, prolog: Option[String]) extends Sampler {
     val dataType: DataType = StringType
     private val browser = Multinomial(SeedData.browsers)
-    private val lang = Multinomial(Vector("en-US" -> 6.0, "en-GB" -> 1.5,
-      "es-ES" -> 1.0, "zh-CN" -> 1.2, "de-DE" -> 0.8, "fr-FR" -> 0.8))
-    def sample(ctx: GenContext): Any = {
-      val b = browser.sample(ctx.rng)
+    private val langCodes = Multinomial(Vector("en" -> 6.0, "es" -> 1.2,
+      "zh" -> 1.2, "de" -> 0.8, "fr" -> 0.8, "pt" -> 0.5, "ru" -> 0.5,
+      "ja" -> 0.4, "it" -> 0.3, "ko" -> 0.3))
+
+    private def url(rng: java.util.Random, isImage: Boolean): String =
+      f"http://foo.bar.com/${rng.nextInt(1000000)}%06d/${rng.nextInt(0x1000000)}%06x" +
+        (if (isImage) ".jpg" else ".html")
+
+    private def accept(isImage: Boolean): String =
+      if (isImage) "image/png,image/*;q=0.8,*/*;q=0.5"
+      else "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"
+
+    private def encoding(rng: java.util.Random): String = tpe match {
+      case "mal1" => "identity"
+      case "mal2" => "             "
+      case _ => rng.nextInt(3) match {
+        case 0 => "gzip"
+        case 1 => "deflate"
+        case _ => "gzip, deflate"
+      }
+    }
+
+    private def userAgent(rng: java.util.Random): String = {
+      val b = browser.sample(rng)
       val uas = SeedData.userAgents(b)
-      val uaT = uas(ctx.rng.nextInt(uas.length))
-      val ver = 90 + ctx.rng.nextInt(40)
-      val ua = uaT.replace("%d", ver.toString)
-      val path = s"/page/${ctx.rng.nextInt(1000)}"
+      uas(rng.nextInt(uas.length)).replace("%d", (90 + rng.nextInt(40)).toString)
+    }
+
+    private def language(rng: java.util.Random): String = {
+      val l = langCodes.sample(rng)
+      s"$l-${l.toUpperCase},$l;q=0.5"
+    }
+
+    def sample(ctx: GenContext): Any = {
+      val rng = ctx.rng
+      val isImage = rng.nextDouble() < 0.3
+      val host = f"x${rng.nextInt(5)}%03d.foo.com"
       val sb = new StringBuilder
-      prolog.foreach(p => sb.append(p).append("\r\n"))
+      prolog.foreach(sb.append)
       tpe match {
         case "ababil" =>
-          sb.append(s"GET $path HTTP/1.0\r\n")
-          sb.append("Connection: close\r\n")
-        case m if m.startsWith("mal") =>
-          sb.append(s"GET $path HTTP/1.1\r\n")
-          sb.append("Host: target\r\n")
-          if (m != "mal1") sb.append(s"User-Agent: ${ua.take(20)}\r\n")
-        case _ =>
-          sb.append(s"GET $path HTTP/1.1\r\n")
-          sb.append("Host: example.com\r\n")
-          sb.append(s"User-Agent: $ua\r\n")
-          sb.append(s"Accept-Language: ${lang.sample(ctx.rng)}\r\n")
-          sb.append("Accept-Encoding: gzip, deflate\r\n")
+          sb.append(s"GET ${url(rng, isImage)}\n")
+          sb.append(s"Host: $host\n")
+          sb.append("User-Agent: Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1;)\n")
+          sb.append("Accept-Encoding: deflate\n")
+          sb.append("Accept-Charset: UTF-8\n")
+          sb.append("Accept-Language: fr\n")
+          sb.append("Cache-Control: no-cache\n")
+          sb.append("Pragma: no-cache\n")
+          sb.append("Connection: Keep-Alive\n")
+        case t =>
+          // normal, mal1, mal2 share the canonical template; mal3 is the
+          // same lines with lowercased header names
+          def h(name: String): String = if (t == "mal3") name.toLowerCase else name
+          sb.append(s"GET ${url(rng, isImage)} HTTP/1.1\n")
+          sb.append(s"${h("Host")}: $host\n")
+          sb.append(s"${h("User-Agent")}: ${userAgent(rng)}\n")
+          sb.append(s"${h("Accept")}: ${accept(isImage)}\n")
+          sb.append(s"${h("Accept-Language")}: ${language(rng)}\n")
+          sb.append(s"${h("Accept-Encoding")}: ${encoding(rng)}\n")
+          sb.append(s"${h("Referer")}: ${url(rng, isImage = false)}\n")
+          sb.append(s"${h("Connection")}: keep-alive\n")
+          sb.append(s"${h("If-None-Match")}: \"v9”\n")
+          sb.append(s"${h("Cache-Control")}: max-age=0\n")
       }
-      sb.append("\r\n").toString
+      sb.toString
     }
   }
 }

@@ -185,6 +185,31 @@ class SynthEngineSpec extends AnyFunSuite {
     assert(v4Frac > 0.17 && v4Frac < 0.43, s"v4 fraction $v4Frac, want ~0.3")
   }
 
+  test("header types emit the reference template shapes") {
+    val df = Synth.dataFrame(spark,
+      """[{"name": "h", "class": "header"},
+          {"name": "m1", "class": "header", "type": "mal1"},
+          {"name": "m3", "class": "header", "type": "mal3"},
+          {"name": "ab", "class": "header", "type": "ababil"}]""", 50, seed = 23)
+    df.collect().foreach { r =>
+      val normal = r.getAs[String]("h")
+      assert(normal.startsWith("GET http://foo.bar.com/"))
+      assert(normal.contains(" HTTP/1.1\n"))
+      assert(normal.contains("User-Agent: Mozilla/5.0"))
+      assert(normal.contains("If-None-Match: \"v9”"), "stale etag signature")
+      assert(normal.contains("Referer: http://foo.bar.com/"))
+      // mal1 forces identity encoding, same canonical template otherwise
+      assert(r.getAs[String]("m1").contains("Accept-Encoding: identity"))
+      // mal3 lowercases every header name (the bot tell)
+      val m3 = r.getAs[String]("m3")
+      assert(m3.contains("user-agent: ") && !m3.contains("User-Agent: "))
+      // ababil: no HTTP version, fixed MSIE-6 UA, French, no-cache
+      val ab = r.getAs[String]("ab")
+      assert(!ab.contains("HTTP/1.1") && ab.contains("MSIE 6.0") &&
+        ab.contains("Accept-Language: fr") && ab.contains("Pragma: no-cache"))
+    }
+  }
+
   test("commuter emits plausible 1 Hz traces") {
     val df = Synth.dataFrame(spark,
       """[{"class": "commuter", "flat": true, "days": 2, "home": "100"}]""", 2, seed = 14)
