@@ -149,6 +149,18 @@ object SynthQueries {
              {"class": "int", "min": 200, "max": 999},
              {"class": "int", "min": 1000, "max": 9999}]}}]""", 1000000)),
 
+    // the Catalyst fast path itself, hash-match-checked: id + int + uuid
+    // are pure functions of xxhash64(id, salt), so DuckDB can recompute
+    // every cell bit-for-bit (incl. the RFC-4122 bit surgery and hex
+    // formatting) — a full-pipeline determinism oracle for the codegen
+    // lowering, not just a rows-only smoke check
+    QueryDef("g56_fastpath_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "n", "class": "int", "min": 0, "max": 1000000},
+            {"name": "u", "class": "uuid"}]""", 200000),
+      Some(FastPathOracle.sql)),
+
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
@@ -234,6 +246,62 @@ object SynthQueries {
       Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
         event_type, count(*) AS n FROM events GROUP BY 1, 2""")),
 
+    // the flatMapGroupsWithState sessionizer made driver-visible: events
+    // replayed through a bounded stream with a far-future sentinel row
+    // whose watermark advance closes every real session (EventTimeTimeout
+    // fires in the trailing no-data micro-batch); the emitted sessions
+    // must hash-match DuckDB's batch gap-sessionization
+    QueryDef("g57_stream_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val gapSeconds = 1800L
+        val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g57_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a_events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        // sentinel on an out-of-band key, 10 gaps past the last event
+        val sentinelNs = maxNs + 10L * gapSeconds * 1000000000L
+        val tmpOut = java.nio.file.Files.createTempDirectory("g57_sentinel")
+        ev.limit(1).select(
+          lit(-1L).as("event_id"), lit(sentinelNs).as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+          .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+
+        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+          .select(col("user_id").as("key"),
+            timestamp_micros(expr("ts div 1000")).as("event_time"))
+        val sessions = graft.streaming.Sessionize.sessions(stream, gapSeconds)
+        val name = "g57_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = sessions.filter(col("key") >= 0)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).select(col("key"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("nEvents").as("n_events"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id AS key, epoch_ns(ts) // 1000000 AS t FROM events),
+        m AS (
+          SELECT key, t,
+            CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY key ORDER BY t)),
+        sess AS (
+          SELECT key, t,
+            SUM(brk) OVER (PARTITION BY key ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT key, MIN(t) AS start_ms, MAX(t) AS end_ms,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY key, sid""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
@@ -244,6 +312,47 @@ object SynthQueries {
         .drop("payload"))
     }),
   )
+}
+
+/** DuckDB oracle for g56_fastpath_bits: recomputes the Catalyst fast
+  * path's formulas exactly — `u(field, id) = (xxhash64(id, salt) >>> 11)
+  * * 2^-53` with the same SplitMix-derived field salts
+  * (ColumnCompiler.scala:24-36), the int lowering `floor(u*(max-min)+min)`,
+  * and the uuid lowering's version/variant bit surgery + %016x hex. Both
+  * engines run IEEE-754 doubles, so even the double multiply reproduces
+  * bit-for-bit.
+  */
+object FastPathOracle {
+  import graft.queries.DuckXxHash._
+
+  private val Mask = (BigInt(1) << 64) - 1
+  private def salt(path: String): String =
+    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
+
+  lazy val sql: String = {
+    val ch = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
+      .steps(hashLongSteps("hn1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("hn2", salt("n#0"), "hn1out"))
+      .steps(hashLongSteps("hh1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("hh2", salt("u#hi"), "hh1out"))
+      .steps(hashLongSteps("hl1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("hl2", salt("u#lo"), "hl1out"))
+    // RFC-4122 bit surgery on the unsigned-64 domain: version nibble 4
+    // (AND ~0xf000 OR 0x4000), variant bits 10 (keep 62 bits, set the top)
+    val hiHex = "lower(lpad(to_hex(CAST((CAST(hh2out AS UBIGINT) & " +
+      "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
+    val loHex = "lower(lpad(to_hex(CAST((CAST(hl2out AS UBIGINT) & " +
+      "4611686018427387903::UBIGINT) | CAST(9223372036854775808 AS UBIGINT) " +
+      "AS UBIGINT)), 16, '0'))"
+    ch.render(
+      "SELECT i, " +
+        "CAST(floor((hn2out // 2048) * 1.1102230246251565e-16 * 1000000 + 0) " +
+        "AS BIGINT) AS n, " +
+        "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), substr(h_hi, 13, 4), " +
+        "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
+        s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
+  }
 }
 
 /** DuckDB oracle for g54_tx_fanout: per order key, the deterministic
