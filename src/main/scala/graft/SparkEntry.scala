@@ -161,6 +161,18 @@ object SynthQueries {
             {"name": "u", "class": "uuid"}]""", 200000),
       Some(FastPathOracle.sql)),
 
+    // the multinomial CASE-chain and ipv4 lowerings, hash-match-checked:
+    // cumulative weight ladders are inlined as identical double literals
+    // on both sides (ColumnCompiler.cumWeights), so every branch pick
+    // reproduces bit-for-bit in DuckDB
+    QueryDef("g58_lookup_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "st", "class": "state"},
+            {"name": "b", "class": "browser"},
+            {"name": "ip", "class": "ipv4"}]""", 200000),
+      Some(LookupOracle.sql)),
+
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
@@ -352,6 +364,53 @@ object FastPathOracle {
         "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), substr(h_hi, 13, 4), " +
         "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
         s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
+  }
+}
+
+/** DuckDB oracle for g58_lookup_bits: the fast path's multinomial
+  * lookups (state, browser) and public-ipv4 lowering recomputed exactly.
+  * The CASE ladder uses the same cumulative-weight doubles as the Spark
+  * side (ColumnCompiler.cumWeights — shortest-roundtrip double literals
+  * parse back to the identical IEEE value), and the ipv4 octet shifts /
+  * exclusion bumps are pure integer arithmetic.
+  */
+object LookupOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  private val Mask = (BigInt(1) << 64) - 1
+  private def salt(path: String): String =
+    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
+
+  private def caseSql(uCol: String, items: Seq[(String, Double)]): String = {
+    val cums = graft.synth.ColumnCompiler.cumWeights(items)
+    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${items.last._1}' END)"
+  }
+
+  lazy val sql: String = {
+    val ch = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
+      .steps(hashLongSteps("st1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("st2", salt("st"), "st1out"))
+      .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("b2", salt("b"), "b1out"))
+      .steps(hashLongSteps("ip1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("ip2", salt("ip"), "ip1out"))
+    val uSt = "((st2out // 2048) * 1.1102230246251565e-16)"
+    val uB = "((b2out // 2048) * 1.1102230246251565e-16)"
+    def octet(n: Int) = s"((ip2out // ${BigInt(1) << n}::HUGEINT) % 256)"
+    // public leading octet: 1..221 draw then bump past 10 and 127
+    val a0 = s"(${octet(24)} % 221 + 1)"
+    val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
+    val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
+    val lastOct = s"(${octet(0)} % 254 + 1)"
+    ch.render(
+      s"SELECT i, ${caseSql(uSt, SeedData.states)} AS st, " +
+        s"${caseSql(uB, SeedData.browsers)} AS b, " +
+        s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, $lastOct) AS ip " +
+        s"FROM ${ch.last}")
   }
 }
 

@@ -193,6 +193,16 @@ object ColumnCompiler {
     Some((arrays.map(_._1), zipped))
   }
 
+  /** The cumulative weight ladder behind a multinomial CASE chain —
+    * public so the DuckDB oracle generator can inline the EXACT same
+    * double literals (bit-for-bit reproducibility of the branch picks).
+    */
+  def cumWeights(items: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val total = items.map(_._2).sum
+    var cum = 0.0
+    items.map { case (v, w) => cum += w / total; (v, cum) }
+  }
+
   /** Weighted pick from a small table as a chained CASE over the
     * cumulative distribution (codegen-able for dimension-sized tables).
     */
@@ -201,10 +211,8 @@ object ColumnCompiler {
     // expression trees into helper methods, but dimension tables beyond a
     // few hundred entries belong in a broadcast join, not an expression)
     if (items.isEmpty || items.length > 256) return None
-    val total = items.map(_._2).sum
     val uu = u(ctx)
-    var cum = 0.0
-    val cums = items.map { case (v, w) => cum += w / total; (v, cum) }
+    val cums = cumWeights(items)
     // build from the end: when(u < cum_k, item_k) descending
     Some(cums.init.reverse.foldLeft(lit(items.last._1): Column) {
       case (acc, (v, c)) => when(uu < c, v).otherwise(acc)
