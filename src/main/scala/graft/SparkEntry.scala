@@ -161,6 +161,33 @@ object SynthQueries {
             {"name": "u", "class": "uuid"}]""", 200000),
       Some(FastPathOracle.sql)),
 
+    // skew primitives, driver-checked by RESULT EQUALITY: the salted
+    // two-phase aggregation and the salt-replicated join must produce
+    // exactly what the plain groupBy / join produce (associativity /
+    // key-match preservation) — DuckDB computes the plain form
+    QueryDef("g59_salted_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum}
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        graft.ops.Skew.saltedAgg(li, "l_returnflag", salts = 16,
+          "cnt" -> count(lit(1)),
+          "qty_cents" -> sum(round(col("l_quantity") * 100).cast("long")))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem GROUP BY l_returnflag""")),
+    QueryDef("g60_salted_join",
+      (s, d) => {
+        val orders = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.ops.Skew.saltedJoin(orders, cust, "custkey", salts = 8)
+          .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"))
+      },
+      Some("""SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
     // the multinomial CASE-chain and ipv4 lowerings, hash-match-checked:
     // cumulative weight ladders are inlined as identical double literals
     // on both sides (ColumnCompiler.cumWeights), so every branch pick
