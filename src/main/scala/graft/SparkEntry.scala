@@ -188,6 +188,30 @@ object SynthQueries {
       Some("""SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey""")),
 
+    // the template and XML sinks over fast-path-generated columns: the
+    // whole pipeline (generation lowering + sink rendering) reproduces in
+    // DuckDB, so the sink family gets hash-match oracles instead of
+    // rows-only checks
+    QueryDef("g61_template_bits",
+      (s, _) => Processors.renderTemplate(
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "phone", "class": "join", "separator": "-",
+               "value": {"class": "sequence", "array": [
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 100000)
+          .select(col("i"), col("phone")),
+        "call ${phone} now (ref ${i})"),
+      Some(SinkOracles.templateSql)),
+    QueryDef("g62_xml_bits",
+      (s, _) => Processors.toXml(
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "b", "class": "browser"},
+              {"name": "n", "class": "int", "min": 0, "max": 10}]""", 100000)),
+      Some(SinkOracles.xmlSql)),
+
     // the multinomial CASE-chain and ipv4 lowerings, hash-match-checked:
     // cumulative weight ladders are inlined as identical double literals
     // on both sides (ColumnCompiler.cumWeights), so every branch pick
@@ -391,6 +415,60 @@ object FastPathOracle {
         "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), substr(h_hi, 13, 4), " +
         "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
         s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
+  }
+}
+
+/** DuckDB oracles for the sink queries (g61/g62): the generation
+  * lowerings (join/sequence phone, browser multinomial, int) recomputed
+  * per DuckXxHash, then the sink's own string assembly — template
+  * substitution and the XML element wrapping — reproduced as concat.
+  */
+object SinkOracles {
+  import graft.queries.DuckXxHash._
+
+  private val Mask = (BigInt(1) << 64) - 1
+  private def salt(path: String): String =
+    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
+
+  /** The fast-path int lowering: floor(u * (max-min) + min) as BIGINT. */
+  private def intExpr(hOut: String, min: Long, max: Long): String =
+    s"CAST(floor((($hOut // 2048) * 1.1102230246251565e-16) * ${max - min} + $min) AS BIGINT)"
+
+  private def caseSql(uCol: String, items: Seq[(String, Double)]): String = {
+    val cums = graft.synth.ColumnCompiler.cumWeights(items)
+    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${items.last._1}' END)"
+  }
+
+  lazy val templateSql: String = {
+    val ch = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
+      .steps(hashLongSteps("p01", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("p02", salt("phone/join/[0]#0"), "p01out"))
+      .steps(hashLongSteps("p11", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("p12", salt("phone/join/[1]#0"), "p11out"))
+      .steps(hashLongSteps("p21", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("p22", salt("phone/join/[2]#0"), "p21out"))
+    val a = intExpr("p02out", 200, 999)
+    val b = intExpr("p12out", 200, 999)
+    val c = intExpr("p22out", 1000, 9999)
+    ch.render("SELECT concat('call ', " +
+      s"$a, '-', $b, '-', $c, ' now (ref ', i, ')') AS rendered FROM ${ch.last}")
+  }
+
+  lazy val xmlSql: String = {
+    val ch = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
+      .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("b2", salt("b"), "b1out"))
+      .steps(hashLongSteps("n1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("n2", salt("n#0"), "n1out"))
+    val b = caseSql("((b2out // 2048) * 1.1102230246251565e-16)",
+      graft.runtime.SeedData.browsers)
+    val n = intExpr("n2out", 0, 10)
+    ch.render("SELECT concat('<record>', '<i>', i, '</i>', '<b>', " +
+      s"$b, '</b>', '<n>', $n, '</n>', '</record>') AS xml FROM ${ch.last}")
   }
 }
 

@@ -132,4 +132,27 @@ class DistributionSpec extends AnyFunSuite {
     }
     assert(d < 0.02, s"two-sample KS $d") // crit ≈ 1.95·sqrt(2/20000) = 0.0195 at α=.001
   }
+
+  test("sequence-embedded normal: fast path and interpreter agree (KS two-sample)") {
+    // the round-4 flat-sequence normal lowering vs the interpreter's
+    // NormalSampler — two independent deterministic streams, same
+    // distribution (the cross-lowering check that caught the round-2
+    // restart bug, applied to the new element sampler)
+    val schema = """[
+      {"class": "sequence", "lengthDistribution": 10, "flat": true,
+       "base": {"class": "map", "value": [
+         {"name": "x", "class": "normal", "mean": 3, "sd": 2}]}}]"""
+    val a = sample(schema, 2000, fast = false).sorted
+    val b = sample(schema, 2000, fast = true).sorted
+    assert(a.length == 20000 && b.length == 20000)
+    var i = 0; var j = 0; var d = 0.0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) i += 1 else j += 1
+      d = math.max(d, math.abs(i.toDouble / a.length - j.toDouble / b.length))
+    }
+    // sequence samples within a record share a partition stream, so the
+    // effective independent-draw count is below 20000; loosen to α≈1e-3
+    // at n_eff ~ 10000
+    assert(d < 0.03, s"two-sample KS $d")
+  }
 }
