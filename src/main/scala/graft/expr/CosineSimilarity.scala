@@ -101,6 +101,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session extension registering graft's native functions; enable with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.expr.GraftExtensions`.
+  *
+  * Besides the scalar `cosine_sim`, this registers the `synth` TABLE
+  * function — the pure-SQL face of the generator:
+  *
+  * {{{
+  * SELECT * FROM synth('[{"name":"ip","class":"ipv4"}]', 1000)       -- seed 42
+  * SELECT * FROM synth('[...]', 1000, 7)                             -- explicit seed
+  * }}}
+  *
+  * Arguments must be literals (the schema compiles at analysis time —
+  * that is what fixes the output schema). The plan it expands to is the
+  * same `dataFrameAuto` lowering the Scala API produces: Catalyst fast
+  * path when the schema is stateless, the mapPartitions source
+  * otherwise.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -110,6 +124,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"cosine_sim takes 2 arguments, got ${children.length}")
         CosineSimilarity(children(0), children(1))
+      }))
+
+    ext.injectTableFunction((
+      new FunctionIdentifier("synth"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "synth"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"synth(schemaJson, n[, seed]) takes 2 or 3 arguments, got ${args.length}")
+        require(args.forall(_.foldable), "synth() arguments must be literals")
+        val schemaJson = args(0).eval() match {
+          case null => throw new IllegalArgumentException("synth(): schema is null")
+          case s    => s.toString
+        }
+        val n = args(1).eval() match {
+          case i: Int  => i.toLong
+          case l: Long => l
+          case other   => other.toString.toLong
+        }
+        val seed = if (args.length == 3) args(2).eval().toString.toLong else 42L
+        graft.synth.Synth
+          .dataFrameAuto(org.apache.spark.sql.SparkSession.active, schemaJson, n, seed)
+          .queryExecution.logical
       }))
   }
 }

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.runtime.Rng
+import graft.synth.{Compiler, GenContext, Synth}
+
+/** DataSource V2 face of the generator:
+  *
+  * {{{
+  * spark.read.format("graft")
+  *   .option("schema", schemaJson)   // the generator DSL
+  *   .option("n", "1000000")         // rows (K/M/G suffixes allowed)
+  *   .option("seed", "42")           // optional
+  *   .option("partitions", "32")     // optional, defaults to parallelism
+  *   .load()
+  * }}}
+  *
+  * Scale shape: `planInputPartitions` splits the id range exactly like
+  * `Synth.dataFrame`'s `spark.range(n, p)` does, and every partition
+  * seeds its RNG from SplitMix64(seed, partitionId) — so the V2 source
+  * is bit-identical to the mapPartitions path under the same (seed,
+  * partitions), embarrassingly parallel, and safe at any executor
+  * count. Column pruning is pushed down (`SupportsPushDownRequiredColumns`):
+  * all fields are still SAMPLED (cross-field coupling and stream
+  * alignment depend on spec order) but only requested columns are
+  * converted and shipped — the scan's ReadSchema narrows like any
+  * file source's.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Compiler.structType(Compiler.compileSchema(schemaJson(options)))
+
+  private def schemaJson(options: CaseInsensitiveStringMap): String = {
+    val s = options.get("schema")
+    require(s != null, "graft source requires a 'schema' option (generator DSL JSON)")
+    s
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(schemaJson(opts), schema,
+      graft.spec.SpecParser.parseSize(Option(opts.get("n")).getOrElse("1000")),
+      Option(opts.get("seed")).map(_.toLong).getOrElse(42L),
+      Option(opts.get("partitions")).map(_.toInt).getOrElse(0))
+  }
+}
+
+final class GraftTable(schemaJson: String, tableSchema: StructType, n: Long,
+    seed: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft($n rows)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schemaJson, tableSchema, n, seed, partitions)
+}
+
+final class GraftScanBuilder(schemaJson: String, full: StructType, n: Long,
+    seed: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve a deterministic order; an empty projection (count(*))
+    // still needs row cadence, handled by an empty-width converter
+    required = requiredSchema
+  override def build(): Scan = new GraftScan(schemaJson, full, required, n, seed, partitions)
+}
+
+final class GraftScan(schemaJson: String, full: StructType, required: StructType,
+    n: Long, seed: Long, partitions: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan(n=$n, seed=$seed, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = if (partitions > 0) partitions
+      else org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+    // the same contiguous range split spark.range(0, n, 1, p) produces,
+    // so (seed, partitions) → bit-identical output vs Synth.dataFrame
+    (0 until p).map { i =>
+      val start = i * n / p
+      val end = (i + 1) * n / p
+      GraftInputPartition(i, start, end): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schemaJson, full, required, seed)
+}
+
+final case class GraftInputPartition(pid: Int, start: Long, end: Long)
+    extends InputPartition
+
+final class GraftReaderFactory(schemaJson: String, full: StructType,
+    required: StructType, seed: Long) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private val entries = Compiler.compileSchema(schemaJson) // fresh state per task
+      private val ctx = new GenContext(Rng.forPartition(seed, gp.pid), 0L)
+      private val requiredIdx = required.fieldNames.map(full.fieldIndex)
+      private val converters = requiredIdx.map(i =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(full.fields(i).dataType))
+      private var id = gp.start
+      private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!pending.hasNext && id < gp.end) {
+          pending = Synth.emitRows(entries, ctx, id)
+          id += 1
+        }
+        if (pending.hasNext) {
+          val row = pending.next()
+          val values = new Array[Any](requiredIdx.length)
+          var k = 0
+          while (k < requiredIdx.length) {
+            values(k) = converters(k)(row.get(requiredIdx(k)))
+            k += 1
+          }
+          current = InternalRow.fromSeq(values.toSeq)
+          true
+        } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
