@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,28 +64,41 @@ final class GraftTable(schemaJson: String, tableSchema: StructType, n: Long,
   override def name(): String = s"graft($n rows)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schemaJson, tableSchema, n, seed, partitions)
+    new GraftScanBuilder(schemaJson, tableSchema, n, seed, partitions,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(10000L))
 }
 
 final class GraftScanBuilder(schemaJson: String, full: StructType, n: Long,
-    seed: Long, partitions: Int)
+    seed: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve a deterministic order; an empty projection (count(*))
     // still needs row cadence, handled by an empty-width converter
     required = requiredSchema
-  override def build(): Scan = new GraftScan(schemaJson, full, required, n, seed, partitions)
+  override def build(): Scan =
+    new GraftScan(schemaJson, full, required, n, seed, partitions, rowsPerBatch)
 }
 
 final class GraftScan(schemaJson: String, full: StructType, required: StructType,
-    n: Long, seed: Long, partitions: Int) extends Scan with Batch {
+    n: Long, seed: Long, partitions: Int, rowsPerBatch: Long = 10000L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(n=$n, seed=$seed, cols=${required.fieldNames.mkString(",")})"
+
+  /** Bounded micro-batch replay: each trigger admits up to
+    * `rowsPerBatch` more ids until all n are emitted — the V2 face of a
+    * deterministic generator stream (the id, not the wall clock, is the
+    * offset, so restarts resume exactly and results are
+    * batch-boundary-independent: per-ROW keyed RNG, same convention as
+    * the rate-source stream).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(schemaJson, full, required, n, seed, rowsPerBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = if (partitions > 0) partitions
@@ -104,6 +118,90 @@ final class GraftScan(schemaJson: String, full: StructType, required: StructType
 
 final case class GraftInputPartition(pid: Int, start: Long, end: Long)
     extends InputPartition
+
+final case class GraftOffset(rows: Long) extends Offset {
+  override def json(): String = rows.toString
+}
+
+/** Micro-batch stream over the id space [0, n): offsets are row counts,
+  * so progress is exact, checkpoint-resumable, and independent of
+  * timing. RNG is keyed per ROW (Rng.forKey(seed, id)) — batch
+  * boundaries can land anywhere without changing any record.
+  */
+final class GraftMicroBatchStream(schemaJson: String, full: StructType,
+    required: StructType, n: Long, seed: Long, rowsPerBatch: Long)
+    extends MicroBatchStream {
+  private var latest = 0L
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def latestOffset(): Offset = {
+    latest = math.min(n, latest + rowsPerBatch)
+    GraftOffset(latest)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val rows = json.trim.toLong
+    latest = math.max(latest, rows) // resume past a checkpoint
+    GraftOffset(rows)
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].rows
+    val e = end.asInstanceOf[GraftOffset].rows
+    val span = e - s
+    if (span <= 0) return Array.empty
+    val p = math.min(span, 8L).toInt
+    (0 until p).map { i =>
+      GraftInputPartition(i, s + i * span / p, s + (i + 1) * span / p): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(schemaJson, full, required, seed)
+}
+
+/** Per-row keyed RNG variant of the batch reader (streaming: records
+  * must not depend on which micro-batch emitted them).
+  */
+final class GraftStreamReaderFactory(schemaJson: String, full: StructType,
+    required: StructType, seed: Long) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private val entries = Compiler.compileSchema(schemaJson)
+      private val requiredIdx = required.fieldNames.map(full.fieldIndex)
+      private val converters = requiredIdx.map(i =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(full.fields(i).dataType))
+      private var id = gp.start
+      private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!pending.hasNext && id < gp.end) {
+          val ctx = new GenContext(Rng.forKey(seed, id), id)
+          pending = Synth.emitRows(entries, ctx, id)
+          id += 1
+        }
+        if (pending.hasNext) {
+          val row = pending.next()
+          val values = new Array[Any](requiredIdx.length)
+          var k = 0
+          while (k < requiredIdx.length) {
+            values(k) = converters(k)(row.get(requiredIdx(k)))
+            k += 1
+          }
+          current = InternalRow.fromSeq(values.toSeq)
+          true
+        } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 final class GraftReaderFactory(schemaJson: String, full: StructType,
     required: StructType, seed: Long) extends PartitionReaderFactory {

@@ -71,6 +71,29 @@ class DataSourceSpec extends AnyFunSuite {
     assert(agg.getLong(0) == 1000 && agg.getLong(1) >= 10 && agg.getLong(2) < 20)
   }
 
+  test("graft readStream emits all n rows across micro-batches, batch-size-independent") {
+    def run(rowsPerBatch: Int): Seq[String] = {
+      val name = s"graft_stream_$rowsPerBatch"
+      val q = spark.readStream.format("graft")
+        .option("schema", schema)
+        .option("n", "2500")
+        .option("seed", "42")
+        .option("rowsPerBatch", rowsPerBatch.toString)
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        spark.sql(s"select * from $name").collect().map(_.toString).sorted.toSeq
+      } finally q.stop()
+    }
+    val small = run(300) // 9 batches
+    val big = run(5000) // 1 batch
+    assert(small.length == 2500)
+    // per-row keyed RNG: records identical no matter where batch
+    // boundaries fall
+    assert(small == big)
+  }
+
   test("missing schema option fails loudly") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft").load().collect()
