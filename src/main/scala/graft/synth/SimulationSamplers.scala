@@ -187,11 +187,14 @@ object SimulationSamplers {
     * gearbox/throttle/drag engine at 1 Hz, emitting {latitude, longitude,
     * t, timestamp, mph, rpm, throttle}.
     *
-    * Divergences from the reference, both deliberate: rush hours are in
+    * Divergences from the reference, all deliberate: rush hours are in
     * UTC (the engine pins the session timezone to UTC; the reference uses
-    * US/Central), and post-errand scheduling uses the day-appropriate
-    * errand rate (the reference re-uses the weekend rate after any first
-    * errand, Commuter.java:146 — a quirk, not a modeled behavior).
+    * US/Central); post-errand scheduling uses the day-appropriate errand
+    * rate (the reference re-uses the weekend rate after any first errand,
+    * Commuter.java:146 — a quirk, not a modeled behavior); and `mph` is
+    * real miles-per-hour (speed / 0.44704) — the reference MULTIPLIES
+    * m/s by the conversion constant (Commuter.java:264), a units bug
+    * that would label a 65 MPH cruise "13 mph".
     */
   final class CommuterSampler(homeZipPrefix: Option[String], days: Int, flat: Boolean,
       workMeanKm: Double = 10.0) extends Sampler {
