@@ -388,19 +388,15 @@ object SynthQueries {
 object FastPathOracle {
   import graft.queries.DuckXxHash._
 
-  private val Mask = (BigInt(1) << 64) - 1
-  private def salt(path: String): String =
-    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
-
   lazy val sql: String = {
     val ch = chain("s0",
       "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
       .steps(hashLongSteps("hn1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hn2", salt("n#0"), "hn1out"))
+      .steps(hashLongSteps("hn2", saltLit("n#0"), "hn1out"))
       .steps(hashLongSteps("hh1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hh2", salt("u#hi"), "hh1out"))
+      .steps(hashLongSteps("hh2", saltLit("u#hi"), "hh1out"))
       .steps(hashLongSteps("hl1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hl2", salt("u#lo"), "hl1out"))
+      .steps(hashLongSteps("hl2", saltLit("u#lo"), "hl1out"))
     // RFC-4122 bit surgery on the unsigned-64 domain: version nibble 4
     // (AND ~0xf000 OR 0x4000), variant bits 10 (keep 62 bits, set the top)
     val hiHex = "lower(lpad(to_hex(CAST((CAST(hh2out AS UBIGINT) & " +
@@ -410,8 +406,7 @@ object FastPathOracle {
       "AS UBIGINT)), 16, '0'))"
     ch.render(
       "SELECT i, " +
-        "CAST(floor((hn2out // 2048) * 1.1102230246251565e-16 * 1000000 + 0) " +
-        "AS BIGINT) AS n, " +
+        s"${fastPathInt("hn2out", 0, 1000000)} AS n, " +
         "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), substr(h_hi, 13, 4), " +
         "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
         s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
@@ -426,33 +421,18 @@ object FastPathOracle {
 object SinkOracles {
   import graft.queries.DuckXxHash._
 
-  private val Mask = (BigInt(1) << 64) - 1
-  private def salt(path: String): String =
-    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
-
-  /** The fast-path int lowering: floor(u * (max-min) + min) as BIGINT. */
-  private def intExpr(hOut: String, min: Long, max: Long): String =
-    s"CAST(floor((($hOut // 2048) * 1.1102230246251565e-16) * ${max - min} + $min) AS BIGINT)"
-
-  private def caseSql(uCol: String, items: Seq[(String, Double)]): String = {
-    val cums = graft.synth.ColumnCompiler.cumWeights(items)
-    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
-      .mkString(" ")
-    s"(CASE $whens ELSE '${items.last._1}' END)"
-  }
-
   lazy val templateSql: String = {
     val ch = chain("s0",
       "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
       .steps(hashLongSteps("p01", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p02", salt("phone/join/[0]#0"), "p01out"))
+      .steps(hashLongSteps("p02", saltLit("phone/join/[0]#0"), "p01out"))
       .steps(hashLongSteps("p11", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p12", salt("phone/join/[1]#0"), "p11out"))
+      .steps(hashLongSteps("p12", saltLit("phone/join/[1]#0"), "p11out"))
       .steps(hashLongSteps("p21", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p22", salt("phone/join/[2]#0"), "p21out"))
-    val a = intExpr("p02out", 200, 999)
-    val b = intExpr("p12out", 200, 999)
-    val c = intExpr("p22out", 1000, 9999)
+      .steps(hashLongSteps("p22", saltLit("phone/join/[2]#0"), "p21out"))
+    val a = fastPathInt("p02out", 200, 999)
+    val b = fastPathInt("p12out", 200, 999)
+    val c = fastPathInt("p22out", 1000, 9999)
     ch.render("SELECT concat('call ', " +
       s"$a, '-', $b, '-', $c, ' now (ref ', i, ')') AS rendered FROM ${ch.last}")
   }
@@ -461,12 +441,11 @@ object SinkOracles {
     val ch = chain("s0",
       "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
       .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("b2", salt("b"), "b1out"))
+      .steps(hashLongSteps("b2", saltLit("b"), "b1out"))
       .steps(hashLongSteps("n1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("n2", salt("n#0"), "n1out"))
-    val b = caseSql("((b2out // 2048) * 1.1102230246251565e-16)",
-      graft.runtime.SeedData.browsers)
-    val n = intExpr("n2out", 0, 10)
+      .steps(hashLongSteps("n2", saltLit("n#0"), "n1out"))
+    val b = caseLadder(uniform("b2out"), graft.runtime.SeedData.browsers)
+    val n = fastPathInt("n2out", 0, 10)
     ch.render("SELECT concat('<record>', '<i>', i, '</i>', '<b>', " +
       s"$b, '</b>', '<n>', $n, '</n>', '</record>') AS xml FROM ${ch.last}")
   }
@@ -483,28 +462,17 @@ object LookupOracle {
   import graft.queries.DuckXxHash._
   import graft.runtime.SeedData
 
-  private val Mask = (BigInt(1) << 64) - 1
-  private def salt(path: String): String =
-    s"${BigInt(graft.runtime.Rng.mix2(42L, path.hashCode.toLong)) & Mask}::HUGEINT"
-
-  private def caseSql(uCol: String, items: Seq[(String, Double)]): String = {
-    val cums = graft.synth.ColumnCompiler.cumWeights(items)
-    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
-      .mkString(" ")
-    s"(CASE $whens ELSE '${items.last._1}' END)"
-  }
-
   lazy val sql: String = {
     val ch = chain("s0",
       "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
       .steps(hashLongSteps("st1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("st2", salt("st"), "st1out"))
+      .steps(hashLongSteps("st2", saltLit("st"), "st1out"))
       .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("b2", salt("b"), "b1out"))
+      .steps(hashLongSteps("b2", saltLit("b"), "b1out"))
       .steps(hashLongSteps("ip1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("ip2", salt("ip"), "ip1out"))
-    val uSt = "((st2out // 2048) * 1.1102230246251565e-16)"
-    val uB = "((b2out // 2048) * 1.1102230246251565e-16)"
+      .steps(hashLongSteps("ip2", saltLit("ip"), "ip1out"))
+    val uSt = uniform("st2out")
+    val uB = uniform("b2out")
     def octet(n: Int) = s"((ip2out // ${BigInt(1) << n}::HUGEINT) % 256)"
     // public leading octet: 1..221 draw then bump past 10 and 127
     val a0 = s"(${octet(24)} % 221 + 1)"
@@ -512,8 +480,8 @@ object LookupOracle {
     val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
     val lastOct = s"(${octet(0)} % 254 + 1)"
     ch.render(
-      s"SELECT i, ${caseSql(uSt, SeedData.states)} AS st, " +
-        s"${caseSql(uB, SeedData.browsers)} AS b, " +
+      s"SELECT i, ${caseLadder(uSt, SeedData.states)} AS st, " +
+        s"${caseLadder(uB, SeedData.browsers)} AS b, " +
         s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, $lastOct) AS ip " +
         s"FROM ${ch.last}")
   }

@@ -115,4 +115,35 @@ object DuckXxHash {
   /** Spark `pmod(<signed hash>, n)` over an unsigned-64 hash expression. */
   def pmod(expr: String, n: Long): String =
     s"CAST((((${signed(expr)} % $n) + $n) % $n) AS BIGINT)"
+
+  // ---- shared ColumnCompiler-lowering reconstructions. ONE copy of the
+  // salt/uniform/CASE conventions: these must stay bit-identical to
+  // ColumnCompiler.Ctx.salt / u() / multinomialCol, and a second copy
+  // drifting silently would desynchronize every oracle built on them.
+
+  private val Mask64 = (BigInt(1) << 64) - 1
+
+  /** The fast path's field salt (ColumnCompiler.Ctx.salt) as an
+    * unsigned-HUGEINT literal.
+    */
+  def saltLit(path: String, seed: Long = 42L): String =
+    s"${BigInt(graft.runtime.Rng.mix2(seed, path.hashCode.toLong)) & Mask64}::HUGEINT"
+
+  /** The fast path's uniform: (hash >>> 11) * 2^-53 over a chain output. */
+  def uniform(hOut: String): String =
+    s"(($hOut // 2048) * 1.1102230246251565e-16)"
+
+  /** The fast-path int lowering: floor(u * (max-min) + min) as BIGINT. */
+  def fastPathInt(hOut: String, min: Long, max: Long): String =
+    s"CAST(floor(${uniform(hOut)} * ${max - min} + $min) AS BIGINT)"
+
+  /** The multinomial CASE ladder with the EXACT cumulative-weight double
+    * literals the Spark side compiled (ColumnCompiler.cumWeights).
+    */
+  def caseLadder(uCol: String, items: Seq[(String, Double)]): String = {
+    val cums = graft.synth.ColumnCompiler.cumWeights(items)
+    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${items.last._1}' END)"
+  }
 }

@@ -96,9 +96,22 @@ final class GraftScan(schemaJson: String, full: StructType, required: StructType
     * offset, so restarts resume exactly and results are
     * batch-boundary-independent: per-ROW keyed RNG, same convention as
     * the rate-source stream).
+    *
+    * STATELESS schemas only: a stateful sampler (random-walk, event
+    * clock, CRP, changer) would carry JVM instance state across the rows
+    * of one batch-partition and reset at every boundary — records would
+    * then depend on where triggers landed, breaking the exact-restart
+    * contract above. Rejected loudly here rather than silently violated;
+    * stream stateful schemas through SynthStream.stream (which documents
+    * its per-row semantics) or generate them in batch.
     */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(graft.synth.ColumnCompiler.supported(schemaJson),
+      "the graft streaming source requires a stateless schema (batch-boundary-" +
+        "independent records); stateful samplers carry cross-row state that " +
+        "would make output depend on trigger timing")
     new GraftMicroBatchStream(schemaJson, full, required, n, seed, rowsPerBatch)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = if (partitions > 0) partitions

@@ -119,6 +119,15 @@ object DrivePhysics {
     private var shiftTimeout = 0.0
     private var accel = 0.0
 
+    /** Reset the dynamic state to parked (a trip starts from rest; the
+      * reference carries the previous trip's exit speed into the next
+      * trip's first sample — an artifact, not a modeled behavior).
+      */
+    def park(): Unit = {
+      throttle = 0; rpm = 0; gear = 0; speed = 0
+      brakeForce = 0; shiftTimeout = 0; accel = 0
+    }
+
     /** Run the 100 Hz simulation until `sampleTime`, steering the
       * throttle toward `speedTarget` (m/s) with up to `maxBrakeG` of
       * braking (Engine.java:118-178).

@@ -27,10 +27,14 @@ trait Sampler extends Serializable {
   def dataType: DataType
   def sample(ctx: GenContext): Any
 
-  /** Per-record state reset — the reference's restart() contract
-    * (SchemaSampler.java:160-164): random walks restart from `start` for
-    * each output record, while progressive clocks (event arrivals, CRPs)
-    * intentionally persist. Composite samplers forward to children.
+  /** State reset, invoked by CONTAINERS on their children — never by the
+    * top-level record loop (the reference's SchemaSampler.sample() does
+    * not restart during generation, SchemaSampler.java:87-129; a
+    * sequence restarts its repeated base before every array sample,
+    * SequenceSampler.java:131-138). So a top-level random-walk drifts
+    * cumulatively across records, while one embedded in a sequence
+    * resets per record; progressive clocks and CRPs leave restart() a
+    * no-op either way. Composite samplers forward to children.
     */
   def restart(): Unit = ()
 }

@@ -279,6 +279,7 @@ object SimulationSamplers {
       def drive(t0: Double, from: Geo, to: Geo, kind: String): Double = {
         val points = Vector.newBuilder[Row]
         engine.time = t0
+        engine.park() // trips start from rest, not the last trip's exit speed
         val tEnd = DrivePhysics.driveTo(rng, t0, from, to, (t, eng, pos) => {
           val ms = (t * 1000).toLong
           points += Row(pos.latDeg, pos.lonDeg, ms, ft.formatMillis(ms),
@@ -306,11 +307,14 @@ object SimulationSamplers {
             tooLong = tErrand >= tCommute || tErrand >= endS
           }
           if (tCommute < endS) {
-            t = drive(tCommute, homeGeo, workGeo, "to_work")
+            // never depart before the errands finished: the reference
+            // drives at the stale tCommute even when an errand overran
+            // it, emitting time-overlapping trips — depart at max instead
+            t = drive(math.max(tCommute, t), homeGeo, workGeo, "to_work")
             atHome = false
           } else t = endS
         } else {
-          if (tCommute < endS) t = drive(tCommute, workGeo, homeGeo, "to_home")
+          if (tCommute < endS) t = drive(math.max(tCommute, t), workGeo, homeGeo, "to_home")
           else t = endS
           atHome = true
         }

@@ -46,6 +46,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("bucket self-joins plan as equi-joins, never nested-loop") {
+    // the audit can't see inside g46/g48 (their results are
+    // checkpointed); pin the join shape here on the same (key, sig)
+    // bucket self-join structure all three LSH families use
+    val buckets = docs.select($"doc_id".as("__id"),
+      (xxhash64($"text") % 8).as("__band"), xxhash64($"text", lit(1)).as("__sig"))
+    val joined = buckets.as("x").join(buckets.as("y"),
+      col("x.__band") === col("y.__band") && col("x.__sig") === col("y.__sig") &&
+        col("x.__id") < col("y.__id"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucket self-join regressed to a non-equi join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"))
+  }
+
   test("chooseBanding follows the threshold (s-curve), rejects uncapturable thresholds") {
     // high threshold -> few long bands (selective); low -> many short bands
     val (b08, r08) = Dedup.chooseBanding(64, 0.8)
