@@ -227,14 +227,16 @@ object SynthQueries {
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
-    // threshold 0.5 with banding auto-derived from it (chooseBanding):
-    // the corpus's real near-dups sit at jaccard >= 0.9, well above the
-    // capture floor. The round-2 call used threshold 0.05 with a fixed
-    // 16x4 banding — mismatched on both sides (s-curve midpoint 0.5
-    // misses 0.05-pairs; a banding loose enough for 0.05 admits nearly
-    // all pairs, the candidate-set scale-killer).
+    // threshold 0.7 with banding auto-derived from it (chooseBanding →
+    // 16 bands x 4 rows, capture 0.988 at 0.7): the corpus's real
+    // near-dups sit at jaccard >= 0.9, well above the capture floor, and
+    // the steeper s-curve admits far fewer false candidates than a
+    // lower threshold would. The round-2 call used threshold 0.05 with a
+    // fixed banding — mismatched on both sides (midpoint 0.5 misses
+    // 0.05-pairs; a banding loose enough for 0.05 admits nearly all
+    // pairs, the candidate-set scale-killer).
     q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.5)),
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.7)),
     // maxHamming 3 = 4 bands of 16 bits: selective buckets. Larger
     // distances keep recall 1.0 (pigeonhole banding) but the narrower
     // band keys stop pruning — 13 bands of 4 bits benched 2x slower.
