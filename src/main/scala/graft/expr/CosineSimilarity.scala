@@ -126,6 +126,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
 
+    ext.injectFunction((
+      new FunctionIdentifier("prefix_sum"),
+      new ExpressionInfo(classOf[PrefixSum].getName, "prefix_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"prefix_sum takes 1 argument, got ${children.length}")
+        PrefixSum(children.head)
+      }))
+
+    // synth_series(kind, id, n, saltA, saltB, d1, d2, d3, fmt): the
+    // native flat-sequence series generator (expr/SynthSeries.scala).
+    // Everything but `id` is a literal — the series shape is fixed at
+    // plan time, only the row id varies.
+    ext.injectFunction((
+      new FunctionIdentifier("synth_series"),
+      new ExpressionInfo(classOf[SynthSeries].getName, "synth_series"),
+      (args: Seq[Expression]) => {
+        require(args.length == 9,
+          s"synth_series(kind, id, n, saltA, saltB, d1, d2, d3, fmt) takes 9 arguments, got ${args.length}")
+        require(args.patch(1, Nil, 1).forall(_.foldable),
+          "synth_series: all arguments except id must be literals")
+        def str(i: Int): String = String.valueOf(args(i).eval())
+        def lng(i: Int): Long = args(i).eval() match {
+          case l: Long => l; case x: Int => x.toLong; case o => o.toString.toLong
+        }
+        def dbl(i: Int): Double = args(i).eval() match {
+          case d: Double => d; case l: Long => l.toDouble; case x: Int => x.toDouble
+          case o => o.toString.toDouble
+        }
+        SynthSeries(args(1), str(0), lng(2).toInt, lng(3), lng(4),
+          dbl(5), dbl(6), dbl(7), str(8))
+      }))
+
     ext.injectTableFunction((
       new FunctionIdentifier("synth"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "synth"),

@@ -21,7 +21,7 @@ import graft.runtime.SeedData
   */
 object ColumnCompiler {
 
-  private final case class Ctx(seed: Long, path: String) {
+  private final case class Ctx(seed: Long, path: String, nativeFns: Boolean = false) {
     def child(p: String): Ctx = copy(path = s"$path/$p")
     def salt(extra: String = ""): Long =
       graft.runtime.Rng.mix2(seed, (path + extra).hashCode.toLong)
@@ -56,8 +56,14 @@ object ColumnCompiler {
 
   /** Full fast-path compile including flat sequences (cumulative
     * event/random-walk series as per-row prefix-sum arrays).
+    *
+    * `nativeFns`: the session has GraftExtensions installed, so the
+    * compiler may emit graft's native expressions (`prefix_sum`) instead
+    * of the O(n²) pure-built-in fallbacks. `Synth.dataFrameAuto`
+    * auto-detects via `spark.catalog.functionExists`.
     */
-  def compilePlan(schemaJson: String, seed: Long): Option[FastPlan] = {
+  def compilePlan(schemaJson: String, seed: Long,
+      nativeFns: Boolean = false): Option[FastPlan] = {
     val specs = SpecParser.parse(schemaJson)
     val before = Seq.newBuilder[(String, Column)]
     val after = Seq.newBuilder[(String, Column)]
@@ -77,7 +83,7 @@ object ColumnCompiler {
           }
         case "sequence" if f.bool("flat").contains(true) =>
           if (flat.isDefined) return None // one flat generator max
-          flat = Some(flatSequence(f, Ctx(seed, f.name.getOrElse("seq")))
+          flat = Some(flatSequence(f, Ctx(seed, f.name.getOrElse("seq"), nativeFns))
             .getOrElse(return None))
         case _ =>
           val c = compile(f, Ctx(seed, f.name.getOrElse(f.clazz))).getOrElse(return None)
@@ -87,12 +93,16 @@ object ColumnCompiler {
     Some(FastPlan(before.result(), flat, after.result()))
   }
 
-  /** Per-row prefix-sum array: cumsum_i = sum of steps 1..i, built with
-    * an aggregate fold (O(n²) element copies per row — fine for the
-    * ≤ a-few-hundred-element series this targets).
+  /** Per-row prefix-sum array: cumsum_i = sum of steps 1..i. With
+    * GraftExtensions installed this is the native O(n) `prefix_sum`
+    * expression (expr/PrefixSum.scala); without, an aggregate fold whose
+    * `array_append` accumulator costs O(n²) element copies per row —
+    * tolerable only for short series. Both accumulate in index order
+    * with one double accumulator, so they are bit-identical.
     */
-  private def prefixSum(steps: Column): Column =
-    aggregate(steps,
+  private def prefixSum(ctx: Ctx, steps: Column): Column =
+    if (ctx.nativeFns) call_function("prefix_sum", steps)
+    else aggregate(steps,
       struct(lit(Array.emptyDoubleArray).as("a"), lit(0d).as("s")),
       (acc, g) => struct(
         array_append(acc.getField("a"), acc.getField("s") + g).as("a"),
@@ -120,6 +130,21 @@ object ColumnCompiler {
     def uElem(c: Ctx, extra: String): Column => Column = i =>
       shiftrightunsigned(xxhash64(col("id"), lit(c.salt(extra)), i), 11) *
         lit(1.1102230246251565e-16)
+    // Native series call (expr/SynthSeries.scala) when GraftExtensions
+    // is installed: one codegen'd primitive loop per row instead of the
+    // interpreted `transform` lambda chains below (HOF lambdas don't
+    // codegen — measured 2-4× slower than the interpreter at 2M rows).
+    // Both lowerings draw the identical keyed hash stream, so they
+    // generate the same data.
+    def native(c: Ctx, kind: String, sA: Long, sB: Long = 0L, p1: Double = 0.0,
+        p2: Double = 0.0, p3: Double = 0.0, fm: String = ""): Column =
+      call_function("synth_series", lit(kind), col("id"), lit(n),
+        lit(sA), lit(sB), lit(p1), lit(p2), lit(p3), lit(fm))
+    // date patterns the native java.time formatter renders identically
+    // to Spark's date_format (plain y/M/d/H/m/s fields, no locale or
+    // era-sensitive letters) — anything else keeps the built-in lowering
+    def safePattern(p: String): Boolean =
+      p == "s" || p == "Q" || p.matches("[yMdHmsTZ'\\-:. /]+")
     val arrays: Seq[(String, Column)] = subs.map { s =>
       val name = s.name.getOrElse(s.clazz)
       val c = ctx.child(name)
@@ -130,56 +155,72 @@ object ColumnCompiler {
             .orElse(s.dbl("meanInterval")).getOrElse(1000.0)
           val start = s.str("start").map(graft.runtime.FancyTime(fmt).parseMillis)
             .getOrElse(1375315200000L)
-          val gaps = transform(idx, i => -log(uElem(c, "#g")(i) + lit(1e-300)) * meanMs)
-          val arrivals = prefixSum(gaps)
-          fmt match {
-            case "s" => transform(arrivals, t =>
-              ((lit(start) + t.cast("long")) / 1000L).cast("long").cast("string"))
-            case "Q" => transform(arrivals, t => (lit(start) + t.cast("long")).cast("string"))
-            case p => transform(arrivals, t =>
-              date_format(timestamp_millis(lit(start) + t.cast("long")),
-                if (p == "iso") "yyyy-MM-dd'T'HH:mm:ss'Z'" else p))
+          val pat = if (fmt == "iso") "yyyy-MM-dd'T'HH:mm:ss'Z'" else fmt
+          if (ctx.nativeFns && safePattern(pat))
+            native(c, "event", c.salt("#g"), 0L, start.toDouble, meanMs, 0.0, pat)
+          else {
+            val gaps = transform(idx, i => -log(uElem(c, "#g")(i) + lit(1e-300)) * meanMs)
+            val arrivals = prefixSum(c, gaps)
+            fmt match {
+              case "s" => transform(arrivals, t =>
+                ((lit(start) + t.cast("long")) / 1000L).cast("long").cast("string"))
+              case "Q" => transform(arrivals, t => (lit(start) + t.cast("long")).cast("string"))
+              case _ => transform(arrivals, t =>
+                date_format(timestamp_millis(lit(start) + t.cast("long")), pat))
+            }
           }
         case "random-walk" if !s.bool("verbose").contains(true) =>
           val start = s.dbl("start").getOrElse(0.0)
           val mean = s.dbl("mean").getOrElse(0.0)
           val sd = s.dbl("sd").orElse(s.dbl("variance").map(math.sqrt))
             .orElse(s.dbl("precision").map(p => 1.0 / math.sqrt(p))).getOrElse(1.0)
-          val steps = transform(idx, i =>
-            sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
-              cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
-          transform(prefixSum(steps), x => x + start)
+          if (ctx.nativeFns)
+            native(c, "walk", c.salt("#a"), c.salt("#b"), start, mean, sd)
+          else {
+            val steps = transform(idx, i =>
+              sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
+                cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
+            transform(prefixSum(c, steps), x => x + start)
+          }
         case "int" | "integer" | "random-int"
             if s.node("dist").isEmpty && s.node("skew").isEmpty &&
               s.node("format").isEmpty =>
           val min = s.sizeLong("min").getOrElse(0L)
           val max = s.sizeLong("max").getOrElse(100L)
-          transform(idx, i => floor(uElem(c, "")(i) * (max - min) + min).cast("long"))
+          if (ctx.nativeFns)
+            native(c, "int", c.salt(), 0L, min.toDouble, max.toDouble)
+          else transform(idx, i => floor(uElem(c, "")(i) * (max - min) + min).cast("long"))
         case "double" | "float"
             if s.node("dist").isEmpty && s.node("skew").isEmpty &&
               s.node("format").isEmpty =>
           val min = s.dbl("min").getOrElse(0.0)
           val max = s.dbl("max").getOrElse(100.0)
-          transform(idx, i => uElem(c, "")(i) * (max - min) + min)
+          if (ctx.nativeFns) native(c, "double", c.salt(), 0L, min, max)
+          else transform(idx, i => uElem(c, "")(i) * (max - min) + min)
         case "normal" if s.dbl("min").isEmpty && s.dbl("max").isEmpty =>
           val mean = s.dbl("mean").getOrElse(0.0)
           val sd = s.dbl("sd").orElse(s.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
-          transform(idx, i =>
+          if (ctx.nativeFns)
+            native(c, "normal", c.salt("#a"), c.salt("#b"), mean, sd)
+          else transform(idx, i =>
             sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
               cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
         case "uuid" =>
-          def hb(extra: String): Column => Column = i =>
-            xxhash64(col("id"), lit(c.salt(extra)), i)
-          transform(idx, { i =>
-            val hiV = hb("#hi")(i).bitwiseAND(lit(~0xf000L)).bitwiseOR(lit(0x4000L))
-            val loV = hb("#lo")(i).bitwiseAND(lit(0x3fffffffffffffffL))
-              .bitwiseOR(lit(Long.MinValue))
-            val hs = format_string("%016x", hiV)
-            val ls = format_string("%016x", loV)
-            concat_ws("-",
-              substring(hs, 1, 8), substring(hs, 9, 4), substring(hs, 13, 4),
-              substring(ls, 1, 4), substring(ls, 5, 12))
-          })
+          if (ctx.nativeFns) native(c, "uuid", c.salt("#hi"), c.salt("#lo"))
+          else {
+            def hb(extra: String): Column => Column = i =>
+              xxhash64(col("id"), lit(c.salt(extra)), i)
+            transform(idx, { i =>
+              val hiV = hb("#hi")(i).bitwiseAND(lit(~0xf000L)).bitwiseOR(lit(0x4000L))
+              val loV = hb("#lo")(i).bitwiseAND(lit(0x3fffffffffffffffL))
+                .bitwiseOR(lit(Long.MinValue))
+              val hs = format_string("%016x", hiV)
+              val ls = format_string("%016x", loV)
+              concat_ws("-",
+                substring(hs, 1, 8), substring(hs, 9, 4), substring(hs, 13, 4),
+                substring(ls, 1, 4), substring(ls, 5, 12))
+            })
+          }
         case _ => return None
       }
       name -> arr

@@ -27,8 +27,22 @@ object Synth {
     * draw from different (both deterministic) random streams.
     */
   def dataFrameAuto(spark: SparkSession, schemaJson: String, n: Long,
-      seed: Long = 42L, partitions: Int = 0): DataFrame =
-    ColumnCompiler.compilePlan(schemaJson, seed) match {
+      seed: Long = 42L, partitions: Int = 0): DataFrame = {
+    // GraftExtensions installed → the compiler may emit graft's native
+    // codegen'd expressions (synth_series, prefix_sum) instead of the
+    // interpreted higher-order-function fallbacks
+    val nativeFns =
+      try spark.catalog.functionExists("synth_series")
+      catch { case _: Exception => false }
+    fastOrInterp(spark, schemaJson, n, seed, partitions, nativeFns)
+  }
+
+  /** Fast path with the lowering choice pinned — test seam for the
+    * native-vs-builtin bit-equality guarantee.
+    */
+  private[graft] def fastOrInterp(spark: SparkSession, schemaJson: String,
+      n: Long, seed: Long, partitions: Int, nativeFns: Boolean): DataFrame = {
+    ColumnCompiler.compilePlan(schemaJson, seed, nativeFns) match {
       case Some(plan) =>
         val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
         val base = spark.range(0L, n, 1L, p)
@@ -36,19 +50,36 @@ object Synth {
           case None =>
             base.select(plan.scalars.map { case (nm, c) => c.as(nm) }: _*)
           case Some((elemFields, arr)) =>
-            import org.apache.spark.sql.functions.{col => fcol, explode}
+            import org.apache.spark.sql.functions.{col => fcol, explode_outer}
             // one explode over the zipped element structs; scalar columns
             // repeat per element, and the element fields land at the flat
-            // sequence's spec position (matching the interpreter layout)
+            // sequence's spec position (matching the interpreter layout).
+            // The scalars and the element array are materialized in their
+            // OWN projection and the explode sees only column references:
+            // putting expressions in the same select as the explode makes
+            // ExtractGenerator hoist them into the Project above Generate,
+            // where they re-evaluate once per OUTPUT element — n× the
+            // work for an n-element sequence (measured 10× on the IoT
+            // schema: uuid hashes and seed-table element_at picks ran 100
+            // times per device).
             base
               .select((plan.scalars.map { case (nm, c) => c.as(nm) } :+
-                explode(arr).as("__e")): _*)
+                arr.as("__arr")): _*)
+              // explode_outer, not explode: the series array always has
+              // n >= 1 elements (flatSequence rejects n <= 0), so the
+              // rows are identical — but InferFiltersFromGenerate skips
+              // outer generates, and for plain explode it would add a
+              // size(arr) > 0 filter that re-evaluates the whole series
+              // expression a second time per input row.
+              .select((plan.scalars.map { case (nm, _) => fcol(nm) } :+
+                explode_outer(fcol("__arr")).as("__e")): _*)
               .select((plan.before.map { case (nm, _) => fcol(nm) } ++
                 elemFields.map(f => fcol(s"__e.$f")) ++
                 plan.after.map { case (nm, _) => fcol(nm) }): _*)
         }
       case None => dataFrame(spark, schemaJson, n, seed, partitions)
     }
+  }
 
   /** Generate `n` records of `schemaJson` (the generator DSL of SURVEY
     * §1.2) as a DataFrame.

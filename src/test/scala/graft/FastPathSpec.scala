@@ -193,6 +193,32 @@ class FastPathSpec extends AnyFunSuite {
     assert(d < 0.115, s"two-sample KS over IoT endpoint temps: $d")
   }
 
+  test("native synth_series lowering is bit-identical to the built-in HOF lowering") {
+    // both lowerings must draw the identical keyed hash stream — the
+    // documented guarantee that installing GraftExtensions (which swaps
+    // the interpreted transform/aggregate chains for the codegen'd
+    // synth_series expression) never changes generated data
+    val schema = """[
+      {"name": "u", "class": "uuid"},
+      {"class": "sequence", "lengthDistribution": 7,
+       "base": {"class": "map", "value": [
+         {"name": "t", "class": "event", "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
+         {"name": "w", "class": "random-walk", "start": 5, "mean": 0, "sd": 2},
+         {"name": "k", "class": "int", "min": -3, "max": 40},
+         {"name": "x", "class": "double", "min": 0, "max": 1},
+         {"name": "g", "class": "normal", "mean": 1, "sd": 4},
+         {"name": "id2", "class": "uuid"}]},
+       "flat": true}
+    ]"""
+    val native = Synth.fastOrInterp(spark, schema, 200, 9L, 0, nativeFns = true)
+    val builtin = Synth.fastOrInterp(spark, schema, 200, 9L, 0, nativeFns = false)
+    assert(native.schema == builtin.schema)
+    val a = native.collect().map(_.toSeq)
+    val b = builtin.collect().map(_.toSeq)
+    assert(a.length == 200 * 7 && b.length == a.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("reference-shipped schemas round-trip through the engine") {
     val dir = "/root/reference/nifi-datasynthesizer-processors/src/main/resources/generators"
     for (name <- Seq("iot-data.json", "terminal.json", "transaction.json",
