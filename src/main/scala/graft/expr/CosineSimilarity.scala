@@ -134,6 +134,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PrefixSum(children.head)
       }))
 
+    // sketch primitives (expr/SketchExprs.scala): trailing arguments
+    // are literals fixed at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("hash64_array"),
+      new ExpressionInfo(classOf[Hash64Array].getName, "hash64_array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"hash64_array takes 1 argument, got ${children.length}")
+        Hash64Array(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"minhash_sigs(hashes, k) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "minhash_sigs: k must be a literal")
+        MinHashSigs(children.head, children(1).eval().toString.toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"simhash64 takes 1 argument, got ${children.length}")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, s"srp_sig(v, seed, t, nBits) takes 4 arguments, got ${children.length}")
+        require(children.drop(1).forall(_.foldable), "srp_sig: seed/t/nBits must be literals")
+        def lng(i: Int): Long = children(i).eval() match {
+          case l: Long => l; case x: Int => x.toLong; case o => o.toString.toLong
+        }
+        SrpSig(children.head, lng(1), lng(2).toInt, lng(3).toInt)
+      }))
+
     // synth_series(kind, id, n, saltA, saltB, d1, d2, d3, fmt): the
     // native flat-sequence series generator (expr/SynthSeries.scala).
     // Everything but `id` is a literal — the series shape is fixed at

@@ -124,17 +124,32 @@ object Dedup {
     val tokens = spread
       .select(col(idCol).as("__id"), split(lower(trim(col(textCol))), "\\s+").as("__w"))
       .persist()
+    // native sketch expressions when GraftExtensions is registered: the
+    // per-row k×|shingles| minhash loop runs as one codegen'd primitive
+    // loop instead of k interpreted transform/array_min lambdas. Both
+    // lowerings produce identical signatures (same xxhash64 folds).
+    val native = df.sparkSession.catalog.functionExists("minhash_sigs")
     val withSh = tokens
       .select(col("__id"), shinglesFromTokens(col("__w"), shingleWords).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__hs",
+        if (native) call_function("hash64_array", col("__sh"))
+        else transform(col("__sh"), s => xxhash64(s)))
       .persist()
     // minhash_j = min over pre-hashed shingles of remix(hash, salt_j)
-    val sigs = (0 until numHashes).map(j =>
-      array_min(transform(col("__hs"), h => xxhash64(h, lit(j)))).as(s"__m$j"))
-    val signed = withSh.select((col("__id") +: sigs): _*)
+    val signed =
+      if (native)
+        withSh.select(col("__id"),
+          call_function("minhash_sigs", col("__hs"), lit(numHashes)).as("__ms"))
+      else {
+        val sigs = (0 until numHashes).map(j =>
+          array_min(transform(col("__hs"), h => xxhash64(h, lit(j)))).as(s"__m$j"))
+        withSh.select((col("__id") +: sigs): _*)
+      }
+    def sigAt(j: Int): Column =
+      if (native) element_at(col("__ms"), j + 1) else col(s"__m$j")
     val bandKeys = (0 until nBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
+      val slice = (0 until rowsPerBand).map(r => sigAt(b * rowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }
     val buckets = signed
@@ -174,7 +189,14 @@ object Dedup {
     * sign of the sum over tokens of ±1 (bit k of the token hash).
     * Expressed with aggregate() over the token array — codegen'd.
     */
-  def simhashCol(textColName: String): Column =
+  def simhashCol(textColName: String, native: Boolean = false): Column =
+    if (native)
+      // native path: hash tokens and fold the 64 per-bit counters in one
+      // codegen'd loop (expr/SketchExprs.scala) — same signature bits as
+      // the HOF form below
+      call_function("simhash64", call_function("hash64_array",
+        split(lower(trim(col(textColName))), "\\s+")))
+    else
     // per-bit counters (array<int>[64]) accumulated over PRE-HASHED
     // tokens (hash each token once; there is no CSE inside lambdas, so
     // hashing inside the per-bit transform would cost 64 string hashes
@@ -212,7 +234,9 @@ object Dedup {
     // Scala shifts mod 64: (1L << 64) - 1 would be 0, not all-ones
     val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("__id"), simhashCol(textCol).as("__sig"))
+      .select(col(idCol).as("__id"),
+        simhashCol(textCol,
+          native = df.sparkSession.catalog.functionExists("simhash64")).as("__sig"))
     val banded = sig.select(col("__id"), col("__sig"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
@@ -252,20 +276,25 @@ object Dedup {
     require(nBits >= 1 && nBits <= 63, s"nBits $nBits not in [1, 63]")
     require(nTables >= 1, s"nTables $nTables must be positive")
     val v = col("__v")
+    val native = df.sparkSession.catalog.functionExists("srp_sig")
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__norm", sqrt(aggregate(v, lit(0d), (a, x) => a + x * x)))
       .persist()
-    // sign bit (t, j): dot(v, h_tj) where h_tj[i] = ±1 from hash(seed, t, j, i)
-    def tableSig(t: Int): Column = (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          when(xxhash64(lit(seed), lit(t), lit(j), i).bitwiseAND(lit(1L)) === 1L, x)
-            .otherwise(-x)),
-        lit(0d), (a, x) => a + x)
-      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // sign bit (t, j): dot(v, h_tj) where h_tj[i] = ±1 from hash(seed, t, j, i).
+    // Native srp_sig (one codegen'd nBits×dim loop) when GraftExtensions
+    // is registered; the interpreted per-bit aggregate/zip_with chain
+    // otherwise — identical signatures either way.
+    def tableSig(t: Int): Column =
+      if (native) call_function("srp_sig", v, lit(seed), lit(t), lit(nBits))
+      else (0 until nBits).map { j =>
+        val dot = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+            when(xxhash64(lit(seed), lit(t), lit(j), i).bitwiseAND(lit(1L)) === 1L, x)
+              .otherwise(-x)),
+          lit(0d), (a, x) => a + x)
+        when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
     // buckets carry only (id, table, sig): vectors stay out of the
     // nTables-way fan-out and the self-join shuffle
     val buckets = base.select(col("__id"), explode(array((0 until nTables).map(t =>
@@ -278,15 +307,15 @@ object Dedup {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .dropDuplicates("a", "b") // the any-table union: verify each pair ONCE
-    val dot = aggregate(zip_with(col("__va"), col("__vb"), (a, b) => a * b),
-      lit(0d), (a, x) => a + x)
-    val vecs = base.select(col("__id"), col("__v"), col("__norm"))
-    val result = candidates
-      .join(vecs.select(col("__id").as("a"), col("__v").as("__va"), col("__norm").as("__na")), "a")
-      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb"), col("__norm").as("__nb")), "b")
-      // nanvl: zero-norm vectors give NaN, and NaN >= threshold is TRUE
-      // in Spark's ordering — they would pair with everything
-      .withColumn("cosine", nanvl(dot / (col("__na") * col("__nb")), lit(-1d)))
+    val vecs = base.select(col("__id"), col("__v"))
+    val joined = candidates
+      .join(vecs.select(col("__id").as("a"), col("__v").as("__va")), "a")
+      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb")), "b")
+    // Similarity.cosine: native fused cosine_sim when available, HOF
+    // otherwise; maps zero-norm NaN to -1 (NaN >= threshold is TRUE in
+    // Spark's ordering — they would pair with everything)
+    val result = joined
+      .withColumn("cosine", Similarity.cosine(joined, col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
     val out = result.localCheckpoint(true)

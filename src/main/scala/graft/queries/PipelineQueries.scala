@@ -196,17 +196,21 @@ object PipelineQueries {
   val q27_ann_cosine_topk = QueryDef(
     "q27_ann_cosine_topk",
     (s, d) => {
+      // cosine via ops.Similarity.cosine: the native fused cosine_sim
+      // loop when GraftExtensions is registered (the interpreted
+      // aggregate/zip_with lambdas benched 4× slower), the portable HOF
+      // otherwise — both accumulate dot and norms in index order, and
+      // sqrt(nx)·sqrt(ny) equals the oracle's precomputed-norm product
+      // bit-for-bit, so ranks never move between lowerings.
       val e = embs(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
       val q = broadcast(
         e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")))
+          .select(col("vec_id").as("qid"), col("v").as("qv")))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      e.join(q, col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-            (col("nq") * col("nv")))
+      val joined = e.join(q, col("vec_id") =!= col("qid"))
+      joined
+        .withColumn("cos", graft.ops.Similarity.cosine(joined, col("qv"), col("v")))
         .select(col("qid"), col("vec_id"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 10)
         .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id").as("neighbor"))

@@ -46,6 +46,47 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("native sketch expressions are bit-identical to their HOF column forms") {
+    // the documented swap guarantee: installing GraftExtensions changes
+    // the lowering of the sketch loops, never the sketches
+    val df = docs.limit(64)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("w"))
+      .withColumn("hs_hof", transform($"w", t => xxhash64(t)))
+      .withColumn("hs_nat", call_function("hash64_array", $"w"))
+      .persist()
+    assert(df.filter(expr("hs_hof != hs_nat")).count() == 0)
+    val k = 8
+    val mh = df.withColumn("ms", call_function("minhash_sigs", $"hs_hof", lit(k)))
+    (0 until k).foreach { j =>
+      val bad = mh.filter(
+        element_at($"ms", j + 1) =!= array_min(transform($"hs_hof", h => xxhash64(h, lit(j)))))
+      assert(bad.count() == 0, s"minhash_sigs bit drift at j=$j")
+    }
+    // simhashCol splits from a named text column — compare on a text df
+    val tdf = docs.limit(64).persist()
+    val both = tdf.select(
+      Dedup.simhashCol("text", native = false).as("hof"),
+      Dedup.simhashCol("text", native = true).as("nat"))
+    assert(both.filter($"hof" =!= $"nat").count() == 0)
+    // srp_sig vs the per-bit aggregate/zip_with chain (the Column spec)
+    val seed = 42L; val nBits = 12; val t = 1
+    val v = $"v"
+    val hofSig = (0 until nBits).map { j =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          when(xxhash64(lit(seed), lit(t), lit(j), i).bitwiseAND(lit(1L)) === 1L, x)
+            .otherwise(-x)),
+        lit(0d), (a, x) => a + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val edf = embs.limit(64)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val srpBoth = edf.select(hofSig.as("hof"),
+      call_function("srp_sig", v, lit(seed), lit(t), lit(nBits)).as("nat"))
+    assert(srpBoth.filter($"hof" =!= $"nat").count() == 0)
+    df.unpersist(); tdf.unpersist()
+  }
+
   test("bucket self-joins plan as equi-joins, never nested-loop") {
     // the audit can't see inside g46/g48 (their results are
     // checkpointed); pin the join shape here on the same (key, sig)
