@@ -20,6 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: the first query otherwise absorbs all JVM/codegen/
+    // scheduler startup (~2-3 s attributed to whatever sorts first)
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      graft.synth.Synth.dataFrameAuto(spark, graft.api.CannedSources.iotSchemaJson, 100)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

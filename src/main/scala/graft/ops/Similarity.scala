@@ -51,10 +51,25 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
   }
 
-  /** Lloyd k-means on a driver-side sample — centroids are a tiny
-    * broadcastable table (nCentroids × dim doubles). Good enough to
-    * build an IVF index; a production fit would use sampled minibatch
-    * refinement, same output shape.
+  /** Unit-normalize in place (zero vectors stay zero). The IVF index
+    * serves COSINE queries, so clustering must happen on the unit
+    * sphere: L2 k-means on raw vectors partitions by magnitude as much
+    * as by direction, and a query's nearest-centroid probe then misses
+    * the clusters holding its true cosine neighbors. On the sphere,
+    * L2-nearest ≡ cosine-nearest (|a-b|² = 2 - 2·cos for unit a, b).
+    */
+  private def unit(x: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < x.length) { x(i) /= n; i += 1 } }
+    x
+  }
+
+  /** Spherical k-means on a driver-side sample — centroids are a tiny
+    * broadcastable table (nCentroids × dim doubles), fit and kept on
+    * the unit sphere. Good enough to build an IVF index; a production
+    * fit would use sampled minibatch refinement, same output shape.
     */
   def fitCentroids(vectors: DataFrame, vecCol: String, nCentroids: Int,
       iters: Int = 8, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Double]] = {
@@ -68,7 +83,8 @@ object Similarity {
       if (total <= sampleSize) base
       else base.sample(withReplacement = false,
         math.min(1.0, 1.1 * sampleSize / total), seed)
-    val sample = sampled.limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    val sample = sampled.limit(sampleSize).collect()
+      .map(r => unit(r.getSeq[Double](0).toArray))
     require(sample.length >= nCentroids, "need at least nCentroids sample vectors")
     val rng = graft.runtime.Rng.forKey(seed, sample.length.toLong)
     var centroids = rng.ints(0, sample.length).distinct().limit(nCentroids)
@@ -82,8 +98,10 @@ object Similarity {
         var i = 0
         while (i < x.length) { sums(c)(i) += x(i); i += 1 }
       }
+      // re-normalize the mean: spherical k-means keeps centroids unit so
+      // the assignment metric stays cosine-equivalent
       centroids = sums.zip(counts).zipWithIndex.map { case ((s, n), i) =>
-        if (n == 0) centroids(i) else s.map(_ / n)
+        if (n == 0) centroids(i) else unit(s.map(_ / n))
       }
     }
     centroids
@@ -107,7 +125,7 @@ object Similarity {
   def assignClusters(vectors: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Double]) => nearest(cs.value, v.toArray))
+    val assign = udf((v: Seq[Double]) => nearest(cs.value, unit(v.toArray)))
     vectors.withColumn("cluster", assign(col(vecCol).cast("array<double>")))
   }
 
@@ -123,7 +141,7 @@ object Similarity {
         col("cluster"))
     val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
     val probes = udf { (v: Seq[Double]) =>
-      val x = v.toArray
+      val x = unit(v.toArray)
       cs.value.indices
         .map(c => c -> {
           var d = 0.0; var i = 0

@@ -159,7 +159,7 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((8001L, 8002L)))
   }
 
-  test("ivf top-k recall >= 0.5 vs brute force at nProbe=4/16") {
+  test("ivf top-k recall >= 0.55 vs brute force at nProbe=4/16 (spherical fit)") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
       .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -168,7 +168,10 @@ class OpsSpec extends AnyFunSuite {
       centroids, nProbe = 4)
       .select("qid", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall")
+    // 0.6 measured with the spherical fit on this (clusterless, random)
+    // corpus; the bound keeps head-room for centroid-sample jitter. L2
+    // k-means on raw vectors sat at the 0.5 floor.
+    assert(recall >= 0.55, s"IVF recall $recall")
   }
 
   test("connected components assigns min-id cluster across chained pairs") {
