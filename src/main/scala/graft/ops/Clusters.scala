@@ -30,23 +30,31 @@ object Clusters {
       .distinct()
       .withColumn("cluster", col("id"))
       .persist()
+    // the persisted frame currently backing `labels` — unpersisted only
+    // after the NEXT round's frame has materialized, so nothing in the
+    // live lineage ever recomputes from scratch
+    var cached = labels
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // each node's new label = min(own, min over neighbors' labels)
+      // each node's new label = min(own, min over neighbors' labels).
+      // The joined frame carries both old and new labels, so the
+      // convergence count comes from the SAME cached frame as the label
+      // update — one aggregate action per round, not an extra
+      // next-vs-labels join re-shuffling the full label table.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("nc").as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      val joined = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster")))
             .as("cluster"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = joined.filter(col("cluster") < col("old")).count()
+      cached.unpersist() // joined is materialized; the old cache is dead
+      cached = joined
+      labels = joined.select(col("id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }
@@ -55,13 +63,13 @@ object Clusters {
     // "canonical" survivors per true duplicate class) — fail loudly, but
     // free the cached labels first so failed calls don't pin storage
     if (!converged) {
-      labels.unpersist()
+      cached.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(graph diameter too large — raise maxIters)")
     }
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     out
   }
 
