@@ -224,6 +224,30 @@ object SynthQueries {
             {"name": "ip", "class": "ipv4"}]""", 200000),
       Some(LookupOracle.sql)),
 
+    // the name/street/username lowerings (weighted + uniform CASE
+    // ladders, rank-weighted stem + numeric suffix), hash-match-checked:
+    // flips three §2.1.2 operators from rows-only to a real oracle
+    QueryDef("g63_names_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "nm", "class": "name", "type": "first_last"},
+            {"name": "street", "class": "street-name"},
+            {"name": "uname", "class": "username"}]""", 20000),
+      Some(NamesOracle.sql)),
+
+    // the ssn and bounded-date lowerings, hash-match-checked: uniform
+    // issued-area pick + group/serial digits, and the date range draw
+    // rendered through two formats (IEEE doubles + UTC formatting
+    // reproduce bit-for-bit in DuckDB)
+    QueryDef("g64_ssn_date_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "ssn", "class": "ssn"},
+            {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+            {"name": "ts", "class": "date", "format": "yyyy-MM-dd HH:mm:ss",
+             "start": "2023-01-01 00:00:00", "end": "2023-12-31 00:00:00"}]""", 20000),
+      Some(SsnDateOracle.sql)),
+
     // -------- LLM-pipeline operators whose outputs are approximate
     // (LSH/IVF recall < 1), so no SQL oracle: rows-only here, recall
     // bounds asserted in src/test (DedupOpsSpec / SimilarityOpsSpec).
@@ -485,6 +509,73 @@ object LookupOracle {
       s"SELECT i, ${caseLadder(uSt, SeedData.states)} AS st, " +
         s"${caseLadder(uB, SeedData.browsers)} AS b, " +
         s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, $lastOct) AS ip " +
+        s"FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g63_names_bits: the name / street-name / username
+  * lowerings recomputed exactly — weighted CASE ladders over the same
+  * cumulative-weight doubles (ColumnCompiler.multinomialCol via
+  * cumWeights), uniform ladders for the street parts, and the
+  * rank-weighted username stem + `pmod(hash, 1000)` suffix.
+  */
+object NamesOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq(
+      "nf" -> "nm/f", "nl" -> "nm/l",
+      "sa" -> "street/a", "sb" -> "street/b", "sc" -> "street/c",
+      "us" -> "uname/stem", "ux" -> "uname#sfx"))
+    def lad(h: String, items: Seq[(String, Double)]): String =
+      caseLadder(uniform(s"h_$h"), items)
+    val first = lad("nf", SeedData.maleFirst ++ SeedData.femaleFirst)
+    val last = lad("nl", SeedData.lastNames)
+    val sa = lad("sa", SeedData.streetFirst.map(_ -> 1.0))
+    val sb = lad("sb", SeedData.streetSecond.map(_ -> 1.0))
+    val sc = lad("sc", SeedData.streetThird.map(_ -> 1.0))
+    val stems = SeedData.usernames.zipWithIndex.map { case (s, i) => s -> (1.0 / (i + 1)) }
+    val stem = lad("us", stems)
+    ch.render(
+      s"SELECT i, concat($first, ' ', $last) AS nm, " +
+        s"concat($sa, ' ', $sb, ' ', $sc) AS street, " +
+        s"concat($stem, CAST(${pmod("h_ux", 1000)} AS VARCHAR)) AS uname " +
+        s"FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g64_ssn_date_bits: ssn = uniform pick from the
+  * issued-area list + pmod group/serial digits (printf'd to the
+  * NNN-NN-NNNN shape); dates = `u * (end - start) + start` in IEEE
+  * doubles truncated to millis, formatted in UTC — every step
+  * reproduces bit-for-bit in DuckDB.
+  */
+object SsnDateOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq(
+      "ar" -> "ssn#area", "gr" -> "ssn#grp", "se" -> "ssn#ser",
+      "d" -> "d", "ts" -> "ts"))
+    val areas = graft.runtime.SeedData.ssnAreas.filter(_._3 == "normal").map(_._1)
+    val area = s"(list_extract(${areas.mkString("[", ", ", "]")}, " +
+      s"${pmod("h_ar", areas.length.toLong)} + 1))"
+    val grp = s"(${pmod("h_gr", 99L)} + 1)"
+    val ser = s"(${pmod("h_se", 9999L)} + 1)"
+    val ftD = graft.runtime.FancyTime("yyyy-MM-dd")
+    val (s1, e1) = (ftD.parseMillis("2020-01-01"), ftD.parseMillis("2024-12-31"))
+    val ftTs = graft.runtime.FancyTime("yyyy-MM-dd HH:mm:ss")
+    val (s2, e2) = (ftTs.parseMillis("2023-01-01 00:00:00"),
+      ftTs.parseMillis("2023-12-31 00:00:00"))
+    // Spark's `.cast("long")` truncates toward zero; values are positive
+    // so floor() is the same function, and DuckDB's rounding CAST is not
+    def msExpr(h: String, s: Long, e: Long): String =
+      s"CAST(floor(${uniform(s"h_$h")} * ${e - s} + $s) AS BIGINT)"
+    ch.render(
+      s"SELECT i, printf('%03d-%02d-%04d', $area, $grp, $ser) AS ssn, " +
+        s"strftime(epoch_ms(${msExpr("d", s1, e1)}), '%Y-%m-%d') AS d, " +
+        s"strftime(epoch_ms(${msExpr("ts", s2, e2)}), '%Y-%m-%d %H:%M:%S') AS ts " +
         s"FROM ${ch.last}")
   }
 }

@@ -146,4 +146,27 @@ object DuckXxHash {
       .mkString(" ")
     s"(CASE $whens ELSE '${items.last._1}' END)"
   }
+
+  /** One full fast-path hash per (alias, saltPath): `xxhash64(id, salt)`
+    * = hash(id, seed=42) chained into hash(salt, seed=·), landing in
+    * column `h_<alias>` (unsigned HUGEINT). After each field chain the
+    * working set is PRUNED back to (i, v, h_*): without pruning, a
+    * 10-field oracle drags ~200 intermediate hash-step columns through
+    * every later MATERIALIZED stage — quadratic bytes in field count.
+    */
+  def uniformChain(n: Long, fields: Seq[(String, String)],
+      seed: Long = 42L): Chain = {
+    var ch = chain("s0",
+      s"SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, $n)")
+    var have = List.empty[String]
+    for ((alias, path) <- fields) {
+      ch = ch.steps(hashLongSteps(s"${alias}a", "v", "42::HUGEINT"))
+        .steps(hashLongSteps(s"${alias}b", saltLit(path, seed), s"${alias}aout"))
+      ch = ch.cte(s"p_$alias",
+        s"SELECT i, v${have.map(h => s", h_$h").mkString}, " +
+          s"${alias}bout AS h_$alias FROM ${ch.last}")
+      have = have :+ alias
+    }
+    ch
+  }
 }

@@ -388,6 +388,20 @@ object ColumnCompiler {
         case Some("last")  => last
         case _             => concat_ws(" ", first, last)
       })
+    case "ssn" if f.str("fields").isEmpty =>
+      // default-projection ssn is stateless: uniform issued-area pick +
+      // group/serial digits, same domains as the interpreter's
+      // SsnSampler (area from the filtered table, group 1..99,
+      // serial 1..9999)
+      val types = f.str("types").map(_.split(",").map(_.trim.toLowerCase).toSeq)
+        .getOrElse(Seq("normal"))
+      val areas = SeedData.ssnAreas.filter(a => types.contains(a._3)).map(_._1)
+      if (areas.isEmpty) return None
+      val idx = pmod(hashBits(ctx, "#area"), lit(areas.length.toLong)).cast("int")
+      val area = element_at(array(areas.map(a => lit(a.toLong)): _*), idx + 1)
+      val group = pmod(hashBits(ctx, "#grp"), lit(99L)) + 1
+      val serial = pmod(hashBits(ctx, "#ser"), lit(9999L)) + 1
+      Some(format_string("%03d-%02d-%04d", area, group, serial))
     case "street-name" =>
       def uni(part: String, items: Seq[String]): Option[Column] =
         multinomialCol(ctx.child(part), items.map(_ -> 1.0))

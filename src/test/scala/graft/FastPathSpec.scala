@@ -51,6 +51,28 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("fast path ssn: format, issued-area membership, digit ranges") {
+    // fields/types projections stay on the interpreter
+    assert(!ColumnCompiler.supported(
+      """[{"name": "s", "class": "ssn", "fields": "ssn,state"}]"""))
+    assert(ColumnCompiler.supported("""[{"name": "s", "class": "ssn"}]"""))
+    val areas = graft.runtime.SeedData.ssnAreas.filter(_._3 == "normal")
+      .map(_._1).toSet
+    val rows = Synth.dataFrameAuto(spark,
+      """[{"name": "s", "class": "ssn"}]""", 3000, seed = 11)
+      .collect().map(_.getString(0))
+    val re = "^(\\d{3})-(\\d{2})-(\\d{4})$".r
+    rows.foreach {
+      case s @ re(a, g, ser) =>
+        assert(areas.contains(a.toInt), s)
+        assert(g.toInt >= 1 && g.toInt <= 99, s)
+        assert(ser.toInt >= 1 && ser.toInt <= 9999, s)
+      case s => fail(s"bad ssn shape: $s")
+    }
+    // uniform over issued areas: every area should be hit at this n
+    assert(rows.map(_.take(3).toInt).distinct.length > areas.size / 2)
+  }
+
   test("fast path int is uniform over a negative-min range (floor, not truncate)") {
     val xs = Synth.dataFrameAuto(spark,
       """[{"name": "x", "class": "int", "min": -10, "max": 10}]""", 20000, seed = 6)
