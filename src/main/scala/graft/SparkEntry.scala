@@ -212,6 +212,21 @@ object SynthQueries {
               {"name": "n", "class": "int", "min": 0, "max": 10}]""", 100000)),
       Some(SinkOracles.xmlSql)),
 
+    // the country/language/os ladders and the zip-table flatten,
+    // hash-match-checked: the zip pick is one shared hash index into the
+    // inlined continental table, so zip/city/state stay row-consistent
+    // (10001 -> NEW YORK) on both engines
+    QueryDef("g65_geo_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "co", "class": "country"},
+            {"name": "lang", "class": "language"},
+            {"name": "os", "class": "os"},
+            {"class": "flatten", "prefix": "",
+             "value": {"class": "zip", "onlyContinental": true,
+                       "fields": "zip, city, state"}}]""", 20000),
+      Some(GeoOracle.sql)),
+
     // the multinomial CASE-chain and ipv4 lowerings, hash-match-checked:
     // cumulative weight ladders are inlined as identical double literals
     // on both sides (ColumnCompiler.cumWeights), so every branch pick
@@ -576,6 +591,33 @@ object SsnDateOracle {
       s"SELECT i, printf('%03d-%02d-%04d', $area, $grp, $ser) AS ssn, " +
         s"strftime(epoch_ms(${msExpr("d", s1, e1)}), '%Y-%m-%d') AS d, " +
         s"strftime(epoch_ms(${msExpr("ts", s2, e2)}), '%Y-%m-%d %H:%M:%S') AS ts " +
+        s"FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g65_geo_bits: country/language/os CASE ladders plus
+  * the zip flatten — one shared `pmod(hash, len)` index into the same
+  * continental zip table the Spark side inlines (zipColumns), so the
+  * projected zip/city/state triple stays row-consistent on both engines.
+  */
+object GeoOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq(
+      "co" -> "co", "lg" -> "lang", "os" -> "os", "zp" -> "zip"))
+    val rows = SeedData.continentalZips
+    def strList(xs: Seq[String]): String =
+      xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    val idx = s"(${pmod("h_zp", rows.length.toLong)} + 1)"
+    ch.render(
+      s"SELECT i, ${caseLadder(uniform("h_co"), SeedData.countries)} AS co, " +
+        s"${caseLadder(uniform("h_lg"), SeedData.languages)} AS lang, " +
+        s"${caseLadder(uniform("h_os"), SeedData.osList)} AS os, " +
+        s"(list_extract(${strList(rows.map(_.zip))}, $idx)) AS zip, " +
+        s"(list_extract(${strList(rows.map(_.city))}, $idx)) AS city, " +
+        s"(list_extract(${strList(rows.map(_.state))}, $idx)) AS state " +
         s"FROM ${ch.last}")
   }
 }
