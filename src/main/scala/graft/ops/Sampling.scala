@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data curation.
+  *
+  * Both operators decide per row from `xxhash64(id, seed)` — no RNG
+  * state, no shuffle, no driver coordination. At 100 TB that is the only
+  * sampling that behaves: every executor decides its own rows from the
+  * key alone, the result is reproducible under any partitioning or AQE
+  * re-plan, rerunning with the same seed yields the same subset
+  * (incremental pipelines can re-derive rather than store it), and
+  * splits built from disjoint hash ranges are provably non-overlapping —
+  * unlike `df.sample`, whose per-partition RNG streams reshuffle
+  * membership whenever partitioning changes.
+  */
+object Sampling {
+
+  private val Resolution = 1000000L
+
+  private def cell(df: DataFrame, idCol: String, seed: Long): Column =
+    pmod(xxhash64(df(idCol), lit(seed)), lit(Resolution))
+
+  /** Keep ~`fraction` of rows: hash cell below the fraction threshold.
+    * Complementary fractions partition the corpus exactly:
+    * `deterministicSample(df, id, 0.9, s)` and the 0.9-to-1.0 band from
+    * `hashSplit` never overlap and jointly cover.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    df.filter(cell(df, idCol, seed) < (fraction * Resolution).toLong)
+  }
+
+  /** Assign every row a split index 0..k-1 by cumulative weight bands
+    * over the same hash cell (train/val/test splits). Bands are
+    * half-open and exhaustive, so each row lands in exactly one split.
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).tail.init // k-1 upper bounds
+      .map(c => (c / total * Resolution).toLong)
+    val c = cell(df, idCol, seed)
+    val split = cuts.zipWithIndex.reverse.foldLeft(lit(weights.length - 1): Column) {
+      case (acc, (cut, i)) => when(c < cut, i).otherwise(acc)
+    }
+    df.withColumn("split", split.cast("int"))
+  }
+}

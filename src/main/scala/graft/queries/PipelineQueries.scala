@@ -398,10 +398,85 @@ object PipelineQueries {
     )
   }
 
+  /** Deterministic train/val/test split: every row's band comes from
+    * `pmod(xxhash64(doc_id, seed), 1M)` alone — no RNG state, no
+    * shuffle, reproducible under any partitioning (unlike df.sample,
+    * whose per-partition streams reshuffle membership on re-plan). The
+    * oracle recomputes the hash bit-for-bit via DuckXxHash and applies
+    * the same cut literals.
+    */
+  val q45_hash_split: QueryDef = {
+    val weights = Seq(0.8, 0.1, 0.1)
+    QueryDef(
+      "q45_hash_split",
+      (s, d) => graft.ops.Sampling.hashSplit(docs(s, d), "doc_id", weights)
+        .select(col("doc_id"), col("split")),
+      Some {
+        import DuckXxHash._
+        val total = weights.sum
+        val cuts = weights.scanLeft(0.0)(_ + _).tail.init
+          .map(c => (c / total * 1000000L).toLong)
+        val ch = chain("s0",
+          s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val cell = pmod("h2out", 1000000L)
+        val ladder = cuts.zipWithIndex
+          .map { case (cut, i) => s"WHEN $cell < $cut THEN $i" }
+          .mkString(" ")
+        ch.render(
+          s"SELECT doc_id, CAST(CASE $ladder ELSE ${weights.length - 1} END AS INT)" +
+            s" AS split FROM ${ch.last}")
+      },
+    )
+  }
+
+  /** Sequence packing (concat-then-chunk at maxTokens) over hash-bucketed
+    * streams: per-bucket window cumsum, chunk id by integer division —
+    * all integer arithmetic, so the oracle reproduces every offset
+    * exactly. Buckets keep the sort parallel at 100 TB (no global order).
+    */
+  val q46_seq_packing: QueryDef = {
+    val (maxTokens, nBuckets) = (2048, 8)
+    QueryDef(
+      "q46_seq_packing",
+      (s, d) => {
+        val withToks = docs(s, d).select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast("long").as("n_tokens"))
+        graft.ops.Packing.packSequences(withToks, "doc_id", "n_tokens",
+          maxTokens, nBuckets)
+      },
+      Some {
+        import DuckXxHash._
+        val hashed = chain("s0",
+          "SELECT doc_id, " +
+            "cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks, " +
+            s"${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("b2", "42::HUGEINT", "b1out"))
+          .steps(hashLongSteps("o1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("o2", "43::HUGEINT", "o1out"))
+        val ch = hashed.cte("keyed",
+          s"SELECT doc_id, toks, ${pmod("b2out", nBuckets.toLong)} AS bucket, " +
+            s"${signed("o2out")} AS ord FROM ${hashed.last}")
+        ch.render(
+          "SELECT doc_id, toks, bucket, " +
+            "CAST(cum AS BIGINT) AS cum, " +
+            s"CAST((cum - toks) // $maxTokens AS BIGINT) AS bin, " +
+            s"CAST((cum - toks) % $maxTokens AS BIGINT) AS offset " +
+            "FROM (SELECT doc_id, toks, bucket, " +
+            "SUM(toks) OVER (PARTITION BY bucket ORDER BY ord, doc_id " +
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM keyed)")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
     q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
+    q45_hash_split, q46_seq_packing,
   )
 }

@@ -273,4 +273,50 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == 80) // 20 assets x 4 frames
     assert(frames.columns.contains("frame_offset_bytes"))
   }
+
+  test("hash split: exhaustive, disjoint, partitioning-invariant, weight-proportional") {
+    val n = docs.count()
+    val split = graft.ops.Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n) // every row in exactly one band
+    assert(counts.keySet.subsetOf(Set(0, 1, 2)))
+    assert(counts(0) > n * 6 / 10, s"train band too small: $counts")
+    // membership is a pure function of the key: repartitioning changes nothing
+    val a = split.select("doc_id", "split").collect().map(_.toString).sorted
+    val b = graft.ops.Sampling.hashSplit(docs.repartition(13), "doc_id", Seq(0.8, 0.1, 0.1))
+      .select("doc_id", "split").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    // deterministicSample(f) is exactly band [0, f) of the same hash cell
+    val sampled = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val band0 = split.filter($"split" === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == band0)
+  }
+
+  test("sequence packing: per-bucket streams are contiguous and chunk math holds") {
+    val withToks = docs.select($"doc_id",
+      (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+        .cast("long").as("n_tokens"))
+    val packed = graft.ops.Packing.packSequences(withToks, "doc_id", "n_tokens",
+      maxTokens = 512, nBuckets = 4)
+    assert(packed.count() == docs.count())
+    val rows = packed.collect()
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      // within a bucket the cumsum is a contiguous token stream
+      val sorted = rs.sortBy(_.getAs[Long]("cum"))
+      var prev = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("cum") == prev + r.getAs[Long]("toks"))
+        assert(r.getAs[Long]("bin") == (r.getAs[Long]("cum") - r.getAs[Long]("toks")) / 512)
+        assert(r.getAs[Long]("offset") == (r.getAs[Long]("cum") - r.getAs[Long]("toks")) % 512)
+        prev = r.getAs[Long]("cum")
+      }
+    }
+    // layout is partitioning-invariant (hash order, not input order)
+    val again = graft.ops.Packing.packSequences(withToks.repartition(7), "doc_id",
+      "n_tokens", maxTokens = 512, nBuckets = 4).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }
