@@ -128,6 +128,47 @@ object SynthQueries {
       Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
         {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
 
+    // vin/imei made driver-checkable THROUGH their checksums: validity is
+    // recomputed from the rendered strings by independent SQL arithmetic
+    // (standard Luhn / ISO-3779 tables spelled out in the expression, NOT
+    // the generator's Checksums code), so a broken check digit in either
+    // generator drops n_valid and fails the hash-match
+    QueryDef("g66_checksum_counts",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, expr, lit, sum => fsum}
+        val luhnOk = expr("""
+          pmod(aggregate(sequence(0, 14), 0L, (acc, i) -> acc +
+            CASE WHEN pmod(14 - i, 2) = 1 THEN
+              IF(2 * cast(substring(imei, i + 1, 1) AS INT) > 9,
+                 2 * cast(substring(imei, i + 1, 1) AS INT) - 9,
+                 2 * cast(substring(imei, i + 1, 1) AS INT))
+            ELSE cast(substring(imei, i + 1, 1) AS INT) END), 10) = 0""")
+        val vinVals = "CASE substring(vin, i + 1, 1) " +
+          (0 to 9).map(d => s"WHEN '$d' THEN $d").mkString(" ") + " " +
+          Seq('A' -> 1, 'B' -> 2, 'C' -> 3, 'D' -> 4, 'E' -> 5, 'F' -> 6,
+            'G' -> 7, 'H' -> 8, 'J' -> 1, 'K' -> 2, 'L' -> 3, 'M' -> 4,
+            'N' -> 5, 'P' -> 7, 'R' -> 9, 'S' -> 2, 'T' -> 3, 'U' -> 4,
+            'V' -> 5, 'W' -> 6, 'X' -> 7, 'Y' -> 8, 'Z' -> 9)
+            .map { case (c, v) => s"WHEN '$c' THEN $v" }.mkString(" ") + " END"
+        val vinOk = expr(s"""
+          IF(pmod(aggregate(sequence(0, 16), 0L, (acc, i) -> acc +
+               element_at(array(8,7,6,5,4,3,2,10,0,9,8,7,6,5,4,3,2), i + 1) *
+               ($vinVals)), 11) = 10, 'X',
+             cast(pmod(aggregate(sequence(0, 16), 0L, (acc, i) -> acc +
+               element_at(array(8,7,6,5,4,3,2,10,0,9,8,7,6,5,4,3,2), i + 1) *
+               ($vinVals)), 11) AS STRING)) = substring(vin, 9, 1)""")
+        val imei = Synth.dataFrame(s, """[{"name": "imei", "class": "imei"}]""", 20000)
+          .agg(fcount(lit(1)).as("n"), fsum(luhnOk.cast("long")).as("n_valid"))
+          .select(lit("imei").as("family"), col("n"), col("n_valid"))
+        val vin = Synth.dataFrame(s, """[{"name": "vin", "class": "vin"}]""", 20000)
+          .agg(fcount(lit(1)).as("n"), fsum(vinOk.cast("long")).as("n_valid"))
+          .select(lit("vin").as("family"), col("n"), col("n_valid"))
+        imei.unionByName(vin)
+      },
+      Some("""SELECT 'imei' AS family, CAST(20000 AS BIGINT) AS n,
+          CAST(20000 AS BIGINT) AS n_valid
+        UNION ALL SELECT 'vin', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)""")),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
