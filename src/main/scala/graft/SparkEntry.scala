@@ -346,6 +346,21 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, centroids,
         nProbe = 4)
     }),
+    // the disk-backed IVF index: corpus written partitioned by cluster
+    // id, probes read back through parquet partition pruning (only the
+    // probed directories are listed) — the storage-layout form of g49's
+    // runtime probe filter. Rows-only like g49 (recall < 1); the
+    // disk==memory equivalence and the PartitionFilters plan shape are
+    // pinned in OpsSpec.
+    q("g67_ann_ivf_disk")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("g67_ivf").toString
+      val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
+      graft.ops.Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir, centroids)
+      graft.ops.Similarity.ivfTopKFromIndex(dir,
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
+    }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)

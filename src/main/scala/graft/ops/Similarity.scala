@@ -129,6 +129,33 @@ object Similarity {
     vectors.withColumn("cluster", assign(col(vecCol).cast("array<double>")))
   }
 
+  /** The nProbe-nearest-centroid expansion of each query vector. */
+  private def probesUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], nProbe: Int) = {
+    val cs = spark.sparkContext.broadcast(centroids)
+    udf { (v: Seq[Double]) =>
+      val x = unit(v.toArray)
+      cs.value.indices
+        .map(c => c -> {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = cs.value(c)(i) - x(i); d += t * t; i += 1 }
+          d
+        })
+        .sortBy(_._2).take(nProbe).map(_._1)
+    }
+  }
+
+  /** Shared probe-join-rank tail of both IVF paths. */
+  private def ivfRank(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    val joined = assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
+    joined
+      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+  }
+
   /** IVF top-k: probe only the `nProbe` clusters nearest to each query —
     * the scan shrinks by ~nCentroids/nProbe. Exactness is traded for
     * recall, the standard IVF contract.
@@ -139,26 +166,61 @@ object Similarity {
     val assigned = assignClusters(vectors, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         col("cluster"))
-    val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val probes = udf { (v: Seq[Double]) =>
-      val x = unit(v.toArray)
-      cs.value.indices
-        .map(c => c -> {
-          var d = 0.0; var i = 0
-          while (i < x.length) { val t = cs.value(c)(i) - x(i); d += t * t; i += 1 }
-          d
-        })
-        .sortBy(_._2).take(nProbe).map(_._1)
-    }
+    val probes = probesUdf(vectors.sparkSession, centroids, nProbe)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("probe", explode(probes(col("qv")))))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    val joined = assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
-    joined
-      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+    ivfRank(assigned, q, k)
+  }
+
+  /** Persist the IVF index: the corpus written PARTITIONED BY cluster id
+    * plus the centroid table. This turns probing into a storage-layout
+    * guarantee — at 100 TB a query reads only the probed cluster
+    * directories (parquet partition pruning), ~nProbe/nCentroids of the
+    * data, instead of scanning everything and filtering. Size nCentroids
+    * so each cluster directory is a few files of healthy size (hundreds
+    * of MB): too many clusters → small-file problem, too few → weak
+    * pruning.
+    */
+  def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]]): Unit = {
+    val spark = vectors.sparkSession
+    assignClusters(vectors, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq)
+      }: _*)
+    spark.createDataFrame(rows, schema).repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF top-k against a disk index written by [[writeIvfIndex]]. The
+    * probe set is collected driver-side (queries are broadcast-sized by
+    * contract), so the cluster restriction lands in the scan's
+    * PartitionFilters — Spark lists only the probed directories; the
+    * other clusters are never opened.
+    */
+  def ivfTopKFromIndex(indexPath: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val probes = probesUdf(spark, centroids, nProbe)
+    val q0 = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(probes(col("qv"))))
+    val probed = q0.select("probe").distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+        col("cluster"))
+    ivfRank(assigned, broadcast(q0), k)
   }
 }
