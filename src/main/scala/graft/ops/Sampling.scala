@@ -33,6 +33,25 @@ object Sampling {
     df.filter(cell(df, idCol, seed) < (fraction * Resolution).toLong)
   }
 
+  /** Exactly-k-per-stratum deterministic sample (balanced class
+    * sampling): rank rows within each stratum by their key hash and keep
+    * the first k. Order is a pure function of (id, seed), so the sample
+    * is reproducible and partitioning-invariant. The stratum shuffles
+    * once (keyed window); when k is tiny against a massive stratum,
+    * pre-filter with `deterministicSample` at a safe multiple of
+    * k/|stratum| first so only a sliver reaches the sort.
+    */
+  def stratifiedFixedK(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Assign every row a split index 0..k-1 by cumulative weight bands
     * over the same hash cell (train/val/test splits). Bands are
     * half-open and exhaustive, so each row lands in exactly one split.

@@ -472,11 +472,36 @@ object PipelineQueries {
     )
   }
 
+  /** Balanced per-class sampling: exactly k docs per language, picked by
+    * hash order (deterministic, partitioning-invariant). The oracle runs
+    * the same window over the same recomputed hash, so membership AND
+    * the within-stratum ranking reproduce exactly.
+    */
+  val q47_stratified_k: QueryDef = {
+    val k = 50
+    QueryDef(
+      "q47_stratified_k",
+      (s, d) => graft.ops.Sampling.stratifiedFixedK(docs(s, d), "doc_id", "lang", k)
+        .select(col("doc_id"), col("lang")),
+      Some {
+        import DuckXxHash._
+        val hashed = chain("s0",
+          s"SELECT doc_id, lang, ${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val ch = hashed.cte("ranked",
+          s"SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+            s"ORDER BY ${signed("h2out")}, doc_id) AS rk FROM ${hashed.last}")
+        ch.render(s"SELECT doc_id, lang FROM ${ch.last} WHERE rk <= $k")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
     q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
-    q45_hash_split, q46_seq_packing,
+    q45_hash_split, q46_seq_packing, q47_stratified_k,
   )
 }

@@ -313,6 +313,22 @@ class OpsSpec extends AnyFunSuite {
     assert(sampled == band0)
   }
 
+  test("stratified fixed-k: exactly k per stratum, partitioning-invariant") {
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 7
+    val sampled = graft.ops.Sampling.stratifiedFixedK(docs, "doc_id", "lang", k)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(k.toLong, n), s"$lang: ${counts.get(lang)}")
+    }
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = graft.ops.Sampling.stratifiedFixedK(docs.repartition(11), "doc_id", "lang", k)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("sequence packing: per-bucket streams are contiguous and chunk math holds") {
     val withToks = docs.select($"doc_id",
       (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
