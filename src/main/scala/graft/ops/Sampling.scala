@@ -52,6 +52,41 @@ object Sampling {
       .drop("rk")
   }
 
+  /** Rebalance a multi-source corpus to target mixture proportions (the
+    * data-mixing step of a pretraining pipeline): downsample every
+    * source so the kept rows follow `sharesPpm` (parts-per-million per
+    * source), keeping as much data as the binding source allows.
+    *
+    * All arithmetic is integer (T = min over sources of cnt*1M div
+    * share; per-source keep threshold = T*share div cnt), and membership
+    * is the usual hash cell — deterministic, partitioning-invariant, and
+    * reproducible in plain SQL. Fully distributed: one map-side
+    * combinable count per source, a broadcast of the tiny threshold
+    * table, and a partition-local filter; no driver-side loops. Sources
+    * absent from `sharesPpm` are dropped.
+    */
+  def remixSources(df: DataFrame, idCol: String, sourceCol: String,
+      sharesPpm: Map[String, Long], seed: Long = 42L): DataFrame = {
+    require(sharesPpm.nonEmpty && sharesPpm.values.forall(_ > 0),
+      "sharesPpm must be positive")
+    val share = sharesPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, ppm)) => when(col(sourceCol) === s, ppm).otherwise(acc)
+    }
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share_ppm", share)
+      .filter(col("share_ppm").isNotNull)
+    // the largest kept total T such that every source can still supply
+    // its share: the binding source is the one that runs out first
+    val t = counts.agg(min(expr(s"cnt * ${Resolution} div share_ppm")).as("t"))
+    val thr = counts.crossJoin(broadcast(t))
+      .withColumn("thr", expr(s"t * share_ppm div cnt"))
+      .select(col(sourceCol), col("thr"))
+    df.join(broadcast(thr), sourceCol)
+      .filter(cell(df, idCol, seed) < col("thr"))
+      .drop("thr")
+  }
+
   /** Assign every row a split index 0..k-1 by cumulative weight bands
     * over the same hash cell (train/val/test splits). Bands are
     * half-open and exhaustive, so each row lands in exactly one split.

@@ -497,11 +497,46 @@ object PipelineQueries {
     )
   }
 
+  /** Data mixing: rebalance three sources to a 50/30/20 target. Integer
+    * threshold math (T = min(cnt*1M div share); thr = T*share div cnt)
+    * plus the hash cell reproduce exactly in DuckDB, counts and all — no
+    * constant smuggled from the Spark side.
+    */
+  val q48_source_remix: QueryDef = {
+    val shares = Seq("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L)
+    QueryDef(
+      "q48_source_remix",
+      (s, d) => graft.ops.Sampling.remixSources(docs(s, d), "doc_id", "source",
+        shares.toMap)
+        .select(col("doc_id"), col("source")),
+      Some {
+        import DuckXxHash._
+        val hashed = chain("s0",
+          s"SELECT doc_id, source, ${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val ch = hashed
+          .cte("cells", s"SELECT doc_id, source, ${pmod("h2out", 1000000L)} AS cellv " +
+            s"FROM ${hashed.last}")
+          .cte("shares", "SELECT * FROM (VALUES " +
+            shares.map { case (s0, p) => s"('$s0', CAST($p AS BIGINT))" }.mkString(", ") +
+            ") AS t(source, share_ppm)")
+          .cte("cnts", "SELECT source, count(*) AS cnt FROM documents GROUP BY source")
+          .cte("thr", "SELECT c.source, " +
+            "(SELECT min(cnt * 1000000 // share_ppm) FROM cnts JOIN shares USING (source))" +
+            " * share_ppm // cnt AS thr " +
+            "FROM cnts c JOIN shares USING (source)")
+        ch.render("SELECT doc_id, source FROM cells JOIN thr USING (source) " +
+          "WHERE cellv < thr")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
     q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
-    q45_hash_split, q46_seq_packing, q47_stratified_k,
+    q45_hash_split, q46_seq_packing, q47_stratified_k, q48_source_remix,
   )
 }

@@ -329,6 +329,27 @@ class OpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("source remix hits the target mixture within hash jitter") {
+    // 3 sources of different sizes; target 50/25/25. The binding sources
+    // are b and c (500 rows each at 25% → T = 2000 total): b and c keep
+    // everything (threshold 1e6), a keeps ~1000 of 4000 (threshold 250k)
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("src",
+        when($"id" < 4000, "a").when($"id" < 4500, "b").otherwise("c"))
+    val out = graft.ops.Sampling.remixSources(df, "id", "src",
+      Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L))
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(4000/0.5, 500/0.25, 500/0.25) = 2000 →
+    // targets: a 1000, b 500 (all), c 500 (all)
+    assert(counts("b") == 500 && counts("c") == 500, counts.toString)
+    assert(math.abs(counts("a") - 1000L) < 100, counts.toString) // hash jitter
+    // dropped sources vanish
+    val dropped = graft.ops.Sampling.remixSources(df, "id", "src",
+      Map("a" -> 1000000L))
+    assert(dropped.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("sequence packing: per-bucket streams are contiguous and chunk math holds") {
     val withToks = docs.select($"doc_id",
       (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
