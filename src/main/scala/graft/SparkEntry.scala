@@ -128,6 +128,15 @@ object SynthQueries {
       Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
         {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
 
+    // the header lowering, hash-match-checked end-to-end: every line of
+    // the rendered request (urls, host, user-agent pick + version
+    // substitution, accept/language/encoding draws) reproduced in DuckDB
+    QueryDef("g68_header_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "hdr", "class": "header"}]""", 20000),
+      Some(HeaderOracle.sql)),
+
     // vin/imei made driver-checkable THROUGH their checksums: validity is
     // recomputed from the rendered strings by independent SQL arithmetic
     // (standard Luhn / ISO-3779 tables spelled out in the expression, NOT
@@ -675,6 +684,57 @@ object GeoOracle {
         s"(list_extract(${strList(rows.map(_.city))}, $idx)) AS city, " +
         s"(list_extract(${strList(rows.map(_.state))}, $idx)) AS state " +
         s"FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g68_header_bits: the header fast path recomputed
+  * line by line — url printf pieces, host, the browser ladder with the
+  * per-browser user-agent pick and `%d` version substitution, the
+  * accept/language/encoding draws, and the exact template text
+  * (including the curly-quote etag signature). Newlines are embedded
+  * literally in the SQL string literals.
+  */
+object HeaderOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq(
+      "im" -> "hdr#img", "ua" -> "hdr#ua", "ub" -> "hdr#ub", "ho" -> "hdr#h",
+      "b" -> "hdr/b", "ui" -> "hdr#ui", "uv" -> "hdr#uv", "l" -> "hdr/l",
+      "e" -> "hdr#e", "ra" -> "hdr#ra", "rb" -> "hdr#rb"))
+    val img = s"(${uniform("h_im")} < 0.3)"
+    def urlSql(a: String, b: String, ext: String): String =
+      s"('http://foo.bar.com/' || printf('%06d', ${pmod(s"h_$a", 1000000L)}) || '/' || " +
+        s"printf('%06x', ${pmod(s"h_$b", 16777216L)}) || $ext)"
+    val getUrl = urlSql("ua", "ub", s"(CASE WHEN $img THEN '.jpg' ELSE '.html' END)")
+    val referer = urlSql("ra", "rb", "'.html'")
+    val host = s"printf('x%03d.foo.com', ${pmod("h_ho", 5L)})"
+    val bLad = caseLadder(uniform("h_b"), SeedData.browsers)
+    val ver = s"CAST(${pmod("h_uv", 40L)} + 90 AS VARCHAR)"
+    val uaCase = s"(CASE $bLad " + SeedData.browsers.map(_._1).map { name =>
+      val uas = SeedData.userAgents(name)
+      val pick = s"list_extract(${uas.map(u => s"'$u'").mkString("[", ", ", "]")}, " +
+        s"${pmod("h_ui", uas.length.toLong)} + 1)"
+      s"WHEN '$name' THEN replace($pick, '%d', $ver)"
+    }.mkString(" ") + " END)"
+    val lLad = caseLadder(uniform("h_l"), SeedData.headerLangs)
+    val langLine = s"($lLad || '-' || upper($lLad) || ',' || $lLad || ';q=0.5')"
+    val enc = s"(CASE ${pmod("h_e", 3L)} WHEN 0 THEN 'gzip' WHEN 1 THEN 'deflate' " +
+      "ELSE 'gzip, deflate' END)"
+    val accept = s"(CASE WHEN $img THEN 'image/png,image/*;q=0.8,*/*;q=0.5' " +
+      "ELSE 'text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8' END)"
+    ch.render(
+      s"SELECT i, 'GET ' || $getUrl || ' HTTP/1.1\n' || " +
+        s"'Host: ' || $host || '\n' || " +
+        s"'User-Agent: ' || $uaCase || '\n' || " +
+        s"'Accept: ' || $accept || '\n' || " +
+        s"'Accept-Language: ' || $langLine || '\n' || " +
+        s"'Accept-Encoding: ' || $enc || '\n' || " +
+        s"'Referer: ' || $referer || '\n' || " +
+        "'Connection: keep-alive\n' || " +
+        "'If-None-Match: \"v9”\n' || " +
+        s"'Cache-Control: max-age=0\n' AS hdr FROM ${ch.last}")
   }
 }
 

@@ -279,6 +279,14 @@ object SeedData {
 
   // --------------------------------------------------------------- internet
 
+  /** Accept-Language weights for the header sampler (shared by the
+    * interpreter, the Catalyst lowering, and the DuckDB oracle — one
+    * copy so the three can't drift).
+    */
+  val headerLangs: Vector[(String, Double)] = Vector("en" -> 6.0, "es" -> 1.2,
+    "zh" -> 1.2, "de" -> 0.8, "fr" -> 0.8, "pt" -> 0.5, "ru" -> 0.5,
+    "ja" -> 0.4, "it" -> 0.3, "ko" -> 0.3)
+
   val tlds: Vector[(String, Double)] = Vector(
     "com" -> 60.0, "org" -> 10.0, "net" -> 8.0, "io" -> 5.0, "co" -> 4.0,
     "edu" -> 3.0, "gov" -> 2.0, "biz" -> 2.0, "info" -> 2.0, "us" -> 2.0,

@@ -415,6 +415,63 @@ object ColumnCompiler {
       val stems = SeedData.usernames.zipWithIndex.map { case (s, i) => s -> 1.0 / (i + 1) }
       multinomialCol(ctx.child("stem"), stems).map(stem =>
         concat(stem, pmod(hashBits(ctx, "#sfx"), lit(1000L)).cast("string")))
+    case "header" if f.str("prolog").isEmpty =>
+      // stateless per record: every line's draw gets its own hash salt.
+      // Same template text as the interpreter's HeaderSampler; the draws
+      // come from a different (hash-keyed) stream, like every fast path.
+      val t = f.str("type").map(_.toLowerCase).getOrElse("normal")
+      if (!Set("normal", "mal1", "mal2", "mal3", "ababil").contains(t)) return None
+      val isImage = u(ctx, "#img") < 0.3
+      def urlCol(tagA: String, tagB: String, img: Column): Column = concat(
+        lit("http://foo.bar.com/"),
+        format_string("%06d", pmod(hashBits(ctx, tagA), lit(1000000L))),
+        lit("/"),
+        format_string("%06x", pmod(hashBits(ctx, tagB), lit(16777216L))),
+        when(img, ".jpg").otherwise(".html"))
+      val host = format_string("x%03d.foo.com", pmod(hashBits(ctx, "#h"), lit(5L)))
+      if (t == "ababil")
+        Some(concat(lit("GET "), urlCol("#ua", "#ub", isImage), lit("\n"),
+          lit("Host: "), host, lit("\n"),
+          lit("User-Agent: Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1;)\n" +
+            "Accept-Encoding: deflate\nAccept-Charset: UTF-8\n" +
+            "Accept-Language: fr\nCache-Control: no-cache\n" +
+            "Pragma: no-cache\nConnection: Keep-Alive\n")))
+      else {
+        def h(name: String): String = if (t == "mal3") name.toLowerCase else name
+        val b = multinomialCol(ctx.child("b"), SeedData.browsers).getOrElse(return None)
+        val ver = (pmod(hashBits(ctx, "#uv"), lit(40L)) + 90).cast("string")
+        val browserNames = SeedData.browsers.map(_._1)
+        def uaFor(name: String): Column = {
+          val uas = SeedData.userAgents(name)
+          val idx = (pmod(hashBits(ctx, "#ui"), lit(uas.length.toLong)) + 1).cast("int")
+          replace(element_at(array(uas.map(lit): _*), idx), lit("%d"), ver)
+        }
+        val ua = browserNames.init.reverse.foldLeft(uaFor(browserNames.last)) {
+          case (acc, name) => when(b === name, uaFor(name)).otherwise(acc)
+        }
+        val accept = when(isImage, lit("image/png,image/*;q=0.8,*/*;q=0.5"))
+          .otherwise(lit("text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"))
+        val l = multinomialCol(ctx.child("l"), SeedData.headerLangs).getOrElse(return None)
+        val langLine = concat(l, lit("-"), upper(l), lit(","), l, lit(";q=0.5"))
+        val enc: Column = t match {
+          case "mal1" => lit("identity")
+          case "mal2" => lit("             ")
+          case _ =>
+            val e = pmod(hashBits(ctx, "#e"), lit(3L))
+            when(e === 0, "gzip").when(e === 1, "deflate").otherwise("gzip, deflate")
+        }
+        Some(concat(
+          lit("GET "), urlCol("#ua", "#ub", isImage), lit(" HTTP/1.1\n"),
+          lit(s"${h("Host")}: "), host, lit("\n"),
+          lit(s"${h("User-Agent")}: "), ua, lit("\n"),
+          lit(s"${h("Accept")}: "), accept, lit("\n"),
+          lit(s"${h("Accept-Language")}: "), langLine, lit("\n"),
+          lit(s"${h("Accept-Encoding")}: "), enc, lit("\n"),
+          lit(s"${h("Referer")}: "), urlCol("#ra", "#rb", lit(false)), lit("\n"),
+          lit(s"${h("Connection")}: keep-alive\n"),
+          lit(s"${h("If-None-Match")}: \"v9”\n"),
+          lit(s"${h("Cache-Control")}: max-age=0\n")))
+      }
     case "map" =>
       import scala.jdk.CollectionConverters._
       val subs = f.node("value").map { n =>

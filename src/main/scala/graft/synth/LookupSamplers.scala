@@ -331,9 +331,7 @@ object LookupSamplers {
   final class HeaderSampler(tpe: String, prolog: Option[String]) extends Sampler {
     val dataType: DataType = StringType
     private val browser = Multinomial(SeedData.browsers)
-    private val langCodes = Multinomial(Vector("en" -> 6.0, "es" -> 1.2,
-      "zh" -> 1.2, "de" -> 0.8, "fr" -> 0.8, "pt" -> 0.5, "ru" -> 0.5,
-      "ja" -> 0.4, "it" -> 0.3, "ko" -> 0.3))
+    private val langCodes = Multinomial(SeedData.headerLangs)
 
     private def url(rng: java.util.Random, isImage: Boolean): String =
       f"http://foo.bar.com/${rng.nextInt(1000000)}%06d/${rng.nextInt(0x1000000)}%06x" +

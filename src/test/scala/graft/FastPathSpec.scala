@@ -73,6 +73,29 @@ class FastPathSpec extends AnyFunSuite {
     assert(rows.map(_.take(3).toInt).distinct.length > areas.size / 2)
   }
 
+  test("fast path header renders the interpreter's template shape") {
+    assert(ColumnCompiler.supported("""[{"name": "h", "class": "header"}]"""))
+    // prolog stays on the interpreter
+    assert(!ColumnCompiler.supported(
+      """[{"name": "h", "class": "header", "prolog": "X"}]"""))
+    val rows = Synth.dataFrameAuto(spark,
+      """[{"name": "h", "class": "header"},
+          {"name": "hm", "class": "header", "type": "mal3"},
+          {"name": "ha", "class": "header", "type": "ababil"}]""", 200, seed = 3)
+      .collect()
+    val interpLines = Synth.dataFrame(spark,
+      """[{"name": "h", "class": "header"}]""", 50, seed = 3)
+      .collect().map(_.getString(0).split("\n").map(_.takeWhile(_ != ':')).toSeq)
+    rows.foreach { r =>
+      val lines = r.getAs[String]("h").split("\n")
+      // same header-name sequence as the interpreter's template
+      assert(lines.map(_.takeWhile(_ != ':')).toSeq == interpLines.head)
+      assert(lines(0).matches("GET http://foo\\.bar\\.com/\\d{6}/[0-9a-f]{6}\\.(jpg|html) HTTP/1\\.1"))
+      assert(r.getAs[String]("hm").contains("user-agent: ")) // mal3 lowercases
+      assert(r.getAs[String]("ha").contains("MSIE 6.0"))     // ababil fixed UA
+    }
+  }
+
   test("fast path int is uniform over a negative-min range (floor, not truncate)") {
     val xs = Synth.dataFrameAuto(spark,
       """[{"name": "x", "class": "int", "min": -10, "max": 10}]""", 20000, seed = 6)
