@@ -137,6 +137,18 @@ object SynthQueries {
             {"name": "hdr", "class": "header"}]""", 20000),
       Some(HeaderOracle.sql)),
 
+    // the toll lowering, hash-match-checked: the zip-row pick, the
+    // 365-day range timestamp, and the country constant — scalar
+    // projections of the struct so the checker compares plain columns
+    QueryDef("g69_toll_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "t", "class": "toll"}]""", 20000)
+        .select(col("i"), col("t.location.zip").as("zip"),
+          col("t.location.city").as("city"), col("t.location.state").as("state"),
+          col("t.timestamp").as("ts"), col("t.country").as("country")),
+      Some(TollOracle.sql)),
+
     // vin/imei made driver-checkable THROUGH their checksums: validity is
     // recomputed from the rendered strings by independent SQL arithmetic
     // (standard Luhn / ISO-3779 tables spelled out in the expression, NOT
@@ -735,6 +747,32 @@ object HeaderOracle {
         "'Connection: keep-alive\n' || " +
         "'If-None-Match: \"v9”\n' || " +
         s"'Cache-Control: max-age=0\n' AS hdr FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g69_toll_bits: the toll struct's zip-row pick
+  * (shared pmod index keeps zip/city/state row-consistent), the 365-day
+  * range timestamp in UTC, and the country constant.
+  */
+object TollOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq("zp" -> "t/location", "d" -> "t/timestamp"))
+    val rows = SeedData.continentalZips
+    def strList(xs: Seq[String]): String =
+      xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    val idx = s"(${pmod("h_zp", rows.length.toLong)} + 1)"
+    val e0 = 1375315200000L
+    val s0 = e0 - 365L * 86400000L
+    val ms = s"CAST(floor(${uniform("h_d")} * ${e0 - s0} + $s0) AS BIGINT)"
+    ch.render(
+      s"SELECT i, (list_extract(${strList(rows.map(_.zip))}, $idx)) AS zip, " +
+        s"(list_extract(${strList(rows.map(_.city))}, $idx)) AS city, " +
+        s"(list_extract(${strList(rows.map(_.state))}, $idx)) AS state, " +
+        s"strftime(epoch_ms($ms), '%Y-%m-%d %H:%M:%S') AS ts, " +
+        s"'usa' AS country FROM ${ch.last}")
   }
 }
 

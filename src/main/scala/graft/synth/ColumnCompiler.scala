@@ -415,6 +415,26 @@ object ColumnCompiler {
       val stems = SeedData.usernames.zipWithIndex.map { case (s, i) => s -> 1.0 / (i + 1) }
       multinomialCol(ctx.child("stem"), stems).map(stem =>
         concat(stem, pmod(hashBits(ctx, "#sfx"), lit(1000L)).cast("string")))
+    case "toll" =>
+      // struct of a continental-zip row, a range timestamp, and the
+      // country constant — the same shape the interpreter's MapSampler
+      // composes (Compiler "toll")
+      val zctx = ctx.child("location")
+      val rows = SeedData.continentalZips
+      val idx = pmod(hashBits(zctx), lit(rows.length.toLong)).cast("int")
+      def pickz(vals: Seq[Column]): Column = element_at(array(vals: _*), idx + 1)
+      val loc = struct(
+        pickz(rows.map(z => lit(z.zip))).as("zip"),
+        pickz(rows.map(z => lit(z.city))).as("city"),
+        pickz(rows.map(z => lit(z.state))).as("state"),
+        pickz(rows.map(z => lit(z.latitude))).as("latitude"),
+        pickz(rows.map(z => lit(z.longitude))).as("longitude"))
+      val e0 = 1375315200000L
+      val s0 = e0 - 365L * 86400000L
+      val ms = (u(ctx.child("timestamp")) * (e0 - s0) + s0).cast("long")
+      Some(struct(loc.as("location"),
+        date_format(timestamp_millis(ms), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        lit(f.str("country").getOrElse("usa")).as("country")))
     case "header" if f.str("prolog").isEmpty =>
       // stateless per record: every line's draw gets its own hash salt.
       // Same template text as the interpreter's HeaderSampler; the draws
