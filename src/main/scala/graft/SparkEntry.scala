@@ -190,6 +190,45 @@ object SynthQueries {
           CAST(20000 AS BIGINT) AS n_valid
         UNION ALL SELECT 'vin', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)""")),
 
+    // the stateful generators (CRP domains, PY words, markov text,
+    // vehicle composites) made driver-checkable through INVARIANTS
+    // recomputed independently in SQL: format regexes, the
+    // domain-reversal identity, the exact markov word count, and the
+    // vehicle field shapes — each family must validate on every row,
+    // counted against a constant oracle
+    QueryDef("g70_invariant_counts",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, expr, lit, sum => fsum}
+        def fam(name: String, df: org.apache.spark.sql.DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          df.agg(fcount(lit(1)).as("n"), fsum(ok.cast("long")).as("n_ok"))
+            .select(lit(name).as("family"), col("n"), col("n_ok"))
+        val email = Synth.dataFrame(s, """[{"name": "e", "class": "email"}]""", 20000)
+        val domain = Synth.dataFrame(s, """[{"name": "d", "class": "domain"}]""", 20000)
+        val word = Synth.dataFrame(s, """[{"name": "w", "class": "word"}]""", 20000)
+        val text = Synth.dataFrame(s,
+          """[{"name": "t", "class": "text", "words": 20}]""", 5000)
+        val vehicle = Synth.dataFrame(s, """[{"name": "v", "class": "vehicle"}]""", 20000)
+        fam("email", email, col("e").rlike("^[a-z]+\\.[a-z]+@[a-z0-9.-]+$"))
+          .unionByName(fam("domain_rev", domain,
+            col("d.revDomain") === expr(
+              "array_join(reverse(split(d.domain, '\\\\.')), '.')")))
+          .unionByName(fam("word", word, col("w").rlike("^[a-z][a-z0-9]*$")))
+          .unionByName(fam("markov_20w", text,
+            expr("size(split(t, ' ')) = 20")))
+          .unionByName(fam("vehicle", vehicle,
+            col("v.license").rlike("^[A-Z]{3}-[0-9]{3}$") &&
+              expr("length(v.vin) = 17") &&
+              col("v.expiration").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('email', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)),
+          ('domain_rev', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)),
+          ('word', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)),
+          ('markov_20w', CAST(5000 AS BIGINT), CAST(5000 AS BIGINT)),
+          ('vehicle', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT))
+        ) AS t(family, n, n_ok)""")),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
