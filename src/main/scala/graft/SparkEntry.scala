@@ -229,6 +229,74 @@ object SynthQueries {
           ('vehicle', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT))
         ) AS t(family, n, n_ok)""")),
 
+    // the fan-out simulations (dns, commuter, changer, cpoc, bursts)
+    // driver-checked through VIOLATION counts: their row counts vary
+    // with the simulated fan-out, but the number of rows violating the
+    // recomputed invariants (format/flag consistency, timestamp
+    // rendering, physical ranges, monotonicity, change-flag arithmetic)
+    // is exactly zero — a constant the oracle can state
+    QueryDef("g71_sim_violations",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{expr, lit, sum => fsum}
+        def fam(name: String, df: org.apache.spark.sql.DataFrame,
+            bad: org.apache.spark.sql.Column) =
+          df.agg(fsum(bad.cast("long")).as("n_bad"))
+            .select(lit(name).as("family"), col("n_bad"))
+        val tsRe = "'yyyy-MM-dd HH:mm:ss'"
+        val dns = Synth.dataFrame(s,
+          """[{"class": "dns", "flat": true, "meanQueries": 20}]""", 1000)
+        val v4 = "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}" +
+          "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"
+        val v6 = "^[0-9a-f]{1,4}(:[0-9a-f]{0,4})+$"
+        val dnsBad = !((col("ipV4") && col("ip").rlike(v4)) ||
+            (!col("ipV4") && col("ip").rlike(v6))) ||
+          col("timestamp_s") =!= expr("timestamp_ms div 1000") ||
+          col("time") =!= expr(s"date_format(timestamp_millis(timestamp_ms), $tsRe)")
+        val commuter = CannedSources.commuterData(s, 20, Some("10001"))
+        val comBad = col("mph") < 0 || col("mph") > 150 ||
+          col("rpm") < 0 || col("rpm") > 10000 ||
+          col("throttle") < 0 || col("throttle") > 100 || // percent, not fraction
+          col("latitude") < 15 || col("latitude") > 75 ||
+          col("longitude") < -170 || col("longitude") > -60 ||
+          col("timestamp") =!= expr(s"date_format(timestamp_millis(t), $tsRe)")
+        val changer = Synth.dataFrame(s,
+          """[{"name": "cust", "class": "id"},
+              {"name": "track", "class": "changer", "count": 8, "rate": "1/d",
+               "values": [
+                 {"name": "state", "class": "state"},
+                 {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000)
+        // the first element flags EVERY field as changed (initial state);
+        // each later element flags exactly one
+        val chBad = expr("size(track) != 8") ||
+          expr("element_at(track, 1).changes.state + " +
+            "element_at(track, 1).changes.score != 2") ||
+          !expr("forall(slice(track, 2, size(track) - 1), " +
+            "e -> e.changes.state + e.changes.score = 1)")
+        val cpoc = Synth.dataFrame(s,
+          """[{"name": "user", "class": "id"},
+              {"name": "history", "class": "common-point-of-compromise"}]""", 2000)
+        val cpBad = !expr("forall(history, e -> (e.fraud = 0 OR e.fraud = 1) " +
+            s"AND e.merchant >= 0 " +
+            s"AND e.date = date_format(timestamp_millis(e.timestamp_ms), $tsRe))") ||
+          !expr("forall(zip_with(slice(history, 1, size(history) - 1), " +
+            "slice(history, 2, size(history) - 1), " +
+            "(x, y) -> x.timestamp_ms <= y.timestamp_ms), b -> b)")
+        val bursts = Synth.dataFrame(s,
+          """[{"name": "b", "class": "bursts", "value": {"class": "double"}}]""", 5000)
+        val buBad = col("b.timestamp_s") =!= expr("b.timestamp_ms div 1000") ||
+          col("b.time") =!= expr(s"date_format(timestamp_millis(b.timestamp_ms), $tsRe)")
+        fam("dns", dns, dnsBad)
+          .unionByName(fam("commuter", commuter, comBad))
+          .unionByName(fam("changer", changer, chBad))
+          .unionByName(fam("cpoc", cpoc, cpBad))
+          .unionByName(fam("bursts", bursts, buBad))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('dns', CAST(0 AS BIGINT)), ('commuter', CAST(0 AS BIGINT)),
+          ('changer', CAST(0 AS BIGINT)), ('cpoc', CAST(0 AS BIGINT)),
+          ('bursts', CAST(0 AS BIGINT))
+        ) AS t(family, n_bad)""")),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
