@@ -149,6 +149,49 @@ object SynthQueries {
           col("t.timestamp").as("ts"), col("t.country").as("country")),
       Some(TollOracle.sql)),
 
+    // the string-dist and text-bag lowerings (user-supplied weighted
+    // multinomials), hash-match-checked with the same spec-order ladder
+    QueryDef("g72_dist_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"name": "st", "class": "string",
+             "dist": {"alpha": 5, "beta": 3, "gamma": 1.5, "delta": 0.5}},
+            {"name": "tb", "class": "text",
+             "dist": {"lorem ipsum": 2, "dolor sit amet": 1, "consectetur": 1}}]""",
+        20000),
+      Some(DistOracle.sql)),
+
+    // couplings and shape contracts the relational oracles can't see,
+    // counted against constants: the name -> email-name side channel
+    // (local part == lowercased name), zip prefix restriction with
+    // city consistency, and the address number+street shape
+    QueryDef("g73_coupling_counts",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, expr, lit, sum => fsum}
+        def fam(name: String, df: org.apache.spark.sql.DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          df.agg(fcount(lit(1)).as("n"), fsum(ok.cast("long")).as("n_ok"))
+            .select(lit(name).as("family"), col("n"), col("n_ok"))
+        val coupled = Synth.dataFrame(s,
+          """[{"name": "nm", "class": "name", "type": "first_last"},
+              {"name": "em", "class": "email-name"}]""", 20000)
+        val zp = Synth.dataFrame(s,
+          """[{"name": "z", "class": "zip", "zip": "100", "fields": "zip, city"}]""",
+          20000)
+        val addr = Synth.dataFrame(s, """[{"name": "a", "class": "address"}]""", 20000)
+        fam("email_name", coupled,
+          expr("split(em, '@')[0]") === expr("lower(replace(nm, ' ', '.'))"))
+          .unionByName(fam("zip_prefix", zp,
+            col("z.zip").startsWith("100") && (col("z.city") === "NEW YORK")))
+          .unionByName(fam("address", addr,
+            col("a").rlike("^[1-9][0-9]* [A-Z]+ [A-Z]+ [A-Z]+$")))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('email_name', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)),
+          ('zip_prefix', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT)),
+          ('address', CAST(20000 AS BIGINT), CAST(20000 AS BIGINT))
+        ) AS t(family, n, n_ok)""")),
+
     // vin/imei made driver-checkable THROUGH their checksums: validity is
     // recomputed from the rendered strings by independent SQL arithmetic
     // (standard Luhn / ISO-3779 tables spelled out in the expression, NOT
@@ -854,6 +897,22 @@ object HeaderOracle {
         "'Connection: keep-alive\n' || " +
         "'If-None-Match: \"v9”\n' || " +
         s"'Cache-Control: max-age=0\n' AS hdr FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g72_dist_bits: the user-supplied multinomials as
+  * CASE ladders over the identical spec-order cumulative weights.
+  */
+object DistOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = uniformChain(20000, Seq("st" -> "st", "tb" -> "tb"))
+    val st = caseLadder(uniform("h_st"),
+      Seq("alpha" -> 5.0, "beta" -> 3.0, "gamma" -> 1.5, "delta" -> 0.5))
+    val tb = caseLadder(uniform("h_tb"),
+      Seq("lorem ipsum" -> 2.0, "dolor sit amet" -> 1.0, "consectetur" -> 1.0))
+    ch.render(s"SELECT i, $st AS st, $tb AS tb FROM ${ch.last}")
   }
 }
 

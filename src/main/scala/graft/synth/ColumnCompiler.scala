@@ -372,6 +372,13 @@ object ColumnCompiler {
       val items = f.node("dist").map(_.properties().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asDouble(1.0))).getOrElse(return None)
       multinomialCol(ctx, items)
+    case "text" if f.node("dist").isDefined =>
+      // the bag mode (dist wins over type/words, mirroring Compiler's
+      // precedence); quote/markov modes stay on the interpreter
+      import scala.jdk.CollectionConverters._
+      val items = f.node("dist").get.properties().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asDouble(1.0))
+      multinomialCol(ctx, items)
     case "country"  => multinomialCol(ctx, SeedData.countries)
     case "state"    => multinomialCol(ctx, SeedData.states)
     case "language" => multinomialCol(ctx, SeedData.languages)
