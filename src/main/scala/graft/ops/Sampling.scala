@@ -77,9 +77,14 @@ object Sampling {
       .withColumn("share_ppm", share)
       .filter(col("share_ppm").isNotNull)
     // the largest kept total T such that every source can still supply
-    // its share: the binding source is the one that runs out first
-    val t = counts.agg(min(expr(s"cnt * ${Resolution} div share_ppm")).as("t"))
-    val thr = counts.crossJoin(broadcast(t))
+    // its share: the binding source is the one that runs out first. T is
+    // a global min over the per-source counts — an unpartitioned window
+    // over a frame that is dimension-sized BY CONSTRUCTION (one row per
+    // source), so the single-partition window is a non-issue and the
+    // plan stays free of nested-loop joins
+    val thr = counts
+      .withColumn("t", min(expr(s"cnt * ${Resolution} div share_ppm"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("thr", expr(s"t * share_ppm div cnt"))
       .select(col(sourceCol), col("thr"))
     df.join(broadcast(thr), sourceCol)
