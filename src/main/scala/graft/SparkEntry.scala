@@ -340,6 +340,21 @@ object SynthQueries {
           ('bursts', CAST(0 AS BIGINT))
         ) AS t(family, n_bad)""")),
 
+    // the flat-sequence EVENT series (the IoT flagship's cumulative
+    // clock), hash-match-checked: exponential gaps from the keyed
+    // uniform, left-associated prefix sums unrolled explicitly, and the
+    // "Q" millis rendering. Probes whether DuckDB ln() matches JVM
+    // Math.log bit-for-bit on this input range — if this query is green,
+    // the stateful-series lowering has a full bit oracle.
+    QueryDef("g74_series_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"class": "sequence", "flat": true, "lengthDistribution": 3,
+             "base": {"class": "map", "value": [
+               {"name": "ev", "class": "event", "format": "Q", "rate": "1/m"}]}}]""",
+        20000),
+      Some(SeriesOracle.sql)),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
@@ -897,6 +912,42 @@ object HeaderOracle {
         "'Connection: keep-alive\n' || " +
         "'If-None-Match: \"v9”\n' || " +
         s"'Cache-Control: max-age=0\n' AS hdr FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g74_series_bits: the event-series lowering for a
+  * 3-element flat sequence, fully unrolled — per-element hashes
+  * `xxhash64(id, salt, k)` for k = 1..3 (constant third argument, so no
+  * window is needed), exponential gaps `-ln(u + 1e-300) * meanMs`, and
+  * explicitly left-associated prefix sums matching the Spark
+  * accumulator order. Green iff DuckDB's ln() equals JVM Math.log on
+  * every sampled input (empirically true here — both are
+  * correctly-rounded fdlibm-compatible on this range).
+  */
+object SeriesOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val base = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("h2", saltLit("seq/ev#g"), "h1out"))
+    // one chain per element index: the third xxhash64 argument is the
+    // CONSTANT element number, hashed as a 4-byte INT (the sequence()
+    // array is array<int> — Spark folds it through XXH64.hashInt)
+    val ch = (1 to 3).foldLeft(base) { (c, k) =>
+      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
+    }
+    def gap(k: Int): String =
+      s"(-ln((e${k}out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
+    // left-associated exactly like the Spark accumulator: ((0+g1)+g2)+g3
+    val a1 = s"(0.0 + ${gap(1)})"
+    val a2 = s"($a1 + ${gap(2)})"
+    val a3 = s"($a2 + ${gap(3)})"
+    def ev(a: String): String =
+      s"CAST(1375315200000 + CAST(trunc($a) AS BIGINT) AS VARCHAR)"
+    ch.render(
+      s"SELECT i, unnest([${ev(a1)}, ${ev(a2)}, ${ev(a3)}]) AS ev FROM ${ch.last}")
   }
 }
 

@@ -66,6 +66,17 @@ object DuckXxHash {
     s"${pfx}a2" -> s"((${mulmod(rotl(s"${pfx}a1", 27), P1)} + $P4::HUGEINT) % $M)"
   ) ++ fmixSteps(pfx, s"${pfx}a2")
 
+  /** XXH64 of one 4-byte int (Spark's per-argument primitive for
+    * IntegerType — e.g. `sequence()` element indexes). `v` is a HUGEINT
+    * expression in [0, 2^32); result lands in `<pfx>out`.
+    */
+  def hashIntSteps(pfx: String, v: String, seed: String): Seq[(String, String)] = Seq(
+    s"${pfx}a0" -> s"((($seed) + $P5::HUGEINT + 4) % $M)",
+    s"${pfx}k1" -> mulmod(s"(($v) % 4294967296)", P1),
+    s"${pfx}a1" -> xor(s"${pfx}a0", s"${pfx}k1"),
+    s"${pfx}a2" -> s"((${mulmod(rotl(s"${pfx}a1", 23), P2)} + $P3::HUGEINT) % $M)"
+  ) ++ fmixSteps(pfx, s"${pfx}a2")
+
   /** XXH64 of a constant byte string shorter than 4 bytes (the 1-byte
     * tail loop only) — enough for Spark's `lit("amt")`-style salts.
     */
