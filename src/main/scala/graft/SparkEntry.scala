@@ -355,6 +355,23 @@ object SynthQueries {
         20000),
       Some(SeriesOracle.sql)),
 
+    // the flat-sequence RANDOM-WALK series (Box-Muller steps, cumulative
+    // sum), bit-checked through floor(w * 1e6) micro-units — floor is
+    // exact on identical doubles, so this is green iff sqrt/ln/cos all
+    // reproduce bit-for-bit (sqrt is IEEE-exact, ln proven by g74, cos
+    // is what this query probes)
+    QueryDef("g75_walk_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"class": "sequence", "flat": true, "lengthDistribution": 3,
+             "base": {"class": "map", "value": [
+               {"name": "w", "class": "random-walk",
+                "start": 30, "mean": 0, "sd": 1}]}}]""", 20000)
+        .select(col("i"),
+          org.apache.spark.sql.functions.floor(col("w") * 1000000d)
+            .cast("long").as("wq")),
+      Some(WalkOracle.sql)),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
@@ -948,6 +965,39 @@ object SeriesOracle {
       s"CAST(1375315200000 + CAST(trunc($a) AS BIGINT) AS VARCHAR)"
     ch.render(
       s"SELECT i, unnest([${ev(a1)}, ${ev(a2)}, ${ev(a3)}]) AS ev FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g75_walk_bits: Box-Muller steps from two keyed
+  * uniform streams (per-element hashInt chains), cumulative sum in the
+  * exact accumulator order, micro-unit floor.
+  */
+object WalkOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val base = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("ha", saltLit("seq/w#a"), "h1out"))
+      .steps(hashLongSteps("hb", saltLit("seq/w#b"), "h1out"))
+    val ch = (1 to 3).foldLeft(base) { (c, k) =>
+      c.steps(hashIntSteps(s"a$k", s"$k::HUGEINT", "haout"))
+        .steps(hashIntSteps(s"b$k", s"$k::HUGEINT", "hbout"))
+    }
+    def u(pfx: String): String = s"((${pfx}out // 2048) * 1.1102230246251565e-16)"
+    // step = sqrt(ln(uA + 1e-300) * -2.0) * cos(uB * 2pi) * sd + mean,
+    // evaluated with sd = 1, mean = 0 exactly as the Spark lowering does
+    def step(k: Int): String =
+      s"(sqrt(ln(${u(s"a$k")} + 1e-300) * -2.0) * " +
+        s"cos(${u(s"b$k")} * 6.283185307179586) * 1.0 + 0.0)"
+    val c1 = s"(0.0 + ${step(1)})"
+    val c2 = s"($c1 + ${step(2)})"
+    val c3 = s"($c2 + ${step(3)})"
+    def wq(c: String): String =
+      s"CAST(floor(($c + 30.0) * 1000000.0) AS BIGINT)"
+    ch.render(
+      s"SELECT i, unnest([${wq(c1)}, ${wq(c2)}, ${wq(c3)}]) AS wq FROM ${ch.last}")
   }
 }
 
