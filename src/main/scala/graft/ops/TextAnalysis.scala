@@ -103,6 +103,82 @@ object TextAnalysis {
       (acc, t) => acc + coalesce(element_at(lex, t), lit(oovPenaltyMilli)))
   }
 
+  /** Repetition signals — the Gopher-family repetition filters adapted
+    * to single-line documents: type-token ratio and the share of the
+    * most frequent bigram, both in integer ppm. Natural text sits far
+    * from either extreme; boilerplate, template spam, and generation
+    * loops light them up.
+    *
+    * Shape at 100 TB: the scalar signals are pure column expressions on
+    * the scan; the top-bigram count is explode → two map-side-combinable
+    * aggregations keyed by doc id, then an id-equi join back — nothing
+    * ever shuffles wider than the doc table. The token array is
+    * materialized once behind a persist barrier (CollapseProject would
+    * otherwise inline the split into every lambda element, re-splitting
+    * the text per bigram — see Dedup.shinglesFromTokens).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+      .persist()
+    val base = tokens.select(col("__id"),
+      size(col("__w")).cast("long").as("n_tokens"),
+      size(array_distinct(col("__w"))).cast("long").as("n_distinct"))
+    val bigrams = tokens.select(col("__id"),
+      explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("__bg"))
+    val top = bigrams.groupBy("__id", "__bg").agg(count(lit(1)).as("__c"))
+      .groupBy("__id").agg(max("__c").as("__top"))
+    val out = base.join(top, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("n_tokens"), col("n_distinct"),
+        floor(col("n_distinct") * 1000000L / greatest(col("n_tokens"), lit(1L)))
+          .cast("long").as("ttr_ppm"),
+        coalesce(col("__top"), lit(0L)).cast("long").as("top_bigram_n"),
+        when(col("n_tokens") >= 2,
+          floor(coalesce(col("__top"), lit(0L)) * 1000000L / (col("n_tokens") - 1)))
+          .otherwise(lit(0L)).cast("long").as("top_bigram_ppm"))
+      .localCheckpoint(true)
+    tokens.unpersist()
+    out
+  }
+
+  // --------------------------------------------------------- PII scrubbing
+
+  /** Portable PII patterns: the character-class-only regex subset, so
+    * Java regex (Spark) and RE2 (DuckDB and most scrub services) agree
+    * on every match — no backreferences, no lookaround. Intentionally
+    * high-recall: a training-data scrubber prefers eating a stray
+    * version string over leaking an SSN.
+    */
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiSsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val piiPhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Per-document PII match counts (email / SSN-shaped / phone-shaped),
+    * as long columns. Counted on the original text; the patterns are
+    * mutually non-overlapping by construction (3-2-4 digit grouping
+    * cannot match inside 3-3-4 or vice versa), so counts are
+    * scrub-order-independent.
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(piiEmailPattern), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(piiSsnPattern), lit(0))).cast("long").as("n_ssn"),
+    size(regexp_extract_all(text, lit(piiPhonePattern), lit(0))).cast("long").as("n_phone"))
+
+  /** Redact PII in place (email first: an address can contain digit
+    * runs, the reverse can't happen). Pure codegen'd column expression —
+    * the scrub runs scan-side at 100 TB, no shuffle, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailPattern, "<EMAIL>"),
+        piiSsnPattern, "<SSN>"),
+      piiPhonePattern, "<PHONE>")
+
   /** Content fingerprint: md5 of case/whitespace-normalized text
     * (trimmed — consistent with rollingHash and Dedup.exact).
     */

@@ -532,11 +532,140 @@ object PipelineQueries {
     )
   }
 
+  /** Repetition filters (graft.ops.TextAnalysis.repetitionSignals):
+    * type-token ratio and top-bigram share in integer ppm — the
+    * Gopher-family repetition signals. The oracle rebuilds the bigram
+    * frequency table and both ratios from the same space-split.
+    */
+  val q49_repetition = QueryDef(
+    "q49_repetition",
+    (s, d) => graft.ops.TextAnalysis.repetitionSignals(docs(s, d), "doc_id", "text"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      base AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct FROM w),
+      bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                    for i in generate_series(1, len(w) - 1)]) AS bg FROM w),
+      top AS (SELECT doc_id, max(c) AS top_n FROM
+                (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_distinct AS BIGINT) AS n_distinct,
+        CAST(floor(n_distinct * 1000000 / greatest(n_tokens, 1)) AS BIGINT) AS ttr_ppm,
+        CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+        CAST(CASE WHEN n_tokens >= 2
+                  THEN floor(coalesce(top_n, 0) * 1000000 / (n_tokens - 1))
+                  ELSE 0 END AS BIGINT) AS top_bigram_ppm
+      FROM base b LEFT JOIN top USING (doc_id)"""),
+  )
+
+  /** Benchmark decontamination (graft.ops.Contamination.ngramHits):
+    * docs sharing word trigrams with a pseudo-benchmark slice
+    * (doc_id % 97 = 0). n = 3 here so the sf-sized corpus produces a
+    * non-trivial hit set; production decontamination runs n = 8..13
+    * through the same operator.
+    */
+  val q50_contamination = QueryDef(
+    "q50_contamination",
+    (s, d) => {
+      val all = docs(s, d)
+      graft.ops.Contamination.ngramHits(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in generate_series(1, len(w) - 2)]) AS sh
+             FROM w),
+      bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM sh JOIN bsh USING (sh)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id"""),
+  )
+
+  /** PII scrubbing (graft.ops.TextAnalysis.piiCounts/scrubPii): the
+    * corpus has no real PII, so both engines graft the SAME
+    * deterministic doc_id-derived email/SSN/phone fragments onto the
+    * text, then count and redact them — counts and the md5 of the
+    * scrubbed text must agree exactly.
+    */
+  val q51_pii_scrub = QueryDef(
+    "q51_pii_scrub",
+    (s, d) => {
+      val id = col("doc_id")
+      val pii = concat(col("text"),
+        when(id % 3 === 0,
+          concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 2 === 0,
+          concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"), lit("-0199")))
+          .otherwise(lit("")))
+      val withPii = docs(s, d).select(id, pii.as("__t"))
+      withPii.select((col("doc_id") +:
+        graft.ops.TextAnalysis.piiCounts(col("__t"))) :+
+        md5(graft.ops.TextAnalysis.scrubPii(col("__t"))).as("scrub_fp"): _*)
+    },
+    Some("""WITH p AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                ELSE '' END AS t
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+        CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_fp
+      FROM p"""),
+  )
+
+  /** Exact per-type latency-style quantiles over events
+    * (graft.ops.Quantiles.exactQuantiles): nearest-rank p50/p90/p99 of
+    * the value column in integer micros — all rank arithmetic integer,
+    * so the oracle reproduces the exact same rows.
+    */
+  val q52_event_quantiles = QueryDef(
+    "q52_event_quantiles",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+      graft.ops.Quantiles.exactQuantiles(ev, "event_type",
+        col("v_micro"), col("event_id"), Seq(50, 90, 99))
+        .select(col("event_type"), col("n"),
+          col("p50").as("p50_micro"), col("p90").as("p90_micro"),
+          col("p99").as("p99_micro"))
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM v)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50_micro,
+        CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90_micro,
+        CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99_micro
+      FROM r GROUP BY event_type"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
     q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
     q45_hash_split, q46_seq_packing, q47_stratified_k, q48_source_remix,
+    q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Contamination, Quantiles, TextAnalysis}
+
+/** Curation-operator tests: repetition signals, benchmark
+  * decontamination, PII scrubbing, and exact per-key quantiles —
+  * each against hand-computed expectations on constructed inputs.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("repetitionSignals: degenerate repetition maxes the bigram share, unique text minimizes it") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct, top bigram "spam spam" x3
+      (2L, "alpha beta gamma delta"),  // all unique, each bigram once
+      (3L, "solo"),                    // 1 token: no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((4L, 1L, 250000L, 3L, 1000000L)))
+    assert(got(2L) == ((4L, 4L, 1000000L, 1L, 333333L)))
+    assert(got(3L) == ((1L, 1L, 1000000L, 0L, 0L)))
+  }
+
+  test("ngramHits: planted benchmark overlap is counted, clean docs emit nothing") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares "quick brown fox" window
+      (2L, "completely different words here entirely"),     // clean
+      (3L, "one quick brown fox two quick brown fox"),      // same bench trigram twice -> 1 distinct hit +
+    ).toDF("doc_id", "text")                                //   "brown fox two"... not in bench
+    val bench = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val got = Contamination.ngramHits(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench trigrams: {a quick brown, quick brown fox, brown fox appeared}
+    assert(got(1L) == 1L)     // only "quick brown fox"
+    assert(got(3L) == 1L)     // "quick brown fox" occurs twice but counts once
+    assert(!got.contains(2L)) // clean doc: no row, not a zero row
+  }
+
+  test("pii counts and scrub: all three shapes found and redacted, order-independent") {
+    val df = Seq(
+      (1L, "mail me at a.b-c%d@sub.example.org thanks"),
+      (2L, "ssn 123-45-6789 phone 555-010-0199 end"),
+      (3L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val got = df.select((col("doc_id") +: TextAnalysis.piiCounts(col("text"))) :+
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(got(1L)._1 == ((1L, 0L, 0L)))
+    assert(got(1L)._2 == "mail me at <EMAIL> thanks")
+    // the SSN's 3-2-4 grouping must NOT also fire the 3-3-4 phone
+    // pattern, and vice versa
+    assert(got(2L)._1 == ((0L, 1L, 1L)))
+    assert(got(2L)._2 == "ssn <SSN> phone <PHONE> end")
+    assert(got(3L)._1 == ((0L, 0L, 0L)))
+    assert(got(3L)._2 == "nothing sensitive here")
+  }
+
+  test("exactQuantiles: nearest-rank values per key, singleton keys degenerate to the value") {
+    val rows = (1L to 100L).map(v => ("a", v, v)) :+ (("b", 42L, 1L))
+    val df = rows.toDF("k", "v", "tie")
+    val got = Quantiles.exactQuantiles(df, "k", col("v"), col("tie"), Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // nearest-rank over 1..100: rank ceil(p*n/100) = p
+    assert(got("a") == ((100L, 50L, 90L, 99L)))
+    assert(got("b") == ((1L, 42L, 42L, 42L)))
+  }
+}
