@@ -660,6 +660,168 @@ object PipelineQueries {
       FROM r GROUP BY event_type"""),
   )
 
+  /** End-to-end curation funnel: exact dedup (keep-first) → token-count
+    * quality gate → per-source survivor counts and token budget — the
+    * report a corpus-curation run actually ships. Composes Dedup.exact
+    * and TextAnalysis.wsTokenCount; the per-source aggregations are
+    * map-side combinable and the final joins are on the source
+    * dimension (tiny). The oracle replays the identical funnel in SQL.
+    */
+  val q53_curation_funnel = QueryDef(
+    "q53_curation_funnel",
+    (s, d) => {
+      val all = docs(s, d)
+      val surv = graft.ops.Dedup.exact(all, "text", "doc_id")
+      val tok = surv.select(col("source"),
+        graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      val base = all.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val kept = surv.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val fin = tok.filter(col("n_tokens") >= 20).groupBy("source")
+        .agg(count(lit(1)).as("n_final"), sum("n_tokens").as("tok_budget"))
+      base.join(kept, Seq("source"), "left").join(fin, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tok_budget"), lit(0L)).as("tok_budget"))
+    },
+    Some("""WITH fp AS (SELECT doc_id, source, text,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             FROM documents),
+      surv AS (SELECT * FROM (SELECT *, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp) WHERE rn = 1),
+      tok AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM surv),
+      base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      kept AS (SELECT source, count(*) AS n_kept FROM surv GROUP BY source),
+      fin AS (SELECT source, count(*) AS n_final,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_budget
+              FROM tok WHERE n_tokens >= 20 GROUP BY source)
+      SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+        CAST(coalesce(tok_budget, 0) AS BIGINT) AS tok_budget
+      FROM base LEFT JOIN kept USING (source) LEFT JOIN fin USING (source)"""),
+  )
+
+  /** Embedding cluster assignment, oracle-checkable: the argmax-dot
+    * assignment of Similarity.assignClusters, run over integer-quantized
+    * vectors (micros) against hash-derived pseudo-centroids with integer
+    * components — every dot product is exact BIGINT arithmetic, so an
+    * independent engine reproduces each assignment bit-for-bit (a FITTED
+    * codebook would pin the same contract through float scores, which no
+    * cross-engine oracle can hash-match). Scale shape: centroid
+    * components derive from xxhash64(c, i) scan-side — no broadcast
+    * needed at all — and the argmax is one keyed window.
+    */
+  val q54_cluster_assign: QueryDef = {
+    val k = 8
+    QueryDef(
+      "q54_cluster_assign",
+      (s, d) => {
+        val vq = embs(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => round(x * 1000000).cast("long")).as("vq"))
+          .persist() // barrier: keep vq an attribute (no per-cluster re-transform)
+        val scored = vq
+          .select(col("vec_id"), col("vq"),
+            explode(sequence(lit(0L), lit(k - 1L))).as("c"))
+          .withColumn("score",
+            aggregate(sequence(lit(1), size(col("vq"))), lit(0L),
+              (acc, i) => acc + element_at(col("vq"), i) *
+                (pmod(xxhash64(col("c"), i.cast("long")), lit(2001L)) - 1000L)))
+        val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("c"))
+        val out = scored
+          .select(col("vec_id"), col("c"), col("score"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c").as("cluster"), col("score"))
+          .localCheckpoint(true)
+        vq.unpersist()
+        out
+      },
+      Some {
+        import DuckXxHash._
+        val ch = chain("e",
+          "SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) " +
+            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings")
+          .cte("comp",
+            // parallel unnest zips the index list with the components
+            // (generate_series as a LATERAL table function can't see vq)
+            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, " +
+              "unnest(vq) AS x FROM e")
+          .cte("cells",
+            s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
+              "(SELECT DISTINCT i FROM comp) ti")
+          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
+          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+        val ch2 = ch
+          .cte("cent",
+            s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")
+          .cte("scores",
+            "SELECT vec_id, c, CAST(SUM(x * comp) AS BIGINT) AS score " +
+              "FROM comp JOIN cent USING (i) GROUP BY 1, 2")
+        ch2.render(
+          "SELECT vec_id, CAST(c AS BIGINT) AS cluster, score FROM " +
+            "(SELECT vec_id, c, score, row_number() OVER " +
+            "(PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scores) " +
+            "WHERE rn = 1")
+      },
+    )
+  }
+
+  /** Exact corpus heavy hitters: the top-20 most frequent tokens — the
+    * vocabulary-stats pass of corpus analysis. Shape: one map-side-
+    * combinable aggregation on the token, then TakeOrderedAndProject
+    * (top-k never sorts the full vocabulary globally). Ties at the
+    * cut break by token, so the result set is deterministic.
+    */
+  val q55_heavy_hitters = QueryDef(
+    "q55_heavy_hitters",
+    (s, d) => docs(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20),
+    Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""),
+  )
+
+  /** Per-document distinctive term: the token with the LOWEST document
+    * frequency in each doc (ties broken lexically), plus its df and
+    * in-doc tf — the integer core of TF-IDF keyword extraction, kept
+    * log-free so the oracle is exact. Shape: tf = one (doc, token)
+    * aggregation; df = one token aggregation over distinct pairs; the
+    * df table joins back on the token key; argmin is one keyed window.
+    */
+  val q56_distinctive_terms = QueryDef(
+    "q56_distinctive_terms",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"), col("df"), col("tf"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("df"), col("tf"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+      SELECT doc_id, tok AS top_term, df, tf FROM
+        (SELECT doc_id, tok, df, tf, row_number() OVER
+           (PARTITION BY doc_id ORDER BY df, tok) AS rn
+         FROM tf JOIN df USING (tok))
+      WHERE rn = 1"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -667,5 +829,6 @@ object PipelineQueries {
     q32_asof_join, q33_range_pairs, q34_rollup, q41_lm_quality,
     q45_hash_split, q46_seq_packing, q47_stratified_k, q48_source_remix,
     q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
+    q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
   )
 }
