@@ -822,6 +822,57 @@ object PipelineQueries {
       WHERE rn = 1"""),
   )
 
+  /** Triangle counts on the near-dup graph: per-doc triangle
+    * participation over the shingle-share pair graph (>= 2 common word
+    * trigrams) — the cluster-density signal that tells boilerplate
+    * families (dense cliques) from chance pair collisions (no
+    * triangles). Distributed shape: edges come from the same inverted
+    * shingle index as q23 (never all-pairs), stored once with a < b and
+    * reused three ways; triangle enumeration is two equi-joins on edge
+    * endpoints with the a < b < c orientation guaranteeing each
+    * triangle materializes exactly once (the standard distributed
+    * triangle count; at extreme skew you'd orient by degree instead of
+    * id, same plan shape).
+    */
+  val q57_neardup_triangles = QueryDef(
+    "q57_neardup_triangles",
+    (s, d) => {
+      val tokens = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
+        .persist()
+      val sh = tokens.select(col("doc_id"),
+        explode(graft.ops.Dedup.shinglesFromTokens(col("__w"), 3)).as("sh"))
+      val pairs = sh.as("x")
+        .join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+        .select("a", "b")
+        .localCheckpoint(true) // reused three ways below; frees the token cache
+      tokens.unpersist()
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+        .join(pairs.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y
+                ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      t AS (SELECT e1.a, e1.b, e2.b AS c FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e1.a = e3.a AND e2.b = e3.b)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT unnest([a, b, c]) AS doc_id FROM t) GROUP BY doc_id"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -830,5 +881,6 @@ object PipelineQueries {
     q45_hash_split, q46_seq_packing, q47_stratified_k, q48_source_remix,
     q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
+    q57_neardup_triangles,
   )
 }
