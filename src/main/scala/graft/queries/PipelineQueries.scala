@@ -873,6 +873,75 @@ object PipelineQueries {
         SELECT unnest([a, b, c]) AS doc_id FROM t) GROUP BY doc_id"""),
   )
 
+  /** Cohort retention over events: users bucketed by first-seen day,
+    * activity counted per (cohort, day-offset) — the standard retention
+    * matrix. Day arithmetic is integer (date difference), so the matrix
+    * reproduces exactly. Shape: one user-keyed min-agg, an equi-join
+    * back (AQE broadcasts the cohort side when small), one distinct +
+    * count — all map-side combinable.
+    */
+  val q58_cohort_retention = QueryDef(
+    "q58_cohort_retention",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+      x AS (SELECT DISTINCT cohort_day,
+              CAST(day - cohort_day AS BIGINT) AS day_offset, user_id
+            FROM ev JOIN coh USING (user_id))
+      SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+      FROM x GROUP BY 1, 2"""),
+  )
+
+  /** Ordered conversion funnel (view -> click -> purchase, each stage
+    * at-or-after the previous stage's first hit) with per-user
+    * end-to-end latency in integer ms. Each stage is one filtered
+    * user-keyed min-agg plus an equi-join on the shrinking survivor
+    * set — no window over the full event stream, no self-join blowup.
+    */
+  val q59_event_funnel = QueryDef(
+    "q59_event_funnel",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("t_click").isNotNull.cast("long").as("reached_click"),
+          col("t_purchase").isNotNull.cast("long").as("reached_purchase"),
+          coalesce(expr("(t_purchase - t_view) div 1000000"), lit(-1L))
+            .as("latency_ms"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+      v AS (SELECT user_id, min(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ev e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND e.ts >= t_view GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND e.ts >= t_click GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached_click,
+        CAST(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached_purchase,
+        CAST(coalesce((t_purchase - t_view) // 1000000, -1) AS BIGINT) AS latency_ms
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -881,6 +950,6 @@ object PipelineQueries {
     q45_hash_split, q46_seq_packing, q47_stratified_k, q48_source_remix,
     q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
-    q57_neardup_triangles,
+    q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
   )
 }
