@@ -942,6 +942,62 @@ object PipelineQueries {
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
   )
 
+  /** Event-type transition matrix (first-order sequence mining): counts
+    * of consecutive (prev -> next) event-type pairs per user stream,
+    * ordered by time with the event id as the deterministic tiebreak.
+    * One keyed window (lag) + one map-side-combinable aggregation.
+    */
+  val q60_event_transitions = QueryDef(
+    "q60_event_transitions",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events)
+      WHERE prev IS NOT NULL GROUP BY 1, 2"""),
+  )
+
+  /** Embedding outlier detection: vectors whose squared norm (exact
+    * BIGINT, in micro² units) exceeds their label's nearest-rank p99 —
+    * the vector-quality gate of an embedding pipeline, composed from
+    * graft.ops.Quantiles.exactQuantiles. All arithmetic integer; the
+    * per-label threshold join broadcasts (one row per label).
+    */
+  val q61_embedding_outliers = QueryDef(
+    "q61_embedding_outliers",
+    (s, d) => {
+      val n2 = embs(s, d).select(col("label"), col("vec_id"),
+        aggregate(
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1000000).cast("long")),
+          lit(0L), (acc, m) => acc + m * m).as("norm2"))
+      val p90 = graft.ops.Quantiles.exactQuantiles(n2, "label",
+        col("norm2"), col("vec_id"), Seq(90)).select(col("label"), col("p90"))
+      n2.join(broadcast(p90), "label")
+        .filter(col("norm2") > col("p90"))
+        .select(col("vec_id"), col("label"), col("norm2"), col("p90"))
+    },
+    Some("""WITH n AS (SELECT label, vec_id,
+        CAST(list_sum([m * m for m in
+          [CAST(round(x * 1000000) AS BIGINT) for x in CAST(embedding AS DOUBLE[])]])
+          AS BIGINT) AS norm2 FROM embeddings),
+      r AS (SELECT label, vec_id, norm2,
+              row_number() OVER (PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+              count(*) OVER (PARTITION BY label) AS cnt FROM n),
+      q AS (SELECT label, max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN norm2 END) AS p90
+            FROM r GROUP BY label)
+      SELECT vec_id, n.label, norm2, p90
+      FROM n JOIN q USING (label) WHERE norm2 > p90"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -951,5 +1007,6 @@ object PipelineQueries {
     q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
+    q60_event_transitions, q61_embedding_outliers,
   )
 }
