@@ -178,10 +178,85 @@ object Dedup {
     // re-inline the split into lambda bodies — measured 4x slower without
     // them). Materialize the small pair result eagerly and free them, so
     // repeated calls don't pin dead cache in executor storage.
+    // (executor-local, non-replicated — see exactShinglePairs for the
+    // cluster-loss tradeoff and the reliable-checkpoint alternative)
     val out = result.localCheckpoint(true)
     tokens.unpersist()
     withSh.unpersist()
     buckets.unpersist()
+    out
+  }
+
+  /** Default document-frequency cap for [[exactShinglePairs]] posting
+    * lists. 64 bounds the per-shingle pair fan-out at C(64,2) = 2016 rows
+    * regardless of corpus size — without it a stop-shingle shared by k
+    * documents emits k(k-1)/2 join rows and k grows WITH the corpus, the
+    * one pattern that goes quadratic at 100 TB. A shingle in >64 docs
+    * carries no near-dup signal (it is boilerplate by definition); real
+    * near-dup pairs still share plenty of sub-cap shingles. This is the
+    * standard CCNet/Gopher stop-gram move.
+    */
+  val DefaultMaxShingleDf = 64
+
+  /** Exact near-dup pairs from an inverted word-shingle index with a
+    * document-frequency cap on the posting lists. Shape:
+    * tokenize → distinct (doc, shingle) → drop shingles with df > maxDf
+    * (one window count, partitioned by shingle — the same key the
+    * self-join shuffles on, so the partitioning is reused) → self-join on
+    * shingle → count common shingles per pair. Set sizes (`na`/`nb`) are
+    * counted over the SAME capped shingle space, so a Jaccard computed
+    * from (common, na, nb) is the exact Jaccard of the retained
+    * (informative) shingle sets — self-consistent and oracle-mirrorable.
+    *
+    * Tokenization is a literal single-space split, matching both the
+    * corpus convention and DuckDB's `string_split(text, ' ')` so the
+    * DuckDB oracles reproduce byte-identically (Java's `\\s+` and RE2
+    * whitespace classes disagree on vertical tab).
+    *
+    * Returns (a, b, common, na, nb) with a < b and common >= minCommon.
+    */
+  def exactShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, minCommon: Int = 2,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(maxDf >= 2, s"maxDf $maxDf < 2 would drop every pair-capable shingle")
+    // persist() barrier: without it CollapseProject inlines the split into
+    // every lambda element_at (no CSE inside lambdas) and the shingle
+    // stage re-splits the text per element — measured quadratic in doc
+    // length
+    val tokens = df
+      .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__w"))
+      .persist()
+    val sh = tokens
+      .select(col("__id"), explode(shinglesFromTokens(col("__w"), shingleWords)).as("__sh"))
+    // df cap: one full-partition window count keyed by shingle — the
+    // self-join below shuffles on the same key, so EnsureRequirements
+    // reuses this exchange instead of adding one
+    val capped = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+      .filter(col("__df") <= maxDf)
+      .select(col("__id"), col("__sh"))
+    val sizes = capped.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.__sh") === col("y.__sh") && col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val result = pairs
+      .join(sizes.select(col("__id").as("a"), col("__n").as("na")), "a")
+      .join(sizes.select(col("__id").as("b"), col("__n").as("nb")), "b")
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"))
+    // localCheckpoint(eager): materializes the small pair set so the
+    // token cache (a correctness barrier, see above) can be freed without
+    // the plan re-splitting on a later action. TRADEOFF: checkpoint
+    // blocks live in executor-local (non-replicated) block-manager
+    // storage — on a multi-executor cluster a lost executor fails the
+    // query instead of recomputing. Acceptable for a short-lived pair
+    // set; for long-lived results on a real cluster set
+    // spark.checkpoint.dir and use .checkpoint(true) (reliable storage)
+    // instead.
+    val out = result.localCheckpoint(true)
+    tokens.unpersist()
     out
   }
 
@@ -318,6 +393,7 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(joined, col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+    // executor-local checkpoint — see exactShinglePairs for the tradeoff
     val out = result.localCheckpoint(true)
     base.unpersist()
     buckets.unpersist()

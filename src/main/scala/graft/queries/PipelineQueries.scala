@@ -64,55 +64,31 @@ object PipelineQueries {
   )
 
   /** N-gram Jaccard near-dup detection, exact and scalable: word-3-gram
-    * shingles → inverted index self-join (pairs only materialize for docs
-    * that actually share a shingle) → Jaccard in integer ppm. Never an
-    * all-pairs cross join: the shingle join's fan-out is bounded by
-    * posting-list length, which stays small for distinctive shingles.
+    * shingles → document-frequency cap on the posting lists (shingles in
+    * more than [[graft.ops.Dedup.DefaultMaxShingleDf]] docs are
+    * boilerplate and would fan out k(k-1)/2 pair rows — the one
+    * quadratic-at-scale pattern) → inverted index self-join (pairs only
+    * materialize for docs that actually share a retained shingle) →
+    * Jaccard over the retained shingle space in integer ppm. Never an
+    * all-pairs cross join; per-shingle fan-out is bounded at C(64,2).
+    * The cap is mirrored exactly in the DuckDB oracle (count OVER
+    * (PARTITION BY sh)), so the hash-match is preserved.
     */
   val q23_ngram_jaccard = QueryDef(
     "q23_ngram_jaccard",
-    (s, d) => {
-      // persist() barrier: without it CollapseProject inlines the split
-      // into every lambda element_at (no CSE inside lambdas) and the
-      // shingle stage re-splits the text per element
-      val tokens = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .persist()
-      val sh = tokens
-        .select(col("doc_id"),
-          explode(expr(
-            // CASE guard: sequence(1, 0) is DESCENDING and w[i+1] past the
-            // end throws under ANSI for docs with < 3 tokens
-            "CASE WHEN size(w) >= 3 THEN" +
-              " transform(sequence(1, size(w) - 2)," +
-              " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))" +
-              " ELSE array() END")).as("sh"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("x")
-        .join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 2)
-      val result = pairs
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+    (s, d) =>
+      graft.ops.Dedup.exactShinglePairs(docs(s, d), "doc_id", "text")
         .select(col("a"), col("b"),
           floor(col("common") * 1000000L / (col("na") + col("nb") - col("common")))
-            .cast("long").as("jaccard_ppm"))
-      // materialize eagerly so the barrier cache can be freed (same
-      // pattern as Dedup.minHashLsh — persisted plans otherwise leak
-      // storage across repeated query runs)
-      val out = result.localCheckpoint(true)
-      tokens.unpersist()
-      out
-    },
+            .cast("long").as("jaccard_ppm")),
     Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
+      sh0 AS (SELECT DISTINCT doc_id,
                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                        for i in generate_series(1, greatest(len(w) - 2, 0))]) AS sh
              FROM w),
+      sh AS (SELECT doc_id, sh FROM
+               (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+             WHERE df <= 64),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -826,31 +802,22 @@ object PipelineQueries {
     * participation over the shingle-share pair graph (>= 2 common word
     * trigrams) — the cluster-density signal that tells boilerplate
     * families (dense cliques) from chance pair collisions (no
-    * triangles). Distributed shape: edges come from the same inverted
-    * shingle index as q23 (never all-pairs), stored once with a < b and
-    * reused three ways; triangle enumeration is two equi-joins on edge
-    * endpoints with the a < b < c orientation guaranteeing each
-    * triangle materializes exactly once (the standard distributed
-    * triangle count; at extreme skew you'd orient by degree instead of
-    * id, same plan shape).
+    * triangles). Distributed shape: edges come from the same
+    * df-capped inverted shingle index as q23 (never all-pairs, bounded
+    * per-shingle fan-out — see Dedup.exactShinglePairs), stored once
+    * with a < b and reused three ways; triangle enumeration is two
+    * equi-joins on edge endpoints with the a < b < c orientation
+    * guaranteeing each triangle materializes exactly once (the standard
+    * distributed triangle count; at extreme skew you'd orient by degree
+    * instead of id, same plan shape).
     */
   val q57_neardup_triangles = QueryDef(
     "q57_neardup_triangles",
     (s, d) => {
-      val tokens = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
-        .persist()
-      val sh = tokens.select(col("doc_id"),
-        explode(graft.ops.Dedup.shinglesFromTokens(col("__w"), 3)).as("sh"))
-      val pairs = sh.as("x")
-        .join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 2)
+      // already localCheckpointed by exactShinglePairs — safe to reuse
+      // three ways without re-running the shingle join
+      val pairs = graft.ops.Dedup.exactShinglePairs(docs(s, d), "doc_id", "text")
         .select("a", "b")
-        .localCheckpoint(true) // reused three ways below; frees the token cache
-      tokens.unpersist()
       val tri = pairs.as("e1")
         .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
         .join(pairs.as("e3"),
@@ -860,9 +827,12 @@ object PipelineQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
     },
     Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
+      sh0 AS (SELECT DISTINCT doc_id,
                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                        for i in generate_series(1, len(w) - 2)]) AS sh FROM w),
+      sh AS (SELECT doc_id, sh FROM
+               (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+             WHERE df <= 64),
       pairs AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y
                 ON x.sh = y.sh AND x.doc_id < y.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 2),

@@ -36,6 +36,26 @@ class OpsSpec extends AnyFunSuite {
       s"near-dup not found in $pairs")
   }
 
+  test("exactShinglePairs: df cap bounds stop-shingle fan-out, keeps real near-dups") {
+    // 100 docs sharing ONLY two boilerplate trigrams (df = 100 > cap):
+    // uncapped they'd emit C(100,2) = 4950 pairs with common = 2
+    val boiler = (1 to 100).map(i =>
+      (1000L + i, s"common stop shingle filler u${i}a u${i}b u${i}c"))
+    // 5 genuinely near-dup docs: every trigram has df = 5 <= cap
+    val dups = (1 to 5).map(i =>
+      (2000L + i, "alpha beta gamma delta epsilon zeta"))
+    val df = (boiler ++ dups).toDF("doc_id", "text")
+    val capped = Dedup.exactShinglePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate family contributes NOTHING; dup clique fully paired
+    assert(capped == (for {
+      a <- 1 to 5; b <- (a + 1) to 5
+    } yield (2000L + a, 2000L + b)).toSet, s"got $capped")
+    // sanity: without the cap the stop-shingles explode into 4950 pairs
+    val uncapped = Dedup.exactShinglePairs(df, "doc_id", "text", maxDf = 1000)
+    assert(uncapped.count() == 4950 + 10)
+  }
+
   test("simhash: identical text pairs at hamming 0, disjoint text far apart") {
     val df = Seq((1L, "the quick brown fox jumps over dogs"),
       (2L, "the quick brown fox jumps over dogs"),
