@@ -31,20 +31,34 @@ object Bench {
     // best-of-N per query: single-run times carry >=2x run-to-run noise
     // (JVM/codegen warm-up, scheduler ordering), which drowns real
     // per-round deltas. The min over reps is the standard low-noise
-    // estimator for a deterministic workload.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // estimator for a deterministic workload. Sub-second queries (where
+    // relative noise is worst) get one extra rep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
+      .toIntOption.getOrElse(2).max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      // first failure aborts this query's remaining reps (re-running a
+      // broken query repeats an expensive failure and its fastest-failure
+      // time is not a timing)
+      def rep(): Unit = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
+            failed = true
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      var i = 0
+      while (i < reps && !failed) { rep(); i += 1 }
+      if (!failed && times.nonEmpty && times.min < 1.0 && times.size < 3) rep()
+      // errored queries get NO timing entry — a broken query must not
+      // look like a fast green one
+      if (failed) None else Some(name -> times.min)
     }
 
     def jstr(s: String): String =
@@ -52,11 +66,21 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // millisecond precision: sub-ms digits are pure noise and double the
+    // line length, and the driver's tail capture has a byte budget — r4's
+    // artifact lost half the per-query map to it
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // compact summary LAST so any tail-window truncation of the long line
+    // above still leaves the total and the queries that matter most
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"summary","total_s":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -29,6 +29,8 @@ object Quantiles {
       tieCol: Column, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100]: $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"duplicate percents would produce duplicate output columns: $pcts")
     val wOrd = Window.partitionBy(keyCol).orderBy(valCol, tieCol)
     val wAll = Window.partitionBy(keyCol)
     val ranked = df.select(col(keyCol), valCol.as("__v"),

@@ -158,10 +158,13 @@ object TextAnalysis {
   val piiPhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** Per-document PII match counts (email / SSN-shaped / phone-shaped),
-    * as long columns. Counted on the original text; the patterns are
-    * mutually non-overlapping by construction (3-2-4 digit grouping
-    * cannot match inside 3-3-4 or vice versa), so counts are
-    * scrub-order-independent.
+    * as long columns. Counted on the original text. The two digit
+    * groupings (3-2-4 vs 3-3-4) cannot match each other, but a digit run
+    * NESTED in an email local part matches twice ('123-45-6789@x.co'
+    * counts as n_email AND n_ssn, while scrubPii redacts it once, as
+    * <EMAIL>) — counts are match-census signals on raw text and may
+    * exceed what scrubPii redacts; count on scrubbed text if the two
+    * must agree.
     */
   def piiCounts(text: Column): Seq[Column] = Seq(
     size(regexp_extract_all(text, lit(piiEmailPattern), lit(0))).cast("long").as("n_email"),

@@ -642,6 +642,12 @@ object PipelineQueries {
     * and TextAnalysis.wsTokenCount; the per-source aggregations are
     * map-side combinable and the final joins are on the source
     * dimension (tiny). The oracle replays the identical funnel in SQL.
+    *
+    * Whitespace caveat (applies to every `\s`-normalizing oracle here):
+    * Java regex `\s` includes vertical tab (\x0B), DuckDB's RE2 `\s`
+    * does not. The documents corpus contains no VT, so the engines
+    * agree; a corpus with VT would need an explicit class like
+    * `[ \t\n\r\f]` on BOTH sides for byte-identical semantics.
     */
   val q53_curation_funnel = QueryDef(
     "q53_curation_funnel",
