@@ -59,7 +59,11 @@ object SynthQueries {
     // pinned to the interpreter path as the baseline for g53 (the canned
     // CannedSources.iotData routes through dataFrameAuto = fast path)
     q("g30_synth_iot")((s, _) => Synth.dataFrame(s, CannedSources.iotSchemaJson, 1000)),
-    q("g31_synth_phone")((s, _) => CannedSources.phoneNumber(s, 50000, Some(497))),
+    // the PhoneNumber canned source now rides the fast path, so every
+    // digit reproduces from the hash chain — a real oracle, not rows-only
+    QueryDef("g31_synth_phone",
+      (s, _) => CannedSources.phoneNumber(s, 50000, Some(497)),
+      Some(PhoneOracle.sql(50000, 497))),
     q("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
     q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
     q("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
@@ -405,6 +409,85 @@ object SynthQueries {
             {"name": "u", "class": "uuid"}]""", 200000),
       Some(FastPathOracle.sql)),
 
+    // the double (plain + skew ladder) and foreign-key lowerings,
+    // hash-match-checked to the BIT: with min 0 / max 1 the generated
+    // double IS (hash >>> 11) * 2^-53 exactly, so floor(x * 2^53)
+    // recovers the full 53-bit payload — any drift in the uniform, the
+    // skew least(), or the Zipf CASE ladder flips the hash-match
+    QueryDef("g76_scalar_bits",
+      (s, _) => {
+        import org.apache.spark.sql.functions.floor
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "x", "class": "double", "min": 0, "max": 1},
+              {"name": "xs", "class": "double", "min": 0, "max": 1, "skew": 2},
+              {"name": "fk", "class": "foreign-key", "size": 64, "skew": 1}]""",
+          200000)
+          .select(col("i"),
+            floor(col("x") * 9007199254740992d).cast("long").as("xb"),
+            floor(col("xs") * 9007199254740992d).cast("long").as("xsb"),
+            col("fk"))
+      },
+      Some(ScalarBitsOracle.sql)),
+
+    // the vector lowering, bit-checked per element: posexplode the
+    // array and recover each element's 53-bit hash payload; the oracle
+    // replays the (id, salt, element-index) keyed chains
+    QueryDef("g77_vector_bits",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{floor, posexplode}
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "vec", "class": "vector", "length": 8}]""", 20000)
+          .select(col("i"), posexplode(col("vec")))
+          .select(col("i"), col("pos").cast("long").as("pos"),
+            floor(col("col") * 9007199254740992d).cast("long").as("xb"))
+      },
+      Some(VectorBitsOracle.sql)),
+
+    // the map combinator's struct composition, bit-checked field by
+    // field (child salts derive from the m/a, m/b paths)
+    QueryDef("g79_map_bits",
+      (s, _) => {
+        import org.apache.spark.sql.functions.floor
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "m", "class": "map", "value": [
+                {"name": "a", "class": "int", "min": 0, "max": 1000000},
+                {"name": "b", "class": "double", "min": 0, "max": 1}]}]""",
+          100000)
+          .select(col("i"), col("m.a").as("a"),
+            floor(col("m.b") * 9007199254740992d).cast("long").as("bb"))
+      },
+      Some(MapBitsOracle.sql)),
+
+    // the sequential-state samplers (normal's Box–Muller via
+    // java.util.Random.nextGaussian, gamma's rejection sampler, the
+    // pitman_yor CRP) histogram-checked against constants: generation is
+    // bit-deterministic under (seed, partition count), so the bucket
+    // counts are exact constants — a change in any sampler's draw
+    // sequence flips the hash-match. Partitions are PINNED (interpreter
+    // streams are per-partition; defaultParallelism would vary by host).
+    QueryDef("g78_dist_histograms",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, floor => ffloor,
+          greatest, least, lit}
+        val df = Synth.dataFrame(s,
+          """[{"name": "nv", "class": "normal", "mean": 0, "sd": 1},
+              {"name": "gv", "class": "gamma", "alpha": 2, "beta": 1},
+              {"name": "py", "class": "pitman_yor", "alpha": 3, "discount": 0.3}]""",
+          50000, 42L, partitions = 8)
+        val n = df.select(lit("normal").as("family"),
+          greatest(lit(-4L), least(lit(4L), ffloor(col("nv")))).cast("long").as("bucket"))
+        val g = df.select(lit("gamma").as("family"),
+          least(lit(8L), ffloor(col("gv"))).cast("long").as("bucket"))
+        val p = df.select(lit("pitman_yor").as("family"),
+          least(lit(10L), col("py")).cast("long").as("bucket"))
+        n.unionAll(g).unionAll(p).groupBy("family", "bucket")
+          .agg(fcount(lit(1)).as("n"))
+      },
+      Some(DistHistOracle.sql)),
+
     // skew primitives, driver-checked by RESULT EQUALITY: the salted
     // two-phase aggregation and the salt-replicated join must produce
     // exactly what the plain groupBy / join produce (associativity /
@@ -711,6 +794,124 @@ object FastPathOracle {
         "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
         s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
   }
+}
+
+/** DuckDB oracle for g76_scalar_bits: the double lowering's 53-bit
+  * payload (`floor(u * 2^53)` = hash >>> 11 exactly — u*1.0+0.0 is an
+  * IEEE identity and (h>>>11)*2^-53*2^53 round-trips losslessly), the
+  * skew-2 least() ladder over three salted draws, and the foreign-key
+  * Zipf CASE ladder with the shared cumWeights double literals.
+  */
+object ScalarBitsOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = uniformChain(200000, Seq(
+      "x" -> "x#0", "xs0" -> "xs#0", "xs1" -> "xs#1", "xs2" -> "xs#2",
+      "fk" -> "fk"))
+    val fkItems = (0 until 64).map(i => i.toString -> math.pow(i + 1.0, -1.0))
+    ch.render(
+      "SELECT i, CAST((h_x // 2048) AS BIGINT) AS xb, " +
+        "CAST(least(h_xs0 // 2048, h_xs1 // 2048, h_xs2 // 2048) AS BIGINT) AS xsb, " +
+        s"${caseLadderLong(uniform("h_fk"), fkItems)} AS fk FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g77_vector_bits: one hashInt chain per element
+  * index (the sequence() array is array<int>), each element's 53-bit
+  * payload recovered exactly — same keying as the flat-series oracles.
+  */
+object VectorBitsOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val base = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("h2", saltLit("vec"), "h1out"))
+    val ch = (1 to 8).foldLeft(base) { (c, k) =>
+      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
+    }
+    val poss = (1 to 8).map(k => s"CAST(${k - 1} AS BIGINT)").mkString(", ")
+    val bits = (1 to 8).map(k => s"CAST((e${k}out // 2048) AS BIGINT)").mkString(", ")
+    ch.render(
+      s"SELECT i, unnest([$poss]) AS pos, unnest([$bits]) AS xb FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g79_map_bits: the map combinator's child fields
+  * recomputed from their path-derived salts (m/a, m/b).
+  */
+object MapBitsOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = uniformChain(100000, Seq("a" -> "m/a#0", "b" -> "m/b#0"))
+    ch.render(
+      s"SELECT i, ${fastPathInt("h_a", 0, 1000000)} AS a, " +
+        s"CAST((h_b // 2048) AS BIGINT) AS bb FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g31_synth_phone: the PhoneNumber canned source's
+  * three digit groups recomputed from the join/sequence fast-path chain
+  * (same salts as the g61 template oracle).
+  */
+object PhoneOracle {
+  import graft.queries.DuckXxHash._
+
+  def sql(n: Long, area: Int): String = {
+    val ch = uniformChain(n, Seq(
+      "p0" -> "phone/join/[0]#0", "p1" -> "phone/join/[1]#0",
+      "p2" -> "phone/join/[2]#0"))
+    val a = fastPathInt("h_p0", area, area + 1)
+    val b = fastPathInt("h_p1", 200, 999)
+    val c = fastPathInt("h_p2", 1000, 9999)
+    ch.render(s"SELECT concat($a, '-', $b, '-', $c) AS phone FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g78_dist_histograms: exact bucket-count constants
+  * captured from the pinned (seed=42, partitions=8) run — the sampler
+  * chains (Box–Muller normal, Marsaglia–Tsang gamma rejection, CRP) are
+  * bit-deterministic, so these counts are reproducible facts, like the
+  * g70/g71 invariant constants. Regenerate with
+  * `runMain graft.Verify <sf> <out> g78_dist_histograms` after any
+  * intentional sampler change.
+  */
+object DistHistOracle {
+  lazy val sql: String =
+    """SELECT family, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n
+       FROM (VALUES
+         ('gamma', 0, 13256),
+         ('gamma', 1, 16542),
+         ('gamma', 2, 10230),
+         ('gamma', 3, 5334),
+         ('gamma', 4, 2599),
+         ('gamma', 5, 1164),
+         ('gamma', 6, 513),
+         ('gamma', 7, 207),
+         ('gamma', 8, 155),
+         ('normal', -4, 70),
+         ('normal', -3, 1023),
+         ('normal', -2, 6859),
+         ('normal', -1, 17035),
+         ('normal', 0, 16983),
+         ('normal', 1, 6870),
+         ('normal', 2, 1091),
+         ('normal', 3, 69),
+         ('pitman_yor', 0, 11785),
+         ('pitman_yor', 1, 5170),
+         ('pitman_yor', 2, 4809),
+         ('pitman_yor', 3, 3853),
+         ('pitman_yor', 4, 4463),
+         ('pitman_yor', 5, 2193),
+         ('pitman_yor', 6, 3423),
+         ('pitman_yor', 7, 1352),
+         ('pitman_yor', 8, 2242),
+         ('pitman_yor', 9, 709),
+         ('pitman_yor', 10, 10001)
+       ) AS t(family, bucket, n)"""
 }
 
 /** DuckDB oracles for the sink queries (g61/g62): the generation

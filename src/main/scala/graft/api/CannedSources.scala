@@ -32,22 +32,28 @@ object CannedSources {
     Synth.dataFrameAuto(spark, iotSchemaJson, nDevices, seed)
 
   /** PhoneNumber (processors/synthesizers/telephony/PhoneNumber.java
-    * :35-95): NNN-NNN-NNNN with optional fixed area code.
+    * :35-95): NNN-NNN-NNNN with optional fixed area code. The schema is
+    * fully stateless, so it rides the Catalyst fast path (codegen'd,
+    * partitioning-invariant — and bit-checkable by the g31 DuckDB
+    * oracle, which recomputes every digit from the hash chain).
     */
-  def phoneNumber(spark: SparkSession, n: Long, areaCode: Option[Int] = None,
-      seed: Long = 42L): DataFrame = {
+  def phoneSchemaJson(areaCode: Option[Int]): String = {
     require(areaCode.forall(a => a >= 0 && a <= 999), "area-code must be <= 3 digits")
     val area = areaCode
       .map(a => s"""{"class": "int", "min": $a, "max": ${a + 1}}""")
       .getOrElse("""{"class": "int", "min": 200, "max": 999}""")
-    Synth.dataFrame(spark, s"""[
+    s"""[
       {"name": "phone", "class": "join", "separator": "-",
        "value": {"class": "sequence", "array": [
          $area,
          {"class": "int", "min": 200, "max": 999},
          {"class": "int", "min": 1000, "max": 9999}]}}
-    ]""", n, seed)
+    ]"""
   }
+
+  def phoneNumber(spark: SparkSession, n: Long, areaCode: Option[Int] = None,
+      seed: Long = 42L): DataFrame =
+    Synth.dataFrameAuto(spark, phoneSchemaJson(areaCode), n, seed)
 
   /** TextMessage (processors/synthesizers/telephony/TextMessage.java
     * :40-161): source IMEI + two numbers + timestamp + Markov message.

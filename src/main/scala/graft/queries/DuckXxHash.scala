@@ -158,6 +158,16 @@ object DuckXxHash {
     s"(CASE $whens ELSE '${items.last._1}' END)"
   }
 
+  /** The numeric-valued CASE ladder (ColumnCompiler's foreign-key
+    * lowering): same cumulative-weight double literals, BIGINT branches.
+    */
+  def caseLadderLong(uCol: String, items: Seq[(String, Double)]): String = {
+    val cums = graft.synth.ColumnCompiler.cumWeights(items)
+    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN $v" }
+      .mkString(" ")
+    s"CAST((CASE $whens ELSE ${items.last._1} END) AS BIGINT)"
+  }
+
   /** One full fast-path hash per (alias, saltPath): `xxhash64(id, salt)`
     * = hash(id, seed=42) chained into hash(salt, seed=·), landing in
     * column `h_<alias>` (unsigned HUGEINT). After each field chain the

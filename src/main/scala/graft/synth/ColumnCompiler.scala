@@ -309,6 +309,42 @@ object ColumnCompiler {
         else if (skew > 0) least(draws: _*) else greatest(draws: _*)
       Some(f.str("format").filter(_.contains("%"))
         .map(fm => format_string(fm, v)).getOrElse(v))
+    case "foreign-key" =>
+      // small domains compile to the same cumulative CASE ladder as the
+      // multinomials (codegen-friendly); large domains keep the
+      // interpreter's memoized binary-search table — a 1M-entry ladder
+      // has no place in an expression tree
+      val size = f.sizeLong("size").getOrElse(1000L)
+      val skew = f.dbl("skew").getOrElse(0.5)
+      if (size > 256 || size < 1) return None
+      val items = (0 until size.toInt).map(i => i.toString -> math.pow(i + 1.0, -skew))
+      val uu = u(ctx)
+      // cumWeights: ONE source of the cumulative double literals, shared
+      // with the DuckDB oracle generator (bit-identical branch picks)
+      Some(cumWeights(items).init.reverse.foldLeft(lit(size - 1): Column) {
+        case (acc, (v, c)) => when(uu < c, lit(v.toLong)).otherwise(acc)
+      })
+    case "vector" if f.node("transform").isEmpty && f.node("resolution").isEmpty =>
+      // literal-length vectors: per-element uniforms keyed by (seed,
+      // path, row id, element index) — same keying as the flat-sequence
+      // series, so the whole array is reproducible under any partitioning
+      val n = f.node("length").filter(_.isNumber).map(_.asInt).getOrElse(return None)
+      if (n <= 0 || n > 256) return None
+      val idx = sequence(lit(1), lit(n))
+      def uE(extra: String): Column => Column = i =>
+        shiftrightunsigned(xxhash64(col("id"), lit(ctx.salt(extra)), i), 11) *
+          lit(1.1102230246251565e-16)
+      if (f.dbl("mean").isDefined || f.dbl("sd").isDefined) {
+        val mean = f.dbl("mean").getOrElse(0.0)
+        val sd = f.dbl("sd").getOrElse(1.0)
+        Some(transform(idx, i =>
+          sqrt(log(uE("#a")(i) + lit(1e-300)) * -2.0) *
+            cos(uE("#b")(i) * (2 * math.Pi)) * sd + mean))
+      } else {
+        val min = f.dbl("min").getOrElse(0.0)
+        val max = f.dbl("max").getOrElse(1.0)
+        Some(transform(idx, i => uE("")(i) * (max - min) + min))
+      }
     case "normal" if f.dbl("min").isEmpty && f.dbl("max").isEmpty =>
       // Box–Muller from two keyed uniforms (u1 nudged off zero)
       val mean = f.dbl("mean").getOrElse(0.0)
