@@ -34,6 +34,27 @@ object SeedData {
     "CARLOS" -> 0.4, "JUAN" -> 0.3, "LUIS" -> 0.3, "MIGUEL" -> 0.2,
     "OMAR" -> 0.2, "CHEN" -> 0.2, "RAJ" -> 0.2, "AMIR" -> 0.2,
     "IVAN" -> 0.2, "SERGEI" -> 0.1, "HIROSHI" -> 0.1, "KWAME" -> 0.1,
+    "ALBERT" -> 0.2, "ARTHUR" -> 0.2, "AUSTIN" -> 0.2, "BILLY" -> 0.2,
+    "BOBBY" -> 0.1, "BRADLEY" -> 0.2, "BRUCE" -> 0.2, "BRYAN" -> 0.2,
+    "CALEB" -> 0.1, "CARL" -> 0.2, "CHAD" -> 0.1, "CHRISTIAN" -> 0.2,
+    "CHRISTOPHER" -> 0.9, "CLARENCE" -> 0.1, "CODY" -> 0.1, "CRAIG" -> 0.2,
+    "CURTIS" -> 0.1, "DALE" -> 0.1, "DANNY" -> 0.1, "DARRYL" -> 0.1,
+    "DEAN" -> 0.1, "DEREK" -> 0.1, "DUSTIN" -> 0.1, "DYLAN" -> 0.2,
+    "EARL" -> 0.1, "ERNEST" -> 0.1, "ETHAN" -> 0.2, "EUGENE" -> 0.1,
+    "EVAN" -> 0.1, "FRANCIS" -> 0.1, "FRED" -> 0.1, "GABRIEL" -> 0.2,
+    "GERALD" -> 0.2, "GLENN" -> 0.1, "GORDON" -> 0.1, "HAROLD" -> 0.2,
+    "HARRY" -> 0.1, "HOWARD" -> 0.1, "IAN" -> 0.1, "ISAAC" -> 0.1,
+    "JARED" -> 0.1, "JEREMY" -> 0.3, "JESSE" -> 0.2, "JOEL" -> 0.1,
+    "JORDAN" -> 0.2, "JORGE" -> 0.1, "KEITH" -> 0.2, "LAWRENCE" -> 0.2,
+    "LEONARD" -> 0.1, "LOGAN" -> 0.1, "LOUIS" -> 0.1, "LUCAS" -> 0.1,
+    "MARTIN" -> 0.2, "MASON" -> 0.1, "NOAH" -> 0.2, "NORMAN" -> 0.1,
+    "OSCAR" -> 0.1, "PHILIP" -> 0.2, "RALPH" -> 0.1, "RANDY" -> 0.1,
+    "RICARDO" -> 0.1, "ROGER" -> 0.2, "ROY" -> 0.2, "RUSSELL" -> 0.1,
+    "SEAN" -> 0.2, "SHANE" -> 0.1, "STANLEY" -> 0.1, "TERRY" -> 0.2,
+    "TODD" -> 0.1, "TRAVIS" -> 0.2, "VICTOR" -> 0.2, "VINCENT" -> 0.2,
+    "WAYNE" -> 0.2, "WESLEY" -> 0.1, "DIEGO" -> 0.1, "FELIX" -> 0.1,
+    "MATEO" -> 0.1, "ANDRE" -> 0.1, "MOHAMMED" -> 0.2, "YUSUF" -> 0.1,
+    "DMITRI" -> 0.1, "KENJI" -> 0.1, "MINH" -> 0.1, "ARJUN" -> 0.1,
   )
   val femaleFirst: Vector[(String, Double)] = Vector(
     "MARY" -> 2.6, "PATRICIA" -> 1.1, "LINDA" -> 1.0, "BARBARA" -> 1.0,
@@ -53,6 +74,12 @@ object SeedData {
     "EVELYN" -> 0.2, "JEAN" -> 0.2, "CHERYL" -> 0.2, "MILDRED" -> 0.2,
     "WEI" -> 0.2, "FATIMA" -> 0.2, "PRIYA" -> 0.2, "SOFIA" -> 0.3,
     "ELENA" -> 0.2, "YUKI" -> 0.1, "AISHA" -> 0.1, "INGRID" -> 0.1,
+    "ASHLEY" -> 0.4, "EMILY" -> 0.4, "EMMA" -> 0.3, "OLIVIA" -> 0.3,
+    "HANNAH" -> 0.2, "ABIGAIL" -> 0.2, "MADISON" -> 0.2, "GRACE" -> 0.2,
+    "CHLOE" -> 0.1, "NICOLE" -> 0.3, "RACHEL" -> 0.3, "LAUREN" -> 0.3,
+    "MEGAN" -> 0.2, "VICTORIA" -> 0.2, "KAYLA" -> 0.2, "JASMINE" -> 0.1,
+    "JULIA" -> 0.2, "NATALIE" -> 0.2, "SYDNEY" -> 0.1, "GABRIELLA" -> 0.1,
+    "KATHERINE" -> 0.3, "ALEXIS" -> 0.2, "SAMANTHA" -> 0.3, "ISABELLA" -> 0.2,
   )
   val lastNames: Vector[(String, Double)] = Vector(
     "SMITH" -> 1.0, "JOHNSON" -> 0.8, "WILLIAMS" -> 0.7, "BROWN" -> 0.6,
@@ -84,6 +111,39 @@ object SeedData {
     "LIU" -> 0.1, "ZHANG" -> 0.1, "KHAN" -> 0.1, "ALI" -> 0.1,
     "TRAN" -> 0.1, "YANG" -> 0.1, "IVANOV" -> 0.05, "SATO" -> 0.05,
     "MULLER" -> 0.05, "SILVA" -> 0.1, "SANTOS" -> 0.1, "PEREIRA" -> 0.05,
+    "BARNES" -> 0.1, "BELL" -> 0.1, "BLACK" -> 0.1, "BOYD" -> 0.05,
+    "BRYANT" -> 0.1, "BURNS" -> 0.05, "BUTLER" -> 0.1, "CALDWELL" -> 0.05,
+    "CARPENTER" -> 0.05, "CARROLL" -> 0.05, "CASTRO" -> 0.1, "COLE" -> 0.1,
+    "COLEMAN" -> 0.1, "CRAWFORD" -> 0.05, "CUNNINGHAM" -> 0.05, "CURTIS" -> 0.05,
+    "DANIELS" -> 0.05, "DEAN" -> 0.05, "DELGADO" -> 0.05, "DIXON" -> 0.05,
+    "DOUGLAS" -> 0.05, "DUNCAN" -> 0.05, "DUNN" -> 0.05, "ELLIOTT" -> 0.05,
+    "ELLIS" -> 0.1, "ESPINOZA" -> 0.05, "ESTRADA" -> 0.05, "FERGUSON" -> 0.05,
+    "FERNANDEZ" -> 0.1, "FIELDS" -> 0.05, "FISHER" -> 0.1, "FITZGERALD" -> 0.05,
+    "FORD" -> 0.05, "FOX" -> 0.05, "FRANKLIN" -> 0.05, "FREEMAN" -> 0.1,
+    "GARDNER" -> 0.05, "GARZA" -> 0.05, "GEORGE" -> 0.05, "GIBSON" -> 0.1,
+    "GILBERT" -> 0.05, "GORDON" -> 0.1, "GRAHAM" -> 0.1, "GRANT" -> 0.05,
+    "GRIFFIN" -> 0.1, "GUERRERO" -> 0.05, "HAMILTON" -> 0.1, "HANSEN" -> 0.05,
+    "HARPER" -> 0.05, "HARRISON" -> 0.1, "HART" -> 0.05, "HAWKINS" -> 0.05,
+    "HENDERSON" -> 0.1, "HENRY" -> 0.1, "HERRERA" -> 0.1, "HICKS" -> 0.05,
+    "HOFFMAN" -> 0.05, "HOLMES" -> 0.05, "HOPKINS" -> 0.05, "HUNT" -> 0.05,
+    "HUNTER" -> 0.05, "JENKINS" -> 0.1, "JENSEN" -> 0.05, "JOHNSTON" -> 0.05,
+    "JORDAN" -> 0.1, "KELLER" -> 0.05, "KENNEDY" -> 0.1, "KNIGHT" -> 0.05,
+    "LANE" -> 0.05, "LARSON" -> 0.05, "LAWRENCE" -> 0.05, "LAWSON" -> 0.05,
+    "LYNCH" -> 0.05, "MARSHALL" -> 0.1, "MASON" -> 0.1, "MCCARTHY" -> 0.05,
+    "MCCOY" -> 0.05, "MCDONALD" -> 0.1, "MEDINA" -> 0.05, "MEYER" -> 0.05,
+    "MILLS" -> 0.05, "MONTGOMERY" -> 0.05, "MORENO" -> 0.1, "MORRISON" -> 0.05,
+    "MUNOZ" -> 0.05, "MURRAY" -> 0.1, "NICHOLS" -> 0.05, "OBRIEN" -> 0.05,
+    "OLSON" -> 0.05, "OWENS" -> 0.05, "PALMER" -> 0.05, "PAYNE" -> 0.05,
+    "PENA" -> 0.05, "PERKINS" -> 0.05, "PERRY" -> 0.1, "PIERCE" -> 0.05,
+    "PORTER" -> 0.05, "POWELL" -> 0.1, "RAY" -> 0.05, "REYNOLDS" -> 0.1,
+    "RICE" -> 0.05, "RICHARDS" -> 0.05, "RIOS" -> 0.05, "ROBERTSON" -> 0.05,
+    "ROMERO" -> 0.1, "ROSE" -> 0.05, "RYAN" -> 0.05, "SALAZAR" -> 0.05,
+    "SCHMIDT" -> 0.05, "SHAW" -> 0.05, "SIMMONS" -> 0.1, "SIMPSON" -> 0.05,
+    "SNYDER" -> 0.05, "SOTO" -> 0.05, "SPENCER" -> 0.05, "STEPHENS" -> 0.05,
+    "STEVENS" -> 0.1, "STONE" -> 0.05, "SULLIVAN" -> 0.1, "TUCKER" -> 0.05,
+    "VARGAS" -> 0.05, "VASQUEZ" -> 0.05, "WAGNER" -> 0.05, "WALLACE" -> 0.05,
+    "WARREN" -> 0.05, "WEAVER" -> 0.05, "WEBB" -> 0.05, "WELLS" -> 0.1,
+    "WEST" -> 0.1, "WHEELER" -> 0.05, "WILLIS" -> 0.05, "WOODS" -> 0.05,
   )
 
   // ---------------------------------------------------------------- streets
@@ -347,6 +407,30 @@ object SeedData {
     ("KNA", "korea", "Kia"), ("WAU", "germany", "Audi"), ("WBA", "germany", "BMW"),
     ("WDB", "germany", "Mercedes-Benz"), ("WVW", "germany", "Volkswagen"),
     ("YV1", "sweden", "Volvo"), ("ZFA", "italy", "Fiat"), ("VF1", "france", "Renault"),
+    ("1C3", "usa", "Chrysler"), ("1C4", "usa", "Jeep"), ("1D7", "usa", "Dodge"),
+    ("1FT", "usa", "Ford"), ("1GC", "usa", "Chevrolet"), ("1GM", "usa", "Pontiac"),
+    ("1J4", "usa", "Jeep"), ("1LN", "usa", "Lincoln"), ("1ME", "usa", "Mercury"),
+    ("1N4", "usa", "Nissan"), ("1VW", "usa", "Volkswagen"), ("1YV", "usa", "Mazda"),
+    ("2G1", "canada", "Chevrolet"), ("2HG", "canada", "Honda"),
+    ("2HK", "canada", "Honda"), ("2FM", "canada", "Ford"),
+    ("3FA", "mexico", "Ford"), ("3GN", "mexico", "Chevrolet"),
+    ("3N1", "mexico", "Nissan"), ("4F2", "usa", "Mazda"), ("4JG", "usa", "Mercedes-Benz"),
+    ("4S3", "usa", "Subaru"), ("4T1", "usa", "Toyota"), ("4US", "usa", "BMW"),
+    ("5FN", "usa", "Honda"), ("5LM", "usa", "Lincoln"), ("5NP", "usa", "Hyundai"),
+    ("5TD", "usa", "Toyota"), ("5XY", "usa", "Kia"),
+    ("JA3", "japan", "Mitsubishi"), ("JF1", "japan", "Subaru"),
+    ("JH4", "japan", "Acura"), ("JM1", "japan", "Mazda"),
+    ("JTD", "japan", "Toyota"), ("JTH", "japan", "Lexus"),
+    ("KM8", "korea", "Hyundai"), ("KND", "korea", "Kia"),
+    ("SAJ", "uk", "Jaguar"), ("SAL", "uk", "Land Rover"),
+    ("SCC", "uk", "Lotus"), ("TRU", "hungary", "Audi"),
+    ("VF3", "france", "Peugeot"), ("VF7", "france", "Citroen"),
+    ("W04", "germany", "Buick"), ("WA1", "germany", "Audi"),
+    ("WBS", "germany", "BMW"), ("WDD", "germany", "Mercedes-Benz"),
+    ("WMW", "germany", "Mini"), ("WP0", "germany", "Porsche"),
+    ("YS3", "sweden", "Saab"), ("YV4", "sweden", "Volvo"),
+    ("ZAM", "italy", "Maserati"), ("ZAR", "italy", "Alfa Romeo"),
+    ("ZFF", "italy", "Ferrari"),
   )
   val vinModels: Vector[String] = Vector(
     "sedan", "coupe", "suv", "pickup", "wagon", "hatchback", "van", "roadster")
