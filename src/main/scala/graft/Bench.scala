@@ -56,6 +56,12 @@ object Bench {
       var i = 0
       while (i < reps && !failed) { rep(); i += 1 }
       if (!failed && times.nonEmpty && times.min < 1.0 && times.size < 3) rep()
+      // a min above 20 s is either real or a transient I/O / compaction
+      // window that both back-to-back reps sat in (observed: a 5 s query
+      // timing 75 s twice right after a cache-churning phase). One extra
+      // rep is bounded insurance: a transient window can't own the
+      // headline number, a genuinely slow query just confirms itself.
+      if (!failed && times.nonEmpty && times.min > 20.0 && times.size < reps + 1) rep()
       // errored queries get NO timing entry — a broken query must not
       // look like a fast green one
       if (failed) None else Some(name -> times.min)
