@@ -210,12 +210,17 @@ object Similarity {
   def ivfTopKFromIndex(indexPath: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
+    // BOUNDED collect: the centroid table has exactly `nlist` rows (k-means
+    // cluster count, typically 100s-1000s) — constant in corpus size, so
+    // this is index-metadata loading, not a collect-in-the-hot-path
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
     val probes = probesUdf(spark, centroids, nProbe)
     val q0 = queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("probe", explode(probes(col("qv"))))
+    // BOUNDED collect: at most min(nlist, |queries|·nProbe) distinct probe
+    // ids — needed driver-side so the isin() lands in PartitionFilters
     val probed = q0.select("probe").distinct().collect().map(_.getInt(0))
     val assigned = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))

@@ -974,6 +974,49 @@ object PipelineQueries {
       FROM n JOIN q USING (label) WHERE norm2 > p90"""),
   )
 
+  /** Span-level (sub-document) dedup report: the C4/RefinedWeb pass
+    * that removes REPEATED SPANS from otherwise-distinct documents —
+    * invisible to doc-level dedup. Spans are 10-word non-overlapping
+    * tiles (deterministic and alignment-stable, unlike sentence
+    * splitting on a punctuation-free corpus). Keep-first semantics:
+    * a duplicated tile survives only at its globally first (doc,
+    * position). Output is compact (counts + cleaned-text md5), so the
+    * hash-compare works at any corpus size. Scale shape: scan-side
+    * tile explode, one map-side-combinable tile census (count +
+    * min(struct) — both partial-aggregable, no giant window sort on a
+    * hot boilerplate tile), one equi-join back.
+    */
+  val q62_span_dedup = QueryDef(
+    "q62_span_dedup",
+    (s, d) => graft.ops.SpanDedup.spanDedupReport(docs(s, d), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+               FROM documents),
+      t AS (SELECT doc_id,
+              unnest(generate_series(1, greatest(len(ws) // 10, 0))) AS idx,
+              unnest([array_to_string(ws[(i-1)*10+1:i*10], ' ')
+                      for i in generate_series(1, greatest(len(ws) // 10, 0))]) AS tile
+            FROM d),
+      r AS (SELECT doc_id, idx, tile,
+              count(*) OVER (PARTITION BY tile) AS cnt,
+              row_number() OVER (PARTITION BY tile ORDER BY doc_id, idx) AS rn
+            FROM t),
+      stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles,
+                  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles
+                FROM r GROUP BY doc_id),
+      keptt AS (SELECT doc_id, string_agg(tile, ' ' ORDER BY idx) AS kept
+                FROM r WHERE cnt = 1 OR rn = 1 GROUP BY doc_id),
+      tails AS (SELECT doc_id,
+                  array_to_string(ws[len(ws) // 10 * 10 + 1 : len(ws)], ' ') AS tail
+                FROM d)
+      SELECT d.doc_id,
+        coalesce(s.n_tiles, 0) AS n_tiles,
+        coalesce(s.n_dup_tiles, 0) AS n_dup_tiles,
+        md5(concat_ws(' ', nullif(k.kept, ''), nullif(tl.tail, ''))) AS clean_md5
+      FROM d LEFT JOIN stats s USING (doc_id)
+             LEFT JOIN keptt k USING (doc_id)
+             JOIN tails tl USING (doc_id)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -983,6 +1026,6 @@ object PipelineQueries {
     q49_repetition, q50_contamination, q51_pii_scrub, q52_event_quantiles,
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
-    q60_event_transitions, q61_embedding_outliers,
+    q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
   )
 }

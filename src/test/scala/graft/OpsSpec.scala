@@ -56,6 +56,27 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 4950 + 10)
   }
 
+  test("spanDedup: keep-first tile removal, tail preserved, short docs intact") {
+    import graft.ops.SpanDedup
+    val tile = (1 to 10).map(i => s"w$i").mkString(" ") // one exact 10-word tile
+    val df = Seq(
+      (1L, tile + " " + (1 to 10).map(i => s"a$i").mkString(" ") + " tail1 tail2"),
+      (2L, tile + " " + (1 to 10).map(i => s"b$i").mkString(" ")), // shares tile with 1
+      (3L, "short doc under ten words"),
+    ).toDF("doc_id", "text")
+    val rep = SpanDedup.spanDedupReport(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rep(1L)._1 == 2 && rep(1L)._2 == 1) // 2 tiles, 1 duplicated
+    assert(rep(2L)._1 == 2 && rep(2L)._2 == 1)
+    assert(rep(3L)._1 == 0 && rep(3L)._2 == 0)
+    // doc 1 keeps everything (first occurrence + tail); doc 2 loses the tile
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rep(1L)._3 == md5s(tile + " " + (1 to 10).map(i => s"a$i").mkString(" ") + " tail1 tail2"))
+    assert(rep(2L)._3 == md5s((1 to 10).map(i => s"b$i").mkString(" ")))
+    assert(rep(3L)._3 == md5s("short doc under ten words"))
+  }
+
   test("simhash: identical text pairs at hamming 0, disjoint text far apart") {
     val df = Seq((1L, "the quick brown fox jumps over dogs"),
       (2L, "the quick brown fox jumps over dogs"),
