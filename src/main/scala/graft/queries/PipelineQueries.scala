@@ -1017,6 +1017,32 @@ object PipelineQueries {
              JOIN tails tl USING (doc_id)"""),
   )
 
+  /** Winnowing fingerprint sketches (the MOSS local-fingerprinting
+    * scheme): per-window minimum gram hash, distinct per doc — any
+    * shared run of k+window-1 = 6 words between two docs yields a
+    * common fingerprint. Doc-keyed windows only (one shuffle, per-doc
+    * parallel sorts); md5-hex lexicographic min is engine-portable.
+    */
+  val q63_winnow_sketch = QueryDef(
+    "q63_winnow_sketch",
+    (s, d) => graft.ops.Winnowing.fingerprints(docs(s, d), "doc_id", "text"),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ws
+               FROM documents),
+      words AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+                  unnest(ws) AS w FROM w),
+      grams AS (SELECT doc_id, pos,
+                  md5(concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win)) AS h,
+                  count(*) OVER (PARTITION BY doc_id) AS n
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      g2 AS (SELECT doc_id, pos, h, n - 2 AS m FROM grams WHERE pos <= n - 2),
+      fps AS (SELECT doc_id, pos, m,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g2)
+      SELECT DISTINCT doc_id, fp FROM fps
+      WHERE pos <= greatest(m - 3, 1)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1027,5 +1053,6 @@ object PipelineQueries {
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
+    q63_winnow_sketch,
   )
 }

@@ -77,6 +77,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rep(3L)._3 == md5s("short doc under ten words"))
   }
 
+  test("winnowing: identical docs share sketches, shared runs guarantee a common fp") {
+    import graft.ops.Winnowing
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 30).map(i => if (i == 15) "EDIT" else s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, "tiny doc here"), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(fps(1L) == fps(2L)) // identical text, identical sketch
+    // the paper's guarantee: docs 1 and 3 share runs of >= 6 words on
+    // both sides of the edit, so at least one fp is common; the edit
+    // makes the sketches differ
+    assert((fps(1L) & fps(3L)).nonEmpty && fps(1L) != fps(3L))
+    assert(fps(4L).size == 1) // 3 words -> 1 gram -> 1 clipped window
+    assert(!fps.contains(5L)) // under k words -> no fingerprints
+  }
+
   test("simhash: identical text pairs at hamming 0, disjoint text far apart") {
     val df = Seq((1L, "the quick brown fox jumps over dogs"),
       (2L, "the quick brown fox jumps over dogs"),
