@@ -376,6 +376,21 @@ object SynthQueries {
             .cast("long").as("wq")),
       Some(WalkOracle.sql)),
 
+    // VARIABLE-length flat series on the fast path: the sequence length
+    // itself is a hash-keyed draw (lengthDistribution int 1..4), the
+    // event clock is the g74 series machinery, and the oracle emits
+    // exactly the first `len` elements — flips the `sequence` length
+    // distribution from rows-only to a full bit oracle
+    QueryDef("g80_varlen_bits",
+      (s, _) => Synth.dataFrameAuto(s,
+        """[{"name": "i", "class": "id"},
+            {"class": "sequence", "flat": true,
+             "lengthDistribution": {"class": "int", "min": 1, "max": 4},
+             "base": {"class": "map", "value": [
+               {"name": "ev", "class": "event", "format": "Q", "rate": "1/m"}]}}]""",
+        20000),
+      Some(VarlenSeriesOracle.sql)),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
@@ -1166,6 +1181,36 @@ object SeriesOracle {
       s"CAST(1375315200000 + CAST(trunc($a) AS BIGINT) AS VARCHAR)"
     ch.render(
       s"SELECT i, unnest([${ev(a1)}, ${ev(a2)}, ${ev(a3)}]) AS ev FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g80_varlen_bits: the g74 event-series chains plus
+  * the hash-keyed length draw — the list literal is sliced to exactly
+  * the first `len` elements, reproducing the variable-length explode.
+  */
+object VarlenSeriesOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val base = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
+      .steps(hashLongSteps("l1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("l2", saltLit("seq#len"), "l1out"))
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("h2", saltLit("seq/ev#g"), "h1out"))
+    val ch = (1 to 3).foldLeft(base) { (c, k) =>
+      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
+    }
+    def gap(k: Int): String =
+      s"(-ln((e${k}out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
+    val a1 = s"(0.0 + ${gap(1)})"
+    val a2 = s"($a1 + ${gap(2)})"
+    val a3 = s"($a2 + ${gap(3)})"
+    def ev(a: String): String =
+      s"CAST(1375315200000 + CAST(trunc($a) AS BIGINT) AS VARCHAR)"
+    ch.render(
+      s"SELECT i, unnest(([${ev(a1)}, ${ev(a2)}, ${ev(a3)}])" +
+        s"[1:${fastPathInt("l2out", 1, 4)}]) AS ev FROM ${ch.last}")
   }
 }
 

@@ -39,12 +39,20 @@ object ColumnCompiler {
     try compileSchema(schemaJson, 42L).isDefined
     catch { case _: Exception => false }
 
+  /** One compiled flat sequence: element field names, the zipped
+    * array<struct> column, and whether the per-row array can be EMPTY
+    * (variable length distributions) — empty arrays must DROP the
+    * record, matching the interpreter's cross-product-with-empty-list
+    * semantics, so the caller picks explode over explode_outer.
+    */
+  final case class FlatSeq(fields: Seq[String], arr: Column, mayBeEmpty: Boolean)
+
   /** A fast-path plan: scalar columns before/after at most one flat
     * sequence (an array of structs exploded into rows). The before/after
     * split preserves the interpreter's spec-order column layout.
     */
   final case class FastPlan(before: Seq[(String, Column)],
-      flat: Option[(Seq[String], Column)], after: Seq[(String, Column)]) {
+      flat: Option[FlatSeq], after: Seq[(String, Column)]) {
     def scalars: Seq[(String, Column)] = before ++ after
   }
 
@@ -67,7 +75,7 @@ object ColumnCompiler {
     val specs = SpecParser.parse(schemaJson)
     val before = Seq.newBuilder[(String, Column)]
     val after = Seq.newBuilder[(String, Column)]
-    var flat: Option[(Seq[String], Column)] = None
+    var flat: Option[FlatSeq] = None
     def out = if (flat.isEmpty) before else after
     for (f <- specs) {
       f.clazz match {
@@ -109,23 +117,64 @@ object ColumnCompiler {
         (acc.getField("s") + g).as("s")),
       acc => acc.getField("a"))
 
-  /** Flat `sequence` of a `map` sub-schema with a literal length: each
-    * sub-field becomes an array of n per-element values; cumulative
-    * samplers (event, random-walk) become prefix sums of i.i.d. step
-    * arrays — the closed column form of the interpreter's running
-    * clocks. Returns (element field names, array<struct> column).
+  /** Flat `sequence` of a `map` sub-schema: each sub-field becomes an
+    * array of per-element values; cumulative samplers (event,
+    * random-walk) become prefix sums of i.i.d. step arrays — the closed
+    * column form of the interpreter's running clocks.
+    *
+    * Lengths: a literal length keeps the native `synth_series` lowering;
+    * a `lengthDistribution` of class `int` (no dist/skew/format) or an
+    * exponential default (`length` mean, the reference's
+    * SequenceSampler default) compiles to a per-row hash-keyed length
+    * column — the whole variable-length series stays on the fast path
+    * (HOF lowering; native `prefix_sum` still applies). A length draw
+    * of 0 yields an EMPTY array and the record is dropped on explode,
+    * matching the interpreter's cross-product-with-empty-list
+    * semantics.
     */
-  private def flatSequence(f: FieldSpec, ctx: Ctx): Option[(Seq[String], Column)] = {
+  private def flatSequence(f: FieldSpec, ctx: Ctx): Option[FlatSeq] = {
     import scala.jdk.CollectionConverters._
-    val n = f.node("lengthDistribution").filter(_.isNumber).map(_.asInt)
-      .getOrElse(return None)
-    if (n <= 0) return None // sequence(1, 0) is descending — interpreter handles
+    // (literal n, per-row length column) — exactly one is set
+    val (litN, lenCol): (Option[Int], Option[Column]) =
+      f.node("lengthDistribution") match {
+        case Some(nd) if nd.isNumber =>
+          if (nd.asInt <= 0) return None // sequence(1, 0) is descending
+          (Some(nd.asInt), None)
+        case Some(nd) =>
+          val ls = SpecParser.parseField(nd)
+          ls.clazz match {
+            case "int" | "integer" | "random-int"
+                if ls.node("dist").isEmpty && ls.node("skew").isEmpty &&
+                  ls.node("format").isEmpty =>
+              val mn = ls.sizeLong("min").getOrElse(0L)
+              val mx = ls.sizeLong("max").getOrElse(100L)
+              if (mx > 4096 || mn < 0) return None // bound the per-row array
+              (None, Some(floor(u(ctx, "#len") * (mx - mn) + mn).cast("int")))
+            case _ => return None
+          }
+        case None =>
+          // the reference's default: exponential length (mean `length`).
+          // Means large enough that a tail draw could build an unbounded
+          // per-row array stay on the interpreter.
+          val mean = f.dbl("length").getOrElse(5.0)
+          if (mean > 400) return None
+          (None, Some(floor(log(u(ctx, "#len") + lit(1e-300)) * -mean).cast("int")))
+      }
     val baseSpec = f.node("base").map(SpecParser.parseField).getOrElse(return None)
     if (baseSpec.clazz != "map") return None
     val subs = baseSpec.node("value").map { v =>
       (if (v.isArray) v.elements().asScala.toSeq else Seq(v)).map(SpecParser.parseField)
     }.getOrElse(return None)
-    val idx = sequence(lit(1), lit(n))
+    val n = litN.getOrElse(0) // native/unrolled paths need a literal n
+    val idx = lenCol match {
+      case None      => sequence(lit(1), lit(n))
+      case Some(len) =>
+        when(len >= 1, sequence(lit(1), len))
+          .otherwise(array().cast("array<int>"))
+    }
+    // the native synth_series primitive takes a constant n; variable
+    // lengths keep the HOF lowering (native prefix_sum still applies)
+    val nativeOk = litN.isDefined
     // per-element uniform keyed by (seed, path, row id, element index)
     def uElem(c: Ctx, extra: String): Column => Column = i =>
       shiftrightunsigned(xxhash64(col("id"), lit(c.salt(extra)), i), 11) *
@@ -156,7 +205,7 @@ object ColumnCompiler {
           val start = s.str("start").map(graft.runtime.FancyTime(fmt).parseMillis)
             .getOrElse(1375315200000L)
           val pat = if (fmt == "iso") "yyyy-MM-dd'T'HH:mm:ss'Z'" else fmt
-          if (ctx.nativeFns && safePattern(pat))
+          if (ctx.nativeFns && nativeOk && safePattern(pat))
             native(c, "event", c.salt("#g"), 0L, start.toDouble, meanMs, 0.0, pat)
           else {
             val gaps = transform(idx, i => -log(uElem(c, "#g")(i) + lit(1e-300)) * meanMs)
@@ -174,7 +223,7 @@ object ColumnCompiler {
           val mean = s.dbl("mean").getOrElse(0.0)
           val sd = s.dbl("sd").orElse(s.dbl("variance").map(math.sqrt))
             .orElse(s.dbl("precision").map(p => 1.0 / math.sqrt(p))).getOrElse(1.0)
-          if (ctx.nativeFns)
+          if (ctx.nativeFns && nativeOk)
             native(c, "walk", c.salt("#a"), c.salt("#b"), start, mean, sd)
           else {
             val steps = transform(idx, i =>
@@ -187,7 +236,7 @@ object ColumnCompiler {
               s.node("format").isEmpty =>
           val min = s.sizeLong("min").getOrElse(0L)
           val max = s.sizeLong("max").getOrElse(100L)
-          if (ctx.nativeFns)
+          if (ctx.nativeFns && nativeOk)
             native(c, "int", c.salt(), 0L, min.toDouble, max.toDouble)
           else transform(idx, i => floor(uElem(c, "")(i) * (max - min) + min).cast("long"))
         case "double" | "float"
@@ -195,18 +244,18 @@ object ColumnCompiler {
               s.node("format").isEmpty =>
           val min = s.dbl("min").getOrElse(0.0)
           val max = s.dbl("max").getOrElse(100.0)
-          if (ctx.nativeFns) native(c, "double", c.salt(), 0L, min, max)
+          if (ctx.nativeFns && nativeOk) native(c, "double", c.salt(), 0L, min, max)
           else transform(idx, i => uElem(c, "")(i) * (max - min) + min)
         case "normal" if s.dbl("min").isEmpty && s.dbl("max").isEmpty =>
           val mean = s.dbl("mean").getOrElse(0.0)
           val sd = s.dbl("sd").orElse(s.dbl("precision").map(p => 1.0 / p)).getOrElse(1.0)
-          if (ctx.nativeFns)
+          if (ctx.nativeFns && nativeOk)
             native(c, "normal", c.salt("#a"), c.salt("#b"), mean, sd)
           else transform(idx, i =>
             sqrt(log(uElem(c, "#a")(i) + lit(1e-300)) * -2.0) *
               cos(uElem(c, "#b")(i) * (2 * math.Pi)) * sd + mean)
         case "uuid" =>
-          if (ctx.nativeFns) native(c, "uuid", c.salt("#hi"), c.salt("#lo"))
+          if (ctx.nativeFns && nativeOk) native(c, "uuid", c.salt("#hi"), c.salt("#lo"))
           else {
             def hb(extra: String): Column => Column = i =>
               xxhash64(col("id"), lit(c.salt(extra)), i)
@@ -231,7 +280,7 @@ object ColumnCompiler {
     // O(n²)) prefix-sum array per element — O(n³), measured 4.5x slower
     // than the interpreter (no CSE inside lambdas).
     val zipped = arrays_zip(arrays.map { case (nm, arr) => arr.as(nm) }: _*)
-    Some((arrays.map(_._1), zipped))
+    Some(FlatSeq(arrays.map(_._1), zipped, lenCol.isDefined))
   }
 
   /** The cumulative weight ladder behind a multinomial CASE chain —

@@ -49,7 +49,7 @@ object Synth {
         plan.flat match {
           case None =>
             base.select(plan.scalars.map { case (nm, c) => c.as(nm) }: _*)
-          case Some((elemFields, arr)) =>
+          case Some(ColumnCompiler.FlatSeq(elemFields, arr, mayBeEmpty)) =>
             import org.apache.spark.sql.functions.{col => fcol, explode_outer}
             // one explode over the zipped element structs; scalar columns
             // repeat per element, and the element fields land at the flat
@@ -65,14 +65,18 @@ object Synth {
             base
               .select((plan.scalars.map { case (nm, c) => c.as(nm) } :+
                 arr.as("__arr")): _*)
-              // explode_outer, not explode: the series array always has
-              // n >= 1 elements (flatSequence rejects n <= 0), so the
-              // rows are identical — but InferFiltersFromGenerate skips
-              // outer generates, and for plain explode it would add a
-              // size(arr) > 0 filter that re-evaluates the whole series
-              // expression a second time per input row.
+              // Literal lengths: explode_outer — the array always has
+              // n >= 1 elements (flatSequence rejects n <= 0), and
+              // InferFiltersFromGenerate skips outer generates, whereas
+              // plain explode would get a size(arr) > 0 filter that
+              // re-evaluates the whole series expression a second time
+              // per input row. Variable lengths: plain explode — a
+              // 0-length draw produces an EMPTY array and the record
+              // must be DROPPED (the interpreter's cross product with an
+              // empty element list emits no rows).
               .select((plan.scalars.map { case (nm, _) => fcol(nm) } :+
-                explode_outer(fcol("__arr")).as("__e")): _*)
+                (if (mayBeEmpty) org.apache.spark.sql.functions.explode(fcol("__arr"))
+                 else explode_outer(fcol("__arr"))).as("__e")): _*)
               .select((plan.before.map { case (nm, _) => fcol(nm) } ++
                 elemFields.map(f => fcol(s"__e.$f")) ++
                 plan.after.map { case (nm, _) => fcol(nm) }): _*)

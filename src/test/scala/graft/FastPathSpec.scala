@@ -23,6 +23,27 @@ class FastPathSpec extends AnyFunSuite {
       """[{"name": "c", "class": "commuter"}]"""))
   }
 
+  test("variable-length flat series: keyed lengths, 0-length records dropped") {
+    // exponential default (mean 2): P(len = 0) = 1 - e^{-1/2} ≈ 0.39,
+    // E[len] = e^{-1/2}/(1 - e^{-1/2}) ≈ 1.54
+    val schema = """[
+      {"name": "i", "class": "id"},
+      {"class": "sequence", "flat": true, "length": 2,
+       "base": {"class": "map", "value": [
+         {"name": "x", "class": "double", "min": 0, "max": 1}]}}]"""
+    assert(ColumnCompiler.compilePlan(schema, 42L).isDefined,
+      "variable-length flat sequence must stay on the fast path")
+    val df = Synth.dataFrameAuto(spark, schema, 4000).select("i", "x").persist()
+    val ids = df.select("i").distinct().count()
+    val rows = df.count()
+    df.unpersist()
+    // a large fraction of records draw length 0 and are DROPPED
+    assert(ids > 2000 && ids < 2800, s"surviving ids $ids outside exp(2) band")
+    // mean length over ALL records (including dropped) ≈ 1.54
+    val mean = rows.toDouble / 4000
+    assert(mean > 1.3 && mean < 1.8, s"mean series length $mean outside exp(2) band")
+  }
+
   test("fast path output matches interpreter schema and constraints") {
     val schema = """[
       {"name": "u", "class": "uuid"},
