@@ -763,6 +763,53 @@ object SynthQueries {
           CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY key, sid""")),
 
+    // STREAM-STREAM interval join made driver-visible: views joined to
+    // same-user clicks within 24 hours, both sides watermarked so Spark
+    // bounds the join state (the production shape for impression->click
+    // attribution). Bounded replay via AvailableNow; the batch oracle is
+    // the identical interval join in DuckDB. All comparisons and the lag
+    // run in per-side TRUNCATED units (ns -> us for the join bound,
+    // ns -> ms for the lag) because Spark's event_time is micros-
+    // truncated before comparing — flooring the difference instead
+    // would disagree by 1 around sub-unit remainders.
+    QueryDef("g81_stream_interval_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_millis}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g81_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        def side(kind: String, idAs: String, userAs: String, tAs: String) =
+          s.readStream.schema(schema).parquet(streamDir.toString)
+            .filter(col("event_type") === kind)
+            .select(col("event_id").as(idAs), col("user_id").as(userAs),
+              timestamp_micros(expr("ts div 1000")).as(tAs))
+            .withWatermark(tAs, "1 hour")
+        val views = side("view", "view_id", "vu", "vt")
+        val clicks = side("click", "click_id", "cu", "ct")
+        val joined = views.join(clicks,
+          col("vu") === col("cu") && col("ct") >= col("vt") &&
+            col("ct") <= col("vt") + expr("INTERVAL 24 HOURS"))
+          .select(col("view_id"), col("click_id"),
+            (unix_millis(col("ct")) - unix_millis(col("vt"))).as("lag_ms"))
+        val name = "g81_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_ns(ts) // 1000 AS us FROM events)
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+          CAST(c.us // 1000 - v.us // 1000 AS BIGINT) AS lag_ms
+        FROM e v JOIN e c ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.us >= v.us AND c.us <= v.us + 86400000000""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
