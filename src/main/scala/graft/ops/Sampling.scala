@@ -92,6 +92,57 @@ object Sampling {
       .drop("thr")
   }
 
+  /** Quality-bucket downsampling (the CCNet move: bucket documents by a
+    * quality score, keep low-quality buckets at a reduced rate). Buckets
+    * are GLOBAL k-quantile bands of the integer score, computed WITHOUT
+    * sorting the corpus: one map-side-combinable histogram over the
+    * score (distinct integer scores are bounded — milli-nat sums of
+    * bounded-length docs — so the cumulative window runs over a
+    * dimension-sized table, not the data), cut j = smallest score whose
+    * cumulative count reaches (j+1)/k of the corpus. Membership within a
+    * bucket is the usual deterministic hash cell, so the kept set is
+    * reproducible under any partitioning and exactly reproducible in
+    * SQL.
+    *
+    * `keepPerMille(j)` is the keep rate of bucket j (0 = lowest
+    * quality); its length fixes the bucket count. Appends `bucket` and
+    * `kept` (int 0/1) columns.
+    */
+  def qualityBucketSample(df: DataFrame, idCol: String, scoreCol: String,
+      keepPerMille: Seq[Long], seed: Long = 42L): DataFrame = {
+    val nb = keepPerMille.length
+    require(nb >= 1 && keepPerMille.forall(p => p >= 0 && p <= 1000),
+      s"keepPerMille must be rates in [0, 1000]: $keepPerMille")
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(w.partitionBy().orderBy("__s")))
+      .withColumn("__n", sum("__c").over(w.partitionBy()))
+    val cutCols = (0 until nb - 1).map(j =>
+      min(when(col("__cum") * nb >= col("__n") * (j + 1), col("__s"))).as(s"__t$j"))
+    // the cuts row is 1×(k-1) by construction; an equi-join on a
+    // constant key broadcasts it (BroadcastHashJoin, not a nested loop)
+    val cuts =
+      if (nb == 1) null
+      else cum.agg(cutCols.head, cutCols.tail: _*).withColumn("__k", lit(1))
+    val joined =
+      if (nb == 1) df
+      else df.withColumn("__k", lit(1)).join(broadcast(cuts), "__k").drop("__k")
+    val bucket = (0 until nb - 1).reverse.foldLeft(lit(nb - 1): Column) {
+      case (acc, j) => when(col(scoreCol) <= col(s"__t$j"), j).otherwise(acc)
+    }
+    val thr = keepPerMille.zipWithIndex.reverse
+      .foldLeft(lit(keepPerMille.last * 1000): Column) {
+        case (acc, (p, j)) => when(col("__bucket") === j, p * 1000).otherwise(acc)
+      }
+    joined
+      .withColumn("__bucket", bucket.cast("int"))
+      .withColumn("kept",
+        (pmod(xxhash64(col(idCol), lit(seed)), lit(Resolution)) < thr).cast("int"))
+      .drop((0 until nb - 1).map(j => s"__t$j"): _*)
+      .withColumnRenamed("__bucket", "bucket")
+  }
+
   /** Assign every row a split index 0..k-1 by cumulative weight bands
     * over the same hash cell (train/val/test splits). Bands are
     * half-open and exhaustive, so each row lands in exactly one split.

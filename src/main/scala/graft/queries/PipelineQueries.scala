@@ -374,6 +374,60 @@ object PipelineQueries {
     )
   }
 
+  /** Quality-bucket downsampling (CCNet-style): bucket documents into
+    * global terciles of the integer LM score, keep the low/mid/high
+    * buckets at 10% / 50% / 100% via the deterministic hash cell.
+    * The terciles come from a HISTOGRAM of the bounded integer score
+    * domain (map-side combinable; the cumulative window runs over the
+    * dimension-sized histogram, never the corpus) and membership is a
+    * pure hash function — no corpus sort, no RNG, reproducible under
+    * any partitioning, and the whole pipeline replays exactly in SQL.
+    */
+  val q64_quality_sampling: QueryDef = {
+    val lexValues = graft.ops.TextAnalysis.unigramLogProbsMilli
+      .map { case (w, lp) => s"('$w', $lp)" }
+      .mkString(", ")
+    QueryDef(
+      "q64_quality_sampling",
+      (s, d) => {
+        val scored = docs(s, d).select(col("doc_id"),
+          graft.ops.TextAnalysis.unigramScore(coalesce(col("text"), lit("")))
+            .as("s"))
+        graft.ops.Sampling.qualityBucketSample(scored, "doc_id", "s",
+          keepPerMille = Seq(100L, 500L, 1000L))
+          .select(col("doc_id"), col("bucket"), col("kept"))
+      },
+      Some {
+        import DuckXxHash._
+        val ch0 = chain("s0",
+          s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val ch = ch0
+          .cte("cellt", s"SELECT doc_id, ${pmod("h2out", 1000000L)} AS cell FROM ${ch0.last}")
+          .cte("lex", s"SELECT * FROM (VALUES $lexValues) AS t(w, lp)")
+          .cte("tok", "SELECT doc_id, unnest(regexp_split_to_array(" +
+            "lower(trim(coalesce(text, ''))), '\\s+')) AS t FROM documents")
+          .cte("sc", "SELECT doc_id, CAST(sum(coalesce(lp, " +
+            s"${graft.ops.TextAnalysis.oovPenaltyMilli})) AS BIGINT) AS s " +
+            "FROM tok LEFT JOIN lex ON t = w GROUP BY doc_id")
+          .cte("hist", "SELECT s, count(*) AS c FROM sc GROUP BY s")
+          .cte("cum", "SELECT s, sum(c) OVER (ORDER BY s) AS cum, " +
+            "sum(c) OVER () AS n FROM hist")
+          .cte("cuts", "SELECT min(CASE WHEN 3*cum >= n THEN s END) AS t0, " +
+            "min(CASE WHEN 3*cum >= 2*n THEN s END) AS t1 FROM cum")
+        ch.render(
+          """SELECT sc.doc_id,
+            CAST(CASE WHEN s <= t0 THEN 0 WHEN s <= t1 THEN 1 ELSE 2 END AS INT) AS bucket,
+            CAST(CASE WHEN cell < (CASE WHEN s <= t0 THEN 100000
+                                        WHEN s <= t1 THEN 500000
+                                        ELSE 1000000 END)
+                 THEN 1 ELSE 0 END AS INT) AS kept
+          FROM sc CROSS JOIN cuts JOIN cellt ON sc.doc_id = cellt.doc_id""")
+      },
+    )
+  }
+
   /** Deterministic train/val/test split: every row's band comes from
     * `pmod(xxhash64(doc_id, seed), 1M)` alone — no RNG state, no
     * shuffle, reproducible under any partitioning (unlike df.sample,
@@ -1053,6 +1107,6 @@ object PipelineQueries {
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
-    q63_winnow_sketch,
+    q63_winnow_sketch, q64_quality_sampling,
   )
 }

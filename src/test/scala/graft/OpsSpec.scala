@@ -77,6 +77,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rep(3L)._3 == md5s("short doc under ten words"))
   }
 
+  test("qualityBucketSample: tercile bands, per-bucket keep rates, determinism") {
+    import graft.ops.Sampling
+    val df = (1L to 3000L).map(i => (i, (i % 300))).toDF("doc_id", "s")
+    val out = Sampling.qualityBucketSample(df, "doc_id", "s",
+      keepPerMille = Seq(100L, 500L, 1000L)).persist()
+    val byBucket = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("kept").as("k"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // uniform scores: buckets are exact thirds
+    assert(byBucket(0)._1 == 1000 && byBucket(1)._1 == 1000 && byBucket(2)._1 == 1000)
+    // keep rates near 10% / 50% / 100% (hash cell is uniform)
+    assert(byBucket(0)._2 > 50 && byBucket(0)._2 < 180, s"b0 ${byBucket(0)._2}")
+    assert(byBucket(1)._2 > 400 && byBucket(1)._2 < 600, s"b1 ${byBucket(1)._2}")
+    assert(byBucket(2)._2 == 1000)
+    // deterministic: a second run keeps exactly the same rows
+    val again = Sampling.qualityBucketSample(df, "doc_id", "s",
+      keepPerMille = Seq(100L, 500L, 1000L))
+    assert(out.select("doc_id", "kept").except(again.select("doc_id", "kept")).count() == 0)
+    out.unpersist()
+  }
+
   test("winnowing: identical docs share sketches, shared runs guarantee a common fp") {
     import graft.ops.Winnowing
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
