@@ -120,26 +120,27 @@ object Sampling {
       .withColumn("__n", sum("__c").over(w.partitionBy()))
     val cutCols = (0 until nb - 1).map(j =>
       min(when(col("__cum") * nb >= col("__n") * (j + 1), col("__s"))).as(s"__t$j"))
-    // the cuts row is 1×(k-1) by construction; an equi-join on a
-    // constant key broadcasts it (BroadcastHashJoin, not a nested loop)
-    val cuts =
-      if (nb == 1) null
-      else cum.agg(cutCols.head, cutCols.tail: _*).withColumn("__k", lit(1))
-    val joined =
-      if (nb == 1) df
-      else df.withColumn("__k", lit(1)).join(broadcast(cuts), "__k").drop("__k")
-    val bucket = (0 until nb - 1).reverse.foldLeft(lit(nb - 1): Column) {
-      case (acc, j) => when(col(scoreCol) <= col(s"__t$j"), j).otherwise(acc)
+    // BOUNDED collect: exactly one row of k-1 integers — quantile-cut
+    // metadata, constant in corpus size (a constant-key broadcast join
+    // would constant-fold into a nested loop; inlining the literals
+    // keeps the main scan join-free entirely)
+    val cuts: Seq[Long] =
+      if (nb == 1) Seq.empty
+      else {
+        val r = cum.agg(cutCols.head, cutCols.tail: _*).collect()(0)
+        if (r.anyNull) Seq.empty // empty input: no rows get tagged anyway
+        else (0 until nb - 1).map(j => r.get(j).asInstanceOf[Number].longValue)
+      }
+    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(nb - 1): Column) {
+      case (acc, (t, j)) => when(col(scoreCol) <= t, j).otherwise(acc)
     }
     val thr = keepPerMille.zipWithIndex.reverse
       .foldLeft(lit(keepPerMille.last * 1000): Column) {
         case (acc, (p, j)) => when(col("__bucket") === j, p * 1000).otherwise(acc)
       }
-    joined
-      .withColumn("__bucket", bucket.cast("int"))
+    df.withColumn("__bucket", bucket.cast("int"))
       .withColumn("kept",
         (pmod(xxhash64(col(idCol), lit(seed)), lit(Resolution)) < thr).cast("int"))
-      .drop((0 until nb - 1).map(j => s"__t$j"): _*)
       .withColumnRenamed("__bucket", "bucket")
   }
 
