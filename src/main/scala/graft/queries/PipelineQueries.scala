@@ -1097,6 +1097,49 @@ object PipelineQueries {
       WHERE pos <= greatest(m - 3, 1)"""),
   )
 
+  /** Overlap pairs from the winnowing sketches: docs sharing >= 2
+    * fingerprints. The join runs on the SKETCH (~2/(w+1) the size of
+    * the full gram set — the point of winnowing), with the same
+    * df <= 64 posting-list cap as the shingle path bounding per-key
+    * fan-out at C(64,2) regardless of corpus size.
+    */
+  val q65_winnow_pairs = QueryDef(
+    "q65_winnow_pairs",
+    (s, d) => {
+      val fps = graft.ops.Winnowing.fingerprints(docs(s, d), "doc_id", "text")
+      val capped = fps
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= 64)
+        .select("doc_id", "fp")
+      capped.as("x")
+        .join(capped.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ws
+               FROM documents),
+      words AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+                  unnest(ws) AS w FROM w),
+      grams AS (SELECT doc_id, pos,
+                  md5(concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win)) AS h,
+                  count(*) OVER (PARTITION BY doc_id) AS n
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      g2 AS (SELECT doc_id, pos, h, n - 2 AS m FROM grams WHERE pos <= n - 2),
+      fraw AS (SELECT doc_id, pos, m,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g2),
+      fps AS (SELECT DISTINCT doc_id, fp FROM fraw WHERE pos <= greatest(m - 3, 1)),
+      capped AS (SELECT doc_id, fp FROM
+                   (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+                 WHERE df <= 64)
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+      FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1107,6 +1150,6 @@ object PipelineQueries {
     q53_curation_funnel, q54_cluster_assign, q55_heavy_hitters, q56_distinctive_terms,
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
-    q63_winnow_sketch, q64_quality_sampling,
+    q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
   )
 }
