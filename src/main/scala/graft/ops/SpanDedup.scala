@@ -27,19 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
+  /** Tile column over an ALREADY-MATERIALIZED token-array attribute.
+    * The tokens must be an attribute, not an inline split(): there is
+    * no CSE inside lambda bodies, so an inline split would re-tokenize
+    * the whole document once per tile — quadratic in document length
+    * (same trap as Dedup.shinglesFromTokens).
+    */
+  private def tilesFromTokens(ws: org.apache.spark.sql.Column,
+      tileWords: Int): org.apache.spark.sql.Column =
+    // sequence(1, 0) is DESCENDING in Spark — guard short docs
+    when(size(ws) >= tileWords,
+      transform(sequence(lit(1), floor(size(ws) / tileWords).cast("int")), i =>
+        array_join(slice(ws, (i - 1) * tileWords + 1, lit(tileWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Tile occurrences: one row per (doc, tileIdx, tile). Tiles are
-    * 1-indexed; docs shorter than one tile emit nothing.
+    * 1-indexed; docs shorter than one tile emit nothing. One-shot
+    * convenience form; spanDedupReport keeps the token array behind a
+    * persist barrier and shares it across tiles/stats/tail.
     */
   def tileOccurrences(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int = 10): DataFrame = {
     require(tileWords >= 1, s"tileWords must be positive: $tileWords")
-    val ws = split(coalesce(col(textCol), lit("")), " ")
-    // sequence(1, 0) is DESCENDING in Spark — guard short docs
-    val tiles = when(size(ws) >= tileWords,
-      transform(sequence(lit(1), floor(size(ws) / tileWords).cast("int")), i =>
-        array_join(slice(ws, (i - 1) * tileWords + 1, lit(tileWords)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("doc_id"), tiles.as("__tiles"))
+    df.select(col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("__ws"))
+      .select(col("doc_id"), tilesFromTokens(col("__ws"), tileWords).as("__tiles"))
       .select(col("doc_id"), posexplode(col("__tiles")).as(Seq("__pos", "tile")))
       .select(col("doc_id"), (col("__pos") + 1).cast("long").as("idx"), col("tile"))
   }
@@ -51,7 +63,18 @@ object SpanDedup {
     */
   def spanDedupReport(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int = 10): DataFrame = {
-    val occ = tileOccurrences(df, idCol, textCol, tileWords)
+    require(tileWords >= 1, s"tileWords must be positive: $tileWords")
+    // persist() barrier: keeps CollapseProject from inlining the split
+    // back into the tile lambda (re-tokenizing per tile) and shares ONE
+    // tokenization across the tile explode and the tail projection
+    val tokens = df
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__ws"))
+      .persist()
+    val occ = tokens
+      .select(col("doc_id"), tilesFromTokens(col("__ws"), tileWords).as("__tiles"))
+      .select(col("doc_id"), posexplode(col("__tiles")).as(Seq("__pos", "tile")))
+      .select(col("doc_id"), (col("__pos") + 1).cast("long").as("idx"), col("tile"))
     val census = occ.groupBy("tile").agg(
       count(lit(1)).as("__cnt"),
       min(struct(col("doc_id"), col("idx"))).as("__first"))
@@ -65,13 +88,13 @@ object SpanDedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("idx"), col("tile")))),
           x => x.getField("tile")), " ").as("__kept"))
-    val ws = split(coalesce(col(textCol), lit("")), " ")
+    val ws = col("__ws")
     val tailStart = floor(size(ws) / tileWords).cast("int") * tileWords + 1
-    val base = df.select(col(idCol).as("doc_id"),
+    val base = tokens.select(col("doc_id"),
       when(size(ws) >= tailStart,
         array_join(slice(ws, tailStart, size(ws) - tailStart + 1), " "))
         .otherwise(lit("")).as("__tail"))
-    base
+    val result = base
       .join(stats, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -82,5 +105,10 @@ object SpanDedup {
         md5(concat_ws(" ",
           when(length(col("__kept")) > 0, col("__kept")),
           when(length(col("__tail")) > 0, col("__tail")))).as("clean_md5"))
+    // eager executor-local checkpoint frees the token cache (see
+    // Dedup.exactShinglePairs for the cluster-loss tradeoff note)
+    val out = result.localCheckpoint(true)
+    tokens.unpersist()
+    out
   }
 }
