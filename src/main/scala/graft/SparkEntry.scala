@@ -391,6 +391,37 @@ object SynthQueries {
         20000),
       Some(VarlenSeriesOracle.sql)),
 
+    // the IoT FLAGSHIP schema itself, bit-checked end-to-end at 3
+    // readings: uuid device ids (RFC-4122 surgery), public ipv4, the
+    // zip-table lat/lon flatten, the formatted event clock, and the
+    // random-walk temperature — every column of the flagship composed
+    // in ONE query whose full output DuckDB recomputes bit-for-bit.
+    // (The 100-reading production variant is the same machinery; 3
+    // keeps the unrolled oracle chain tractable.)
+    QueryDef("g82_iot_bits",
+      (s, _) => {
+        import org.apache.spark.sql.functions.floor
+        Synth.dataFrameAuto(s, """[
+            {"name": "i", "class": "id"},
+            {"name": "device-id", "class": "uuid"},
+            {"name": "device-ip", "class": "ipv4"},
+            {"class": "flatten", "prefix": "",
+             "value": {"class": "zip", "onlyContinental": true,
+                       "fields": "latitude, longitude"}},
+            {"class": "sequence", "lengthDistribution": 3,
+             "base": {"class": "map", "value": [
+               {"name": "time", "class": "event",
+                "format": "yyyy-MM-dd HH:mm:ss", "rate": "1/m"},
+               {"name": "temp", "class": "random-walk",
+                "start": 30, "mean": 0, "sd": 1}]},
+             "flat": true}
+          ]""", 20000)
+          .select(col("i"), col("device-id"), col("device-ip"),
+            col("latitude"), col("longitude"), col("time"),
+            floor(col("temp") * 1000000d).cast("long").as("tempq"))
+      },
+      Some(IotBitsOracle.sql)),
+
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
     // compare with g30 (same schema through the interpreter)
@@ -1258,6 +1289,80 @@ object VarlenSeriesOracle {
     ch.render(
       s"SELECT i, unnest(([${ev(a1)}, ${ev(a2)}, ${ev(a3)}])" +
         s"[1:${fastPathInt("l2out", 1, 4)}]) AS ev FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g82_iot_bits: the whole IoT flagship row composed
+  * from the proven fragments — FastPathOracle's RFC-4122 hex surgery,
+  * LookupOracle's public-ipv4 octets, GeoOracle's zip-table pick,
+  * SeriesOracle's exponential arrival clock (formatted render), and
+  * WalkOracle's Box–Muller cumulative walk — one SELECT whose 60 000
+  * rows must hash-match the fast path bit-for-bit.
+  */
+object IotBitsOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val base = uniformChain(20000, Seq(
+      "uh" -> "device-id#hi", "ul" -> "device-id#lo",
+      "ip" -> "device-ip", "zp" -> "zip",
+      "tg" -> "seq/time#g", "wa" -> "seq/temp#a", "wb" -> "seq/temp#b"))
+    val ch = (1 to 3).foldLeft(base) { (c, k) =>
+      c.steps(hashIntSteps(s"t$k", s"$k::HUGEINT", "h_tg"))
+        .steps(hashIntSteps(s"wa$k", s"$k::HUGEINT", "h_wa"))
+        .steps(hashIntSteps(s"wb$k", s"$k::HUGEINT", "h_wb"))
+    }
+    // uuid: version-4 / variant-10 bit surgery on the unsigned domain
+    val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
+      "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
+    val loHex = "lower(lpad(to_hex(CAST((CAST(h_ul AS UBIGINT) & " +
+      "4611686018427387903::UBIGINT) | CAST(9223372036854775808 AS UBIGINT) " +
+      "AS UBIGINT)), 16, '0'))"
+    val uuid = "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), " +
+      "substr(h_hi, 13, 4), substr(h_lo, 1, 4), substr(h_lo, 5, 12))"
+    // ipv4: 1..221 leading draw bumped past 10 and 127; last octet 1..254
+    def octet(n: Int) = s"((h_ip // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val a0 = s"(${octet(24)} % 221 + 1)"
+    val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
+    val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
+    val ipCol = s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, " +
+      s"(${octet(0)} % 254 + 1))"
+    // zip-table pick: one shared hash index keeps lat/lon row-consistent.
+    // '<shortest-repr>'::DOUBLE forces the correctly-rounded string→
+    // double parse — a bare numeric literal would land as DECIMAL and
+    // round differently in the low bits
+    val rows = SeedData.continentalZips
+    val idx = s"(${pmod("h_zp", rows.length.toLong)} + 1)"
+    def dlist(xs: Seq[Double]): String =
+      xs.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+    val lat = s"(list_extract(${dlist(rows.map(_.latitude))}, $idx))"
+    val lon = s"(list_extract(${dlist(rows.map(_.longitude))}, $idx))"
+    // event clock: exponential gaps, left-associated prefix sums,
+    // formatted UTC render
+    def gap(k: Int): String =
+      s"(-ln((t${k}out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
+    val a1e = s"(0.0 + ${gap(1)})"
+    val a2e = s"($a1e + ${gap(2)})"
+    val a3e = s"($a2e + ${gap(3)})"
+    def evt(a: String): String =
+      s"strftime(epoch_ms(1375315200000 + CAST(trunc($a) AS BIGINT)), " +
+        "'%Y-%m-%d %H:%M:%S')"
+    // random walk: Box-Muller steps, cumulative, +30 start, micro floor
+    def uu(pfx: String): String = s"((${pfx}out // 2048) * 1.1102230246251565e-16)"
+    def step(k: Int): String =
+      s"(sqrt(ln(${uu(s"wa$k")} + 1e-300) * -2.0) * " +
+        s"cos(${uu(s"wb$k")} * 6.283185307179586) * 1.0 + 0.0)"
+    val c1 = s"(0.0 + ${step(1)})"
+    val c2 = s"($c1 + ${step(2)})"
+    val c3 = s"($c2 + ${step(3)})"
+    def wq(c: String): String = s"CAST(floor(($c + 30.0) * 1000000.0) AS BIGINT)"
+    ch.render(
+      s"""SELECT i, $uuid AS "device-id", $ipCol AS "device-ip",
+        $lat AS latitude, $lon AS longitude,
+        unnest([${evt(a1e)}, ${evt(a2e)}, ${evt(a3e)}]) AS time,
+        unnest([${wq(c1)}, ${wq(c2)}, ${wq(c3)}]) AS tempq
+      FROM (SELECT *, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})""")
   }
 }
 
