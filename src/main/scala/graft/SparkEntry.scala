@@ -376,6 +376,33 @@ object SynthQueries {
             .cast("long").as("wq")),
       Some(WalkOracle.sql)),
 
+    // the `lookup` file source (json/csv/tsv dimension scan) made
+    // driver-checkable: a known CSV dimension written at query time,
+    // sampled uniform AND with min-of-3 skew from the per-partition
+    // stream (partitions PINNED — interpreter streams are per-
+    // partition), histogram counts compared to captured constants.
+    // The skewed pick must visibly favor the first row.
+    QueryDef("g83_lookup_hist",
+      (s, _) => {
+        val f = java.nio.file.Files.createTempDirectory("g83").resolve("tiers.csv")
+        java.nio.file.Files.writeString(f,
+          "tier,code\ngold,1\nsilver,2\nbronze,3\n")
+        Synth.dataFrame(s,
+          s"""[{"name": "t", "class": "lookup", "file": "$f"},
+               {"name": "ts", "class": "lookup", "file": "$f", "skew": 2}]""",
+          20000, 42L, partitions = 8)
+          .groupBy(col("t.tier").as("tier"), col("ts.tier").as("tier_skew"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+      },
+      Some("""SELECT tier, tier_skew, CAST(n AS BIGINT) AS n FROM (VALUES
+          ('bronze', 'bronze',  226), ('bronze', 'gold', 4779),
+          ('bronze', 'silver', 1728), ('gold',   'bronze', 277),
+          ('gold',   'gold',  4629), ('gold',   'silver', 1719),
+          ('silver', 'bronze',  250), ('silver', 'gold', 4693),
+          ('silver', 'silver', 1699)
+        ) AS t(tier, tier_skew, n)""")),
+
     // VARIABLE-length flat series on the fast path: the sequence length
     // itself is a hash-keyed draw (lengthDistribution int 1..4), the
     // event clock is the g74 series machinery, and the oracle emits

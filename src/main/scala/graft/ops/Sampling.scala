@@ -144,6 +144,24 @@ object Sampling {
       .withColumnRenamed("__bucket", "bucket")
   }
 
+  /** Deterministic global shuffle + sharding for training-data
+    * serialization: shard = hash band, within-shard position = rank of
+    * the key hash. The order is a pure function of (id, seed) — the
+    * "shuffled" dataset is reproducible, resumable, and identical under
+    * any partitioning, unlike an RNG orderBy(rand). Scale shape: NO
+    * global sort — each shard sorts independently under a keyed window
+    * (shards are the parallel unit; pick nShards >> executors).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      nShards: Int, seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    val h = xxhash64(col(idCol), lit(seed))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(h, col(idCol))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Assign every row a split index 0..k-1 by cumulative weight bands
     * over the same hash cell (train/val/test splits). Bands are
     * half-open and exhaustive, so each row lands in exactly one split.

@@ -1140,6 +1140,31 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING count(*) >= 2"""),
   )
 
+  /** Deterministic global shuffle + sharding (training-data
+    * serialization order): shard = hash band, position = hash-rank
+    * within the shard. Reproducible and partitioning-invariant (unlike
+    * orderBy(rand)); no global sort — shards sort independently under
+    * a keyed window. The oracle replays the hash and both window
+    * functions exactly.
+    */
+  val q66_det_shuffle = QueryDef(
+    "q66_det_shuffle",
+    (s, d) => graft.ops.Sampling.deterministicShuffle(docs(s, d), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some {
+      import DuckXxHash._
+      val ch = chain("s0",
+        s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM documents")
+        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+        .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+      ch.render(
+        s"""SELECT doc_id, CAST(${pmod("h2out", 8L)} AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY ${pmod("h2out", 8L)}
+            ORDER BY ${signed("h2out")}, doc_id) AS BIGINT) AS pos
+        FROM ${ch.last}""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1151,5 +1176,6 @@ object PipelineQueries {
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
+    q66_det_shuffle,
   )
 }

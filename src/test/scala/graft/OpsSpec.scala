@@ -98,6 +98,26 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("deterministicShuffle: dense per-shard positions, partitioning-invariant") {
+    import graft.ops.Sampling
+    val df = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Sampling.deterministicShuffle(df, "doc_id", nShards = 8).persist()
+    // every shard's positions are exactly 1..count (dense ranks, no gaps)
+    val shards = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .collect()
+    assert(shards.length == 8)
+    shards.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1),
+        s"shard ${r.getInt(0)}: pos not dense 1..n")
+    }
+    // pure function of (id, seed): identical under a different physical layout
+    val again = Sampling.deterministicShuffle(df.repartition(17), "doc_id", nShards = 8)
+    assert(out.select("doc_id", "shard", "pos")
+      .except(again.select("doc_id", "shard", "pos")).count() == 0)
+    out.unpersist()
+  }
+
   test("winnowing: identical docs share sketches, shared runs guarantee a common fp") {
     import graft.ops.Winnowing
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
