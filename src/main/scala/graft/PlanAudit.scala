@@ -26,6 +26,7 @@ object PlanAudit {
   private val nestedLoopAllowed = Set(
     "q27_ann_cosine_topk", // deliberate: broadcast query side vs all vectors
     "g49_ann_ivf",         // deliberate: probed-cluster join is a theta join
+    "q68_quantized_ann",   // deliberate: broadcast quantized queries vs all codes
   )
 
   def main(args: Array[String]): Unit = {

@@ -403,6 +403,47 @@ object SynthQueries {
           ('silver', 'silver', 1699)
         ) AS t(tier, tier_skew, n)""")),
 
+    // the TextMessage canned source made driver-checkable with
+    // zero-violation invariants (the g71 style — this source runs the
+    // interpreter, whose sequential per-partition streams no SQL hash
+    // chain can replay): both numbers carry their digit-range shape,
+    // the Markov message its exact word count, the event timestamp its
+    // rendered format. The imei field's Luhn arithmetic already has its
+    // own bit oracle (g66).
+    QueryDef("g84_textmessage_inv",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count, lit, sum, when}
+        val tel = "^[2-9][0-9]{2}-[2-9][0-9]{2}-[1-9][0-9]{3}$"
+        def bad(c: org.apache.spark.sql.Column) =
+          sum(when(c, 0L).otherwise(1L))
+        CannedSources.textMessage(s, 20000).agg(
+          count(lit(1)).as("n"),
+          bad(col("from").rlike(tel)).as("bad_from"),
+          bad(col("to").rlike(tel)).as("bad_to"),
+          bad(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("message"), " ")) === 12)
+            .as("bad_words"),
+          bad(col("timestamp").rlike(
+            "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"))
+            .as("bad_ts"))
+      },
+      Some("""SELECT CAST(20000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad_from,
+          CAST(0 AS BIGINT) AS bad_to, CAST(0 AS BIGINT) AS bad_words,
+          CAST(0 AS BIGINT) AS bad_ts
+        FROM (VALUES (1)) AS t(x)""")),
+
+    // the TextGenerator canned source: the word-count histogram is a
+    // single exact row (every message has exactly `wordLength` words)
+    QueryDef("g85_textgen_words",
+      (s, _) => CannedSources.textGenerator(s, 20000, 25)
+        .groupBy(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("message"), " "))
+            .cast("long").as("nwords"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")),
+      Some("""SELECT CAST(25 AS BIGINT) AS nwords, CAST(20000 AS BIGINT) AS n
+        FROM (VALUES (1)) AS t(x)""")),
+
     // VARIABLE-length flat series on the fast path: the sequence length
     // itself is a hash-keyed draw (lengthDistribution int 1..4), the
     // event clock is the g74 series machinery, and the oracle emits
@@ -1003,15 +1044,15 @@ object DistHistOracle {
   lazy val sql: String =
     """SELECT family, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n
        FROM (VALUES
-         ('gamma', 0, 13256),
-         ('gamma', 1, 16542),
-         ('gamma', 2, 10230),
-         ('gamma', 3, 5334),
-         ('gamma', 4, 2599),
-         ('gamma', 5, 1164),
-         ('gamma', 6, 513),
-         ('gamma', 7, 207),
-         ('gamma', 8, 155),
+         ('gamma', 0, 13090),
+         ('gamma', 1, 16677),
+         ('gamma', 2, 10313),
+         ('gamma', 3, 5352),
+         ('gamma', 4, 2524),
+         ('gamma', 5, 1131),
+         ('gamma', 6, 521),
+         ('gamma', 7, 217),
+         ('gamma', 8, 175),
          ('normal', -4, 70),
          ('normal', -3, 1023),
          ('normal', -2, 6859),
@@ -1020,17 +1061,17 @@ object DistHistOracle {
          ('normal', 1, 6870),
          ('normal', 2, 1091),
          ('normal', 3, 69),
-         ('pitman_yor', 0, 11785),
-         ('pitman_yor', 1, 5170),
-         ('pitman_yor', 2, 4809),
-         ('pitman_yor', 3, 3853),
-         ('pitman_yor', 4, 4463),
-         ('pitman_yor', 5, 2193),
-         ('pitman_yor', 6, 3423),
-         ('pitman_yor', 7, 1352),
-         ('pitman_yor', 8, 2242),
-         ('pitman_yor', 9, 709),
-         ('pitman_yor', 10, 10001)
+         ('pitman_yor', 0, 5960),
+         ('pitman_yor', 1, 8379),
+         ('pitman_yor', 2, 2063),
+         ('pitman_yor', 3, 2916),
+         ('pitman_yor', 4, 4110),
+         ('pitman_yor', 5, 1919),
+         ('pitman_yor', 6, 2015),
+         ('pitman_yor', 7, 1894),
+         ('pitman_yor', 8, 2890),
+         ('pitman_yor', 9, 1651),
+         ('pitman_yor', 10, 16203)
        ) AS t(family, bucket, n)"""
 }
 

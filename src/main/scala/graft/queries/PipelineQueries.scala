@@ -1165,6 +1165,72 @@ object PipelineQueries {
     },
   )
 
+  /** Int8 scalar quantization of the embedding corpus, flattened to
+    * (vec_id, i, q) so the oracle is dimension-by-dimension. Every code
+    * is produced by correctly-rounded double ops (see ops.Quantization),
+    * so DuckDB replaying the same formula on the same floats must agree
+    * bit-for-bit — the oracle proves the quantized corpus is
+    * engine-independent, which is the property that lets a 100 TB ANN
+    * index be rebuilt anywhere.
+    */
+  val q67_quantize_int8 = QueryDef(
+    "q67_quantize_int8",
+    (s, d) => {
+      val v = col("embedding").cast("array<double>")
+      embs(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.ops.Quantization.int8Codes(v)).as(Seq("i", "q")))
+        .select(col("vec_id"), col("i").cast("int").as("i"), col("q"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      mm AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM e)
+      SELECT vec_id, CAST(s.i AS INT) AS i, CAST(s.q AS BIGINT) AS q
+      FROM (SELECT vec_id,
+              unnest([{'i': x - 1,
+                       'q': CASE WHEN m = 0 THEN 0
+                            ELSE floor(v[x] * 127 / m + 0.5) END}
+                      for x in generate_series(1, len(v))]) AS s
+            FROM mm)"""),
+  )
+
+  /** Asymmetric-distance ANN over the quantized corpus: top-k by the
+    * candidate-rescaled integer dot of int8 codes (dot · scale_micro —
+    * see ops.Quantization.int8TopK for why the rescale is required).
+    * Score and ranking are exact integer arithmetic — no FP ties, no
+    * cross-engine drift — and the kernel is the int multiply-add loop a
+    * 100 TB scan wants (4× less memory traffic than float32 brute
+    * force; same broadcast-queries shape as q27).
+    */
+  val q68_quantized_ann = QueryDef(
+    "q68_quantized_ann",
+    (s, d) => {
+      val e = embs(s, d)
+      graft.ops.Quantization.int8TopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      un AS (SELECT vec_id,
+               CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 THEN [0.0 for x in v]
+                    ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v
+             FROM e),
+      mm AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM un),
+      z AS (SELECT vec_id,
+              [CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v[x] * 127 / m + 0.5) AS BIGINT) END
+               for x in generate_series(1, len(v))] AS codes,
+              CAST(floor(m * 1e6 + 0.5) AS BIGINT) AS sm
+            FROM mm),
+      q AS (SELECT vec_id AS qid, codes AS qcodes FROM z WHERE vec_id % 50 = 0),
+      sc AS (SELECT qid, vec_id,
+               CAST(list_sum([codes[i] * qcodes[i]
+                 for i in generate_series(1, len(codes))]) * sm AS BIGINT) AS score
+             FROM z, q WHERE vec_id <> qid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, score
+      FROM (SELECT qid, vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+            FROM sc)
+      WHERE rnk <= 10"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1176,6 +1242,6 @@ object PipelineQueries {
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
-    q66_det_shuffle,
+    q66_det_shuffle, q67_quantize_int8, q68_quantized_ann,
   )
 }

@@ -98,10 +98,25 @@ object Synth {
     // CatalystTypeConverters walk that createDataFrame(rdd, schema) does
     implicit val enc = org.apache.spark.sql.Encoders.row(schema)
     spark.range(0L, n, 1L, p).mapPartitions { ids =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val entries = Compiler.compileSchema(schemaJson) // fresh state per task
-      val ctx = new GenContext(Rng.forPartition(seed, pid), 0L)
-      ids.flatMap(id => emitRows(entries, ctx, id))
+      if (!ids.hasNext) Iterator.empty
+      else {
+        val buffered = ids.buffered
+        // the partition index must come from the DATA, not the task:
+        // TaskContext.getPartitionId() is task-level, so a downstream
+        // coalesce/AQE merge computes several range partitions inside one
+        // task and every one of them would see the SAME id — identical
+        // RNG streams, duplicated records (observed: coalesce(1) over 4
+        // partitions left each value exactly 4×). Range partition i
+        // covers [⌊i·n/p⌋, ⌊(i+1)·n/p⌋), whose exact inverse is
+        // ⌊((id+1)·p − 1)/n⌋ — same seeding as before in every
+        // un-coalesced plan, stable under any replan.
+        // BigInt: (id+1)·p can overflow Long at extreme n·p; once per
+        // partition, so the cost is nil
+        val pid = (((BigInt(buffered.head) + 1) * p - 1) / n).toInt
+        val entries = Compiler.compileSchema(schemaJson) // fresh state per task
+        val ctx = new GenContext(Rng.forPartition(seed, pid), 0L)
+        buffered.flatMap(id => emitRows(entries, ctx, id))
+      }
     }
   }
 

@@ -56,6 +56,21 @@ class SynthEngineSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq != c.map(_.toString).toSeq)
   }
 
+  test("interpreter output is stable under a downstream coalesce") {
+    // coalesce(1) computes all range partitions inside ONE task; the
+    // partition seed must come from the data (range-split inverse), not
+    // TaskContext — with task-level seeding every merged partition
+    // replayed partition 0's stream and each value appeared p times
+    val schema = """[{"name": "x", "class": "int", "min": 0, "max": 1000000000}]"""
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select("x").collect().map(_.getLong(0)).sorted.toSeq
+    val direct = vals(Synth.dataFrame(spark, schema, 4000, partitions = 4))
+    val merged = vals(Synth.dataFrame(spark, schema, 4000, partitions = 4).coalesce(1))
+    assert(direct == merged)
+    // and the streams really are per-partition distinct, not p copies
+    assert(direct.distinct.size > 3990)
+  }
+
   test("event times are monotonic within a partition (arrival clock)") {
     val df = Synth.dataFrame(spark, iotSchema, 2, seed = 3, partitions = 1)
     val times = df.select("time").collect().map(_.getString(0))
