@@ -127,6 +127,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"kmv_sketch(hash, k) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "kmv_sketch: k must be a literal")
+        KmvSketchAgg(children.head, children(1).eval().toString.toInt)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("prefix_sum"),
       new ExpressionInfo(classOf[PrefixSum].getName, "prefix_sum"),
       (children: Seq[Expression]) => {

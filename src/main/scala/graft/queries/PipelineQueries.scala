@@ -754,29 +754,8 @@ object PipelineQueries {
     val k = 8
     QueryDef(
       "q54_cluster_assign",
-      (s, d) => {
-        val vq = embs(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding").cast("array<double>"),
-              x => round(x * 1000000).cast("long")).as("vq"))
-          .persist() // barrier: keep vq an attribute (no per-cluster re-transform)
-        val scored = vq
-          .select(col("vec_id"), col("vq"),
-            explode(sequence(lit(0L), lit(k - 1L))).as("c"))
-          .withColumn("score",
-            aggregate(sequence(lit(1), size(col("vq"))), lit(0L),
-              (acc, i) => acc + element_at(col("vq"), i) *
-                (pmod(xxhash64(col("c"), i.cast("long")), lit(2001L)) - 1000L)))
-        val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("c"))
-        val out = scored
-          .select(col("vec_id"), col("c"), col("score"),
-            row_number().over(w).as("rn"))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c").as("cluster"), col("score"))
-          .localCheckpoint(true)
-        vq.unpersist()
-        out
-      },
+      (s, d) =>
+        graft.ops.SemanticDedup.hashClusterAssign(embs(s, d), "vec_id", "embedding", k),
       Some {
         import DuckXxHash._
         val ch = chain("e",
@@ -1231,6 +1210,111 @@ object PipelineQueries {
       WHERE rnk <= 10"""),
   )
 
+  /** KMV distinct-count sketch per event type: the k smallest distinct
+    * unsigned xxhash64(user_id) values, via the native map-side-
+    * combinable `kmv_sketch` aggregate (capped k-long buffer — the
+    * shuffle carries ≤ k longs per group per map task, never the
+    * distinct key set). The sketch is a pure function of the key SET, so
+    * DuckDB re-deriving it (distinct keys → XXH64 chain → bottom k by
+    * unsigned order) must agree bit-for-bit. The estimator
+    * ([[graft.ops.Sketches.kmvEstimate]]) is statistical post-processing
+    * and deliberately not part of the oracle.
+    */
+  val q69_kmv_sketch: QueryDef = {
+    val k = 32
+    QueryDef(
+      "q69_kmv_sketch",
+      (s, d) => graft.ops.Sketches.kmvSketch(events(s, d), "event_type", "user_id", k)
+        .select(col("event_type"), posexplode(col("kmv")).as(Seq("p", "h")))
+        .select(col("event_type"), (col("p") + 1).cast("long").as("rnk"), col("h")),
+      Some {
+        import DuckXxHash._
+        val ch = chain("d", "SELECT DISTINCT event_type, user_id FROM events")
+          .steps(hashLongSteps("h", unsigned("user_id"), "42::HUGEINT"))
+        val ch2 = ch.cte("r",
+          "SELECT event_type, hout, row_number() OVER " +
+            s"(PARTITION BY event_type ORDER BY hout) AS rnk FROM ${ch.last}")
+        ch2.render(
+          s"SELECT event_type, CAST(rnk AS BIGINT) AS rnk, ${signed("hout")} AS h " +
+            s"FROM r WHERE rnk <= $k")
+      },
+    )
+  }
+
+  /** SemDeDup-style semantic dedup over the embedding corpus plus 20
+    * PLANTED duplicates (scaled copies — scaling is invisible after unit
+    * normalization, and power-of-2 scaling is bit-invisible: 2x/‖2x‖
+    * rounds identically to x/‖x‖, so codes match exactly). Clusters
+    * prune the candidate pairs (same-cluster only), int8 integer dots
+    * score them — the whole decision replays bit-for-bit in DuckDB. The
+    * corpus's own max pairwise cosine is ~0.55, so the 0.9 threshold
+    * keeps exactly the planted pairs plus nothing.
+    */
+  val q70_semantic_dedup: QueryDef = {
+    val k = 8
+    val thr = graft.ops.SemanticDedup.scoreThreshold(0.9)
+    QueryDef(
+      "q70_semantic_dedup",
+      (s, d) => {
+        val e = embs(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2d)).as("embedding"))
+        graft.ops.SemanticDedup.semanticPairs(
+          e.unionByName(planted), "vec_id", "embedding", k, thr)
+      },
+      Some {
+        import DuckXxHash._
+        val ch = chain("e0",
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+          .cte("corpus",
+            "SELECT vec_id, v FROM e0 UNION ALL " +
+              "SELECT vec_id + 100000, [x * 2 for x in v] FROM e0 WHERE vec_id % 25 = 0")
+          // int8 quantization of the unit-normalized vectors (q67/q68 formula)
+          .cte("un",
+            "SELECT vec_id, CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 " +
+              "THEN [0.0 for x in v] " +
+              "ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS u FROM corpus")
+          .cte("mm", "SELECT vec_id, u, list_max([abs(x) for x in u]) AS m FROM un")
+          .cte("z",
+            "SELECT vec_id, [CASE WHEN m = 0 THEN 0 " +
+              "ELSE CAST(floor(u[x] * 127 / m + 0.5) AS BIGINT) END " +
+              "for x in generate_series(1, len(u))] AS codes, " +
+              "CAST(floor(m * 1e6 + 0.5) AS BIGINT) AS sm FROM mm")
+          // hash-pseudo-centroid assignment (q54 chain, over the corpus)
+          .cte("comp",
+            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, unnest(vq) AS x " +
+              "FROM (SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in v] AS vq " +
+              "FROM corpus)")
+          .cte("cells",
+            s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
+              "(SELECT DISTINCT i FROM comp) ti")
+          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
+          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+        val ch2 = ch
+          .cte("cent",
+            s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")
+          .cte("ascore",
+            "SELECT vec_id, c, CAST(SUM(x * comp) AS BIGINT) AS score " +
+              "FROM comp JOIN cent USING (i) GROUP BY 1, 2")
+          .cte("assign",
+            "SELECT vec_id, c AS cluster FROM (SELECT vec_id, c, row_number() OVER " +
+              "(PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM ascore) WHERE rn = 1")
+          .cte("zc", "SELECT z.*, cluster FROM z JOIN assign USING (vec_id)")
+        ch2.render(
+          "SELECT CAST(a.cluster AS BIGINT) AS cluster, a.vec_id AS a, b.vec_id AS b, " +
+            "CAST(CAST(list_sum([a.codes[i] * b.codes[i] " +
+            "for i in generate_series(1, len(a.codes))]) AS BIGINT) " +
+            "* a.sm * b.sm AS BIGINT) AS score " +
+            "FROM zc a JOIN zc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+            "WHERE CAST(CAST(list_sum([a.codes[i] * b.codes[i] " +
+            "for i in generate_series(1, len(a.codes))]) AS BIGINT) " +
+            s"* a.sm * b.sm AS BIGINT) >= $thr")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1242,6 +1326,7 @@ object PipelineQueries {
     q57_neardup_triangles, q58_cohort_retention, q59_event_funnel,
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
-    q66_det_shuffle, q67_quantize_int8, q68_quantized_ann,
+    q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
+    q70_semantic_dedup,
   )
 }

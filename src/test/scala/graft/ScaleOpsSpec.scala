@@ -60,6 +60,88 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@10 $recall < 0.8")
   }
 
+  test("kmv sketch == brute-force bottom-k distinct, and is partitioning-invariant") {
+    import graft.ops.Sketches
+    // skewed multiplicities + duplicates across partitions
+    val rows = (1 to 20000).map(i => (s"g${i % 3}", (i % 997).toLong * 7919L))
+    val df = rows.toDF("g", "key")
+    def sketchOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSketch(d, "g", "key", 16).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val got = sketchOf(df)
+    // brute force: distinct hashes per group, unsigned order, bottom 16
+    val expected = df.select(col("g"), xxhash64(col("key")).as("h")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, hs) =>
+        g -> hs.map(_._2).distinct.sortBy(_ ^ Long.MinValue).take(16).toSeq
+      }
+    assert(got == expected)
+    // pure function of the value set: any partitioning gives the same sketch
+    assert(sketchOf(df.repartition(13, col("key"))) == got)
+    // the portable fallback formulation computes the same value
+    val fallback = df.groupBy("g").agg(
+      transform(
+        slice(sort_array(collect_set(xxhash64(col("key")).bitwiseXOR(lit(Long.MinValue)))), 1, 16),
+        f => f.bitwiseXOR(lit(Long.MinValue))).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fallback == got)
+  }
+
+  test("kmv estimate within 15% of true distinct count at k=256") {
+    import graft.ops.Sketches
+    val n = 100000
+    val df = (1 to n).map(i => ("all", i.toLong)).toDF("g", "key")
+    val sk = Sketches.kmvSketch(df, "g", "key", 256)
+    val est = sk.select(Sketches.kmvEstimate(col("kmv"), 256)).collect()(0).getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.15, s"estimate $est vs true $n")
+    // under-k groups report the exact count
+    val small = (1 to 40).map(i => ("s", i.toLong)).toDF("g", "key")
+    val exact = Sketches.kmvSketch(small, "g", "key", 256)
+      .select(Sketches.kmvEstimate(col("kmv"), 256)).collect()(0).getLong(0)
+    assert(exact == 40L)
+  }
+
+  test("semantic dedup finds planted scaled duplicates and nothing else") {
+    import graft.ops.SemanticDedup
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2d)).as("embedding"))
+    val nPlanted = planted.count()
+    val pairs = SemanticDedup.semanticPairs(
+      e.unionByName(planted), "vec_id", "embedding", 8,
+      SemanticDedup.scoreThreshold(0.9)).collect()
+    // exactly the planted (v, v+100000) pairs: scaling is invisible after
+    // unit normalization, so each copy scores as an exact duplicate; the
+    // corpus's own max pairwise cosine (~0.55) is far below threshold
+    assert(pairs.length == nPlanted, s"got ${pairs.length} pairs, planted $nPlanted")
+    pairs.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) + 100000L, s"unexpected pair $r")
+      // identical codes → score ≈ cosine 1.0; quantization error ≤ ~2%
+      assert(r.getLong(3) >= SemanticDedup.scoreThreshold(0.97), s"low dup score $r")
+    }
+  }
+
+  test("semantic dedup cluster pruning: cross-cluster pairs are never scored") {
+    import graft.ops.SemanticDedup
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val assign = SemanticDedup.hashClusterAssign(e, "vec_id", "embedding", 8)
+    val sizes = assign.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // candidate volume = sum of within-cluster pairs, strictly below the
+    // all-pairs count — the pruning that keeps SemDeDup sub-quadratic
+    val within = sizes.values.map(n => n * (n - 1) / 2).sum
+    val all = { val n = e.count(); n * (n - 1) / 2 }
+    assert(sizes.size > 1, "degenerate single-cluster assignment")
+    assert(within < all, s"no pruning: $within vs $all")
+    // a threshold of -infinity returns every within-cluster pair: check
+    // the join really is cluster-keyed
+    val pairs = SemanticDedup.semanticPairs(e, "vec_id", "embedding", 8, Long.MinValue)
+    assert(pairs.count() == within)
+  }
+
   test("salted aggregation equals direct aggregation on a skewed key") {
     // 90% of rows share one key — the classic hot-key shape
     val df = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
