@@ -761,6 +761,21 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
+    // quantized IVF disk index (rows-only: k-means fit; the quantized
+    // scoring kernel itself is bit-oracled by q68, the partition-pruned
+    // scan shape by the g67 family's plan test): probed directories are
+    // the only ones opened AND hold int8 codes — a fraction of a
+    // fraction of the bytes at 100 TB
+    q("g86_ann_ivf_quant")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("g86_ivfq").toString
+      val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
+      graft.ops.Quantization.writeQuantizedIvfIndex(
+        vecs, "vec_id", "embedding", dir, centroids)
+      graft.ops.Quantization.quantizedIvfTopKFromIndex(dir,
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
+    }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)

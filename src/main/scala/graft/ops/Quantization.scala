@@ -98,7 +98,13 @@ object Quantization {
       .select(col(idCol).as("id"), col("codes"), col("scale_micro"))
     val q = broadcast(quantizeUnit(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("codes").as("qcodes")))
-    val joined = v.join(q, col("id") =!= col("qid"))
+    rankQuantized(v.join(q, col("id") =!= col("qid")), k)
+  }
+
+  /** Shared ranking tail: rescaled integer dot, rank desc with id
+    * tiebreak — exact integer arithmetic end to end.
+    */
+  private def rankQuantized(joined: DataFrame, k: Int): DataFrame = {
     val dot = aggregate(zip_with(col("codes"), col("qcodes"), (a, b) => a * b),
       lit(0L), (acc, z) => acc + z)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
@@ -107,5 +113,51 @@ object Quantization {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("score"))
+  }
+
+  /** Persist a QUANTIZED IVF index: int8 codes + micro-scale, written
+    * partitioned by cluster id. Combines the two 100 TB ANN levers:
+    * probing prunes to ~nProbe/nCentroids of the PARTITIONS
+    * (directories that are never opened — same storage contract as
+    * [[Similarity.writeIvfIndex]]), and each probed partition is ~4×
+    * smaller than its float32 form (8× vs float64), so the scan reads
+    * a fraction of a fraction. Serving is asymmetric: queries quantize
+    * at query time against the same centroid table.
+    */
+  def writeQuantizedIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]]): Unit = {
+    val u = unitize(col(vecCol).cast("array<double>"))
+    Similarity.assignClusters(vectors, vecCol, centroids)
+      .select(col(idCol), int8Codes(u).as("codes"), scaleMicro(u).as("scale_micro"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    Similarity.writeCentroidTable(vectors.sparkSession, centroids, path)
+  }
+
+  /** Top-k from a quantized disk index: probe clusters driver-side (the
+    * bounded centroid/probe collects — see [[Similarity.ivfTopKFromIndex]]),
+    * then scan ONLY the probed directories of int8 codes and rank by the
+    * rescaled integer dot. Same recall contract as float IVF (the probe
+    * set is computed from the float query against float centroids;
+    * only candidate scoring is quantized).
+    */
+  def quantizedIvfTopKFromIndex(indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val qq = quantizeUnit(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("codes").as("qcodes"))
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")), "qid")
+      .withColumn("probe",
+        explode(Similarity.probeIds(spark, centroids, nProbe)(col("__qv").cast("array<double>"))))
+      .select(col("qid"), col("qcodes"), col("probe"))
+    val probed = qq.select("probe").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col("codes"), col("scale_micro"), col("cluster"))
+    val joined = corpus.join(broadcast(qq),
+      col("cluster") === col("probe") && col("id") =!= col("qid"))
+    rankQuantized(joined, k)
   }
 }

@@ -130,6 +130,10 @@ object Similarity {
   }
 
   /** The nProbe-nearest-centroid expansion of each query vector. */
+  private[ops] def probeIds(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], nProbe: Int) =
+    probesUdf(spark, centroids, nProbe)
+
   private def probesUdf(spark: org.apache.spark.sql.SparkSession,
       centroids: Array[Array[Double]], nProbe: Int) = {
     val cs = spark.sparkContext.broadcast(centroids)
@@ -184,9 +188,15 @@ object Similarity {
     */
   def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       path: String, centroids: Array[Array[Double]]): Unit = {
-    val spark = vectors.sparkSession
     assignClusters(vectors, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    writeCentroidTable(vectors.sparkSession, centroids, path)
+  }
+
+  /** The index's centroid metadata table (nlist rows — constant size). */
+  private[ops] def writeCentroidTable(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cluster",
         org.apache.spark.sql.types.IntegerType),

@@ -101,6 +101,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exact == 40L)
   }
 
+  test("quantized IVF disk index: pruned scan, recall vs exact, integer scores match q68 kernel") {
+    import graft.ops.{Quantization, Similarity}
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfq_test").toString
+    val centroids = Similarity.fitCentroids(df, "embedding", 8)
+    Quantization.writeQuantizedIvfIndex(df, "vec_id", "embedding", dir, centroids)
+    val res = Quantization.quantizedIvfTopKFromIndex(
+      dir, queries, "vec_id", "embedding", 10, nProbe = 4)
+    // the scan must prune: the plan's partition filters restrict cluster
+    val scan = res.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"no partition pruning in plan:\n$scan")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // scores must be EXACTLY the q68 integer kernel's values for the
+    // same (query, neighbor) pairs — quantization is identical, only the
+    // candidate set shrinks to the probed clusters
+    val full = Quantization.int8TopK(df, queries, "vec_id", "embedding", 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    got.foreach { case (qid, nb, score) =>
+      assert(full((qid, nb)) == score, s"score drift for ($qid,$nb)")
+    }
+    // recall@10 vs exact cosine: 4 of 8 probes on a small corpus
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val byQ = got.groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect byQ.getOrElse(q, Set.empty)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.5, s"recall@10 $recall < 0.5")
+  }
+
   test("semantic dedup finds planted scaled duplicates and nothing else") {
     import graft.ops.SemanticDedup
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
