@@ -136,6 +136,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"freq_sketch(item, capacity) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "freq_sketch: capacity must be a literal")
+        FreqSketchAgg(children.head, children(1).eval().toString.toInt)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("prefix_sum"),
       new ExpressionInfo(classOf[PrefixSum].getName, "prefix_sum"),
       (children: Seq[Expression]) => {

@@ -42,6 +42,47 @@ object Sketches {
     df.groupBy(col(groupCol)).agg(sketch.as("kmv"))
   }
 
+  /** Per-group Misra–Gries frequent-items sketch of `keyCol`:
+    * (groupCol, freq array<struct<item,cnt>>), counters sorted by
+    * (cnt desc, item asc), at most `capacity` of them.
+    *
+    * Scale contract: the aggregate's buffer is a capped counter map, so
+    * the shuffle carries ≤ capacity counters per group per map task —
+    * constant, where the exact `groupBy(key).count` path shuffles one
+    * row per distinct key (unbounded for open domains at 100 TB). When
+    * a group's distinct-key count is ≤ capacity the sketch equals the
+    * exact count table (the q71 oracle regime); above it, reported
+    * counts are underestimates within n/(capacity+1) and every key with
+    * true count > n/(capacity+1) is retained (see
+    * [[graft.expr.FreqSketchAgg]]).
+    *
+    * The portable fallback (exact count + top-capacity window) computes
+    * the same value ONLY in the exact regime; it is a correctness
+    * stand-in, not the scale path.
+    */
+  def freqSketch(df: DataFrame, groupCol: String, keyCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    if (df.sparkSession.catalog.functionExists("freq_sketch"))
+      df.groupBy(col(groupCol))
+        .agg(call_function("freq_sketch", col(keyCol).cast("string"), lit(capacity)).as("freq"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val counted = df.groupBy(col(groupCol), col(keyCol).cast("string").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("item"))
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= capacity)
+        .groupBy(col(groupCol))
+        .agg(sort_array(collect_list(struct(
+          (lit(Long.MaxValue) - col("cnt")).as("negcnt"),
+          col("item"), col("cnt"))))
+          .as("srt"))
+        .select(col(groupCol),
+          transform(col("srt"), e => struct(e("item").as("item"), e("cnt").as("cnt")))
+            .as("freq"))
+    }
+  }
+
   /** Distinct-count estimate from a KMV sketch column: the sketch size
     * itself when the group had < k distinct keys (exact), else
     * (k−1)·2⁶⁴/kth_min with kth_min read as unsigned. The division runs

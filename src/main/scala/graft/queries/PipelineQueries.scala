@@ -1315,6 +1315,36 @@ object PipelineQueries {
     )
   }
 
+  /** Misra–Gries frequent-items sketch per language: top sources by
+    * document count via the native map-side-combinable `freq_sketch`
+    * aggregate (capped counter map — the shuffle carries ≤ capacity
+    * counters per group per map task, never one row per distinct key;
+    * the lever that keeps heavy-hitter profiling constant-shuffle over
+    * open domains at 100 TB). Capacity 32 exceeds the corpus's ~20
+    * distinct sources per language, so the sketch is in its EXACT
+    * regime — a pure function of the counted multiset — and DuckDB
+    * re-deriving it as plain counts ranked (cnt desc, item asc) must
+    * agree bit-for-bit. The approximate regime's guarantee triple is
+    * asserted in ScalaTest, not here.
+    */
+  val q71_freq_sketch: QueryDef = {
+    val cap = 32
+    QueryDef(
+      "q71_freq_sketch",
+      (s, d) => graft.ops.Sketches.freqSketch(docs(s, d), "lang", "source", cap)
+        .select(col("lang"), posexplode(col("freq")).as(Seq("p", "f")))
+        .select(col("lang"), (col("p") + 1).cast("long").as("rnk"),
+          col("f.item").as("item"), col("f.cnt").as("cnt")),
+      Some(
+        s"""WITH c AS (SELECT lang, source AS item, count(*) AS cnt
+          FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, item, cnt, row_number() OVER
+          (PARTITION BY lang ORDER BY cnt DESC, item) AS rnk FROM c)
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, item, CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rnk <= $cap"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1327,6 +1357,6 @@ object PipelineQueries {
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
-    q70_semantic_dedup,
+    q70_semantic_dedup, q71_freq_sketch,
   )
 }

@@ -87,6 +87,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fallback == got)
   }
 
+  test("freq sketch: exact regime == true counts and partitioning-invariant; approximate regime honors MG guarantees") {
+    import graft.ops.Sketches
+    // exact regime: 12 distinct items per group, capacity 32 — the
+    // sketch must BE the count table, sorted (cnt desc, item asc),
+    // regardless of partitioning, and equal to the portable fallback
+    val rows = (1 to 20000).map(i => (s"g${i % 3}", s"item${i % 12}"))
+    val df = rows.toDF("g", "item")
+    def sketchOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.freqSketch(d, "g", "item", 32).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))))
+        .toMap
+    val got = sketchOf(df)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.groupBy(_._2).map { case (it, v) => (it, v.size.toLong) }
+        .toSeq.sortBy { case (it, c) => (-c, it) }
+    }
+    assert(got == expected)
+    assert(sketchOf(df.repartition(13, col("item"))) == got)
+    // approximate regime: 5000 distinct low-count items + 8 planted
+    // heavy hitters, capacity 16. MG triple: (a) reported <= true,
+    // (b) true - reported <= n/(cap+1), (c) every item with
+    // true > n/(cap+1) is present.
+    val n = 60000
+    val heavy = (1 to 8).flatMap(h => Seq.fill(4000)(s"hot$h"))
+    val tail = (1 to (n - heavy.size)).map(i => s"cold${i % 5000}")
+    val approx = new scala.util.Random(11)
+      .shuffle((heavy ++ tail).toVector).map(("all", _))
+    val adf = approx.toDF("g", "item").repartition(32)
+    val sk = sketchOf(adf)("all").toMap
+    val truth = approx.groupBy(_._2).map { case (it, v) => it -> v.size.toLong }
+    val bound = n.toLong / 17 + 1
+    sk.foreach { case (it, c) =>
+      assert(c <= truth(it), s"$it overcounted: $c > ${truth(it)}")
+      assert(truth(it) - c <= bound, s"$it undercounted past n/(cap+1): $c vs ${truth(it)}")
+    }
+    truth.filter(_._2 > bound).keys.foreach(it =>
+      assert(sk.contains(it), s"heavy hitter $it missing from sketch"))
+  }
+
   test("kmv estimate within 15% of true distinct count at k=256") {
     import graft.ops.Sketches
     val n = 100000
