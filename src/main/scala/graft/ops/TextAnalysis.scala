@@ -196,4 +196,53 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
       (acc, tok) => xxhash64(acc, tok))
+
+  // --------------------------------------- corpus-level boilerplate removal
+
+  /** CCNet/C4-style boilerplate removal by corpus document frequency:
+    * split each document into consecutive `chunkTokens`-token chunks
+    * (single-space tokenization, last chunk may be short), drop every
+    * chunk that appears in MORE than `maxDf` distinct documents, and
+    * reassemble the survivors in order.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped). Documents whose
+    * chunks are all boilerplate survive with empty clean_text — removal
+    * is a per-chunk decision, never a document filter.
+    *
+    * Scale shape: chunk document frequency is two map-side-combinable
+    * stages (distinct (chunk, doc), then count per chunk) keyed on the
+    * chunk string; the boilerplate set is bounded above by
+    * totalChunks / maxDf rows, so the anti-join broadcasts under AQE
+    * when that bound is small and degrades to a shuffled semi-join on
+    * the chunk key otherwise — never a collect, never all-pairs. The
+    * reassembly groupBy shuffles each surviving chunk exactly once.
+    */
+  def removeBoilerplateChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, maxDf: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive: $chunkTokens")
+    require(maxDf >= 1, s"maxDf must be positive: $maxDf")
+    val toks = split(col(textCol), " ")
+    // ceil(size / chunkTokens) in exact double range (token counts << 2^53)
+    val nChunks = ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+    val chunks = df.select(col(idCol).as("__id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
+        .as(Seq("pos", "chunk")))
+    val boiler = chunks.select(col("chunk"), col("__id")).distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("chunk")
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+    val cleaned = kept.groupBy("__id").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          e => e("chunk"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("__id"), nChunks.cast("long").as("__nc"))
+      .join(cleaned, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nc") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -1345,6 +1345,40 @@ object PipelineQueries {
     )
   }
 
+  /** Corpus-level boilerplate removal (CCNet/C4 document-frequency
+    * rule): 3-token chunks appearing in more than 50 distinct documents
+    * are dropped, survivors reassembled in order. The whole decision —
+    * chunking, df counting, anti-join, ordered reassembly — replays as
+    * set arithmetic in DuckDB, so the cleaned TEXT itself hash-matches,
+    * not just the counts. 3-token chunks over the ~40-word corpus
+    * vocabulary give a real df mix (some chunks boilerplate, most not).
+    */
+  val q72_boilerplate: QueryDef = {
+    val (ct, maxDf) = (3, 50)
+    QueryDef(
+      "q72_boilerplate",
+      (s, d) => graft.ops.TextAnalysis.removeBoilerplateChunks(
+        docs(s, d), "doc_id", "text", ct, maxDf),
+      Some(
+        s"""WITH nc AS (SELECT doc_id, t, CAST(ceil(len(t) / $ct.0) AS BIGINT) AS n
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        chunks AS (SELECT doc_id, pos,
+            array_to_string(t[(pos*$ct+1):(pos*$ct+$ct)], ' ') AS chunk
+          FROM (SELECT doc_id, t,
+              unnest(generate_series(0, n - 1)) AS pos FROM nc)),
+        boiler AS (SELECT chunk FROM
+          (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+          WHERE df > $maxDf),
+        agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+            count(*) AS n_kept
+          FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler) GROUP BY 1)
+        SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+          CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(n.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM nc n LEFT JOIN agg a ON n.doc_id = a.doc_id"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1357,6 +1391,6 @@ object PipelineQueries {
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
-    q70_semantic_dedup, q71_freq_sketch,
+    q70_semantic_dedup, q71_freq_sketch, q72_boilerplate,
   )
 }

@@ -61,6 +61,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L)._2 == "nothing sensitive here")
   }
 
+  test("removeBoilerplateChunks: frequent chunks drop, rare survive in order, all-boilerplate docs stay") {
+    // 60 docs share the chunk "visit our site" (df=60 > maxDf=10); each
+    // also carries a unique 2-token tail chunk. One doc is PURE
+    // boilerplate, one has no boilerplate at all.
+    val docs = (1 to 60).map(i => (i.toLong, s"visit our site tail$i end")) ++
+      Seq((100L, "visit our site"), (101L, "fresh original content here"))
+    val out = TextAnalysis.removeBoilerplateChunks(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 3, 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (1 to 60).foreach { i =>
+      assert(out(i.toLong) == ((s"tail$i end", 1L, 1L)), s"doc $i: ${out(i.toLong)}")
+    }
+    // all-boilerplate doc survives with empty text, not a dropped row
+    assert(out(100L) == (("", 0L, 1L)))
+    // untouched doc: both chunks kept, reassembled in original order
+    assert(out(101L) == (("fresh original content here", 2L, 0L)))
+    assert(out.size == 62)
+  }
+
   test("exactQuantiles: nearest-rank values per key, singleton keys degenerate to the value") {
     val rows = (1L to 100L).map(v => ("a", v, v)) :+ (("b", 42L, 1L))
     val df = rows.toDF("k", "v", "tie")
