@@ -1379,6 +1379,37 @@ object PipelineQueries {
     )
   }
 
+  /** Z-order layout key over events: interleave 8-bit buckets of
+    * (user_id, event second). The key is pure scan-side bit arithmetic
+    * (no shuffle, no UDF) and DuckDB re-derives it with the same shift/
+    * mask expressions — bit-for-bit. The layout application
+    * ([[graft.ops.Bucketing.zorderBy]]: one range exchange + local
+    * sort) is asserted on plan shape and locality in ScalaTest; the
+    * oracle pins the key math itself. Nanos stay in INTEGER division
+    * end-to-end (epoch seconds ≈ 1.7e18 nanos is above 2^53 — double
+    * math would corrupt low bits on both engines).
+    */
+  val q73_zorder_key: QueryDef = {
+    val bits = 8
+    QueryDef(
+      "q73_zorder_key",
+      (s, d) => {
+        val ev = events(s, d)
+        val x = col("user_id").bitwiseAND(lit(255L))
+        val y = expr("ts div 1000000000").bitwiseAND(lit(255L))
+        ev.select(col("event_id"),
+          graft.ops.Bucketing.zorderKey(Seq(x, y), bits).as("zkey"))
+      },
+      Some {
+        val terms = (0 until bits).flatMap { b =>
+          Seq(s"((((user_id & 255) >> $b) & 1) << ${2 * b})",
+            s"((((epoch_ns(ts) // 1000000000) & 255) >> $b) & 1) << ${2 * b + 1}")
+        }
+        s"SELECT event_id, CAST(${terms.map(t => s"($t)").mkString(" | ")} AS BIGINT) AS zkey FROM events"
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1391,6 +1422,6 @@ object PipelineQueries {
     q60_event_transitions, q61_embedding_outliers, q62_span_dedup,
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
-    q70_semantic_dedup, q71_freq_sketch, q72_boilerplate,
+    q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
   )
 }

@@ -237,6 +237,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("zorder: hand-checked interleave, range-partitioned layout, tight per-partition bounding boxes") {
+    import graft.ops.Bucketing
+    // hand-checked Morton codes (col 0 → even bit positions)
+    // z(5=101, 2=010): x bits at pos 0,2,4 -> 1 + 0 + 16; y bits at 1,3,5 -> 0 + 8 + 0 = 25
+    val hand = Seq((1L, 0L, 1L), (0L, 1L, 2L), (3L, 3L, 15L), (5L, 2L, 25L))
+    hand.foreach { case (x, y, want) =>
+      val got = Seq((x, y)).toDF("x", "y")
+        .select(Bucketing.zorderKey(Seq(col("x"), col("y")), 3)).collect()(0).getLong(0)
+      assert(got == want, s"z($x,$y) = $got, want $want")
+    }
+    // 64x64 grid, 16 partitions: layout plan is ONE range exchange, and
+    // each partition's (x, y) bounding box is far tighter than the
+    // global box — the min/max file-skipping contract
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val laid = Bucketing.zorderBy(grid, Seq(col("x"), col("y")), 6, 16)
+    assert(laid.queryExecution.executedPlan.toString().contains("rangepartitioning"),
+      "zorderBy must range-partition on the z key")
+    val boxes = laid.select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p").agg(
+        (max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect().map(r => (r.getLong(1) + 1) * (r.getLong(2) + 1))
+    val avgArea = boxes.sum.toDouble / boxes.length
+    assert(avgArea < 64 * 64 / 3.0, s"avg partition bbox area $avgArea not tight")
+  }
+
   test("bucketed tables join with no Exchange on either side") {
     val a = (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
