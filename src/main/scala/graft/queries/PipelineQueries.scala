@@ -1410,6 +1410,41 @@ object PipelineQueries {
     )
   }
 
+  /** JL ±1 random projection of the embedding corpus to 8 dims
+    * ([[graft.ops.Quantization.jlProject]]): micro-quantized components
+    * times hash-derived signs, summed — integer-exact end to end, so
+    * the DuckDB replay (same XXH64 chain over (j, i), same sign rule)
+    * hash-matches every projected value. The sign "matrix" is
+    * re-derived from the hash at every engine — nothing to broadcast,
+    * nothing to store, scan-side only.
+    */
+  val q74_jl_project: QueryDef = {
+    val dims = 8
+    QueryDef(
+      "q74_jl_project",
+      (s, d) => graft.ops.Quantization.jlProject(embs(s, d), "vec_id", "embedding", dims),
+      Some {
+        import DuckXxHash._
+        val ch = chain("e0",
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+          .cte("comp",
+            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, unnest(vq) AS x " +
+              "FROM (SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) for x in v] AS vq " +
+              "FROM e0)")
+          .cte("cells",
+            s"SELECT j, i FROM generate_series(0, ${dims - 1}) AS tj(j), " +
+              "(SELECT DISTINCT i FROM comp) ti")
+          .steps(hashLongSteps("h1", unsigned("j"), "42::HUGEINT"))
+          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+        val ch2 = ch.cte("signs",
+          s"SELECT j, i, 1 - 2 * CAST(h2out % 2 AS BIGINT) AS s FROM ${ch.last}")
+        ch2.render(
+          "SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(x * s) AS BIGINT) AS proj " +
+            "FROM comp JOIN signs USING (i) GROUP BY 1, 2")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1423,5 +1458,6 @@ object PipelineQueries {
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
+    q74_jl_project,
   )
 }

@@ -173,6 +173,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 $recall < 0.5")
   }
 
+  test("jl projection: bit-exact vs local XXH64 replay, planted near-pairs stay near") {
+    import graft.ops.Quantization
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Quantization.jlProject(df, "vec_id", "embedding", 8)
+    val got = proj.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 500 * 8)
+    // scan-side purity: identical values under any partitioning
+    val re = Quantization.jlProject(df.repartition(17), "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+    // bit-exactness: an independent local replay of the formula (micro
+    // round, XXH64(j) seeded 42 then XXH64(i) seeded by it, ±1 from
+    // bit 0) must reproduce every projected value
+    val vecs = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def projLocal(v: Array[Double]): Array[Long] = (0 until 8).map { j =>
+      val h1 = XXH64.hashLong(j.toLong, 42L)
+      v.zipWithIndex.map { case (x, i0) =>
+        math.floor(x * 1e6 + 0.5).toLong *
+          (1L - 2L * (XXH64.hashLong((i0 + 1).toLong, h1) & 1L))
+      }.sum
+    }.toArray
+    vecs.foreach { case (id, v) =>
+      val loc = projLocal(v)
+      (0 until 8).foreach(j =>
+        assert(got((id, j.toLong)) == loc(j), s"value drift at ($id, $j)"))
+    }
+    // JL near-pair contract (the prefilter use case): vectors at ~5% of
+    // the typical corpus distance project FAR closer than random pairs.
+    // (Full distance-rank correlation is weak by construction here: the
+    // corpus's pairwise distances concentrate — sd/mean ≈ 0.13 — below
+    // the sqrt(2/8) ≈ 0.5 JL noise at k=8.)
+    val rnd = new scala.util.Random(3)
+    val ids = vecs.keys.toArray.sorted
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val planted = ids.take(50).map { id =>
+      val v = vecs(id)
+      val n = v.map(_ => rnd.nextGaussian())
+      val scale = 0.05 * math.sqrt(d2(v, v.map(_ => 0d)) / n.map(x => x * x).sum)
+      d2(projLocal(v).map(_.toDouble), projLocal(v.zip(n).map { case (x, e) => x + e * scale }).map(_.toDouble))
+    }
+    val random = Array.fill(200)((ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+      .filter(p => p._1 != p._2)
+      .map(p => d2(projLocal(vecs(p._1)).map(_.toDouble), projLocal(vecs(p._2)).map(_.toDouble)))
+    val (mp, mr) = (planted.sum / planted.length, random.sum / random.length)
+    assert(mp < 0.2 * mr, s"planted near-pairs not separated: planted $mp vs random $mr")
+  }
+
   test("semantic dedup finds planted scaled duplicates and nothing else") {
     import graft.ops.SemanticDedup
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
