@@ -1445,6 +1445,27 @@ object PipelineQueries {
     )
   }
 
+  /** PCA's distributed pass: the d×d integer Gram matrix of the
+    * micro-quantized embeddings ([[graft.ops.Pca.gramMicro]]) — the
+    * ONLY thing PCA computes over the corpus (the O(d³) eigensolve
+    * consumes this 64×64 result driver-side). Exact BIGINT sums, so
+    * DuckDB re-deriving all 4096 entries by unnesting component pairs
+    * must agree bit-for-bit. The eigensolve and projection downstream
+    * are transcendental and property-tested in ScalaTest instead.
+    */
+  val q75_pca_gram = QueryDef(
+    "q75_pca_gram",
+    (s, d) => graft.ops.Pca.gramMicro(embs(s, d), "embedding"),
+    Some(
+      """WITH comp AS (SELECT vec_id, unnest(generate_series(1, len(vq))) AS i,
+          unnest(vq) AS x
+        FROM (SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT)
+          for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings))
+      SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        CAST(SUM(a.x * b.x) AS BIGINT) AS s
+      FROM comp a JOIN comp b USING (vec_id) GROUP BY 1, 2"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1458,6 +1479,6 @@ object PipelineQueries {
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
-    q74_jl_project,
+    q74_jl_project, q75_pca_gram,
   )
 }

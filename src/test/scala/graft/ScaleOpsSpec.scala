@@ -223,6 +223,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(mp < 0.2 * mr, s"planted near-pairs not separated: planted $mp vs random $mr")
   }
 
+  test("pca: orthonormal components, descending eigenvalues, planted low-rank subspace recovered") {
+    import graft.ops.Pca
+    // planted rank-3 data in 16 dims: x = c1*u1 + c2*u2 + c3*u3 + small noise
+    val rnd = new scala.util.Random(5)
+    val d = 16
+    val basis = Array.fill(3)(Array.fill(d)(rnd.nextGaussian()))
+    val rows = (1L to 2000L).map { id =>
+      val cs = Array(rnd.nextGaussian() * 3, rnd.nextGaussian() * 2, rnd.nextGaussian())
+      val x = Array.tabulate(d)(i =>
+        (0 until 3).map(k => cs(k) * basis(k)(i)).sum.toFloat + (rnd.nextGaussian() * 0.05).toFloat)
+      (id, x)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val gram = Pca.gramMicro(df, "embedding")
+    val (sums, n) = Pca.momentsMicro(df, "embedding")
+    assert(n == 2000)
+    val (comps, evs) = Pca.fitComponents(gram, sums, n, 6)
+    // eigenvalues descending, components orthonormal
+    assert(evs.zip(evs.tail).forall { case (a, b) => a >= b - 1e-9 }, evs.mkString(","))
+    for (a <- comps.indices; b <- comps.indices) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1d else 0d
+      assert(math.abs(dot - want) < 1e-6, s"<c$a, c$b> = $dot")
+    }
+    // rank-3 structure: top 3 eigenvalues carry >= 99% of total variance
+    val explained = evs.take(3).sum / evs.filter(_ > 0).sum
+    assert(explained > 0.9, s"top-3 explained only $explained") // 6 fitted of 16
+    val full = Pca.fitComponents(gram, sums, n, d)._2
+    assert(full.take(3).sum / full.filter(_ > 1e-12).sum > 0.99,
+      s"planted rank-3 not recovered: ${full.mkString(",")}")
+    // projection: scan-side, deterministic, and the top-3 projection
+    // preserves pairwise distances almost exactly (data IS rank 3)
+    val proj = Pca.project(df, "vec_id", "embedding", comps.take(3), sums, n)
+      .collect().map(r => r.getLong(0) -> Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val orig = rows.map { case (id, x) => id -> x.map(_.toDouble) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = Array.fill(200)((rnd.nextInt(2000) + 1L, rnd.nextInt(2000) + 1L)).filter(p => p._1 != p._2)
+    val errs = pairs.map { p =>
+      val t = d2(orig(p._1), orig(p._2))
+      math.abs(d2(proj(p._1), proj(p._2)) - t) / t
+    }
+    assert(errs.sum / errs.length < 0.05,
+      s"rank-3 projection should preserve distances: mean rel err ${errs.sum / errs.length}")
+  }
+
   test("semantic dedup finds planted scaled duplicates and nothing else") {
     import graft.ops.SemanticDedup
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
