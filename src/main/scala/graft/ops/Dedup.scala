@@ -30,6 +30,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental-ingest dedup: classify a NEW batch of documents
+    * against the fingerprints of everything already ingested. Output is
+    * one row per batch document with a decision:
+    *   - `dup_history`  — fingerprint already in the historical index
+    *   - `dup_batch`    — first seen in THIS batch under a lower id
+    *   - `keep`         — novel; its fingerprint joins the index next
+    *
+    * This is the production crawl loop (CCNet-style): the corpus is
+    * deduplicated batch-by-batch, never re-scanned. At 100 TB the
+    * historical index dwarfs every batch, so the join must not
+    * reshuffle history per batch — persist it bucketed by `fp`
+    * ([[Bucketing.writeBucketed]]) and only the batch side exchanges;
+    * the decision itself is one keyed window over the batch plus one
+    * left-semi-shaped join against the index. History rows are never
+    * projected beyond `fp` (column pruning reaches the index scan).
+    */
+  def incrementalDecision(batch: DataFrame, idCol: String, textCol: String,
+      historyFps: DataFrame): DataFrame = {
+    val fp = md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val fps = batch.select(col(idCol), fp.as("fp"))
+    val inHist = historyFps.select(col("fp"), lit(1).as("__h")).distinct()
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    fps.join(inHist, Seq("fp"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("fp"),
+        when(col("__h").isNotNull, lit("dup_history"))
+          .when(col("__rn") > 1, lit("dup_batch"))
+          .otherwise(lit("keep")).as("decision"))
+  }
+
   /** Word n-gram shingle set over an ALREADY-MATERIALIZED token-array
     * column. The tokens must be an attribute (not an inline split):
     * Catalyst does not common-subexpression-eliminate inside lambda

@@ -1466,6 +1466,35 @@ object PipelineQueries {
       FROM comp a JOIN comp b USING (vec_id) GROUP BY 1, 2"""),
   )
 
+  /** Incremental-ingest dedup ([[graft.ops.Dedup.incrementalDecision]]):
+    * docs with doc_id ≡ 0 (mod 3) play the historical index, the rest
+    * arrive as the new batch. Every decision (dup_history / dup_batch /
+    * keep) replays as pure set arithmetic in DuckDB. The within-batch
+    * keep-first tiebreak is the same min-id rule as q20.
+    */
+  val q76_incremental_dedup = QueryDef(
+    "q76_incremental_dedup",
+    (s, d) => {
+      val all = docs(s, d)
+      val history = all.filter(col("doc_id") % 3 === 0)
+        .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      graft.ops.Dedup.incrementalDecision(
+        all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", history)
+    },
+    Some("""WITH f AS (SELECT doc_id,
+          md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+      batch AS (SELECT doc_id, fp,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE doc_id % 3 <> 0)
+      SELECT doc_id, fp,
+        CASE WHEN fp IN (SELECT fp FROM hist) THEN 'dup_history'
+             WHEN rn > 1 THEN 'dup_batch'
+             ELSE 'keep' END AS decision
+      FROM batch"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1479,6 +1508,6 @@ object PipelineQueries {
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
-    q74_jl_project, q75_pca_gram,
+    q74_jl_project, q75_pca_gram, q76_incremental_dedup,
   )
 }

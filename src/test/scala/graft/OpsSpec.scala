@@ -23,6 +23,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L)) // 2 is a case/whitespace dup of 1
   }
 
+  test("incremental dedup: history dups flagged, within-batch keep-first, novel docs kept") {
+    val history = Seq("seen before", "also   SEEN before").toDF("text")
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    val batch = Seq(
+      (10L, "seen  Before"),        // normalizes into history -> dup_history
+      (11L, "fresh content"),       // novel -> keep
+      (12L, "Fresh   content"),     // dup of 11 within batch -> dup_batch
+      (13L, "another new one"),     // novel -> keep
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDecision(batch, "doc_id", "text", history)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "dup_history", 11L -> "keep",
+      12L -> "dup_batch", 13L -> "keep"))
+  }
+
   test("minhash-lsh finds planted near-duplicates with exact jaccard verification") {
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
     val nearDup = base + " omega extra" // jaccard ≈ 0.85: well inside LSH recall
