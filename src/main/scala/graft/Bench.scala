@@ -35,8 +35,14 @@ object Bench {
     // relative noise is worst) get one extra rep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
       .toIntOption.getOrElse(2).max(1)
+    // optional comma-separated subset (local iteration aid; the driver
+    // always benches the full suite)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       // first failure aborts this query's remaining reps (re-running a

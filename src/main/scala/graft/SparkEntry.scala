@@ -776,6 +776,25 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
+    // deflate compression-ratio quality signal (rows-only by design —
+    // no SQL deflate exists; determinism and the repetitive-vs-natural
+    // separation are ScalaTest-asserted)
+    q("g90_compress_signal")((s, d) => graft.ops.TextAnalysis.compressionSignals(
+      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+
+    // product-quantized ANN (rows-only: float k-means codebook fit, like
+    // g49; the ranking math itself is integer-exact and property-tested
+    // in ScaleOpsSpec): 8 six-bit codes replace 64 floats — ~40× less
+    // candidate memory traffic than float brute force, scored by m
+    // table lookups per candidate
+    q("g89_ann_pq")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val cbs = graft.ops.Pq.fitCodebooks(vecs, "embedding", m = 8, k = 64)
+      graft.ops.Pq.adcTopK(
+        graft.ops.Pq.encode(vecs, "vec_id", "embedding", cbs),
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cbs, 10)
+    }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)
@@ -876,6 +895,49 @@ object SynthQueries {
         SELECT key, MIN(t) AS start_ms, MAX(t) AS end_ms,
           CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY key, sid""")),
+
+    // the Misra-Gries freq_sketch aggregate INSIDE Structured Streaming
+    // state: windowed heavy-hitter profiling where the per-window state
+    // is the capped counter map (constant size), never the distinct key
+    // set — the sketch's mergeable TypedImperativeAggregate buffer is
+    // exactly what the state store checkpoints. Capacity 32 > the 5
+    // event types, so the bounded replay is in the sketch's exact
+    // regime and must hash-match DuckDB's batch counts ranked
+    // (cnt desc, item asc).
+    QueryDef("g88_stream_freq",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{call_function, expr, lit,
+          posexplode, timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g88_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val name = "g88_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(call_function("freq_sketch", col("event_type"), lit(32)).as("freq"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            posexplode(col("freq")).as(Seq("p", "f")))
+          .select(col("bucket_s"), (col("p") + 1).cast("long").as("rnk"),
+            col("f.item").as("item"), col("f.cnt").as("cnt"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH c AS (
+          SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+            event_type AS item, count(*) AS cnt FROM events GROUP BY 1, 2)
+        SELECT bucket_s, CAST(rnk AS BIGINT) AS rnk, item, CAST(cnt AS BIGINT) AS cnt
+        FROM (SELECT bucket_s, item, cnt, row_number() OVER
+          (PARTITION BY bucket_s ORDER BY cnt DESC, item) AS rnk FROM c)
+        WHERE rnk <= 32""")),
 
     // STREAM-STREAM interval join made driver-visible: views joined to
     // same-user clicks within 24 hours, both sides watermarked so Spark

@@ -136,6 +136,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"int_dot takes 2 arguments, got ${children.length}")
+        IntDotProduct(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) — the third ANN
+  * memory lever, beyond IVF partition pruning (ops/Similarity) and
+  * scalar int8 (ops/Quantization): split each unit-normalized vector
+  * into `m` subvectors, k-means each subspace into `k` codewords, and
+  * store only the m codeword ids — at m=8, k=16 a 64-dim float32
+  * vector becomes 8 nibbles, a 64× compression, scored without ever
+  * reconstructing the vector.
+  *
+  * Scale shape mirrors the rest of the ANN family: codebooks are
+  * m·k·(d/m) doubles (a few KB) fit on a bounded driver-side sample and
+  * broadcast; encoding is a scan-side lookup; asymmetric-distance
+  * scoring (ADC) precomputes each query's m×k dot-product table ONCE,
+  * broadcasts it, and scores a candidate with m array lookups + adds —
+  * no per-candidate float dot products, no shuffle of the corpus.
+  */
+object Pq {
+
+  /** Plain (non-spherical) L2 k-means on a driver-side sample of each
+    * subspace. Sampling contract is Similarity.fitCentroids': a
+    * corpus-wide `.sample()`, never `limit()` (first-partitions bias);
+    * the collect is bounded by sampleSize. Empty clusters respawn on
+    * the farthest point, ties break deterministically by index.
+    * Returns codebooks[m][k][d/m].
+    */
+  def fitCodebooks(vectors: DataFrame, vecCol: String, m: Int, k: Int,
+      iters: Int = 10, sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codewords: $m, $k")
+    val total = vectors.count()
+    val base = vectors.select(unitize(col(vecCol).cast("array<double>")).as("u"))
+    val sampled =
+      if (total <= sampleSize) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, 1.1 * sampleSize / total), seed)
+    val sample = sampled.limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      kmeans(pts, k, iters, seed + s)
+    }
+  }
+
+  private def kmeans(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    var centers = Array.tabulate(k)(i => pts(if (n >= k) i * (n / k) else rnd.nextInt(n)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        val c = nearestL2(centers, p)
+        counts(c) += 1
+        var i = 0
+        while (i < p.length) { sums(c)(i) += p(i); i += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) pts(rnd.nextInt(n)).clone() // respawn empty cluster
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  private def nearestL2(centers: Array[Array[Double]], p: Array[Double]): Int = {
+    var (best, bestD) = (0, Double.MaxValue)
+    var c = 0
+    while (c < centers.length) {
+      var (d2, i) = (0d, 0)
+      while (i < p.length) { val t = p(i) - centers(c)(i); d2 += t * t; i += 1 }
+      if (d2 < bestD) { best = c; bestD = d2 }
+      c += 1
+    }
+    best
+  }
+
+  private def unitize(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0d), (acc, x) => acc + x * x))
+    transform(v, x => when(norm === 0d, lit(0d)).otherwise(x / norm))
+  }
+
+  /** Encode the corpus: (idCol, codes array<int> of length m) — per
+    * subspace, the nearest codeword id. Broadcast-codebook scan-side
+    * map; the encoded table is the thing you keep hot at 100 TB.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    val cb = spark.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (norm == 0d) arr else arr.map(_ / norm)
+      val m = cb.value.length
+      val sub = u.length / m
+      Array.tabulate(m)(s => nearestL2(cb.value(s), u.slice(s * sub, (s + 1) * sub)))
+    }
+    df.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** ADC top-k: each query's m×k inner-product table is flattened to a
+    * single broadcast array (tab[s·k + c] = ⟨q_s, codebook_s[c]⟩ in
+    * integer micros for an exact, tie-stable ranking); a candidate's
+    * score is m lookups summed — pure HOF arithmetic inside codegen,
+    * one corpus scan, no reconstruction.
+    */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame = {
+    val k = codebooks.head.length
+    val tableOf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (norm == 0d) arr else arr.map(_ / norm)
+      val m = codebooks.length
+      val sub = u.length / m
+      (for (s <- 0 until m; c <- 0 until k) yield {
+        val cw = codebooks(s)(c)
+        var (dot, i) = (0d, 0)
+        while (i < sub) { dot += u(s * sub + i) * cw(i); i += 1 }
+        math.floor(dot * 1e6 + 0.5).toLong
+      }).toArray
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"),
+        tableOf(col(vecCol).cast("array<double>")).as("tab")))
+    val score = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(codebooks.length - 1)),
+        (c, s) => element_at(col("tab"), s * k + c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    encoded.select(col(idCol).as("id"), col("codes"))
+      .join(q, col("id") =!= col("qid"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("id").as("neighbor"), col("score"))
+  }
+}

@@ -85,8 +85,9 @@ object SemanticDedup {
       col("codes").as("ca"), col("scale_micro").as("sma"))
     val b = assigned.select(col("cluster"), col(idCol).as("b"),
       col("codes").as("cb"), col("scale_micro").as("smb"))
-    val dot = aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
-      lit(0L), (acc, z) => acc + z)
+    // per-PAIR integer dot: native fused loop when registered (the HOF
+    // form was the q70 bench bottleneck — see Quantization.intDot)
+    val dot = Quantization.intDot(vectors.sparkSession, col("ca"), col("cb"))
     a.join(b, Seq("cluster")).filter(col("a") < col("b"))
       .withColumn("score", pairScore(dot, col("sma"), col("smb")))
       .filter(col("score") >= minScore)

@@ -197,6 +197,43 @@ object TextAnalysis {
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
       (acc, tok) => xxhash64(acc, tok))
 
+  // ------------------------------------------- compression-ratio signal
+
+  /** Deflate compression ratio per document — the classic redundancy /
+    * machine-generated-text signal (highly repetitive text compresses
+    * far below natural language). Emits (idCol, n_bytes, n_deflate,
+    * ratio_ppm = deflate·1e6/raw; empty docs report 1e6).
+    *
+    * Runs behind a typed mapPartitions seam (the Multimodal pattern):
+    * one Deflater instance per partition, reset per row — allocation-
+    * free in steady state, embarrassingly parallel, no shuffle. Level
+    * is pinned so the signal is deterministic and partitioning-
+    * invariant (asserted in ScalaTest); it is NOT DuckDB-oracle-able
+    * (no SQL deflate), so the driver check is rows-only by design.
+    */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes = (if (text == null) "" else text).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n,
+            if (bytes.isEmpty) 1000000L else n * 1000000L / bytes.length)
+        }
+      }
+    out.toDF(idCol, "n_bytes", "n_deflate", "ratio_ppm")
+  }
+
   // --------------------------------------- corpus-level boilerplate removal
 
   /** CCNet/C4-style boilerplate removal by corpus document frequency:

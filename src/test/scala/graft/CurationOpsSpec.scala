@@ -61,6 +61,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L)._2 == "nothing sensitive here")
   }
 
+  test("compressionSignals: repetitive text compresses far below varied text, deterministic") {
+    val rep = "spam " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 == 1000L && got(2L)._1 > 0)
+    // repetitive text compresses below 5%, varied stays above 30%
+    assert(got(1L)._3 < 50000L, s"repetitive ratio ${got(1L)._3}")
+    assert(got(2L)._3 > 300000L, s"varied ratio ${got(2L)._3}")
+    // empty doc: zero raw bytes, sentinel ratio 1e6
+    assert(got(3L)._1 == 0L && got(3L)._3 == 1000000L)
+    // partitioning-invariant
+    val re = TextAnalysis.compressionSignals(df.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re == got)
+  }
+
   test("removeBoilerplateChunks: frequent chunks drop, rare survive in order, all-boilerplate docs stay") {
     // 60 docs share the chunk "visit our site" (df=60 > maxDf=10); each
     // also carries a unique 2-token tail chunk. One doc is PURE

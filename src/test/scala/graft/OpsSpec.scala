@@ -199,6 +199,17 @@ class OpsSpec extends AnyFunSuite {
     val srpBoth = edf.select(hofSig.as("hof"),
       call_function("srp_sig", v, lit(seed), lit(t), lit(nBits)).as("nat"))
     assert(srpBoth.filter($"hof" =!= $"nat").count() == 0)
+    // int_dot vs the aggregate/zip_with integer dot (the quantized ANN
+    // kernel), including the null-on-length-mismatch contract
+    val qdf = edf.select(
+      transform(v, x => round(x * lit(1000d)).cast("long")).as("qa"),
+      transform(reverse(v), x => round(x * lit(500d)).cast("long")).as("qb"))
+    val dotBoth = qdf.select(
+      aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (a, x) => a + x).as("hof"),
+      call_function("int_dot", $"qa", $"qb").as("nat"))
+    assert(dotBoth.filter($"hof" =!= $"nat").count() == 0)
+    val mm = qdf.select(call_function("int_dot", $"qa", slice($"qb", 1, 3)).as("d"))
+    assert(mm.filter($"d".isNotNull).count() == 0, "length mismatch must be NULL")
     df.unpersist(); tdf.unpersist()
   }
 

@@ -223,6 +223,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(mp < 0.2 * mr, s"planted near-pairs not separated: planted $mp vs random $mr")
   }
 
+  test("pq: codes bounded, encode deterministic, adc recall beats chance by far") {
+    import graft.ops.{Pq, Similarity}
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val cbs = Pq.fitCodebooks(df, "embedding", m = 8, k = 64)
+    assert(cbs.length == 8 && cbs.forall(_.length == 64) && cbs.forall(_.forall(_.length == 8)))
+    val enc = Pq.encode(df, "vec_id", "embedding", cbs)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 500)
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 64)))
+    // deterministic under repartitioning
+    val codes2 = Pq.encode(df.repartition(19), "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes2 == codes)
+    // recall@10 vs exact cosine: PQ at 48-bit codes is lossy, but must
+    // far outperform the ~2% random baseline (deterministic: the fit
+    // sees the whole 500-vector corpus, no sampling randomness)
+    val got = Pq.adcTopK(enc, queries, "vec_id", "embedding", cbs, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect got.getOrElse(q, Set.empty)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.4, s"recall@10 $recall < 0.4")
+  }
+
   test("pca: orthonormal components, descending eigenvalues, planted low-rank subspace recovered") {
     import graft.ops.Pca
     // planted rank-3 data in 16 dims: x = c1*u1 + c2*u2 + c3*u3 + small noise
