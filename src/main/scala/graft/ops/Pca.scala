@@ -39,10 +39,14 @@ object Pca {
     */
   def gramMicro(df: DataFrame, vecCol: String): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val qv = transform(col(vecCol).cast("array<double>"),
-      x => round(x * 1000000d).cast("long"))
-    val rows = df.select(posexplode(
-      transform(qv, qi => transform(qv, qj => qi * qj))).as(Seq("i0", "prods")))
+    // stage the quantized vector as an attribute: lambdas reference it
+    // twice and Catalyst does not CSE inside lambda bodies — inline, the
+    // cast+round tree would re-run per product row (the q68 lesson)
+    val rows = df
+      .select(transform(col(vecCol).cast("array<double>"),
+        x => round(x * 1000000d).cast("long")).as("__qv"))
+      .select(posexplode(transform(col("__qv"),
+        qi => transform(col("__qv"), qj => qi * qj))).as(Seq("i0", "prods")))
     rows.groupBy((col("i0") + 1).as("i"))
       .agg(sum(element_at(col("prods"), 1)).as("s1"),
         (2 to dim).map(j => sum(element_at(col("prods"), j)).as(s"s$j")): _*)
