@@ -27,6 +27,7 @@ object PlanAudit {
     "q27_ann_cosine_topk", // deliberate: broadcast query side vs all vectors
     "g49_ann_ivf",         // deliberate: probed-cluster join is a theta join
     "q68_quantized_ann",   // deliberate: broadcast quantized queries vs all codes
+    "g89_ann_pq",          // deliberate: broadcast ADC tables vs all PQ codes
   )
 
   def main(args: Array[String]): Unit = {
