@@ -795,6 +795,21 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cbs, 10)
     }),
 
+    // IVF-PQ disk index (rows-only like g49/g89: float k-means fits):
+    // all three 100 TB ANN levers stacked — probed directories are the
+    // only ones opened, rows inside are ~40x-compressed PQ codes, and
+    // serving is table-lookup ADC. Scores proven identical to the g89
+    // kernel and the pruning proven in the plan by ScaleOpsSpec.
+    q("g91_ann_ivfpq")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("g91_ivfpq").toString
+      val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
+      val cbs = graft.ops.Pq.fitCodebooks(vecs, "embedding", m = 8, k = 64)
+      graft.ops.Pq.writePqIvfIndex(vecs, "vec_id", "embedding", dir, centroids, cbs)
+      graft.ops.Pq.pqIvfTopKFromIndex(dir,
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
+    }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)

@@ -115,19 +115,7 @@ object Pq {
   def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame = {
     val k = codebooks.head.length
-    val tableOf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val norm = math.sqrt(arr.map(x => x * x).sum)
-      val u = if (norm == 0d) arr else arr.map(_ / norm)
-      val m = codebooks.length
-      val sub = u.length / m
-      (for (s <- 0 until m; c <- 0 until k) yield {
-        val cw = codebooks(s)(c)
-        var (dot, i) = (0d, 0)
-        while (i < sub) { dot += u(s * sub + i) * cw(i); i += 1 }
-        math.floor(dot * 1e6 + 0.5).toLong
-      }).toArray
-    }
+    val tableOf = adcTable(codebooks)
     val q = broadcast(queries
       .select(col(idCol).as("qid"),
         tableOf(col(vecCol).cast("array<double>")).as("tab")))
@@ -143,5 +131,92 @@ object Pq {
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("id").as("neighbor"), col("score"))
+  }
+
+  // ------------------------------------------------------ IVF-PQ index
+
+  /** Persist an IVF-PQ index — the faiss-style recipe with ALL THREE
+    * 100 TB ANN levers stacked: coarse clusters become parquet
+    * PARTITIONS (probing prunes whole directories, the g67/g86
+    * contract), rows inside hold only the m PQ codes (~40× smaller
+    * than float64), and serving scores by table lookup. Codebooks and
+    * centroids persist as constant-size metadata tables beside the
+    * codes.
+    */
+  def writePqIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val spark = vectors.sparkSession
+    val assigned = Similarity.assignClusters(vectors, vecCol, centroids)
+    encode(assigned, idCol, vecCol, codebooks)
+      .join(assigned.select(col(idCol), col("cluster")), idCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    Similarity.writeCentroidTable(spark, centroids, path)
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq.toDF("s", "c", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Top-k from an IVF-PQ disk index: probe clusters driver-side
+    * (bounded collects — nlist centroids, nProbe ids per query), scan
+    * ONLY the probed code directories, ADC-score against the broadcast
+    * per-query tables. Same ranking kernel as [[adcTopK]], so the two
+    * paths agree exactly on shared candidates.
+    */
+  def pqIvfTopKFromIndex(indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$indexPath/codebooks").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val tableOf = adcTable(codebooks)
+    val qq = queries
+      .select(col(idCol).as("qid"),
+        tableOf(col(vecCol).cast("array<double>")).as("tab"),
+        explode(Similarity.probeIds(spark, centroids, nProbe)(
+          col(vecCol).cast("array<double>"))).as("probe"))
+    val probed = qq.select("probe").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col("codes"), col("cluster"))
+    val score = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("tab"), s * k + c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    corpus.join(broadcast(qq),
+      col("cluster") === col("probe") && col("id") =!= col("qid"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("id").as("neighbor"), col("score"))
+  }
+
+  /** The per-query ADC table as a UDF: tab[s·k + c] = ⟨q_s, cb_s[c]⟩ in
+    * integer micros (shared by [[adcTopK]] and the IVF-PQ serving path
+    * so their scores are identical by construction).
+    */
+  private def adcTable(codebooks: Array[Array[Array[Double]]]) = {
+    val k = codebooks.head.length
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (norm == 0d) arr else arr.map(_ / norm)
+      val m = codebooks.length
+      val sub = u.length / m
+      (for (s <- 0 until m; c <- 0 until k) yield {
+        val cw = codebooks(s)(c)
+        var (dot, i) = (0d, 0)
+        while (i < sub) { dot += u(s * sub + i) * cw(i); i += 1 }
+        math.floor(dot * 1e6 + 0.5).toLong
+      }).toArray
+    }
   }
 }

@@ -251,6 +251,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@10 $recall < 0.4")
   }
 
+  test("ivf-pq disk index: pruned scan, scores identical to the adc kernel, recall holds") {
+    import graft.ops.{Pq, Similarity}
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_test").toString
+    val centroids = Similarity.fitCentroids(df, "embedding", 8)
+    val cbs = Pq.fitCodebooks(df, "embedding", m = 8, k = 64)
+    Pq.writePqIvfIndex(df, "vec_id", "embedding", dir, centroids, cbs)
+    val res = Pq.pqIvfTopKFromIndex(dir, queries, "vec_id", "embedding", 10, nProbe = 4)
+    val plan = res.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition pruning in plan:\n$plan")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // scores must EXACTLY match the full adc kernel on shared pairs —
+    // probing only shrinks the candidate set, never changes a score
+    val full = Pq.adcTopK(Pq.encode(df, "vec_id", "embedding", cbs),
+      queries, "vec_id", "embedding", cbs, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    got.foreach { case (qid, nb, score) =>
+      assert(full((qid, nb)) == score, s"score drift for ($qid,$nb)")
+    }
+    // recall@10 vs exact cosine at 4/8 probes and 48-bit codes: the
+    // compounded loss must still beat chance by an order of magnitude
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val byQ = got.groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) intersect byQ.getOrElse(q, Set.empty)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.3, s"recall@10 $recall < 0.3")
+  }
+
   test("pca: orthonormal components, descending eigenvalues, planted low-rank subspace recovered") {
     import graft.ops.Pca
     // planted rank-3 data in 16 dims: x = c1*u1 + c2*u2 + c3*u3 + small noise
