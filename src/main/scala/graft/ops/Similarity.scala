@@ -130,7 +130,7 @@ object Similarity {
   }
 
   /** The nProbe-nearest-centroid expansion of each query vector. */
-  private[ops] def probeIds(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def probeIds(spark: org.apache.spark.sql.SparkSession,
       centroids: Array[Array[Double]], nProbe: Int) =
     probesUdf(spark, centroids, nProbe)
 
