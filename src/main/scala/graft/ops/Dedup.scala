@@ -30,6 +30,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup with a QUALITY survivor policy: within each
+    * normalized-content class keep the row maximizing `scoreCol`
+    * (min-`idCol` tiebreak) instead of [[exact]]'s keep-lowest-id. The
+    * standard curation refinement — when a document was crawled many
+    * times, keep the longest / highest-quality capture, not the
+    * earliest. Emits every row with its class survivor:
+    * (idCol, survivor_id, is_survivor) — a decision table, so callers
+    * can either filter survivors or audit what was dropped. Same
+    * md5-keyed single shuffle as [[exact]].
+    */
+  def exactBestSurvivor(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val fp = md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val w = Window.partitionBy(col("__fp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__surv", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("__surv").as("survivor_id"),
+        (col(idCol) === col("__surv")).as("is_survivor"))
+  }
+
   /** Incremental-ingest dedup: classify a NEW batch of documents
     * against the fingerprints of everything already ingested. Output is
     * one row per batch document with a decision:

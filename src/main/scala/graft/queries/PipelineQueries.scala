@@ -1495,6 +1495,27 @@ object PipelineQueries {
       FROM batch"""),
   )
 
+  /** Quality-policy exact dedup ([[graft.ops.Dedup.exactBestSurvivor]]):
+    * within each duplicate class keep the LONGEST capture (n_chars
+    * desc, doc_id tiebreak) instead of the earliest — the curation
+    * refinement over q21's keep-first. Every decision row replays as a
+    * first_value window in DuckDB.
+    */
+  val q77_best_survivor = QueryDef(
+    "q77_best_survivor",
+    (s, d) => graft.ops.Dedup.exactBestSurvivor(
+      docs(s, d), "text", "doc_id", "n_chars"),
+    Some("""WITH f AS (SELECT doc_id, n_chars,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents)
+    SELECT doc_id,
+      first_value(doc_id) OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS survivor_id,
+      doc_id = first_value(doc_id) OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_survivor
+    FROM f"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1508,6 +1529,6 @@ object PipelineQueries {
     q63_winnow_sketch, q64_quality_sampling, q65_winnow_pairs,
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
-    q74_jl_project, q75_pca_gram, q76_incremental_dedup,
+    q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
   )
 }

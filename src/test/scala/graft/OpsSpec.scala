@@ -23,6 +23,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L)) // 2 is a case/whitespace dup of 1
   }
 
+  test("best-survivor dedup: longest capture wins its class, unique docs survive themselves") {
+    val df = Seq(
+      (1L, "Hello  World", 12L),   // same class as 2/3 after normalization
+      (2L, "hello world", 11L),
+      (3L, "HELLO   world", 13L),  // longest -> survivor of the class
+      (4L, "unique text", 11L),
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.exactBestSurvivor(df, "text", "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, false)), 2L -> ((3L, false)), 3L -> ((3L, true)),
+      4L -> ((4L, true))))
+  }
+
   test("incremental dedup: history dups flagged, within-batch keep-first, novel docs kept") {
     val history = Seq("seen before", "also   SEEN before").toDF("text")
       .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
