@@ -30,6 +30,14 @@ object Quantization {
     * floor is round-half-up, identical for both signs in both engines —
     * unlike rint/HALF_EVEN, whose tie behavior differs across SQL
     * dialects). Scan-side codegen'd expression: no shuffle, no UDF.
+    *
+    * PERFORMANCE TRAP: `vec` must be an ATTRIBUTE, not a composed tree.
+    * The max-abs aggregate is referenced inside the transform lambda and
+    * Catalyst does not CSE inside lambda bodies, so a composed input
+    * (e.g. `int8Codes(unitize(v))`) re-evaluates the whole input tree
+    * per element — measured O(d³)/row, 60× slower than the staged form.
+    * Table-level callers should use [[quantize]]/[[quantizeUnit]],
+    * which stage every aggregate as its own projection.
     */
   def int8Codes(vec: Column): Column = {
     val m = maxAbs(vec)
