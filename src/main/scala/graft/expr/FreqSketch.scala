@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -47,6 +48,15 @@ case class FreqSketchAgg(
 
   require(capacity >= 1 && capacity <= 65536,
     s"freq_sketch: capacity must be in [1, 65536], got $capacity")
+
+  // analysis-time gate: update() casts the child to UTF8String, so a
+  // wrong-typed SQL argument must fail with a clear message here, not
+  // a ClassCastException at execution
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires a STRING item argument, " +
+        s"got ${child.dataType.catalogString}")
 
   override def prettyName: String = "freq_sketch"
   override def dataType: DataType = ArrayType(

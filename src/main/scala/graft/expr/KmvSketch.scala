@@ -3,6 +3,7 @@ package graft.expr
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -40,6 +41,15 @@ case class KmvSketchAgg(
     with UnaryLike[Expression] {
 
   require(k >= 1 && k <= 65536, s"kmv_sketch: k must be in [1, 65536], got $k")
+
+  // analysis-time gate: update() casts the child to Long, so a
+  // wrong-typed SQL argument must fail with a clear message here, not
+  // a ClassCastException at execution
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a BIGINT hash argument (e.g. xxhash64(...)), " +
+        s"got ${child.dataType.catalogString}")
 
   override def prettyName: String = "kmv_sketch"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

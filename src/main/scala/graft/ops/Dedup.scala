@@ -25,7 +25,7 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // trim + collapse: leading/trailing whitespace (trailing newlines are
     // near-universal in text files) must not defeat exact dedup
-    val fp = md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val fp = TextAnalysis.fingerprint(col(textCol))
     val w = Window.partitionBy(fp).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -42,7 +42,7 @@ object Dedup {
     */
   def exactBestSurvivor(df: DataFrame, textCol: String, idCol: String,
       scoreCol: String): DataFrame = {
-    val fp = md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val fp = TextAnalysis.fingerprint(col(textCol))
     val w = Window.partitionBy(col("__fp"))
       .orderBy(col(scoreCol).desc, col(idCol))
     df.withColumn("__fp", fp)
@@ -70,7 +70,10 @@ object Dedup {
     */
   def incrementalDecision(batch: DataFrame, idCol: String, textCol: String,
       historyFps: DataFrame): DataFrame = {
-    val fp = md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // shared normalized fingerprint (TextAnalysis.fingerprint) — MUST
+    // match exact()/exactBestSurvivor so a history index built by either
+    // classifies whitespace-padded re-crawls as dup_history, not keep
+    val fp = TextAnalysis.fingerprint(col(textCol))
     val fps = batch.select(col(idCol), fp.as("fp"))
     val inHist = historyFps.select(col("fp"), lit(1).as("__h")).distinct()
     val w = Window.partitionBy("fp").orderBy(col(idCol))

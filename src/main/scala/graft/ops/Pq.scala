@@ -56,18 +56,39 @@ object Pq {
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](pts.head.length))
       val counts = new Array[Long](k)
-      pts.foreach { p =>
+      val dists = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val p = pts(j)
         val c = nearestL2(centers, p)
+        dists(j) = distL2(centers(c), p)
         counts(c) += 1
         var i = 0
         while (i < p.length) { sums(c)(i) += p(i); i += 1 }
+        j += 1
       }
+      // empty clusters respawn on the farthest points: the e-th empty
+      // cluster (ascending cluster id) takes the point with the e-th
+      // largest distance to its assigned center, ties broken by lowest
+      // point index — fully deterministic, no RNG draw
+      val byFarthest = Array.tabulate(n)(identity)
+        .sortBy(i => (-dists(i), i))
+      var nextFar = 0
       centers = Array.tabulate(k) { c =>
-        if (counts(c) == 0L) pts(rnd.nextInt(n)).clone() // respawn empty cluster
-        else sums(c).map(_ / counts(c))
+        if (counts(c) == 0L) {
+          val p = pts(byFarthest(math.min(nextFar, n - 1))).clone()
+          nextFar += 1
+          p
+        } else sums(c).map(_ / counts(c))
       }
     }
     centers
+  }
+
+  private def distL2(a: Array[Double], b: Array[Double]): Double = {
+    var (d2, i) = (0d, 0)
+    while (i < a.length) { val t = a(i) - b(i); d2 += t * t; i += 1 }
+    d2
   }
 
   private def nearestL2(centers: Array[Array[Double]], p: Array[Double]): Int = {

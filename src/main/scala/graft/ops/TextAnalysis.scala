@@ -258,12 +258,18 @@ object TextAnalysis {
       chunkTokens: Int, maxDf: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive: $chunkTokens")
     require(maxDf >= 1, s"maxDf must be positive: $maxDf")
-    val toks = split(col(textCol), " ")
+    // Stage the token array as an attribute BEFORE the chunk transform:
+    // Catalyst does not CSE inside lambda bodies, so an inline split()
+    // under the per-chunk slice() would re-split the whole text once per
+    // chunk — quadratic in document length (the SpanDedup trap).
+    // CollapseProject cannot re-inline __toks: split() is non-cheap and
+    // the consumer references it twice (size + slice).
+    val tokens = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
     // ceil(size / chunkTokens) in exact double range (token counts << 2^53)
-    val nChunks = ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
-    val chunks = df.select(col(idCol).as("__id"),
+    val nChunks = ((size(col("__toks")) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+    val chunks = tokens.select(col("__id"),
       posexplode(transform(sequence(lit(0), nChunks - 1),
-        j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
+        j => concat_ws(" ", slice(col("__toks"), j * chunkTokens + 1, lit(chunkTokens)))))
         .as(Seq("pos", "chunk")))
     val boiler = chunks.select(col("chunk"), col("__id")).distinct()
       .groupBy("chunk").agg(count(lit(1)).as("df"))
@@ -275,7 +281,7 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
           e => e("chunk"))).as("clean_text"),
       count(lit(1)).as("n_kept"))
-    df.select(col(idCol).as("__id"), nChunks.cast("long").as("__nc"))
+    tokens.select(col("__id"), nChunks.cast("long").as("__nc"))
       .join(cleaned, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -1477,12 +1477,12 @@ object PipelineQueries {
     (s, d) => {
       val all = docs(s, d)
       val history = all.filter(col("doc_id") % 3 === 0)
-        .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
       graft.ops.Dedup.incrementalDecision(
         all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", history)
     },
     Some("""WITH f AS (SELECT doc_id,
-          md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents),
       hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
       batch AS (SELECT doc_id, fp,
