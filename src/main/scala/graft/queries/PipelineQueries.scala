@@ -1516,6 +1516,62 @@ object PipelineQueries {
     FROM f"""),
   )
 
+  /** DuckDB oracle for q78: replay the entire Bloom decision surface —
+    * INCLUDING which probe keys false-positive — as pure set arithmetic.
+    * Both sides re-derive the k Kirsch–Mitzenmacher positions
+    * (h1 + i·h2 mod m, h1 = xxhash64(key), h2 = xxhash64(h1)) through
+    * the staged XXH64-in-SQL chain, then a probe key is a hit iff all
+    * its k positions appear in the build side's distinct position set —
+    * exactly the bit-array test, without materializing bits.
+    */
+  private lazy val bloomOracleSql: String = {
+    import DuckXxHash._
+    val m = 16384
+    val k = 4
+    var ch = chain("b0",
+      s"SELECT DISTINCT o_orderkey AS key, ${unsigned("o_orderkey")} AS v " +
+        "FROM orders WHERE o_orderpriority = '1-URGENT'")
+    ch = ch.steps(hashLongSteps("b1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("b2", "b1out", "42::HUGEINT"))
+    ch = ch.cte("bpos",
+      s"SELECT DISTINCT CAST(((h1m + i * h2m) % $m) AS BIGINT) AS pos FROM " +
+        s"(SELECT ${pmod("b1out", m)} AS h1m, ${pmod("b2out", m)} AS h2m, " +
+        s"unnest(generate_series(0, ${k - 1})) AS i FROM ${ch.last}) t")
+    ch = ch.cte("q0",
+      s"SELECT DISTINCT l_orderkey AS key, ${unsigned("l_orderkey")} AS v FROM lineitem")
+    ch = ch.steps(hashLongSteps("p1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("p2", "p1out", "42::HUGEINT"))
+    ch = ch.cte("ppos",
+      s"SELECT key, CAST(((h1m + i * h2m) % $m) AS BIGINT) AS pos FROM " +
+        s"(SELECT key, ${pmod("p1out", m)} AS h1m, ${pmod("p2out", m)} AS h2m, " +
+        s"unnest(generate_series(0, ${k - 1})) AS i FROM ${ch.last}) t")
+    ch.render(
+      "SELECT pp.key AS l_orderkey, bool_and(b.pos IS NOT NULL) AS bloom_hit " +
+        "FROM ppos pp LEFT JOIN bpos b USING (pos) GROUP BY pp.key")
+  }
+
+  /** Broadcast Bloom-filter pruning ([[graft.ops.Bloom]]): build an
+    * m = 16384-bit, k = 4 filter over the urgent-priority order keys,
+    * classify every distinct lineitem order key scan-side. Parameters
+    * chosen so the false-positive band is REAL (~7% at this load
+    * factor) — the oracle proves the decision surface bit-exact, false
+    * positives and all, because positions are pure xxhash64 arithmetic.
+    */
+  val q78_bloom_prune = QueryDef(
+    "q78_bloom_prune",
+    (s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val bits = graft.ops.Bloom.buildBits(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey",
+        m = 16384, k = 4)
+      graft.ops.Bloom.decisions(
+        li.select(col("l_orderkey")).distinct(), "l_orderkey", bits,
+        m = 16384, k = 4)
+    },
+    Some(bloomOracleSql),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1530,5 +1586,6 @@ object PipelineQueries {
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
+    q78_bloom_prune,
   )
 }

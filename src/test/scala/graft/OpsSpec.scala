@@ -38,18 +38,55 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("incremental dedup: history dups flagged, within-batch keep-first, novel docs kept") {
-    val history = Seq("seen before", "also   SEEN before").toDF("text")
-      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    // history indexed with the SAME shared fingerprint exact() uses —
+    // the cross-API contract the round-5 advice flagged
+    val history = Seq("seen before", "also   SEEN before", "  padded doc  ")
+      .toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
     val batch = Seq(
       (10L, "seen  Before"),        // normalizes into history -> dup_history
       (11L, "fresh content"),       // novel -> keep
       (12L, "Fresh   content"),     // dup of 11 within batch -> dup_batch
       (13L, "another new one"),     // novel -> keep
+      (14L, "padded doc"),          // trim-normalizes into history -> dup_history
     ).toDF("doc_id", "text")
     val got = Dedup.incrementalDecision(batch, "doc_id", "text", history)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(10L -> "dup_history", 11L -> "keep",
-      12L -> "dup_batch", 13L -> "keep"))
+      12L -> "dup_batch", 13L -> "keep", 14L -> "dup_history"))
+  }
+
+  test("bloom filter: no false negatives, bounded false positives, prune is a superset") {
+    import graft.ops.Bloom
+    val build = spark.range(0, 500).select(col("id").as("key"))
+    val probe = spark.range(0, 5000).select(col("id").as("key"))
+    val bits = Bloom.buildBits(build, "key", m = 8192, k = 4)
+    assert(bits.length == 8192 / 64)
+    val dec = Bloom.decisions(probe, "key", bits, m = 8192, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(dec.size == 5000)
+    // a Bloom filter NEVER misses a member
+    (0L until 500L).foreach(i => assert(dec(i), s"member $i missed"))
+    // non-members false-positive at ~(1-e^(-k n/m))^k ~= 0.2% here; 5% is
+    // a loose determinism-safe ceiling (the exact count is seed-fixed)
+    val fp = (500L until 5000L).count(dec(_))
+    assert(fp <= (4500 * 0.05).toInt, s"false-positive count too high: $fp")
+    val kept = Bloom.prune(probe, "key", bits, m = 8192, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 500L).forall(kept), "prune dropped a member")
+    assert(kept == dec.filter(_._2).keySet)
+  }
+
+  test("kmv_sketch / freq_sketch reject wrong-typed arguments at analysis time") {
+    Seq((1L, "a")).toDF("n", "s").createOrReplaceTempView("__typecheck")
+    val kmvErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(s, 32) FROM __typecheck").collect()
+    }
+    assert(kmvErr.getMessage.contains("BIGINT"), kmvErr.getMessage)
+    val freqErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT freq_sketch(n, 32) FROM __typecheck").collect()
+    }
+    assert(freqErr.getMessage.contains("STRING"), freqErr.getMessage)
   }
 
   test("minhash-lsh finds planted near-duplicates with exact jaccard verification") {
