@@ -153,6 +153,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"quantile_sketch(value, capacity) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "quantile_sketch: capacity must be a literal")
+        QuantileSketchAgg(children.head, children(1).eval().toString.toInt)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("prefix_sum"),
       new ExpressionInfo(classOf[PrefixSum].getName, "prefix_sum"),
       (children: Seq[Expression]) => {

@@ -83,6 +83,55 @@ object Sketches {
     }
   }
 
+  /** Per-group quantile sketch of `valCol` (cast to long — the repo's
+    * integer-exact convention): (groupCol, qsketch
+    * array<struct<v,w>> sorted by (v, w)). Native
+    * [[graft.expr.QuantileSketchAgg]] when GraftExtensions is
+    * registered: deterministic binary compaction, buffer ≤
+    * capacity·levels values per group per map task — constant-order
+    * shuffle where exact quantiles (ops/Quantiles) move every row.
+    *
+    * The portable fallback materializes the full sorted value list at
+    * weight 1 — identical to the native sketch ONLY in the exact regime
+    * (group size ≤ capacity); a correctness stand-in, not the scale
+    * path.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 8, s"capacity must be >= 8: $capacity")
+    val v = col(valCol).cast("long")
+    if (df.sparkSession.catalog.functionExists("quantile_sketch"))
+      df.groupBy(col(groupCol))
+        .agg(call_function("quantile_sketch", v, lit(capacity)).as("qsketch"))
+    else
+      df.groupBy(col(groupCol))
+        .agg(sort_array(collect_list(v)).as("__vs"))
+        .select(col(groupCol),
+          transform(col("__vs"), x => struct(x.as("v"), lit(1L).as("w")))
+            .as("qsketch"))
+  }
+
+  /** Total weight of a quantile-sketch summary (= the group's row count:
+    * compaction preserves weight exactly).
+    */
+  def summaryWeight(summary: Column): Column =
+    aggregate(summary, lit(0L), (acc, e) => acc + e("w"))
+
+  /** Nearest-rank quantile from a summary: the smallest v whose
+    * cumulative weight reaches `target` (callers derive target as
+    * ceil(q·W)). BOTH arguments must be ATTRIBUTES, not inline
+    * expression trees — this runs inside a fold lambda and Catalyst
+    * does not CSE inside lambda bodies (the repo's staging rule); an
+    * inline aggregate target would re-evaluate per element.
+    */
+  def quantileFromSummary(summary: Column, target: Column): Column =
+    aggregate(summary,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (st, e) => struct(
+        (st("cum") + e("w")).as("cum"),
+        coalesce(st("ans"), when(st("cum") + e("w") >= target, e("v"))).as("ans")),
+      st => st("ans"))
+
   /** Distinct-count estimate from a KMV sketch column: the sketch size
     * itself when the group had < k distinct keys (exact), else
     * (k−1)·2⁶⁴/kth_min with kth_min read as unsigned. The division runs

@@ -1572,6 +1572,47 @@ object PipelineQueries {
     Some(bloomOracleSql),
   )
 
+  /** Per-language nearest-rank length quantiles from the mergeable
+    * `quantile_sketch` aggregate ([[graft.expr.QuantileSketchAgg]]) —
+    * the quantiles member of the sketch trio (q69 distinct, q71
+    * frequency). Capacity 512 exceeds every sf0.01 language group (max
+    * 218), so the sketch is in its EXACT regime — the summary is the
+    * sorted value multiset at weight 1, a pure partitioning-invariant
+    * function of the input — and extraction (smallest v whose
+    * cumulative weight reaches ceil(q·W)) must equal DuckDB's value at
+    * row_number ceil(q·n). The approximate regime's rank-error bound is
+    * asserted in ScalaTest; at sf0.1 (en = 2059 docs) the bench run
+    * exercises real compaction. W and the three rank targets are staged
+    * as attributes before the extraction folds (lambda-CSE rule).
+    */
+  val q79_quantile_sketch: QueryDef = {
+    val cap = 512
+    QueryDef(
+      "q79_quantile_sketch",
+      (s, d) => {
+        import graft.ops.Sketches
+        val sk = Sketches.quantileSketch(docs(s, d), "lang", "n_chars", cap)
+          .withColumn("__W", Sketches.summaryWeight(col("qsketch")))
+          .withColumn("__t50", ceil(col("__W") * lit(0.5)).cast("long"))
+          .withColumn("__t90", ceil(col("__W") * lit(0.9)).cast("long"))
+          .withColumn("__t99", ceil(col("__W") * lit(0.99)).cast("long"))
+        sk.select(col("lang"), col("__W").as("n_docs"),
+          Sketches.quantileFromSummary(col("qsketch"), col("__t50")).as("p50"),
+          Sketches.quantileFromSummary(col("qsketch"), col("__t90")).as("p90"),
+          Sketches.quantileFromSummary(col("qsketch"), col("__t99")).as("p99"))
+      },
+      Some("""WITH r AS (SELECT lang, n_chars AS v,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS p50,
+        max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v END) AS p90,
+        max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END) AS p99
+      FROM r GROUP BY lang"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1586,6 +1627,6 @@ object PipelineQueries {
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
-    q78_bloom_prune,
+    q78_bloom_prune, q79_quantile_sketch,
   )
 }

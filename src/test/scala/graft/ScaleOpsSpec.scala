@@ -127,6 +127,54 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(sk.contains(it), s"heavy hitter $it missing from sketch"))
   }
 
+  test("quantile sketch: exact regime == sorted multiset; approximate regime rank error bounded under any partitioning") {
+    import graft.ops.Sketches
+    // exact regime: 300 values per group <= capacity 512 — the summary
+    // must be the sorted value multiset at weight 1, however partitioned,
+    // and equal to the portable fallback
+    val rows = (1 to 900).map(i => (s"g${i % 3}", ((i * 7919) % 1000).toLong))
+    val df = rows.toDF("g", "v")
+    def summaryOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSketch(d, "g", "v", 512).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+        .toMap
+    val got = summaryOf(df)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted.map((_, 1L)).toSeq
+    }
+    assert(got == expected)
+    assert(summaryOf(df.repartition(13, col("v"))) == got)
+    // approximate regime: 50k adversarially shuffled values, capacity
+    // 256 — levels ~ log2(50000/256) ~ 8, deterministic-compaction rank
+    // error bound ~ n*levels/(2*cap) ~ 1.5%; assert 2.5% with slack,
+    // under two different partitionings, plus exact weight preservation
+    val n = 50000
+    val vals = new scala.util.Random(7).shuffle((1 to n).map(_.toLong).toVector)
+    val adf = vals.map(("all", _)).toDF("g", "v")
+    for (parts <- Seq(8, 32)) {
+      val sm = Sketches.quantileSketch(adf.repartition(parts), "g", "v", 256)
+        .withColumn("__W", Sketches.summaryWeight(col("qsketch")))
+        .withColumn("__t", ceil(col("__W") * lit(0.9)).cast("long"))
+        .select(col("__W"),
+          Sketches.quantileFromSummary(col("qsketch"), col("__t")).as("p90"))
+        .collect().head
+      assert(sm.getLong(0) == n.toLong, "compaction must preserve total weight")
+      val p90 = sm.getLong(1)
+      // values are exactly 1..n, so the true rank of value v IS v
+      assert(math.abs(p90 - 0.9 * n) <= 0.025 * n,
+        s"p90 rank error too large at $parts partitions: got $p90")
+    }
+  }
+
+  test("quantile_sketch rejects wrong-typed arguments at analysis time") {
+    Seq(("a", "b")).toDF("g", "s").createOrReplaceTempView("__qs_typecheck")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantile_sketch(s, 64) FROM __qs_typecheck").collect()
+    }
+    assert(err.getMessage.contains("BIGINT"), err.getMessage)
+  }
+
   test("kmv estimate within 15% of true distinct count at k=256") {
     import graft.ops.Sketches
     val n = 100000
