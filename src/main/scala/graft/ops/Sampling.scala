@@ -92,6 +92,51 @@ object Sampling {
       .drop("thr")
   }
 
+  /** Token-budget source mixing: the training-data composition step
+    * that [[remixSources]]'s count-based form approximates — hit a
+    * TOTAL cost budget (tokens, chars, bytes) with per-source shares
+    * proportional to integer `weights`, by accepting each source's rows
+    * at rate min(1, budget·w_s/(ΣW·cost_s)). Oversubscribed sources are
+    * thinned; sources whose full cost fits under their share pass
+    * whole (rate capped at 1). Expected kept cost per source is then
+    * budget·w_s/ΣW, summing to ≤ budget with equality when every source
+    * saturates.
+    *
+    * All threshold math is INTEGER (ppm, `div`), membership is the
+    * deterministic hash cell — reproducible under any partitioning and
+    * replayed exactly in SQL (q80), like the rest of this module. Scale
+    * shape: one map-side-combinable per-source cost sum (dimension-
+    * sized), a broadcast of the tiny threshold table, a partition-local
+    * filter. Overflow envelope under ANSI arithmetic:
+    * budget·max(w)·10⁶ must stay below 2⁶³ (≈ 9·10¹² budget units at
+    * w = 1000) — rescale weights or budget units above that.
+    *
+    * Appends (`thr_ppm`, `u_ppm`, `keep`); rows from sources absent in
+    * `weights` are dropped. Filter on `keep` for the mixed corpus; keep
+    * the decision rows for audit.
+    */
+  def budgetMix(df: DataFrame, idCol: String, sourceCol: String,
+      costCol: String, weights: Map[String, Long], budget: Long,
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(budget > 0, s"budget must be positive: $budget")
+    val wSum = weights.values.sum
+    val wCol = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, w).otherwise(acc)
+    }
+    val thr = df.groupBy(sourceCol)
+      .agg(sum(col(costCol).cast("long")).as("toks"))
+      .withColumn("w", wCol)
+      .filter(col("w").isNotNull)
+      .withColumn("thr_ppm", least(lit(Resolution),
+        expr(s"$budget * w * $Resolution div ($wSum * toks)")))
+      .select(col(sourceCol), col("thr_ppm"))
+    df.join(broadcast(thr), sourceCol)
+      .withColumn("u_ppm", cell(df, idCol, seed))
+      .withColumn("keep", col("u_ppm") < col("thr_ppm"))
+  }
+
   /** Quality-bucket downsampling (the CCNet move: bucket documents by a
     * quality score, keep low-quality buckets at a reduced rate). Buckets
     * are GLOBAL k-quantile bands of the integer score, computed WITHOUT

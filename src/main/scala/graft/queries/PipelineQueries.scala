@@ -1613,6 +1613,48 @@ object PipelineQueries {
     )
   }
 
+  /** Token-budget source mixing ([[graft.ops.Sampling.budgetMix]]):
+    * spend a 60k-char budget across the 20 sources at weights cycling
+    * 1..4. Every decision ingredient — per-source cost sums, integer
+    * ppm thresholds, the hash cell — replays in DuckDB, so the oracle
+    * pins the full decision table (thresholds, cells, keeps), not just
+    * the kept set. Budget ≈ 40% of the corpus cost with weights spread
+    * 4:1, so every source lands in the partial-acceptance regime
+    * (thr strictly between 0 and 1M) — the math-bearing branch.
+    */
+  val q80_budget_mix: QueryDef = {
+    val weights = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong)
+    val budget = 60000L
+    val wSum = weights.map(_._2).sum
+    QueryDef(
+      "q80_budget_mix",
+      (s, d) => graft.ops.Sampling.budgetMix(docs(s, d), "doc_id", "source",
+        "n_chars", weights.toMap, budget)
+        .select(col("doc_id"), col("source"), col("thr_ppm"),
+          col("u_ppm"), col("keep")),
+      Some {
+        import DuckXxHash._
+        val hashed = chain("s0",
+          s"SELECT doc_id, source, ${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val ch = hashed
+          .cte("cells", s"SELECT doc_id, source, ${pmod("h2out", 1000000L)} AS u_ppm " +
+            s"FROM ${hashed.last}")
+          .cte("wt", "SELECT * FROM (VALUES " +
+            weights.map { case (s0, w) => s"('$s0', CAST($w AS BIGINT))" }.mkString(", ") +
+            ") AS t(source, w)")
+          .cte("toks", "SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks " +
+            "FROM documents GROUP BY source")
+          .cte("thr", "SELECT source, least(1000000, " +
+            s"$budget * w * 1000000 // ($wSum * toks)) AS thr_ppm " +
+            "FROM toks JOIN wt USING (source)")
+        ch.render("SELECT c.doc_id, c.source, t.thr_ppm, c.u_ppm, " +
+          "c.u_ppm < t.thr_ppm AS keep FROM cells c JOIN thr t USING (source)")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1627,6 +1669,6 @@ object PipelineQueries {
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
-    q78_bloom_prune, q79_quantile_sketch,
+    q78_bloom_prune, q79_quantile_sketch, q80_budget_mix,
   )
 }

@@ -143,6 +143,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rep(3L)._3 == md5s("short doc under ten words"))
   }
 
+  test("budget mix: exact thresholds, kept cost tracks shares, cheap source caps at 1") {
+    import graft.ops.Sampling
+    // srcA: 1000 docs x 100 (oversubscribed), srcB: 500 x 40 (half),
+    // srcC: 20 x 10 (whole source fits under its share -> rate caps at 1)
+    val rows = (1 to 1000).map(i => (i.toLong, "srcA", 100L)) ++
+      (1 to 500).map(i => (10000L + i, "srcB", 40L)) ++
+      (1 to 20).map(i => (20000L + i, "srcC", 10L))
+    val df = rows.toDF("doc_id", "source", "cost")
+    val out = Sampling.budgetMix(df, "doc_id", "source", "cost",
+      Map("srcA" -> 1L, "srcB" -> 1L, "srcC" -> 1L), budget = 30000L).persist()
+    val thr = out.select(col("source"), col("thr_ppm")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer-exact: 30000*1M div (3*total_cost), capped at 1M
+    assert(thr == Map("srcA" -> 100000L, "srcB" -> 500000L, "srcC" -> 1000000L))
+    val keptCost = out.filter(col("keep")).groupBy("source")
+      .agg(sum("cost").as("c")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptCost("srcC") == 200L, "capped source must pass whole")
+    // uniform costs within a source: kept cost ~ thr * total within hash jitter
+    assert(math.abs(keptCost("srcA") - 10000L) < 3000, s"srcA: $keptCost")
+    assert(math.abs(keptCost("srcB") - 10000L) < 3000, s"srcB: $keptCost")
+    // partitioning-invariant kept set
+    val kept1 = out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.budgetMix(df.repartition(17, col("source")), "doc_id",
+      "source", "cost", Map("srcA" -> 1L, "srcB" -> 1L, "srcC" -> 1L), 30000L)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2)
+    out.unpersist()
+    ()
+  }
+
   test("qualityBucketSample: tercile bands, per-bucket keep rates, determinism") {
     import graft.ops.Sampling
     val df = (1L to 3000L).map(i => (i, (i % 300))).toDF("doc_id", "s")
