@@ -153,6 +153,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"topk_agg(ord, id, k) takes 3 arguments, got ${children.length}")
+        require(children(2).foldable, "topk_agg: k must be a literal")
+        TopKAgg(children(0), children(1), children(2).eval().toString.toInt)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
       (children: Seq[Expression]) => {

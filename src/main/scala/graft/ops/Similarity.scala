@@ -42,14 +42,36 @@ object Similarity {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     val joined = v.join(q, col("id") =!= col("qid"))
-    joined
-      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+    rankTopK(joined.withColumn("cosine", cosine(joined, col("v"), col("qv"))), k)
   }
+
+  /** Rank the k best candidates per query from (qid, id, cosine) rows,
+    * emitting (qid, rnk, neighbor, cosine) in rank order.
+    *
+    * Scale path: the native bounded-heap `topk_agg` — per-group state is
+    * k entries, map-side combine sends ≤ k rows per query per map task
+    * into the shuffle, O(log k) per candidate. The window fallback
+    * computes the IDENTICAL result (same total order: cosine desc, id
+    * asc — equality pinned in ScaleOpsSpec) but shuffles and SORTS
+    * every candidate row per query — correctness stand-in, not the
+    * 100 TB shape. The two forms differ ONLY on NaN ord (the window
+    * sorts NaN first, the heap deliberately last); [[cosine]] maps NaN
+    * to −1 upstream, so no NaN reaches this rank.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    if (cands.sparkSession.catalog.functionExists("topk_agg"))
+      cands.groupBy("qid")
+        .agg(call_function("topk_agg", col("cosine"), col("id"), lit(k)).as("__tk"))
+        .select(col("qid"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("qid"), (col("__p") + 1).cast("int").as("rnk"),
+          col("__e")("id").as("neighbor"), col("__e")("ord").as("cosine"))
+    else {
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+      cands.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+    }
 
   /** Unit-normalize in place (zero vectors stay zero). The IVF index
     * serves COSINE queries, so clustering must happen on the unit
@@ -151,13 +173,8 @@ object Similarity {
 
   /** Shared probe-join-rank tail of both IVF paths. */
   private def ivfRank(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     val joined = assigned.join(q, col("cluster") === col("probe") && col("id") =!= col("qid"))
-    joined
-      .withColumn("cosine", cosine(joined, col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("id").as("neighbor"), col("cosine"))
+    rankTopK(joined.withColumn("cosine", cosine(joined, col("v"), col("qv"))), k)
   }
 
   /** IVF top-k: probe only the `nProbe` clusters nearest to each query —

@@ -167,6 +167,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_agg equals the ranked window, deterministic on ties, NaN never beats a real") {
+    // tie-heavy ords (10 distinct values over 20k rows) force the
+    // (ord desc, id asc) tiebreak to carry the selection
+    val rows = (1 to 20000).map(i =>
+      ((i % 7).toLong, i.toLong, ((i * 31) % 10).toDouble))
+    val df = rows.toDF("qid", "id", "cosine")
+    def aggForm(d: org.apache.spark.sql.DataFrame) = d.groupBy("qid")
+      .agg(call_function("topk_agg", col("cosine"), col("id"), lit(12)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "e")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getLong(1),
+        r.getStruct(2).getDouble(0)))
+      .toSet
+    val got = aggForm(df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    val expected = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3) - 1, r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == expected)
+    assert(aggForm(df.repartition(17, col("id"))) == got)
+    // NaN ranks below every real: with 5 reals and k=4, no NaN appears;
+    // with k=7 the NaNs fill the tail (id asc among themselves)
+    val nanRows = Seq((1L, 1L, 0.5), (1L, 2L, Double.NaN), (1L, 3L, 0.1),
+      (1L, 4L, Double.NaN), (1L, 5L, 0.9), (1L, 6L, 0.2), (1L, 7L, 0.3))
+      .toDF("qid", "id", "cosine")
+    def ids(k: Int) = nanRows.groupBy("qid")
+      .agg(call_function("topk_agg", col("cosine"), col("id"), lit(k)).as("tk"))
+      .select(explode(col("tk")("id")).as("id")).collect().map(_.getLong(0)).toSeq
+    assert(ids(4) == Seq(5L, 1L, 7L, 6L))
+    assert(ids(7) == Seq(5L, 1L, 7L, 6L, 3L, 2L, 4L))
+  }
+
   test("quantile_sketch rejects wrong-typed arguments at analysis time") {
     Seq(("a", "b")).toDF("g", "s").createOrReplaceTempView("__qs_typecheck")
     val err = intercept[org.apache.spark.sql.AnalysisException] {
