@@ -954,6 +954,60 @@ object SynthQueries {
           (PARTITION BY bucket_s ORDER BY cnt DESC, item) AS rnk FROM c)
         WHERE rnk <= 32""")),
 
+    // the quantile_sketch aggregate INSIDE Structured Streaming state:
+    // per-hour latency/value quantiles where the per-window state is
+    // the bounded compaction buffer (<= capacity*levels values), never
+    // the window's raw value list — the mergeable
+    // TypedImperativeAggregate buffer is exactly what the state store
+    // checkpoints, same contract as g88's freq_sketch. Hour buckets
+    // hold <= 30 events << capacity 64, so the bounded replay is in the
+    // sketch's exact regime and nearest-rank extraction must hash-match
+    // DuckDB's batch ranked-window quantiles. Value micros are floored
+    // on both sides (Spark's double->long cast truncates, DuckDB's
+    // rounds — floor() pins them to the same integer).
+    QueryDef("g92_stream_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{call_function, ceil, expr, floor,
+          lit, timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g92_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val name = "g92_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("v_us", floor(col("value") * lit(1000000d)).cast("long"))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(call_function("quantile_sketch", col("v_us"), lit(64)).as("qs"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("qs"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import graft.ops.Sketches
+        s.table(name)
+          .withColumn("__W", Sketches.summaryWeight(col("qs")))
+          .withColumn("__t50", ceil(col("__W") * lit(0.5)).cast("long"))
+          .withColumn("__t90", ceil(col("__W") * lit(0.9)).cast("long"))
+          .select(col("bucket_s"), col("__W").as("n_events"),
+            Sketches.quantileFromSummary(col("qs"), col("__t50")).as("p50_us"),
+            Sketches.quantileFromSummary(col("qs"), col("__t90")).as("p90_us"))
+      },
+      Some("""WITH e AS (
+          SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+            CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        r AS (SELECT bucket_s, v,
+            row_number() OVER (PARTITION BY bucket_s ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY bucket_s) AS n FROM e)
+        SELECT bucket_s, CAST(max(n) AS BIGINT) AS n_events,
+          max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS p50_us,
+          max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v END) AS p90_us
+        FROM r GROUP BY bucket_s""")),
+
     // STREAM-STREAM interval join made driver-visible: views joined to
     // same-user clicks within 24 hours, both sides watermarked so Spark
     // bounds the join state (the production shape for impression->click
