@@ -259,5 +259,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .dataFrameAuto(org.apache.spark.sql.SparkSession.active, schemaJson, n, seed)
           .queryExecution.logical
       }))
+
+    // optimizer extension point: ranked-window top-k SQL rewrites to
+    // the bounded-heap topk_agg plan when provably equivalent (see
+    // plans/TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

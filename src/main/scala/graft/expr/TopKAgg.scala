@@ -39,6 +39,7 @@ case class TopKAgg(
     left: Expression,
     right: Expression,
     k: Int,
+    nanFirst: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]]
@@ -63,7 +64,12 @@ case class TopKAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
-  private def worstFirst = TopKAgg.WorstFirst
+  // nanFirst replicates the ranked-window order exactly (descending
+  // sort treats NaN as the LARGEST value, so rn 1..k admits NaN before
+  // reals) — required by plans/TopKRewrite, which must be semantics-
+  // preserving. The default ranks NaN last (the right ANN semantics).
+  private def worstFirst: java.util.Comparator[(Double, Long)] =
+    if (nanFirst) TopKAgg.WorstFirstNanTop else TopKAgg.WorstFirst
 
   override def createAggregationBuffer(): PriorityQueue[(Double, Long)] =
     new PriorityQueue[(Double, Long)](math.min(k + 1, 1024), worstFirst)
@@ -144,19 +150,27 @@ object TopKAgg {
     * NaN is the worst possible ord. A static Serializable object — the
     * expression ships to executors inside the physical plan.
     */
-  object WorstFirst extends java.util.Comparator[(Double, Long)] with Serializable {
-    // NaN -> -Inf for ranking so it loses to every real; -Inf itself
-    // ties with NaN (both unrankable-bad), resolved by the tiebreaks
-    private def rank(d: Double): Double =
-      if (java.lang.Double.isNaN(d)) Double.NegativeInfinity else d
+  sealed abstract class Cmp extends java.util.Comparator[(Double, Long)] with Serializable {
+    protected def rank(d: Double): Double
     override def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(rank(a._1), rank(b._1))
       if (c != 0) c
       else {
         val c2 = java.lang.Long.compare(b._2, a._2)
-        // final raw-bits tiebreak totalizes NaN vs -Inf at equal id
+        // final raw-bits tiebreak totalizes NaN vs ±Inf at equal id
         if (c2 != 0) c2 else java.lang.Double.compare(b._1, a._1)
       }
     }
+  }
+  // NaN -> -Inf for ranking so it loses to every real; -Inf itself
+  // ties with NaN (both unrankable-bad), resolved by the tiebreaks
+  object WorstFirst extends Cmp {
+    protected def rank(d: Double): Double =
+      if (java.lang.Double.isNaN(d)) Double.NegativeInfinity else d
+  }
+  // NaN -> +Inf: descending window order ranks NaN above every real
+  object WorstFirstNanTop extends Cmp {
+    protected def rank(d: Double): Double =
+      if (java.lang.Double.isNaN(d)) Double.PositiveInfinity else d
   }
 }

@@ -202,6 +202,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ids(7) == Seq(5L, 1L, 7L, 6L, 3L, 2L, 4L))
   }
 
+  test("TopKRewrite: ranked-window SQL becomes the bounded-heap plan, results identical; guards hold") {
+    val rows = (0L until 20000L).map(i => (i % 7, i, ((i * 31) % 10).toDouble))
+    rows.toDF("g", "id", "ord").createOrReplaceTempView("__topk_src")
+    // the natural user SQL for per-group top-k
+    val out = spark.sql("""SELECT g, ord, id, rn FROM (
+        SELECT g, ord, id,
+               row_number() OVER (PARTITION BY g ORDER BY ord DESC, id) AS rn
+        FROM __topk_src) WHERE rn <= 9""")
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("topk_agg"), optimized)
+    assert(!optimized.contains("Window"), optimized)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id, ord) => (-ord, id) }.take(9).zipWithIndex
+        .map { case ((_, id, ord), i) => (g, ord, id, i + 1) }
+    }.toSet
+    assert(got == expected)
+    // guards: ascending order, an extra carried column, or a nullable
+    // ord must all keep their window (no equivalence proof -> no fire)
+    val asc = spark.sql("""SELECT * FROM (SELECT g, ord, id,
+        row_number() OVER (PARTITION BY g ORDER BY ord ASC, id) AS rn
+        FROM __topk_src) WHERE rn <= 9""")
+    assert(asc.queryExecution.optimizedPlan.toString.contains("Window"))
+    rows.toDF("g", "id", "ord").withColumn("payload", col("id") * 2)
+      .createOrReplaceTempView("__topk_extra")
+    val extra = spark.sql("""SELECT * FROM (SELECT g, ord, id, payload,
+        row_number() OVER (PARTITION BY g ORDER BY ord DESC, id) AS rn
+        FROM __topk_extra) WHERE rn <= 9""")
+    assert(extra.queryExecution.optimizedPlan.toString.contains("Window"))
+    val nullable = spark.sql("""SELECT * FROM (SELECT g, ord2, id,
+        row_number() OVER (PARTITION BY g ORDER BY ord2 DESC, id) AS rn
+        FROM (SELECT g, id, CASE WHEN id % 11 = 0 THEN NULL ELSE ord END AS ord2
+              FROM __topk_src)) WHERE rn <= 9""")
+    assert(nullable.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
   test("quantile_sketch rejects wrong-typed arguments at analysis time") {
     Seq(("a", "b")).toDF("g", "s").createOrReplaceTempView("__qs_typecheck")
     val err = intercept[org.apache.spark.sql.AnalysisException] {
