@@ -1008,6 +1008,42 @@ object SynthQueries {
           max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v END) AS p90_us
         FROM r GROUP BY bucket_s""")),
 
+    // the KMV distinct sketch INSIDE Structured Streaming state:
+    // per-hour distinct users where the checkpointed state is the
+    // capped bottom-k hash buffer, never the distinct user set. Hour
+    // buckets hold <= 30 events << k = 64, so every sketch is in its
+    // EXACT regime (the sketch IS the distinct hash set and the
+    // estimator returns its size) — the bounded replay must equal
+    // DuckDB's batch count(DISTINCT) per bucket.
+    QueryDef("g93_stream_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{call_function, expr, lit,
+          timestamp_micros, unix_timestamp, window, xxhash64}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g93_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val name = "g93_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(call_function("kmv_sketch", xxhash64(col("user_id")), lit(64)).as("kmv"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            graft.ops.Sketches.kmvEstimate(col("kmv"), 64).as("n_users"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1""")),
+
     // STREAM-STREAM interval join made driver-visible: views joined to
     // same-user clicks within 24 hours, both sides watermarked so Spark
     // bounds the join state (the production shape for impression->click

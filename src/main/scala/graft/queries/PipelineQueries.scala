@@ -1655,6 +1655,39 @@ object PipelineQueries {
     )
   }
 
+  /** Per-language best-documents selection through the generic
+    * bounded-heap `topk_agg` ([[graft.expr.TopKAgg]]) — the curation
+    * "keep the k highest-quality docs per stratum" step without a
+    * per-stratum sort: map-side combine carries ≤ k entries per
+    * language per task. Ord is the integer quality score cast to
+    * double (exact below 2^53), so the DuckDB ranked-window replay is
+    * bit-deterministic, ties resolved by doc_id.
+    */
+  val q81_topk_quality = QueryDef(
+    "q81_topk_quality",
+    (s, d) => {
+      val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+      val nLetters = length(regexp_replace(col("text"), " ", ""))
+      docs(s, d)
+        .select(col("lang"), col("doc_id"),
+          floor(nLetters * 1000.0 / nTok).cast("long").as("score"))
+        .groupBy("lang")
+        .agg(call_function("topk_agg",
+          col("score").cast("double"), col("doc_id"), lit(5)).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("lang"), (col("p") + 1).cast("long").as("rnk"),
+          col("e")("id").as("doc_id"), col("e")("ord").cast("long").as("score"))
+    },
+    Some("""WITH sc AS (SELECT lang, doc_id,
+        CAST(floor(length(replace(text, ' ', '')) * 1000.0 /
+          (length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS score
+      FROM documents),
+    r AS (SELECT lang, doc_id, score,
+        row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+      FROM sc)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, score FROM r WHERE rnk <= 5"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1669,6 +1702,6 @@ object PipelineQueries {
     q66_det_shuffle, q67_quantize_int8, q68_quantized_ann, q69_kmv_sketch,
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
-    q78_bloom_prune, q79_quantile_sketch, q80_budget_mix,
+    q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
   )
 }
