@@ -85,6 +85,42 @@ object Dedup {
           .otherwise(lit("keep")).as("decision"))
   }
 
+  /** [[incrementalDecision]] with a broadcast Bloom prefilter over the
+    * historical index — the composition that keeps the crawl loop
+    * scan-side at 100 TB history: the m-bit filter ([[Bloom]]) rides to
+    * every executor at FIXED size, and only batch rows whose
+    * fingerprint the filter admits (true history dups plus the ~FP%
+    * band) reach the history equi-join at all. Bloom false positives
+    * are re-checked by that exact join, so the decisions are IDENTICAL
+    * to the unfiltered form (OpsSpec pins the equality); false
+    * negatives cannot exist, so no history dup is ever missed. The
+    * history side still builds its filter in one m/64-word bit_or
+    * aggregation — the batch is never shuffled for rows the filter
+    * rejects, which at steady state is almost all of them.
+    */
+  def incrementalDecisionBloom(batch: DataFrame, idCol: String, textCol: String,
+      historyFps: DataFrame, mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
+    val bits = Bloom.buildBits(
+      historyFps.withColumn("__fph", xxhash64(col("fp"))), "__fph", mBits, kHashes)
+    val fps = batch.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("__fph", xxhash64(col("fp")))
+    val screened = Bloom.decisions(fps, "__fph", bits, mBits, kHashes)
+    // rows the filter rejects are PROVABLY not in history: they only
+    // need the within-batch keep-first window, not the history join
+    val maybe = screened.filter(col("bloom_hit"))
+    val inHist = historyFps.select(col("fp"), lit(1).as("__h")).distinct()
+    val confirmed = maybe.join(inHist, Seq("fp"), "left")
+    val rest = screened.filter(!col("bloom_hit")).withColumn("__h", lit(null).cast("int"))
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    confirmed.select(col(idCol), col("fp"), col("__h"))
+      .unionByName(rest.select(col(idCol), col("fp"), col("__h")))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("fp"),
+        when(col("__h").isNotNull, lit("dup_history"))
+          .when(col("__rn") > 1, lit("dup_batch"))
+          .otherwise(lit("keep")).as("decision"))
+  }
+
   /** Word n-gram shingle set over an ALREADY-MATERIALIZED token-array
     * column. The tokens must be an attribute (not an inline split):
     * Catalyst does not common-subexpression-eliminate inside lambda

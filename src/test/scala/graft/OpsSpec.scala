@@ -56,6 +56,24 @@ class OpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "keep", 14L -> "dup_history"))
   }
 
+  test("incremental dedup with bloom prefilter: decisions identical to the exact form") {
+    // deliberately TINY filter (1024 bits, 200 history fps ~ 0.63 load)
+    // so the false-positive band is fat — equality must hold anyway
+    // because the exact history join re-checks every admitted row
+    val history = (1 to 200).map(i => s"historic document number $i")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = ((1 to 150).map(i => (i.toLong, s"historic document number ${i * 2}")) ++
+      (1 to 300).map(i => (1000L + i, s"fresh batch text ${i % 140}")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalDecision(batch, "doc_id", "text", history)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val bloomed = Dedup.incrementalDecisionBloom(batch, "doc_id", "text", history,
+      mBits = 1024, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bloomed == exact)
+    assert(exact.values.toSet == Set("dup_history", "dup_batch", "keep"))
+  }
+
   test("bloom filter: no false negatives, bounded false positives, prune is a superset") {
     import graft.ops.Bloom
     val build = spark.range(0, 500).select(col("id").as("key"))
