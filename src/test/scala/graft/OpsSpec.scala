@@ -503,6 +503,26 @@ class OpsSpec extends AnyFunSuite {
     assert(stub.getInt(1) >= 64 && stub.getInt(2) >= 64)
   }
 
+  test("multimodal resize rewrites pixels: target dims, color preserved, corrupt payloads null out") {
+    // 8x6 PNG, red left half / blue right half
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, "payload", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload_resized")).toMap
+    assert(out(2L) == null, "corrupt payload must null out, not crash")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L)))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    // halves survive the bilinear downscale: left pixel red, right blue
+    assert((back.getRGB(0, 1) & 0xff0000) != 0 && (back.getRGB(0, 1) & 0xff) == 0)
+    assert((back.getRGB(3, 1) & 0xff) != 0 && (back.getRGB(3, 1) & 0xff0000) == 0)
+  }
+
   test("multimodal decode stub is deterministic and frame sampling fans out") {
     val assets = Multimodal.asAsset(
       docs.limit(20).select($"doc_id", $"text".cast("binary").as("payload")),
