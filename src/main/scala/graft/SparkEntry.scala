@@ -960,9 +960,11 @@ object SynthQueries {
     // the window's raw value list — the mergeable
     // TypedImperativeAggregate buffer is exactly what the state store
     // checkpoints, same contract as g88's freq_sketch. Hour buckets
-    // hold <= 30 events << capacity 64, so the bounded replay is in the
-    // sketch's exact regime and nearest-rank extraction must hash-match
-    // DuckDB's batch ranked-window quantiles. Value micros are floored
+    // hold <= 30 events at sf0.01 and <= 175 at sf0.1, both << capacity
+    // 256, so the bounded replay is in the sketch's exact regime at
+    // every driver scale factor and nearest-rank extraction must
+    // hash-match DuckDB's batch ranked-window quantiles (the compaction
+    // regime is ScalaTest's job). Value micros are floored
     // on both sides (Spark's double->long cast truncates, DuckDB's
     // rounds — floor() pins them to the same integer).
     QueryDef("g92_stream_quantiles",
@@ -981,7 +983,7 @@ object SynthQueries {
           .withColumn("v_us", floor(col("value") * lit(1000000d)).cast("long"))
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"))
-          .agg(call_function("quantile_sketch", col("v_us"), lit(64)).as("qs"))
+          .agg(call_function("quantile_sketch", col("v_us"), lit(256)).as("qs"))
           .select(unix_timestamp(col("window.start")).as("bucket_s"), col("qs"))
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
@@ -1011,8 +1013,9 @@ object SynthQueries {
     // the KMV distinct sketch INSIDE Structured Streaming state:
     // per-hour distinct users where the checkpointed state is the
     // capped bottom-k hash buffer, never the distinct user set. Hour
-    // buckets hold <= 30 events << k = 64, so every sketch is in its
-    // EXACT regime (the sketch IS the distinct hash set and the
+    // buckets hold <= 30 distinct users at sf0.01 and <= 166 at sf0.1,
+    // both << k = 256, so every sketch is in its EXACT regime at every
+    // driver scale factor (the sketch IS the distinct hash set and the
     // estimator returns its size) — the bounded replay must equal
     // DuckDB's batch count(DISTINCT) per bucket.
     QueryDef("g93_stream_distinct",
@@ -1030,9 +1033,9 @@ object SynthQueries {
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"))
-          .agg(call_function("kmv_sketch", xxhash64(col("user_id")), lit(64)).as("kmv"))
+          .agg(call_function("kmv_sketch", xxhash64(col("user_id")), lit(256)).as("kmv"))
           .select(unix_timestamp(col("window.start")).as("bucket_s"),
-            graft.ops.Sketches.kmvEstimate(col("kmv"), 64).as("n_users"))
+            graft.ops.Sketches.kmvEstimate(col("kmv"), 256).as("n_users"))
           .writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

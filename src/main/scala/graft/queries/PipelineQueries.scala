@@ -1575,18 +1575,21 @@ object PipelineQueries {
   /** Per-language nearest-rank length quantiles from the mergeable
     * `quantile_sketch` aggregate ([[graft.expr.QuantileSketchAgg]]) —
     * the quantiles member of the sketch trio (q69 distinct, q71
-    * frequency). Capacity 512 exceeds every sf0.01 language group (max
-    * 218), so the sketch is in its EXACT regime — the summary is the
-    * sorted value multiset at weight 1, a pure partitioning-invariant
-    * function of the input — and extraction (smallest v whose
-    * cumulative weight reaches ceil(q·W)) must equal DuckDB's value at
-    * row_number ceil(q·n). The approximate regime's rank-error bound is
-    * asserted in ScalaTest; at sf0.1 (en = 2059 docs) the bench run
-    * exercises real compaction. W and the three rank targets are staged
-    * as attributes before the extraction folds (lambda-CSE rule).
+    * frequency). Capacity 4096 exceeds every language group at BOTH
+    * driver scale factors (sf0.01 max 218, sf0.1 max 2059), so the
+    * sketch stays in its EXACT regime wherever the oracle runs — the
+    * summary is the sorted value multiset at weight 1, a pure
+    * partitioning-invariant function of the input — and extraction
+    * (smallest v whose cumulative weight reaches ceil(q·W)) must equal
+    * DuckDB's value at row_number ceil(q·n). The approximate/compaction
+    * regime is pinned by ScalaTest (50k adversarial values, cap 256,
+    * two partitionings), not by a driver query whose correctness would
+    * then depend on scale factor. W and the three rank targets are
+    * staged as attributes before the extraction folds (lambda-CSE
+    * rule).
     */
   val q79_quantile_sketch: QueryDef = {
-    val cap = 512
+    val cap = 4096
     QueryDef(
       "q79_quantile_sketch",
       (s, d) => {
