@@ -28,6 +28,7 @@ object PlanAudit {
     "g49_ann_ivf",         // deliberate: probed-cluster join is a theta join
     "q68_quantized_ann",   // deliberate: broadcast quantized queries vs all codes
     "g89_ann_pq",          // deliberate: broadcast ADC tables vs all PQ codes
+    "q82_sketch_overlap",  // deliberate: 5x5 sketch-table pair fan-out (a < b)
   )
 
   def main(args: Array[String]): Unit = {

@@ -83,6 +83,32 @@ object Sketches {
     }
   }
 
+  /** KMV set algebra — the point of sketching at 100 TB: per-slice
+    * sketches are computed ONCE in the profiling pass, then combined
+    * arbitrarily (any pair, any union) without ever rescanning the
+    * data. Union of two KMV sketches is the distinct union of their
+    * hash sets re-capped to the k smallest (unsigned order via the
+    * sign-flip trick); it is EXACTLY the sketch the union of the
+    * underlying key sets would have produced, so every estimator
+    * property carries over. Pure HOF column arithmetic, broadcastable,
+    * no shuffle.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = {
+    val flipped = array_sort(array_union(
+      transform(a, x => x.bitwiseXOR(lit(Long.MinValue))),
+      transform(b, x => x.bitwiseXOR(lit(Long.MinValue)))))
+    transform(slice(flipped, 1, k), f => f.bitwiseXOR(lit(Long.MinValue)))
+  }
+
+  /** Exact count of shared hash values between two sketches. In the
+    * exact regime (both sketches below k — each IS its distinct hash
+    * set) this is the TRUE intersection cardinality; in the approximate
+    * regime it feeds the standard KMV Jaccard estimator
+    * |A∩B over the union's bottom-k| / k.
+    */
+  def kmvIntersectCount(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("long")
+
   /** Per-group quantile sketch of `valCol` (cast to long — the repo's
     * integer-exact convention): (groupCol, qsketch
     * array<struct<v,w>> sorted by (v, w)). Native

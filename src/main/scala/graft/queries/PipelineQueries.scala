@@ -1691,6 +1691,50 @@ object PipelineQueries {
     SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, score FROM r WHERE rnk <= 5"""),
   )
 
+  /** Audience-overlap profiling through KMV set algebra
+    * ([[graft.ops.Sketches.kmvUnion]]): sketch each event type's
+    * distinct users ONCE, then answer every pairwise union/intersection
+    * question from the sketches alone — the 100 TB profiling pattern
+    * where slices are sketched in one pass and combined later without
+    * rescanning. k = 4096 exceeds every per-type audience at both
+    * driver scale factors (150 / 1500 users), so sketches are exact
+    * distinct hash sets and union size / intersection count equal the
+    * true set cardinalities DuckDB computes from the raw rows. The
+    * pair fan-out is a broadcast self-join of the 5-row sketch table.
+    */
+  val q82_sketch_overlap: QueryDef = {
+    val k = 4096
+    QueryDef(
+      "q82_sketch_overlap",
+      (s, d) => {
+        import graft.ops.Sketches
+        val sk = Sketches.kmvSketch(events(s, d), "event_type", "user_id", k)
+        val a = sk.select(col("event_type").as("type_a"), col("kmv").as("__ka"))
+        val b = sk.select(col("event_type").as("type_b"), col("kmv").as("__kb"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            size(col("__ka")).cast("long").as("n_a"),
+            size(col("__kb")).cast("long").as("n_b"),
+            size(Sketches.kmvUnion(col("__ka"), col("__kb"), k)).cast("long").as("n_union"),
+            Sketches.kmvIntersectCount(col("__ka"), col("__kb")).as("n_inter"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        CAST((SELECT count(DISTINCT user_id) FROM u x
+              WHERE x.event_type IN (a.event_type, b.event_type)) AS BIGINT) AS n_union,
+        CAST((SELECT count(*) FROM u x JOIN u y
+              ON x.user_id = y.user_id
+              AND x.event_type = a.event_type
+              AND y.event_type = b.event_type) AS BIGINT) AS n_inter
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+      JOIN c ca ON ca.event_type = a.event_type
+      JOIN c cb ON cb.event_type = b.event_type"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1706,5 +1750,6 @@ object PipelineQueries {
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
+    q82_sketch_overlap,
   )
 }

@@ -247,6 +247,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("BIGINT"), err.getMessage)
   }
 
+  test("kmv union algebra: union of sketches == sketch of the union, even past k") {
+    import graft.ops.Sketches
+    // overlapping key sets, both over k=64 -> approximate regime; the
+    // KMV closure property says bottom-k(A ∪ B) == bottom-k(bottom-k(A)
+    // ∪ bottom-k(B)), so the sketch-level union must be EXACTLY the
+    // sketch a single pass over the union would produce
+    val a = (1 to 3000).map(i => ("g", i.toLong)).toDF("g", "key")
+    val b = (2000 to 4500).map(i => ("g", i.toLong)).toDF("g", "key")
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSketch(d, "g", "key", 64)
+    val unionOfSketches = sk(a).select(col("kmv").as("ka"))
+      .crossJoin(sk(b).select(col("kmv").as("kb")))
+      .select(Sketches.kmvUnion(col("ka"), col("kb"), 64).as("u"))
+      .collect().head.getSeq[Long](0).toSeq
+    val sketchOfUnion = sk(a.union(b)).collect().head.getSeq[Long](1).toSeq
+    assert(unionOfSketches == sketchOfUnion)
+    // exact regime: intersection count is the true overlap cardinality
+    val smallA = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "key")
+    val smallB = (30 to 60).map(i => ("g", i.toLong)).toDF("g", "key")
+    val inter = Sketches.kmvSketch(smallA, "g", "key", 256).select(col("kmv").as("ka"))
+      .crossJoin(Sketches.kmvSketch(smallB, "g", "key", 256).select(col("kmv").as("kb")))
+      .select(Sketches.kmvIntersectCount(col("ka"), col("kb")).as("n"))
+      .collect().head.getLong(0)
+    assert(inter == 11L) // |{30..40}|
+  }
+
   test("kmv estimate within 15% of true distinct count at k=256") {
     import graft.ops.Sketches
     val n = 100000
