@@ -1735,6 +1735,39 @@ object PipelineQueries {
     )
   }
 
+  /** Snapshot diff ([[graft.ops.SnapshotDiff]]): crawl N−1 vs crawl N
+    * simulated from the documents table — the old snapshot drops ids
+    * ≡ 0 (mod 7) (these become `added`), the new snapshot drops ids
+    * ≡ 0 (mod 10) (`removed`) and rewrites the text of ids ≡ 1 (mod 5)
+    * (`changed`); everything else is `unchanged`. Every classification
+    * replays as a full-outer join over md5 fingerprints in DuckDB.
+    */
+  val q83_snapshot_diff = QueryDef(
+    "q83_snapshot_diff",
+    (s, d) => {
+      val all = docs(s, d)
+      val oldSnap = all.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = all.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      graft.ops.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    },
+    Some("""WITH o AS (SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_old
+        FROM documents WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id,
+          md5(lower(trim(regexp_replace(
+            CASE WHEN doc_id % 5 = 1 THEN text || ' revised' ELSE text END,
+            '\s+', ' ', 'g')))) AS fp_new
+        FROM documents WHERE doc_id % 10 <> 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new,
+        CASE WHEN fp_old IS NULL THEN 'added'
+             WHEN fp_new IS NULL THEN 'removed'
+             WHEN fp_old = fp_new THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1750,6 +1783,6 @@ object PipelineQueries {
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
-    q82_sketch_overlap,
+    q82_sketch_overlap, q83_snapshot_diff,
   )
 }

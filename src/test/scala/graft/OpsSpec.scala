@@ -56,6 +56,18 @@ class OpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "keep", 14L -> "dup_history"))
   }
 
+  test("snapshot diff: added/removed/changed/unchanged, whitespace-only rewrites are unchanged") {
+    import graft.ops.SnapshotDiff
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, "spacing   test")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "  spacing test ")).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("incremental dedup with bloom prefilter: decisions identical to the exact form") {
     // deliberately TINY filter (1024 bits, 200 history fps ~ 0.63 load)
     // so the false-positive band is fat — equality must hold anyway
