@@ -816,6 +816,20 @@ object SynthQueries {
     q("g52_dedup_decision")((s, d) => graft.ops.Clusters.dedupDecision(
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8)),
 
+    // distributed BPE merge learning (tokenizer FITTING, not just
+    // application): one corpus pass builds the word-frequency table,
+    // then every iteration runs on that dimension-sized table. No SQL
+    // engine replays an iterative argmax-and-rewrite loop — rows-only
+    // by design; the learned list is pinned against an independent
+    // reference implementation (and proven partitioning-invariant) in
+    // OpsSpec.
+    q("g94_bpe_merges")((s, d) => {
+      import s.implicits._
+      graft.ops.BpeTrainer.learnMerges(
+        s.read.parquet(s"$d/documents.parquet"), "text", nMerges = 10)
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+
     // Structured Streaming made driver-visible: the events table replayed
     // through a bounded file stream into a watermarked tumbling-window
     // aggregation (AvailableNow trigger, memory sink); the returned batch

@@ -56,6 +56,60 @@ class OpsSpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "keep", 14L -> "dup_history"))
   }
 
+  test("bpe trainer matches an independent reference, invariant under partitioning") {
+    import graft.ops.BpeTrainer
+    // the classic Sennrich corpus
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = BpeTrainer.learnMerges(df, "text", nMerges = 8, minCount = 2)
+
+    // independent single-machine reference with the same total order
+    def refMergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def ref(words0: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var words: Seq[(Seq[String], Long)] =
+        words0.toSeq.map { case (w, c) => (w.map(_.toString).toSeq :+ "</w>", c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var rank = 0
+      var stop = false
+      while (rank < n && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c) }
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            out += ((rank, l, r, c))
+            words = words.map { case (syms, cc) => (refMergeOnce(syms, l, r), cc) }
+            rank += 1
+          case _ => stop = true
+        }
+      }
+      out.toSeq
+    }
+    val expected = ref(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    assert(merges == expected)
+    // hand-checked head: (e,s) at count 9 wins the 3-way tie lexicographically
+    assert(merges.head == ((0, "e", "s", 9L)), merges.head)
+    // deterministic under partitioning
+    assert(BpeTrainer.learnMerges(df.repartition(7), "text", 8, 2) == merges)
+    // application compresses a known word: after es/est/est</w> merges,
+    // "newest" tokenizes as [n, e, w, est</w>]
+    val applied = BpeTrainer.applyMerges(
+      Seq((1L, "newest")).toDF("id", "text"), "text", merges.take(3))
+      .collect().head
+    assert(applied.getSeq[String](2) == Seq("n", "e", "w", "est</w>"), applied)
+    assert(applied.getLong(3) == 4L)
+  }
+
   test("snapshot diff: added/removed/changed/unchanged, whitespace-only rewrites are unchanged") {
     import graft.ops.SnapshotDiff
     val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
