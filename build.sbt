@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked program's stdout through UNPREFIXED: sbt's default
+// LoggedOutput decorates every line with "[info] ", which breaks any
+// consumer that expects a bare machine-readable line (the bench/verify
+// harness parses stdout for a `{"metric":...}` JSON line; five rounds
+// of artifacts show `parsed: null` with the complete line sitting in
+// the capture behind an "[info] " prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -852,7 +852,8 @@ object SynthQueries {
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
-        val counts = s.readStream.schema(schema).parquet(streamDir.toString)
+        val counts = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -878,25 +879,33 @@ object SynthQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(s"$d/events.parquet")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
         val gapSeconds = 1800L
         val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
         val streamDir = java.nio.file.Files.createTempDirectory("g57_events")
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("a_events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
-        // sentinel on an out-of-band key, 10 gaps past the last event
+        // sentinel on an out-of-band key, 10 gaps past the last event;
+        // its ts must be written in the RAW file type (long nanos or
+        // timestamp micros) because the stream reads with the raw schema
         val sentinelNs = maxNs + 10L * gapSeconds * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
         val tmpOut = java.nio.file.Files.createTempDirectory("g57_sentinel")
-        ev.limit(1).select(
-          lit(-1L).as("event_id"), lit(sentinelNs).as("ts"), lit(-1L).as("user_id"),
+        evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
         val part = java.nio.file.Files.list(tmpOut)
           .filter(p => p.toString.endsWith(".parquet")).findFirst.get
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
 
-        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+        val stream = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
           .select(col("user_id").as("key"),
             timestamp_micros(expr("ts div 1000")).as("event_time"))
         val sessions = graft.streaming.Sessionize.sessions(stream, gapSeconds)
@@ -944,7 +953,8 @@ object SynthQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         val name = "g88_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"))
@@ -992,7 +1002,8 @@ object SynthQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         val name = "g92_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withColumn("v_us", floor(col("value") * lit(1000000d)).cast("long"))
           .withWatermark("event_time", "1 hour")
@@ -1043,7 +1054,8 @@ object SynthQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         val name = "g93_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"))
@@ -1080,7 +1092,8 @@ object SynthQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         def side(kind: String, idAs: String, userAs: String, tAs: String) =
-          s.readStream.schema(schema).parquet(streamDir.toString)
+          graft.queries.EventTs.toNanos(
+            s.readStream.schema(schema).parquet(streamDir.toString))
             .filter(col("event_type") === kind)
             .select(col("event_id").as(idAs), col("user_id").as(userAs),
               timestamp_micros(expr("ts div 1000")).as(tAs))

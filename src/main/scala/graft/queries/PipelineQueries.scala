@@ -279,7 +279,7 @@ object PipelineQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    EventTs.toNanos(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** As-of join (graft.ops.AsOfJoin): for each click, the user's most

@@ -25,10 +25,12 @@ final case class QueryDef(
 object Queries {
 
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it via
-    // the legacy long mapping (ts → bigint nanos since epoch).
+    // events.parquet has shipped ts under two physical types across
+    // driver rounds; nanosAsLong covers the TIMESTAMP(NANOS) variant and
+    // EventTs.toNanos normalizes whichever one arrives to bigint nanos.
     if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") EventTs.toNanos(df) else df
   }
 
   /** Money as integer cents: sum(double) differs in last-ulp between
