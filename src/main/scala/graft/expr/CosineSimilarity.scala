@@ -171,6 +171,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"hll_sketch(hash, p) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable, "hll_sketch: p must be a literal")
+        HllSketchAgg(children.head, children(1).eval().toString.toInt)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("prefix_sum"),
       new ExpressionInfo(classOf[PrefixSum].getName, "prefix_sum"),
       (children: Seq[Expression]) => {

@@ -158,6 +158,84 @@ object Sketches {
         coalesce(st("ans"), when(st("cum") + e("w") >= target, e("v"))).as("ans")),
       st => st("ans"))
 
+  /** Per-group HyperLogLog register array of `keyCol`: (groupCol, hll
+    * array<int> of length 2^p). Register j = max rho over the group's
+    * hashes landing in bucket j (top p bits route, remaining 64−p bits
+    * rank) — a pure function of the key SET, so partitioning-invariant
+    * and bit-replayable (the q84 oracle). Constant 2^p bytes per group
+    * regardless of cardinality: the constant-size complement of
+    * [[kmvSketch]] (exact below k, 8k bytes).
+    *
+    * Native [[graft.expr.HllSketchAgg]] when GraftExtensions is
+    * registered (fixed-array buffer, map-side combine). The portable
+    * fallback computes identical registers with bin()-string bit length
+    * — exact integer/string arithmetic, no doubles — but shuffles one
+    * row per touched (group, register) pair; correctness stand-in, not
+    * the scale path.
+    */
+  def hllSketch(df: DataFrame, groupCol: String, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
+    val m = 1 << p
+    val h = xxhash64(col(keyCol))
+    if (df.sparkSession.catalog.functionExists("hll_sketch"))
+      df.groupBy(col(groupCol))
+        .agg(call_function("hll_sketch", h, lit(p)).as("hll"))
+    else {
+      // rho from the unsigned bit length of the remaining bits shifted to
+      // the top: bin() prints the minimal unsigned-64 binary form, so
+      // 65 - length(bin(w)) == leading zeros + 1; w == 0 means all 64-p
+      // remaining bits are zero -> rho = 64-p+1
+      val w = shiftleft(h, p)
+      val reg = shiftrightunsigned(h, 64 - p)
+      val rho = when(w === 0L, lit(64 - p + 1))
+        .otherwise(lit(65) - length(bin(w)))
+      df.select(col(groupCol), reg.as("__reg"), rho.as("__rho"))
+        .groupBy(col(groupCol), col("__reg"))
+        .agg(max(col("__rho")).as("__mr"))
+        .groupBy(col(groupCol))
+        .agg(map_from_entries(collect_list(struct(col("__reg"), col("__mr"))))
+          .as("__regmap"))
+        .select(col(groupCol),
+          transform(sequence(lit(0L), lit((m - 1).toLong)),
+            j => coalesce(element_at(col("__regmap"), j), lit(0)).cast("int"))
+            .as("hll"))
+    }
+  }
+
+  /** Union of two HLL register arrays: elementwise max IS the sketch the
+    * union of the underlying key sets would have produced — the same
+    * sketch-once-combine-forever algebra as [[kmvUnion]]. Pure HOF
+    * column arithmetic, no shuffle.
+    */
+  def hllUnion(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Cardinality estimate from an HLL register array: the raw harmonic-
+    * mean estimator alpha_m·m²/Σ2^−M_j with linear counting
+    * (m·ln(m/V), V = empty registers) below the 2.5m threshold — the
+    * original Flajolet et al. regime split. Runs in doubles: estimator
+    * error is the statistical ±1.04/√m, orders above double rounding, so
+    * this column is deliberately NOT part of any bit oracle (the
+    * register array is; estimation is post-processing — same contract
+    * as [[kmvEstimate]]).
+    */
+  def hllEstimate(hll: Column, p: Int): Column = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // 2^-reg is a dyadic rational: pow() is exact on these
+    val invSum = aggregate(hll, lit(0.0d), (acc, r) => acc + pow(lit(2.0d), -r))
+    val zeros = aggregate(hll, lit(0L), (acc, r) => acc + when(r === 0, 1L).otherwise(0L))
+    val raw = lit(alpha * m.toDouble * m.toDouble) / invSum
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      floor(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))))
+      .otherwise(floor(raw)).cast("long")
+  }
+
   /** Distinct-count estimate from a KMV sketch column: the sketch size
     * itself when the group had < k distinct keys (exact), else
     * (k−1)·2⁶⁴/kth_min with kth_min read as unsigned. The division runs

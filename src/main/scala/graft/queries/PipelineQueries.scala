@@ -1768,6 +1768,55 @@ object PipelineQueries {
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""),
   )
 
+  /** HyperLogLog registers per event type over user_id — the constant-
+    * size member of the sketch family (q69 KMV, q71 freq, q79 quantile):
+    * 2^p bytes per group no matter the cardinality, map-side combinable,
+    * mergeable by elementwise max. The register array is a pure function
+    * of the key set, so DuckDB re-deriving every register — XXH64 chain,
+    * top-p-bit routing, leading-zero rank via exact integer/bin()-string
+    * arithmetic, INCLUDING the empty registers — must agree bit-for-bit
+    * at every scale factor. Estimation (hllEstimate) is double-math
+    * post-processing and deliberately not part of the oracle.
+    */
+  val q84_hll_sketch: QueryDef = {
+    val p = 8
+    val m = 1 << p
+    val wBits = 64 - p // remaining bits after register routing
+    QueryDef(
+      "q84_hll_sketch",
+      (s, d) => graft.ops.Sketches.hllSketch(events(s, d), "event_type", "user_id", p)
+        .select(col("event_type"), posexplode(col("hll")).as(Seq("reg", "register")))
+        .select(col("event_type"), col("reg").cast("long").as("reg"),
+          col("register").cast("long").as("register")),
+      Some {
+        import DuckXxHash._
+        val twoW = BigInt(1) << wBits
+        val ch = chain("d", "SELECT DISTINCT event_type, user_id FROM events")
+          .steps(hashLongSteps("h", unsigned("user_id"), "42::HUGEINT"))
+        val ch2 = ch
+          .cte("rr",
+            s"SELECT event_type, CAST(hout // $twoW::HUGEINT AS BIGINT) AS reg, " +
+              s"(hout % $twoW::HUGEINT) AS rem FROM ${ch.last}")
+          .cte("regs",
+            // rho = leading zeros among the wBits remaining bits + 1;
+            // bin() prints the minimal binary form, so bitlen(rem>0) =
+            // length(bin(rem)) and rho = wBits - bitlen + 1
+            "SELECT event_type, reg, max(CASE WHEN rem = 0 " +
+              s"THEN ${wBits + 1} ELSE $wBits - length(bin(rem)) + 1 END) AS mr " +
+              "FROM rr GROUP BY 1, 2")
+          .cte("grid",
+            "SELECT t.event_type, g.reg FROM " +
+              "(SELECT DISTINCT event_type FROM events) t, " +
+              s"(SELECT range AS reg FROM range(0, $m)) g")
+        ch2.render(
+          "SELECT grid.event_type, grid.reg, " +
+            "CAST(coalesce(regs.mr, 0) AS BIGINT) AS register " +
+            "FROM grid LEFT JOIN regs " +
+            "ON grid.event_type = regs.event_type AND grid.reg = regs.reg")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1783,6 +1832,6 @@ object PipelineQueries {
     q70_semantic_dedup, q71_freq_sketch, q72_boilerplate, q73_zorder_key,
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
-    q82_sketch_overlap, q83_snapshot_diff,
+    q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
   )
 }

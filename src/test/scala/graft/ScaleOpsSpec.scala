@@ -87,6 +87,76 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fallback == got)
   }
 
+  test("hll sketch: registers == brute force under any partitioning; fallback identical; union algebra; estimator within error") {
+    import graft.ops.Sketches
+    val p = 8
+    val m = 1 << p
+    val rows = (1 to 30000).map(i => (s"g${i % 3}", (i % 5000).toLong * 7919L))
+    val df = rows.toDF("g", "key")
+    def sketchOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllSketch(d, "g", "key", p).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    val got = sketchOf(df)
+    // brute force: registers from the distinct hash set
+    val expected = df.select(col("g"), xxhash64(col("key")).as("h")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, hs) =>
+        val regs = Array.fill(m)(0)
+        hs.foreach { case (_, h) =>
+          val reg = (h >>> (64 - p)).toInt
+          val w = h << p
+          val rho = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+          if (rho > regs(reg)) regs(reg) = rho
+        }
+        g -> regs.toSeq
+      }
+    assert(got == expected)
+    // pure function of the value set: any partitioning gives the same registers
+    assert(sketchOf(df.repartition(13, col("key"))) == got)
+    // the portable bin()-string fallback formulation computes the same value
+    val h = xxhash64(col("key"))
+    val w = shiftleft(h, p)
+    val fallback = df
+      .select(col("g"), shiftrightunsigned(h, 64 - p).as("__reg"),
+        when(w === 0L, lit(64 - p + 1)).otherwise(lit(65) - length(bin(w))).as("__rho"))
+      .groupBy(col("g"), col("__reg")).agg(max(col("__rho")).as("__mr"))
+      .groupBy(col("g"))
+      .agg(map_from_entries(collect_list(struct(col("__reg"), col("__mr")))).as("__rm"))
+      .select(col("g"), transform(sequence(lit(0L), lit((m - 1).toLong)),
+        j => coalesce(element_at(col("__rm"), j), lit(0)).cast("int")).as("hll"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(fallback == got)
+    // union algebra: elementwise max of per-slice sketches == sketch of the union
+    val a = df.filter(col("key") % 2 === 0)
+    val b = df.filter(col("key") % 3 === 0)
+    val ua = Sketches.hllSketch(a, "g", "key", p).withColumnRenamed("hll", "ha")
+    val ub = Sketches.hllSketch(b, "g", "key", p).withColumnRenamed("hll", "hb")
+    val unioned = ua.join(ub, "g")
+      .select(col("g"), Sketches.hllUnion(col("ha"), col("hb")).as("hll"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    val ofUnion = sketchOf(a.unionByName(b).distinct())
+    assert(unioned == ofUnion)
+    // estimator: deterministic under the fixed hash — 50k distinct at
+    // p=12 (sigma = 1.04/sqrt(4096) ~ 1.6%) lands within 8%
+    val big = (1 to 50000).map(i => ("all", i.toLong * 2654435761L)).toDF("g", "key")
+    val est = Sketches.hllSketch(big, "g", "key", 12)
+      .select(Sketches.hllEstimate(col("hll"), 12)).collect()(0).getLong(0)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.08, s"estimate $est vs 50000")
+    // small-cardinality regime routes through linear counting
+    val small = (1 to 150).map(i => ("all", i.toLong * 7919L)).toDF("g", "key")
+    val estS = Sketches.hllSketch(small, "g", "key", p)
+      .select(Sketches.hllEstimate(col("hll"), p)).collect()(0).getLong(0)
+    assert(math.abs(estS - 150.0) / 150.0 < 0.10, s"small estimate $estS vs 150")
+  }
+
+  test("hll_sketch rejects wrong-typed arguments at analysis time") {
+    (1 to 4).map(i => (s"s$i", i)).toDF("s", "i").createOrReplaceTempView("__hll_typecheck")
+    val e = intercept[Exception] {
+      spark.sql("SELECT hll_sketch(s, 8) FROM __hll_typecheck").collect()
+    }
+    assert(e.getMessage.contains("BIGINT hash argument"))
+  }
+
   test("freq sketch: exact regime == true counts and partitioning-invariant; approximate regime honors MG guarantees") {
     import graft.ops.Sketches
     // exact regime: 12 distinct items per group, capacity 32 — the
