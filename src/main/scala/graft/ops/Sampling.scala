@@ -223,4 +223,48 @@ object Sampling {
     }
     df.withColumn("split", split.cast("int"))
   }
+
+  /** [[hashSplit]] keyed on a GROUP column instead of the row id: every
+    * row of a group lands in the same split. This is the leakage-safe
+    * form — near-duplicate documents cluster within a crawl domain /
+    * source, so row-level splitting puts one copy in train and its twin
+    * in test; keying the hash on the group keeps whole sources together
+    * (the standard contamination-prevention move for eval splits).
+    * Same integer-cell arithmetic, so assignments are deterministic,
+    * partitioning-invariant, and exactly replayable in SQL.
+    */
+  def groupHashSplit(df: DataFrame, groupCol: String, weights: Seq[Double],
+      seed: Long = 42L): DataFrame =
+    hashSplit(df, groupCol, weights, seed)
+
+  /** Weighted sample of k rows without replacement — priority sampling
+    * (Duffield–Lund–Thorup) with hash-derived randomness: row i draws
+    * u_i = (unsigned64(xxhash64(id, seed)) >> 24) + 1  ∈ [1, 2^40]
+    * (a fixed-point stand-in for uniform(0,1]) and gets priority
+    * (w_i << 40) div u_i; the k highest priorities win, ties broken by
+    * id. Heavier rows draw proportionally larger priorities, giving
+    * inclusion probability ≈ min(1, w_i/τ) for the k-th priority
+    * threshold τ — the property that makes priority samples usable for
+    * downstream weighted estimates.
+    *
+    * All arithmetic is 64-bit integer (weights must be in [1, 2^23] so
+    * the shifted product stays inside a signed long — callers clamp),
+    * so the selection is deterministic, partitioning-invariant, and
+    * bit-replayable in SQL (the q85 oracle). The global top-k compiles
+    * to TakeOrderedAndProject: each partition keeps its own k rows and
+    * the driver merges bounded lists — no full sort, no full shuffle,
+    * the same plan shape at 100 TB.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = xxhash64(col(idCol), lit(seed))
+    val u = shiftrightunsigned(h, 24) + lit(1L) // [1, 2^40]
+    val prio = expr(s"(CAST($weightCol AS BIGINT) * 1099511627776) div __u")
+    df.withColumn("__u", u)
+      .withColumn("priority", prio)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .withColumnRenamed("__u", "u")
+  }
 }

@@ -1817,6 +1817,81 @@ object PipelineQueries {
     )
   }
 
+  /** Priority sampling (weighted, without replacement): 50 documents
+    * drawn with probability proportional to length. Priorities are pure
+    * 64-bit integer arithmetic over the row hash — (w << 40) div
+    * hash-uniform — so the oracle re-derives every priority and the
+    * exact winning set bit-for-bit. The global top-k compiles to
+    * TakeOrderedAndProject (bounded per-partition top-k + driver merge
+    * of k-row lists), never a full sort.
+    */
+  val q85_priority_sample: QueryDef = {
+    val k = 50
+    QueryDef(
+      "q85_priority_sample",
+      (s, d) => graft.ops.Sampling.prioritySample(
+        docs(s, d).select(col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w")),
+        "doc_id", "w", k),
+      Some {
+        import DuckXxHash._
+        val ch = chain("s0",
+          "SELECT doc_id, greatest(n_chars, 1) AS w, " +
+            s"${unsigned("doc_id")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val ch2 = ch.cte("pr",
+          "SELECT doc_id, w, " +
+            "CAST(h2out // 16777216 + 1 AS BIGINT) AS u, " +
+            "CAST((CAST(w AS HUGEINT) * 1099511627776) // (h2out // 16777216 + 1) " +
+            s"AS BIGINT) AS priority FROM ${ch.last}")
+        ch2.render(
+          "SELECT doc_id, w, u, priority FROM " +
+            "(SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM pr) " +
+            s"WHERE rn <= $k")
+      },
+    )
+  }
+
+  /** Leakage-safe train/val/test split: the split hash is keyed on the
+    * SOURCE, not the row, so every document of a crawl source lands in
+    * the same split — near-duplicates cluster within sources, and
+    * row-level splitting would put one copy in train and its twin in
+    * test (the contamination mode group splitting exists to prevent).
+    * The oracle replays the full decision table and additionally the
+    * invariant that makes it leakage-safe: one distinct split per
+    * source.
+    */
+  val q86_group_split: QueryDef = {
+    val weights = Seq(0.8, 0.1, 0.1)
+    QueryDef(
+      "q86_group_split",
+      (s, d) => graft.ops.Sampling.groupHashSplit(
+        docs(s, d).withColumn("src_id",
+          expr("CAST(substr(source, 4) AS BIGINT)")),
+        "src_id", weights)
+        .select(col("doc_id"), col("src_id"), col("split")),
+      Some {
+        import DuckXxHash._
+        val total = weights.sum
+        val cuts = weights.scanLeft(0.0)(_ + _).tail.init
+          .map(c => (c / total * 1000000L).toLong)
+        val ch = chain("s0",
+          "SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS src_id, " +
+            s"${unsigned("CAST(substr(source, 4) AS BIGINT)")} AS v FROM documents")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", "42::HUGEINT", "h1out"))
+        val cell = pmod("h2out", 1000000L)
+        val ladder = cuts.zipWithIndex
+          .map { case (cut, i) => s"WHEN $cell < $cut THEN $i" }
+          .mkString(" ")
+        ch.render(
+          s"SELECT doc_id, src_id, CAST(CASE $ladder ELSE ${weights.length - 1} END " +
+            s"AS INT) AS split FROM ${ch.last}")
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1833,5 +1908,6 @@ object PipelineQueries {
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
+    q85_priority_sample, q86_group_split,
   )
 }

@@ -624,6 +624,51 @@ class OpsSpec extends AnyFunSuite {
     assert(sampled == band0)
   }
 
+  test("priority sample: top-k by exact integer priorities, weight-sensitive, partitioning-invariant, bounded plan") {
+    import graft.ops.Sampling
+    val weighted = docs.select($"doc_id", greatest($"n_chars", lit(1L)).as("w"))
+    val k = 20
+    val got = Sampling.prioritySample(weighted, "doc_id", "w", k)
+    // brute force the same integer arithmetic locally
+    val expected = weighted.select($"doc_id", $"w",
+      xxhash64($"doc_id", lit(42L)).as("h")).collect()
+      .map { r =>
+        val u = (r.getLong(2) >>> 24) + 1
+        (r.getLong(0), (r.getLong(1) * (1L << 40)) / u)
+      }
+      .sortBy { case (id, p) => (-p, id) }.take(k).map(_._1).toSeq
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted ==
+      expected.sorted)
+    // deterministic under repartitioning
+    val again = Sampling.prioritySample(weighted.repartition(13), "doc_id", "w", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(again == expected.sorted)
+    // weights matter: the all-equal-weight sample differs (hash order only)
+    val unweighted = Sampling.prioritySample(
+      weighted.withColumn("w", lit(1L)), "doc_id", "w", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(unweighted != expected.toSet)
+    // the global top-k is a bounded TakeOrderedAndProject, not a full sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("group hash split: every row of a group lands in one split; groups spread across splits") {
+    import graft.ops.Sampling
+    val withSrc = docs.withColumn("src_id", expr("CAST(substr(source, 4) AS BIGINT)"))
+    val split = Sampling.groupHashSplit(withSrc, "src_id", Seq(0.8, 0.1, 0.1))
+    // leakage-safety invariant: one distinct split per source
+    val perGroup = split.groupBy("src_id")
+      .agg(countDistinct("split").as("nsplits"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L))
+    // and the assignment equals row-level hashSplit keyed on the group id
+    val viaRow = Sampling.hashSplit(withSrc, "src_id", Seq(0.8, 0.1, 0.1))
+      .select("doc_id", "split").collect().map(_.toString).sorted
+    assert(split.select("doc_id", "split").collect().map(_.toString).sorted.toSeq
+      == viaRow.toSeq)
+  }
+
   test("stratified fixed-k: exactly k per stratum, partitioning-invariant") {
     val perLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
