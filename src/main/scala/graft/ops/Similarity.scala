@@ -46,6 +46,25 @@ object Similarity {
     rankTopK(joined.withColumn("cosine", cosine(joined, col("v"), col("qv"))), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most cosine-similar vectors carrying a DIFFERENT
+    * label — the "close but wrong" examples a contrastive or reranker
+    * objective needs (easy negatives are random pairs; hard ones are
+    * the near-misses). Same scale shape as [[bruteForceTopK]]: queries
+    * broadcast, one scan over the corpus, label predicate applied
+    * scan-side BEFORE scoring (a vector sharing the query's label never
+    * enters the rank), bounded-heap top-k tail.
+    */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("lbl"))
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("qlbl")))
+    val joined = v.join(q, col("id") =!= col("qid") && col("lbl") =!= col("qlbl"))
+    rankTopK(joined.withColumn("cosine", cosine(joined, col("v"), col("qv"))), k)
+  }
+
   /** Rank the k best candidates per query from (qid, id, cosine) rows,
     * emitting (qid, rnk, neighbor, cosine) in rank order.
     *

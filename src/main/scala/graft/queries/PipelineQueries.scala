@@ -1892,6 +1892,35 @@ object PipelineQueries {
     )
   }
 
+  /** Hard-negative mining (graft.ops.Similarity.hardNegatives): per
+    * query embedding, the 10 most cosine-similar vectors with a
+    * DIFFERENT label — the near-miss examples contrastive training
+    * wants. Broadcast queries, scan-side label predicate, bounded-heap
+    * rank tail; ranks replay exactly in DuckDB because both engines
+    * accumulate the cosine in index order (the q27 contract) and ties
+    * break on vec_id.
+    */
+  val q87_hard_negatives = QueryDef(
+    "q87_hard_negatives",
+    (s, d) => {
+      val e = embs(s, d)
+      graft.ops.Similarity.hardNegatives(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "label", 10)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("neighbor"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nv FROM e),
+      q AS (SELECT vec_id AS qid, label AS qlbl, v AS qv, nv AS nq FROM n WHERE vec_id % 50 = 0),
+      s AS (SELECT qid, vec_id,
+              list_sum([qv[i] * v[i] for i in generate_series(1, len(v))]) / (nq * nv) AS cos
+            FROM n, q WHERE vec_id <> qid AND label <> qlbl)
+      SELECT qid, cast(rnk AS BIGINT) AS rnk, vec_id AS neighbor
+      FROM (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM s)
+      WHERE rnk <= 10"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1908,6 +1937,6 @@ object PipelineQueries {
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
-    q85_priority_sample, q86_group_split,
+    q85_priority_sample, q86_group_split, q87_hard_negatives,
   )
 }

@@ -450,6 +450,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((8001L, 8002L)))
   }
 
+  test("hard negatives: top-k similar with a different label, never the query's own label") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val got = Similarity.hardNegatives(embs, queries, "vec_id", "embedding", "label", 5)
+    val labels = embs.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("qid", "rnk", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // no negative shares its query's label, and every query got k
+    rows.foreach { case (qid, _, nb) =>
+      assert(labels(nb) != labels(qid), s"$nb shares label with query $qid")
+    }
+    assert(rows.groupBy(_._1).values.forall(_.length == 5))
+    // the mined set is exactly bruteForceTopK restricted to other-label
+    // candidates: per query, ranks agree with a label-filtered rerank
+    val full = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 200)
+      .select("qid", "rnk", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = full.groupBy(_._1).map { case (qid, ns) =>
+      qid -> ns.sortBy(_._2).map(_._3).filter(nb => labels(nb) != labels(qid)).take(5).toSeq
+    }
+    val gotPerQ = rows.groupBy(_._1).map { case (qid, ns) =>
+      qid -> ns.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(gotPerQ == expected)
+  }
+
   test("ivf top-k recall >= 0.55 vs brute force at nProbe=4/16 (spherical fit)") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
