@@ -29,6 +29,7 @@ object PlanAudit {
     "q68_quantized_ann",   // deliberate: broadcast quantized queries vs all codes
     "g89_ann_pq",          // deliberate: broadcast ADC tables vs all PQ codes
     "q82_sketch_overlap",  // deliberate: 5x5 sketch-table pair fan-out (a < b)
+    "q87_hard_negatives",  // deliberate: broadcast query side vs all vectors (q27 shape + label predicate)
   )
 
   def main(args: Array[String]): Unit = {

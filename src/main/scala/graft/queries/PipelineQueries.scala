@@ -1921,6 +1921,65 @@ object PipelineQueries {
       WHERE rnk <= 10"""),
   )
 
+  /** Integer PageRank (graft.ops.Graph.pageRank) over the bipartite
+    * user ↔ event-type interaction graph: forward edges user→type and
+    * reverse type→user, both weighted by interaction count, 3 power
+    * iterations at damping 0.85. Every rank is ppm integer arithmetic
+    * — contribution (rank·w) div out_weight, update (1M−d) +
+    * (d·Σ) div 1M — so DuckDB unrolling the same three iterations as
+    * CTEs reproduces every rank bit-for-bit. Type nodes get negative
+    * ids from an alphabetical dense rank, derived from the data
+    * identically on both sides.
+    */
+  val q88_pagerank: QueryDef = {
+    val iters = 3
+    QueryDef(
+      "q88_pagerank",
+      (s, d) => {
+        val cnt = events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("w"))
+        // tiny dimension: one id per event type, alphabetical — the
+        // window is over a handful of rows, never the event stream
+        val w = Window.orderBy(col("event_type"))
+        val tid = broadcast(cnt.select(col("event_type")).distinct()
+          .select(col("event_type"), (-row_number().over(w)).cast("long").as("tid")))
+        val keyed = cnt.join(tid, "event_type")
+        val fwd = keyed.select(col("user_id").as("src"), col("tid").as("dst"), col("w"))
+        val rev = keyed.select(col("tid").as("src"), col("user_id").as("dst"), col("w"))
+        graft.ops.Graph.pageRank(fwd.unionByName(rev), iters)
+          .select(col("node"), col("rank"))
+      },
+      Some {
+        val base = """WITH cnt AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+            FROM events GROUP BY 1, 2),
+          tid AS (SELECT event_type,
+              -CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT event_type FROM cnt)),
+          edges AS (
+            SELECT c.user_id AS src, t.tid AS dst, c.w
+            FROM cnt c JOIN tid t ON c.event_type = t.event_type
+            UNION ALL
+            SELECT t.tid, c.user_id, c.w
+            FROM cnt c JOIN tid t ON c.event_type = t.event_type),
+          ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+          ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN ow o ON e.src = o.src),
+          nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+        val itersSql = (1 to iters).map { i =>
+          s""",
+          c$i AS (SELECT dst, SUM((rank * w) // ow) AS c
+            FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.node GROUP BY dst),
+          r$i AS (SELECT node,
+              CAST(150000 + (850000 * coalesce(c, 0)) // 1000000 AS BIGINT) AS rank
+            FROM nodes LEFT JOIN c$i ON nodes.node = c$i.dst)"""
+        }.mkString
+        base + itersSql + s"\nSELECT node, rank FROM r$iters"
+      },
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1937,6 +1996,6 @@ object PipelineQueries {
     q74_jl_project, q75_pca_gram, q76_incremental_dedup, q77_best_survivor,
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
-    q85_priority_sample, q86_group_split, q87_hard_negatives,
+    q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
   )
 }

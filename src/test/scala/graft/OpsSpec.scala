@@ -630,6 +630,36 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.columns.contains("frame_offset_bytes"))
   }
 
+  test("pageRank: integer power iteration matches a local reference; partitioning-invariant; dangling mass vanishes") {
+    import graft.ops.Graph
+    // a small weighted digraph with a dangling node (4 has no out-edges)
+    val edgeList = Seq(
+      (1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (3L, 4L, 3L), (2L, 4L, 1L))
+    val edges = edgeList.toDF("src", "dst", "w")
+    val iters = 4
+    val got = Graph.pageRank(edges, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference with the identical integer arithmetic
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    val outW = edgeList.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edgeList
+        .map { case (s, t, w) => t -> (rank(s) * w) / outW(s) }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      rank = nodes.map(n =>
+        n -> (150000L + 850000L * contrib.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    assert(got == rank)
+    // node 4 only absorbs: it must outrank its sources' floor but emit nothing
+    assert(got(4L) > 150000L)
+    // pure function of the edge multiset: partitioning changes nothing
+    val again = Graph.pageRank(edges.repartition(7, col("dst")), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("hash split: exhaustive, disjoint, partitioning-invariant, weight-proportional") {
     val n = docs.count()
     val split = graft.ops.Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
