@@ -1980,6 +1980,94 @@ object PipelineQueries {
     )
   }
 
+  /** One-call corpus profile — the daily report of a curation pipeline:
+    * per source, document and char counts, language spread, exact-dup
+    * count (docs minus distinct normalized fingerprints), token budget,
+    * and the exact nearest-rank median length. Everything integer, one
+    * keyed shuffle reused by the window and the aggregation, so the
+    * whole report replays bit-for-bit in DuckDB.
+    */
+  val q89_corpus_profile = QueryDef(
+    "q89_corpus_profile",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("toks"))
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val wc = Window.partitionBy("source")
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - countDistinct("fp")).as("n_dups"),
+          sum("toks").as("sum_toks"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"))
+    },
+    Some("""WITH b AS (SELECT source, lang, doc_id, n_chars,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups,
+        CAST(sum(toks) AS BIGINT) AS sum_toks,
+        max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars
+      FROM b GROUP BY source"""),
+  )
+
+  /** MERGE INTO (graft.ops.SnapshotDiff.applyChanges): apply a
+    * changeset of upserts and deletes to a base corpus snapshot in one
+    * full-outer equi-join — the nightly incremental-crawl maintenance
+    * op. Upsert and delete sets are made disjoint by construction; the
+    * oracle replays every row-level decision including
+    * insert-of-unseen-id and delete-of-missing-id.
+    */
+  val q90_merge_upsert = QueryDef(
+    "q90_merge_upsert",
+    (s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      val base = all.filter(col("doc_id") % 7 =!= 0)
+      val upserts = all.filter(col("doc_id") % 5 === 1 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"), col("lang"), col("source"),
+          (col("n_chars") + 3).as("n_chars"))
+      val deletes = all.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("delete").as("op"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      graft.ops.SnapshotDiff.applyChanges(
+        base, upserts.unionByName(deletes), "doc_id", "op")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"))
+    },
+    Some("""WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      base AS (SELECT * FROM a WHERE doc_id % 7 <> 0),
+      ch AS (
+        SELECT doc_id, 'upsert' AS op, text || ' v2' AS text, lang, source,
+          n_chars + 3 AS n_chars
+        FROM a WHERE doc_id % 5 = 1 AND doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id, 'delete', text, lang, source, n_chars
+        FROM a WHERE doc_id % 11 = 0)
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        CASE WHEN c.op = 'upsert' THEN c.lang ELSE b.lang END AS lang,
+        CASE WHEN c.op = 'upsert' THEN c.source ELSE b.source END AS source,
+        CAST(CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS BIGINT)
+          AS n_chars,
+        md5(CASE WHEN c.op = 'upsert' THEN c.text ELSE b.text END) AS fp
+      FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+      WHERE c.op IS NULL OR c.op <> 'delete'"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -1997,5 +2085,6 @@ object PipelineQueries {
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
+    q89_corpus_profile, q90_merge_upsert,
   )
 }

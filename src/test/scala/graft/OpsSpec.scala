@@ -630,6 +630,26 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.columns.contains("frame_offset_bytes"))
   }
 
+  test("applyChanges: upserts replace or insert, deletes drop, untouched rows survive, delete-of-missing is a no-op") {
+    import graft.ops.SnapshotDiff
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "payload", "v")
+    val changes = Seq(
+      (2L, "upsert", "b2", 21L),  // replace
+      (4L, "upsert", "d", 40L),   // insert unseen id
+      (3L, "delete", "", 0L),     // drop existing
+      (9L, "delete", "", 0L))     // delete of missing id: no-op
+      .toDF("id", "op", "payload", "v")
+    val got = SnapshotDiff.applyChanges(base, changes, "id", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+    // idempotent re-apply of the same changeset
+    val again = SnapshotDiff.applyChanges(
+      SnapshotDiff.applyChanges(base, changes, "id", "op"), changes, "id", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
   test("pageRank: integer power iteration matches a local reference; partitioning-invariant; dangling mass vanishes") {
     import graft.ops.Graph
     // a small weighted digraph with a dangling node (4 has no out-edges)
