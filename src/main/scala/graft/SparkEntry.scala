@@ -1130,17 +1130,17 @@ object SynthQueries {
     // EXACT regime (the sketch IS the count table sorted (cnt desc,
     // item asc)) — the bounded replay must equal DuckDB's batch
     // ranked counts per bucket.
-    QueryDef("g94_stream_heavy_hitters",
+    QueryDef("g95_stream_heavy_hitters",
       (s, d) => {
         import org.apache.spark.sql.functions.{call_function, expr, lit,
           posexplode, timestamp_micros, unix_timestamp, window}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val streamDir = java.nio.file.Files.createTempDirectory("g94_events")
+        val streamDir = java.nio.file.Files.createTempDirectory("g95_events")
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
-        val name = "g94_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val name = "g95_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val q = graft.queries.EventTs.toNanos(
           s.readStream.schema(schema).parquet(streamDir.toString))
           .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
