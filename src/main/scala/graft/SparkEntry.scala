@@ -1167,6 +1167,70 @@ object SynthQueries {
             (PARTITION BY bucket_s ORDER BY cnt DESC, item) AS BIGINT) AS rnk,
           item, cnt FROM c""")),
 
+    // the HLL register sketch INSIDE Structured Streaming state — the
+    // fourth sketch-in-state query (g92 quantiles, g93 KMV, g95 heavy
+    // hitters), and the one whose oracle holds even in the APPROXIMATE
+    // regime: the checkpointed state is the fixed 2^p-register array,
+    // and registers are a pure function of the window's key set, so
+    // DuckDB re-deriving every register from the batch table matches
+    // bit-for-bit regardless of cardinality.
+    QueryDef("g96_stream_hll",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{call_function, expr, lit,
+          posexplode, timestamp_micros, unix_timestamp, window, xxhash64}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g96_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val name = "g96_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(call_function("hll_sketch",
+            xxhash64(col("user_id")), lit(6)).as("hll"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("hll"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("bucket_s"), posexplode(col("hll")).as(Seq("reg", "register")))
+          .select(col("bucket_s"), col("reg").cast("long").as("reg"),
+            col("register").cast("long").as("register"))
+      },
+      Some {
+        import graft.queries.DuckXxHash._
+        val p = 6
+        val wBits = 64 - p
+        val twoW = BigInt(1) << wBits
+        val ch = chain("d",
+          "SELECT DISTINCT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) " +
+            "AS bucket_s, user_id FROM events")
+          .steps(hashLongSteps("h", unsigned("user_id"), "42::HUGEINT"))
+        val ch2 = ch
+          .cte("rr",
+            s"SELECT bucket_s, CAST(hout // $twoW::HUGEINT AS BIGINT) AS reg, " +
+              s"(hout % $twoW::HUGEINT) AS rem FROM ${ch.last}")
+          .cte("regs",
+            "SELECT bucket_s, reg, max(CASE WHEN rem = 0 " +
+              s"THEN ${wBits + 1} ELSE $wBits - length(bin(rem)) + 1 END) AS mr " +
+              "FROM rr GROUP BY 1, 2")
+          .cte("grid",
+            "SELECT t.bucket_s, g.reg FROM " +
+              "(SELECT DISTINCT bucket_s FROM rr) t, " +
+              s"(SELECT range AS reg FROM range(0, ${1 << p})) g")
+        ch2.render(
+          "SELECT grid.bucket_s, grid.reg, " +
+            "CAST(coalesce(regs.mr, 0) AS BIGINT) AS register " +
+            "FROM grid LEFT JOIN regs " +
+            "ON grid.bucket_s = regs.bucket_s AND grid.reg = regs.reg")
+      }),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
