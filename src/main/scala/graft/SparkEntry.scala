@@ -1121,54 +1121,8 @@ object SynthQueries {
           AND v.event_type = 'view' AND c.event_type = 'click'
           AND c.us >= v.us AND c.us <= v.us + 86400000000""")),
 
-    // the Misra–Gries heavy-hitter sketch INSIDE Structured Streaming
-    // state, completing the in-stream sketch coverage (g92 quantiles,
-    // g93 KMV distinct): per-hour most-frequent users where the
-    // checkpointed state is the capped counter map, never the full
-    // count table. Hour buckets hold <= 166 distinct users at every
-    // driver scale factor, << capacity 256, so each sketch is in its
-    // EXACT regime (the sketch IS the count table sorted (cnt desc,
-    // item asc)) — the bounded replay must equal DuckDB's batch
-    // ranked counts per bucket.
-    QueryDef("g95_stream_heavy_hitters",
-      (s, d) => {
-        import org.apache.spark.sql.functions.{call_function, expr, lit,
-          posexplode, timestamp_micros, unix_timestamp, window}
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$d/events.parquet").schema
-        val streamDir = java.nio.file.Files.createTempDirectory("g95_events")
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
-        val name = "g95_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = graft.queries.EventTs.toNanos(
-          s.readStream.schema(schema).parquet(streamDir.toString))
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-          .withWatermark("event_time", "1 hour")
-          .groupBy(window(col("event_time"), "1 hour"))
-          .agg(call_function("freq_sketch",
-            col("user_id").cast("string"), lit(256)).as("fs"))
-          .select(unix_timestamp(col("window.start")).as("bucket_s"), col("fs"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
-          .select(col("bucket_s"), posexplode(col("fs")).as(Seq("p", "e")))
-          .select(col("bucket_s"), (col("p") + 1).cast("long").as("rnk"),
-            col("e")("item").as("item"), col("e")("cnt").as("cnt"))
-      },
-      Some("""WITH c AS (
-          SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
-            CAST(user_id AS VARCHAR) AS item, CAST(count(*) AS BIGINT) AS cnt
-          FROM events GROUP BY 1, 2)
-        SELECT bucket_s, CAST(row_number() OVER
-            (PARTITION BY bucket_s ORDER BY cnt DESC, item) AS BIGINT) AS rnk,
-          item, cnt FROM c""")),
-
     // the HLL register sketch INSIDE Structured Streaming state — the
-    // fourth sketch-in-state query (g92 quantiles, g93 KMV, g95 heavy
+    // fourth sketch-in-state query (g92 quantiles, g93 KMV, g88 heavy
     // hitters), and the one whose oracle holds even in the APPROXIMATE
     // regime: the checkpointed state is the fixed 2^p-register array,
     // and registers are a pure function of the window's key set, so
