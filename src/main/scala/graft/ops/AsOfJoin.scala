@@ -56,6 +56,40 @@ object AsOfJoin {
         rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** [[asOf]] through the native whole-operator path
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy →
+    * [[graft.plans.AsOfJoinExec]]): same output contract (left columns
+    * + `asof_<c>`, null where no right row precedes), same tie
+    * semantics, but planned as a single merge pass over key-clustered,
+    * (key, time)-sorted children instead of the union+window lowering —
+    * Catalyst inserts only the exchanges/sorts actually needed and can
+    * elide them entirely when a side is already bucketed/sorted, which
+    * the union form never can. The strategy is registered by
+    * GraftExtensions; this entry point also registers it defensively
+    * through `spark.experimental.extraStrategies` so the node plans in
+    * any session.
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // aliases mint fresh exprIds, so the right side's outputs can never
+    // collide with the left's even on a self-as-of over one DataFrame
+    val rProj = right.select(col(key).as("__rk") +: col(rightTime).as("__rt") +:
+      rightVals.map(c => col(c).as(s"asof_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rProj.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, leftTime), attr(rPlan, "__rk"), attr(rPlan, "__rt"))
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
+      .drop("__rk", "__rt")
+  }
+
   /** Range pairs: rows of `right` whose time falls in
     * (leftTime, leftTime + window] on the same key — an equi-key bounded
     * range join (the equi-key keeps the fan-out per key, never a global

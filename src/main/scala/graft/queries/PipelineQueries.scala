@@ -2068,6 +2068,32 @@ object PipelineQueries {
       WHERE c.op IS NULL OR c.op <> 'delete'"""),
   )
 
+  /** q32's as-of join through the NATIVE whole-operator path
+    * (graft.plans.AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec,
+    * SURVEY's custom-operator path (c)): key-clustered (key,time)-sorted
+    * children merged in one pass with a single buffered right row as
+    * state. Same DuckDB native-ASOF oracle as q32, so the custom
+    * physical operator is held to the identical bit-for-bit contract as
+    * the union+window lowering.
+    */
+  val q91_asof_native = QueryDef(
+    "q91_asof_native",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+      graft.ops.AsOfJoin.asOfNative(clicks, errors, "user_id", "ts", "ts", Seq("err_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("asof_err_id"), lit(-1L)).as("last_error"))
+    },
+    Some("""SELECT c.user_id, c.event_id, coalesce(e.event_id, -1) AS last_error
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2085,6 +2111,6 @@ object PipelineQueries {
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
-    q89_corpus_profile, q90_merge_upsert,
+    q89_corpus_profile, q90_merge_upsert, q91_asof_native,
   )
 }

@@ -45,6 +45,58 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("asOfNative: custom exec result equals the union+window lowering on dense random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 2000).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 1500).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "rid")
+    // right times can tie per key; pick a deterministic as-of row by
+    // making (k, t) unique on the right
+    val r = right.groupBy("k", "t").agg(max("rid").as("rid"))
+    val viaWindow = AsOfJoin.asOf(left, r, "k", "t", "t", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val native = AsOfJoin.asOfNative(left, r, "k", "t", "t", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(native == viaWindow)
+  }
+
+  test("asOfNative: ties match, nulls stay unmatched, repartitioning changes nothing") {
+    val left = Seq((1L, 10L, "tie"), (1L, 3L, "before"), (2L, 5L, "nomatch"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 10L, "r10"), (1L, 4L, "r4"), (3L, 1L, "other"))
+      .toDF("k", "t", "v")
+    def run(l: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asOfNative(l, right, "k", "t", "t", Seq("v"))
+        .select("payload", "asof_v").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = run(left)
+    assert(got == Map("tie" -> "r10", "before" -> null, "nomatch" -> null))
+    assert(run(left.repartition(13)) == got)
+  }
+
+  test("asOfNative plans as AsOfJoinExec: no window, no generic join, merge-pass exec present") {
+    val left = Seq((1L, 10L, "l")).toDF("k", "t", "payload")
+    val right = Seq((1L, 8L, "r")).toDF("k", "t", "v")
+    val plan = AsOfJoin.asOfNative(left, right, "k", "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("AsOfJoin"), plan) // SparkPlan.nodeName strips the Exec suffix
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("asOfNative self-as-of over one DataFrame resolves (fresh right-side exprIds)") {
+    val ev = Seq((1L, 1L, 100L), (1L, 5L, 200L), (1L, 9L, 300L))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOfNative(ev, ev.filter($"t" % 2 === 1), "k", "t", "t", Seq("v"))
+      .select("t", "asof_v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 100L, 5L -> 200L, 9L -> 300L))
+  }
+
   test("rangePairs bounds matches per key and window") {
     val ev = Seq((1, 0L, 100L), (1, 1L, 130L), (1, 2L, 200L), (2, 3L, 105L))
       .toDF("k", "id", "t")
