@@ -175,6 +175,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"nfc_normalize takes 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (children: Seq[Expression]) => {

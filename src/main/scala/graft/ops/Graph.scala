@@ -44,13 +44,17 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, dampingPpm: Long = 850000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
     require(dampingPpm >= 0 && dampingPpm <= Ppm, s"dampingPpm: $dampingPpm")
+    // the edge input is scanned exactly twice (out-weight agg + join),
+    // both against the cached projection; everything downstream — node
+    // set included — derives from the cached ew (the inner join keeps
+    // every edge, since every src has an out-weight by construction)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      col("w").cast("long")).persist(StorageLevel.MEMORY_AND_DISK)
     val outW = e.groupBy("src").agg(sum("w").as("ow"))
     val ew = e.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(Ppm))
     for (_ <- 1 to iters) {
       val contribs = ew.join(ranks, ew("src") === ranks("node"))

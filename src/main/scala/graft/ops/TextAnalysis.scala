@@ -188,6 +188,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Unicode canonicalization — the cleanup pass that runs BEFORE any
+    * equality-based op (dedup, shingles, token counts): NFC composition
+    * via the codegen'd [[graft.expr.NfcNormalize]] (crawls mix
+    * precomposed and decomposed grapheme forms; NFC is UAX #15, so
+    * independent engines agree byte-for-byte), then C0/DEL control
+    * characters stripped, whitespace runs collapsed, ends trimmed. Pure
+    * scan-side column arithmetic, no shuffle.
+    */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val nfc = PlanBridge.column(graft.expr.NfcNormalize(PlanBridge.expression(text)))
+    trim(regexp_replace(
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+  }
+
   /** Rolling chained hash over the token stream: h = xxhash64(h, token).
     * Order-sensitive (unlike the md5 bag fingerprint) and overflow-free
     * under ANSI mode (a `h*31 + x` polynomial would throw on long

@@ -2094,6 +2094,39 @@ object PipelineQueries {
         ON c.user_id = e.user_id AND c.ts >= e.ts"""),
   )
 
+  /** Unicode canonicalization (graft.ops.TextAnalysis.normalizeText /
+    * expr.NfcNormalize): NFC composition, control stripping, whitespace
+    * collapse — planted per-doc decomposed graphemes (e + combining
+    * acute), an fi ligature (NFC-invariant), an NBSP (not \s in Java or
+    * RE2) and a C0 control exercise every branch. NFC is UAX #15, so
+    * the JDK here and ICU inside DuckDB produce byte-identical output —
+    * the oracle hashes the fully normalized text.
+    */
+  val q92_unicode_norm = QueryDef(
+    "q92_unicode_norm",
+    (s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 \ufb01le\u00a0end \u0002ctl")).as("text"))
+      planted
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).cast("long").as("norm_len"),
+          md5(col("norm")).as("fp"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          text || ' cafe' || chr(769) || ' ' || chr(64257) || 'le' ||
+            chr(160) || 'end ' || chr(2) || 'ctl' AS text
+        FROM documents),
+      n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+            nfc_normalize(text),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '\s+', ' ', 'g')) AS norm
+        FROM t)
+      SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS fp
+      FROM n"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2111,6 +2144,6 @@ object PipelineQueries {
     q78_bloom_prune, q79_quantile_sketch, q80_budget_mix, q81_topk_quality,
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
-    q89_corpus_profile, q90_merge_upsert, q91_asof_native,
+    q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
   )
 }

@@ -630,6 +630,30 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.columns.contains("frame_offset_bytes"))
   }
 
+  test("normalizeText: NFC composes, controls strip, whitespace collapses; ascii fast path is identity") {
+    import graft.ops.TextAnalysis
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"), // decomposed -> precomposed
+      ("\ufb01le", "\ufb01le"), // ligature is NFC-invariant
+      ("a\u0002b", "ab"), // C0 control stripped
+      ("  a \t b\n c  ", "a b c"), // collapse + trim
+      ("plain ascii!", "plain ascii!"))
+      .toDF("s", "want")
+    rows.select(TextAnalysis.normalizeText($"s").as("got"), $"want").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(0)}' != '${r.getString(1)}'"))
+    // the registered SQL function evaluates through the same static entry
+    rows.createOrReplaceTempView("__nfc_t")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(s) FROM __nfc_t WHERE s = 'cafe\u0301'")
+      .collect()(0).getString(0)
+    assert(viaSql == "caf\u00e9")
+    val e = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(1)").collect()
+    }
+    assert(e.getMessage.contains("STRING"))
+  }
+
   test("applyChanges: upserts replace or insert, deletes drop, untouched rows survive, delete-of-missing is a no-op") {
     import graft.ops.SnapshotDiff
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
