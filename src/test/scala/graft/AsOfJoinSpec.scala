@@ -97,6 +97,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 5L -> 200L, 9L -> 300L))
   }
 
+  test("asOfNative on bucketed tables plans ZERO exchanges; the union lowering always shuffles") {
+    val rnd = new scala.util.Random(3)
+    val left = (1 to 500).map(i => (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    // unique (k, t) on the right so the as-of row is deterministic
+    val right = (1 to 400).map(i => (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "rid").groupBy("k", "t").agg(max("rid").as("rid"))
+    graft.ops.Bucketing.writeBucketed(left, "__asof_l", "k", 4)
+    graft.ops.Bucketing.writeBucketed(right, "__asof_r", "k", 4)
+    try {
+      val bl = spark.table("__asof_l")
+      val br = spark.table("__asof_r")
+      val nativePlan = AsOfJoin.asOfNative(bl, br, "k", "t", "t", Seq("rid"))
+        .queryExecution.executedPlan.toString()
+      // bucketing gives both sides hashpartitioning(k) at the scan —
+      // the exec's ClusteredDistribution is already satisfied
+      assert(!nativePlan.contains("Exchange"), nativePlan)
+      val windowPlan = AsOfJoin.asOf(bl, br, "k", "t", "t", Seq("rid"))
+        .queryExecution.executedPlan.toString()
+      // the union of two bucketed scans has no usable partitioning: the
+      // window must shuffle no matter how the inputs are laid out
+      assert(windowPlan.contains("Exchange"), windowPlan)
+      // and the answers agree
+      val a = AsOfJoin.asOfNative(bl, br, "k", "t", "t", Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val b = AsOfJoin.asOf(bl, br, "k", "t", "t", Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(a == b)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS __asof_l")
+      spark.sql("DROP TABLE IF EXISTS __asof_r")
+    }
+  }
+
   test("rangePairs bounds matches per key and window") {
     val ev = Seq((1, 0L, 100L), (1, 1L, 130L), (1, 2L, 200L), (2, 3L, 105L))
       .toDF("k", "id", "t")
