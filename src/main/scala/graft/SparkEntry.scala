@@ -1185,6 +1185,86 @@ object SynthQueries {
             "ON grid.bucket_s = regs.bucket_s AND grid.reg = regs.reg")
       }),
 
+    // STREAM-STATIC enrichment — the most common production streaming
+    // shape (a live stream joined to a broadcast dimension) made
+    // driver-visible: per-hour event counts by user cohort, where the
+    // cohort dimension is a static table joined into the stream before
+    // the windowed aggregation. The static side broadcasts; stream rows
+    // never shuffle for the join. Bounded AvailableNow replay == the
+    // identical batch join+GROUP BY in DuckDB.
+    QueryDef("g97_stream_enrich",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, count, expr, lit,
+          pmod, timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g97_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        // static dimension: user -> cohort (derived batch-side)
+        val dim = broadcast(
+          graft.queries.EventTs.toNanos(s.read.parquet(s"$d/events.parquet"))
+            .select(col("user_id")).distinct()
+            .withColumn("cohort", pmod(col("user_id"), lit(7L))))
+        val name = "g97_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .join(dim, "user_id") // stream-static: static side broadcast
+          .groupBy(window(col("event_time"), "1 hour"), col("cohort"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("cohort"), col("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+          user_id % 7 AS cohort, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2""")),
+
+    // Bounded-state streaming dedup made driver-visible:
+    // dropDuplicatesWithinWatermark keeps ONE row per key with state
+    // that expires at the watermark (plain dropDuplicates would hold
+    // every key forever — the round-3 unbounded-state fix). WHICH
+    // duplicate survives is arrival-order-dependent, so the replayed
+    // output projects the KEY SET per hour bucket — deterministic — and
+    // the oracle is DuckDB's batch DISTINCT.
+    QueryDef("g98_stream_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, lit, timestamp_micros}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g98_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val name = "g98_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          // dedup key: (user, type, hour bucket) — duplicates exist
+          // because users repeat event types within an hour
+          .withColumn("bucket_s", expr("ts div 3600000000000 * 3600"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_s")
+          .select(col("bucket_s"), col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT DISTINCT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
+          AS bucket_s, user_id, event_type
+        FROM events""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
