@@ -204,6 +204,37 @@ object TextAnalysis {
       "\\s+", " "))
   }
 
+  /** Hashing-trick feature vectorizer (Weinberger et al., ICML'09 —
+    * the fastText/Vowpal-Wabbit input representation): each token
+    * hashes to one of `nBuckets` signed buckets, features[b] = Σ signs
+    * of the tokens landing in b. No vocabulary, no fit pass, no
+    * dimension-table join — the property that makes it THE cheap
+    * featurizer at 100 TB: pure scan-side column arithmetic, zero
+    * shuffle, output width fixed at nBuckets regardless of corpus.
+    *
+    * Token hash = first 60 bits of md5 (both engines parse the same 15
+    * hex chars — the q93 oracle), bucket = (h >> 1) mod nBuckets, sign
+    * = ±1 from the low bit (the signed trick keeps collision noise
+    * zero-mean). The md5 array is staged as an attribute BEFORE the
+    * per-bucket fold — Catalyst does not CSE inside lambda bodies (the
+    * repo's staging rule), and an inline hash would recompute once per
+    * bucket.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096, s"nBuckets out of range: $nBuckets")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val staged = df.select(col(idCol),
+      transform(toks, t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__th"))
+    staged.select(col(idCol),
+      transform(sequence(lit(0), lit(nBuckets - 1)), b =>
+        aggregate(col("__th"), lit(0L), (acc, h) =>
+          acc + when(pmod(shiftrightunsigned(h, 1), lit(nBuckets.toLong)) === b,
+            when(h % 2 === 0, lit(1L)).otherwise(lit(-1L))).otherwise(lit(0L))))
+        .as("features"))
+  }
+
   /** Rolling chained hash over the token stream: h = xxhash64(h, token).
     * Order-sensitive (unlike the md5 bag fingerprint) and overflow-free
     * under ANSI mode (a `h*31 + x` polynomial would throw on long

@@ -2127,6 +2127,38 @@ object PipelineQueries {
       FROM n"""),
   )
 
+  /** Hashing-trick features (graft.ops.TextAnalysis.featureHash): 32
+    * signed buckets per document, no vocabulary, no fit pass, zero
+    * shuffle — the cheap featurizer for corpus-scale classifiers. Both
+    * engines parse the same 15 md5 hex chars into the same 60-bit
+    * integer, so every bucket weight replays exactly.
+    */
+  val q93_feature_hash: QueryDef = {
+    val n = 32
+    QueryDef(
+      "q93_feature_hash",
+      (s, d) => graft.ops.TextAnalysis.featureHash(docs(s, d), "doc_id", "text", n)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "weight")))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("weight").cast("long").as("weight")),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+            ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+        agg AS (SELECT doc_id, (hv // 2) % $n AS bucket,
+            CAST(SUM(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+          FROM h GROUP BY 1, 2),
+        grid AS (SELECT d.doc_id, g.range AS bucket
+          FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, $n) g)
+      SELECT grid.doc_id, grid.bucket,
+        CAST(coalesce(agg.w, 0) AS BIGINT) AS weight
+      FROM grid LEFT JOIN agg
+        ON grid.doc_id = agg.doc_id AND grid.bucket = agg.bucket"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2145,5 +2177,6 @@ object PipelineQueries {
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
+    q93_feature_hash,
   )
 }

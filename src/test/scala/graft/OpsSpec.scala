@@ -654,6 +654,36 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRING"))
   }
 
+  test("featureHash: signed bucket sums match a local replay; no shuffle in the plan") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "the quick brown fox the quick"), (2L, ""), (3L, "one"))
+      .toDF("doc_id", "text")
+    val n = 16
+    val got = TextAnalysis.featureHash(df, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def local(text: String): Seq[Long] = {
+      val acc = Array.fill(n)(0L)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(md5.take(15), 16)
+        val b = ((h >>> 1) % n).toInt
+        acc(b) += (if (h % 2 == 0) 1L else -1L)
+      }
+      acc.toSeq
+    }
+    assert(got(1L) == local("the quick brown fox the quick"))
+    assert(got(2L) == Seq.fill(n)(0L)) // empty text -> all-zero vector
+    assert(got(3L) == local("one"))
+    // total mass: sum of |signs| bounded by token count, sum of signs
+    // equals the local replay's total
+    assert(got(1L).sum == local("the quick brown fox the quick").sum)
+    // scan-side only: no exchange in the plan
+    val plan = TextAnalysis.featureHash(df, "doc_id", "text", n)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("applyChanges: upserts replace or insert, deletes drop, untouched rows survive, delete-of-missing is a no-op") {
     import graft.ops.SnapshotDiff
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
