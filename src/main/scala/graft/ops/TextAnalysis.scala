@@ -235,6 +235,25 @@ object TextAnalysis {
         .as("features"))
   }
 
+  /** Inverted-index construction — the search/RAG-index build pass:
+    * one scan tokenizes (term, doc, position) postings, one keyed
+    * shuffle groups them per term with document frequency, total term
+    * frequency, and the postings sorted (doc, pos). Map-side combine
+    * applies to the counts; the postings array is the only payload
+    * that grows with df — at 100 TB, stop-terms are capped upstream by
+    * [[removeBoilerplateChunks]]-style df filters before collecting
+    * postings.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+      posexplode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+        .as(Seq("__pos", "term")))
+      .groupBy("term")
+      .agg(countDistinct(col("__doc")).as("df"),
+        count(lit(1)).as("tf"),
+        sort_array(collect_list(struct(col("__doc").as("doc"),
+          col("__pos").cast("long").as("pos")))).as("postings"))
+
   /** Rolling chained hash over the token stream: h = xxhash64(h, token).
     * Order-sensitive (unlike the md5 bag fingerprint) and overflow-free
     * under ANSI mode (a `h*31 + x` polynomial would throw on long

@@ -2159,6 +2159,78 @@ object PipelineQueries {
     )
   }
 
+  /** Inverted-index build (graft.ops.TextAnalysis.invertedIndex): the
+    * search/RAG-index pass — per term, document frequency, total term
+    * frequency, and the first posting of the sorted list. One scan +
+    * one keyed map-side-combinable shuffle; every statistic and the
+    * head posting replay exactly in DuckDB.
+    */
+  val q94_inverted_index = QueryDef(
+    "q94_inverted_index",
+    (s, d) => graft.ops.TextAnalysis.invertedIndex(docs(s, d), "doc_id", "text")
+      .select(col("term"), col("df"), col("tf"),
+        element_at(col("postings"), 1)("doc").as("first_doc"),
+        element_at(col("postings"), 1)("pos").as("first_pos")),
+    Some("""WITH lists AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS l
+        FROM documents),
+      base AS (SELECT doc_id, unnest(l) AS term,
+          generate_subscripts(l, 1) - 1 AS pos FROM lists),
+      stats AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS tf FROM base GROUP BY 1),
+      firstdoc AS (SELECT term, min(doc_id) AS first_doc FROM base GROUP BY 1),
+      firstpos AS (SELECT b.term, CAST(min(b.pos) AS BIGINT) AS first_pos
+        FROM base b JOIN firstdoc f ON b.term = f.term AND b.doc_id = f.first_doc
+        GROUP BY 1)
+      SELECT s.term, s.df, s.tf, f.first_doc, p.first_pos
+      FROM stats s JOIN firstdoc f USING (term) JOIN firstpos p USING (term)"""),
+  )
+
+  /** Quality-classifier training pass (graft.ops.LinearModel): the
+    * normal equations G = XᵀX, b = Xᵀy over hashed bag-of-words
+    * features with an is-English label — one map-side-combinable
+    * aggregation whose shuffle is d(d+1) longs per partition at any
+    * corpus size. Every Gram entry and moment replays exactly in
+    * DuckDB (the q93 feature hashing composed with integer products);
+    * the ridge solve on the collected d×d system is driver-side
+    * post-processing, tested separately (planted-rule recovery).
+    */
+  val q95_classifier_gram: QueryDef = {
+    val n = 16
+    QueryDef(
+      "q95_classifier_gram",
+      (s, d) => {
+        val feats = graft.ops.TextAnalysis.featureHash(docs(s, d), "doc_id", "text", n)
+        val labeled = feats.join(
+          docs(s, d).select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("y")), "doc_id")
+        graft.ops.LinearModel.normalEquations(labeled, "features", "y")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+            ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+        agg AS (SELECT doc_id, (hv // 2) % $n AS bucket,
+            CAST(SUM(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+          FROM h GROUP BY 1, 2),
+        grid AS (SELECT d.doc_id, g.range AS bucket
+          FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, $n) g),
+        f AS (SELECT grid.doc_id, grid.bucket,
+            CAST(coalesce(agg.w, 0) AS BIGINT) AS w
+          FROM grid LEFT JOIN agg
+            ON grid.doc_id = agg.doc_id AND grid.bucket = agg.bucket),
+        y AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents)
+      SELECT a.bucket AS i, b.bucket AS j, CAST(SUM(a.w * b.w) AS BIGINT) AS s
+      FROM f a JOIN f b ON a.doc_id = b.doc_id GROUP BY 1, 2
+      UNION ALL
+      SELECT f.bucket AS i, -1 AS j, CAST(SUM(f.w * y.y) AS BIGINT) AS s
+      FROM f JOIN y ON f.doc_id = y.doc_id GROUP BY 1, 2"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2177,6 +2249,6 @@ object PipelineQueries {
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
-    q93_feature_hash,
+    q93_feature_hash, q94_inverted_index, q95_classifier_gram,
   )
 }

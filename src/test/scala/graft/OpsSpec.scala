@@ -684,6 +684,45 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("linear model: normal equations partitioning-invariant; ridge fit recovers a planted lexical rule") {
+    import graft.ops.{LinearModel, TextAnalysis}
+    val rnd = new scala.util.Random(5)
+    val fillers = Array("lorem", "ipsum", "dolor", "sit", "amet", "sed", "eiusmod")
+    def sentence() = Seq.fill(6)(fillers(rnd.nextInt(fillers.length))).mkString(" ")
+    // planted rule: documents containing "qualitymarker" are positive
+    val rows = (1 to 400).map { i =>
+      val pos = i % 2 == 0
+      val text = if (pos) sentence() + " qualitymarker " + sentence()
+                 else sentence() + " " + sentence()
+      (i.toLong, text, if (pos) 1L else 0L)
+    }
+    val df = rows.toDF("doc_id", "text", "y")
+    val feats = TextAnalysis.featureHash(df, "doc_id", "text", 32)
+      .join(df.select("doc_id", "y"), "doc_id")
+    // the distributed sums are a pure function of the data
+    val ne = LinearModel.normalEquations(feats, "features", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ne2 = LinearModel.normalEquations(feats.repartition(13), "features", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ne == ne2)
+    // G is symmetric
+    ne.foreach { case ((i, j), s) => if (j >= 0) assert(ne((j, i)) == s) }
+    // the ridge fit separates the planted classes. The model has no
+    // intercept (hashed features only), so threshold at the midpoint of
+    // the class score means rather than 0.5
+    val w = LinearModel.fitRidge(feats, "features", "y")
+    assert(w.length == 32)
+    val scored = feats.select(col("y"),
+      LinearModel.score(col("features"), w).as("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val posMean = scored.filter(_._1 == 1L).map(_._2).sum / scored.count(_._1 == 1L)
+    val negMean = scored.filter(_._1 == 0L).map(_._2).sum / scored.count(_._1 == 0L)
+    assert(posMean > negMean, s"no separation: $posMean vs $negMean")
+    val thr = (posMean + negMean) / 2
+    val acc = scored.count { case (y, s) => (s > thr) == (y == 1L) }.toDouble / scored.length
+    assert(acc > 0.95, s"accuracy $acc (threshold $thr)")
+  }
+
   test("applyChanges: upserts replace or insert, deletes drop, untouched rows survive, delete-of-missing is a no-op") {
     import graft.ops.SnapshotDiff
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
