@@ -254,6 +254,70 @@ object TextAnalysis {
         sort_array(collect_list(struct(col("__doc").as("doc"),
           col("__pos").cast("long").as("pos")))).as("postings"))
 
+  /** Overlapping-window chunking — the RAG / context-window prep op:
+    * split each document into chunks of `chunkTokens` whitespace tokens
+    * advancing by `stride` (stride < chunkTokens ⇒ overlap, the
+    * standard retrieval setup so no answer span straddles a boundary
+    * unseen). Pure scan-side arithmetic: the token array is staged once
+    * (lambda-CSE staging rule), chunk starts are a `sequence`, and each
+    * chunk re-joins its token slice — no shuffle, no UDF, exactly
+    * replayable in SQL. Output: one row per (id, chunk_id) with
+    * start_tok, n_toks and the chunk text.
+    *
+    * The last window starts at the final stride position < n_toks, so
+    * every token lands in ≥ 1 chunk and trailing fragments shorter
+    * than a full chunk are kept (retrieval wants them).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens: $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens, s"stride: $stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val staged = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+    // chunk starts 0, stride, 2*stride, ..., last = floor((n-1)/stride)*stride
+    staged
+      .withColumn("__last",
+        expr(s"CAST((__n - 1) div $stride AS BIGINT) * $stride"))
+      .withColumn("__starts", sequence(lit(0L), col("__last"), lit(stride.toLong)))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkTokens.toLong), col("__n") - col("start_tok")).as("n_toks"),
+        concat_ws(" ", slice(col("__toks"), col("start_tok").cast("int") + 1,
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** Dictionary token-id encoding — the tokenize-to-ints step between
+    * text and sequence packing: a frequency-ranked vocabulary of
+    * `vocabSize` terms (ties broken lexicographically — a total order,
+    * so the vocab is deterministic and partitioning-invariant), then
+    * every token mapped to its id scan-side through a BROADCAST join;
+    * out-of-vocabulary tokens get id −1 (UNK). The corpus shuffles once
+    * for the word count (map-side combinable); the rank window runs on
+    * the dimension-sized distinct-term table, never the corpus.
+    * Output: one row per (id, pos) with the token id — the exploded
+    * form composes directly with [[graft.ops.Packing.packSequences]].
+    */
+  def encodeTokenIds(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize: $vocabSize")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val exploded = df.select(col(idCol),
+      posexplode(toks).as(Seq("pos", "__tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cnt").desc, col("__tok"))
+    val vocab = exploded.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("token_id") < vocabSize)
+      .select(col("__tok"), col("token_id"))
+    exploded.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+  }
+
   /** Rolling chained hash over the token stream: h = xxhash64(h, token).
     * Order-sensitive (unlike the md5 bag fingerprint) and overflow-free
     * under ANSI mode (a `h*31 + x` polynomial would throw on long

@@ -2231,6 +2231,62 @@ object PipelineQueries {
     )
   }
 
+  /** RAG chunking (graft.ops.TextAnalysis.chunkDocuments): overlapping
+    * 64-token windows at stride 32 — every boundary, count, and the
+    * chunk text itself (hashed) replay exactly in DuckDB's list
+    * arithmetic. Scan-side only; the explode fans out rows but nothing
+    * shuffles.
+    */
+  val q96_rag_chunks: QueryDef = {
+    val (ck, st) = (64, 32)
+    QueryDef(
+      "q96_rag_chunks",
+      (s, d) => graft.ops.TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text", ck, st)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_toks"),
+          md5(col("chunk_text")).as("fp")),
+      Some(s"""WITH lists AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS l
+          FROM documents),
+        sized AS (SELECT doc_id, l, len(l) AS n FROM lists WHERE len(l) > 0),
+        starts AS (SELECT doc_id, l, n,
+            unnest(range(0, ((n - 1) // $st) * $st + 1, $st)) AS start_tok,
+            generate_subscripts(range(0, ((n - 1) // $st) * $st + 1, $st), 1) - 1
+              AS chunk_id
+          FROM sized)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(start_tok AS BIGINT) AS start_tok,
+        CAST(least($ck, n - start_tok) AS BIGINT) AS n_toks,
+        md5(array_to_string(l[start_tok + 1 : start_tok + $ck], ' ')) AS fp
+      FROM starts"""),
+    )
+  }
+
+  /** Token-id encoding (graft.ops.TextAnalysis.encodeTokenIds): a
+    * 512-term frequency-ranked vocabulary (total order: count desc,
+    * term asc) mapped over every token position via a broadcast join,
+    * OOV → −1. The full (doc, pos, id) table replays exactly — the
+    * deterministic vocab rank is the same ranked window in DuckDB.
+    */
+  val q97_token_ids: QueryDef = {
+    val v = 512
+    QueryDef(
+      "q97_token_ids",
+      (s, d) => graft.ops.TextAnalysis.encodeTokenIds(docs(s, d), "doc_id", "text", v),
+      Some(s"""WITH lists AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+              t -> length(t) > 0) AS l
+          FROM documents),
+        base AS (SELECT doc_id, unnest(l) AS tok,
+            generate_subscripts(l, 1) - 1 AS pos FROM lists),
+        vocab AS (SELECT tok,
+            row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS token_id
+          FROM base GROUP BY tok QUALIFY token_id < $v)
+      SELECT b.doc_id, CAST(b.pos AS BIGINT) AS pos,
+        CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+      FROM base b LEFT JOIN vocab v ON b.tok = v.tok"""),
+    )
+  }
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2249,6 +2305,7 @@ object PipelineQueries {
     q82_sketch_overlap, q83_snapshot_diff, q84_hll_sketch,
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
-    q93_feature_hash, q94_inverted_index, q95_classifier_gram,
+    q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
+    q97_token_ids,
   )
 }

@@ -723,6 +723,44 @@ class OpsSpec extends AnyFunSuite {
     assert(acc > 0.95, s"accuracy $acc (threshold $thr)")
   }
 
+  test("chunkDocuments: overlap boundaries exact, every token covered, short docs one chunk, empty dropped") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, chunk 4 stride 2
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, "   ")).toDF("doc_id", "text")             // empty after filter
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,2,4,6,8; the last two truncate
+    assert(d1.map(_._3).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(d1.head._5 == "t1 t2 t3 t4")
+    assert(d1.last._5 == "t9 t10")
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(c => c._5.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._5 == "a b" && d2.head._4 == 2L)
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("encodeTokenIds: frequency-ranked vocab, lexicographic ties, OOV = -1, partitioning-invariant") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a a b rare")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=1, rare=1 -> vocab(3): a=0, b=1, c=2; rare OOV
+    val got = TextAnalysis.encodeTokenIds(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 0L)) == 1L && got((1L, 3L)) == 0L && got((1L, 5L)) == 2L)
+    assert(got((2L, 3L)) == -1L) // "rare" is OOV
+    val again = TextAnalysis.encodeTokenIds(df.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("applyChanges: upserts replace or insert, deletes drop, untouched rows survive, delete-of-missing is a no-op") {
     import graft.ops.SnapshotDiff
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
