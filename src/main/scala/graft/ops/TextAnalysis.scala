@@ -227,12 +227,37 @@ object TextAnalysis {
     val staged = df.select(col(idCol),
       transform(toks, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__th"))
-    staged.select(col(idCol),
-      transform(sequence(lit(0), lit(nBuckets - 1)), b =>
-        aggregate(col("__th"), lit(0L), (acc, h) =>
-          acc + when(pmod(shiftrightunsigned(h, 1), lit(nBuckets.toLong)) === b,
-            when(h % 2 === 0, lit(1L)).otherwise(lit(-1L))).otherwise(lit(0L))))
-        .as("features"))
+    if (nBuckets <= 256) {
+      // per-row fold: zero shuffle, but O(nBuckets · tokens) adds per
+      // row — the right trade only while nBuckets stays small
+      staged.select(col(idCol),
+        transform(sequence(lit(0), lit(nBuckets - 1)), b =>
+          aggregate(col("__th"), lit(0L), (acc, h) =>
+            acc + when(pmod(shiftrightunsigned(h, 1), lit(nBuckets.toLong)) === b,
+              when(h % 2 === 0, lit(1L)).otherwise(lit(-1L))).otherwise(lit(0L))))
+          .as("features"))
+    } else {
+      // wide-vector path: explode to (id, bucket, sign) — O(tokens) work
+      // per row — and aggregate map-side-combinably, then re-assemble
+      // the dense vector from the touched-bucket map (same shape as the
+      // hllSketch portable fallback)
+      val assembled = staged
+        .select(col(idCol), explode(col("__th")).as("__h"))
+        .select(col(idCol),
+          pmod(shiftrightunsigned(col("__h"), 1), lit(nBuckets.toLong)).as("__b"),
+          when(col("__h") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__sgn"))
+        .groupBy(col(idCol), col("__b")).agg(sum(col("__sgn")).as("__w"))
+        .groupBy(col(idCol))
+        .agg(map_from_entries(collect_list(struct(col("__b"), col("__w"))))
+          .as("__bm"))
+        .select(col(idCol),
+          transform(sequence(lit(0L), lit((nBuckets - 1).toLong)),
+            b => coalesce(element_at(col("__bm"), b), lit(0L))).as("features"))
+      // explode drops token-less documents; restore their zero vectors
+      staged.select(col(idCol)).join(assembled, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("features"), array_repeat(lit(0L), nBuckets)).as("features"))
+    }
   }
 
   /** Inverted-index construction — the search/RAG-index build pass:
@@ -244,15 +269,31 @@ object TextAnalysis {
     * [[removeBoilerplateChunks]]-style df filters before collecting
     * postings.
     */
-  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("__doc"),
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = 0L): DataFrame = {
+    val postings = df.select(col(idCol).as("__doc"),
       posexplode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
         .as(Seq("__pos", "term")))
-      .groupBy("term")
+    val base =
+      if (maxDf <= 0) postings
+      else {
+        // stop-term guard: a term in k documents materializes a k-entry
+        // posting array — at corpus scale stop-words make k grow with
+        // the corpus (the same failure mode the shingle queries cap
+        // with df <= 64). Count df first (map-side combinable, rows not
+        // arrays) and collect postings only for terms under the cap.
+        val keep = postings.groupBy("term")
+          .agg(countDistinct(col("__doc")).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("term"))
+        postings.join(keep, Seq("term"), "left_semi")
+      }
+    base.groupBy("term")
       .agg(countDistinct(col("__doc")).as("df"),
         count(lit(1)).as("tf"),
         sort_array(collect_list(struct(col("__doc").as("doc"),
           col("__pos").cast("long").as("pos")))).as("postings"))
+  }
 
   /** Overlapping-window chunking — the RAG / context-window prep op:
     * split each document into chunks of `chunkTokens` whitespace tokens

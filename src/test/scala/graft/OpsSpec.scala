@@ -682,6 +682,37 @@ class OpsSpec extends AnyFunSuite {
     val plan = TextAnalysis.featureHash(df, "doc_id", "text", n)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), plan)
+    // the wide-vector (exploded aggregation) path computes the same
+    // values — compare at n=512 against the local replay, including the
+    // empty document's zero vector
+    val wide = TextAnalysis.featureHash(df, "doc_id", "text", 512)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def local512(text: String): Seq[Long] = {
+      val acc = Array.fill(512)(0L)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(md5.take(15), 16)
+        acc(((h >>> 1) % 512).toInt) += (if (h % 2 == 0) 1L else -1L)
+      }
+      acc.toSeq
+    }
+    assert(wide(1L) == local512("the quick brown fox the quick"))
+    assert(wide(2L) == Seq.fill(512)(0L))
+  }
+
+  test("invertedIndex: maxDf caps stop-term postings; uncapped terms unchanged") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the cherry"), (4L, "the date"))
+      .toDF("doc_id", "text")
+    val full = TextAnalysis.invertedIndex(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full("the") == 4L && full("apple") == 1L)
+    val capped = TextAnalysis.invertedIndex(df, "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!capped.contains("the")) // stop term dropped by the cap
+    assert(capped("apple") == 1L && capped.size == 4)
   }
 
   test("linear model: normal equations partitioning-invariant; ridge fit recovers a planted lexical rule") {
