@@ -2288,6 +2288,37 @@ object PipelineQueries {
     )
   }
 
+  /** Exact threshold Jaccard self-join via prefix filtering
+    * (graft.ops.SetSimJoin — AllPairs/PPJoin family): every pair at
+    * Jaccard >= 0.5 over 3-gram shingle sets, NO df cap and no missed
+    * pairs. Candidates come only from collisions among each document's
+    * globally-rarest prefix shingles plus a size-ratio filter, so the
+    * join never touches the stop-shingle posting lists that make the
+    * uncapped inverted-index form quadratic. The oracle is the naive
+    * exact all-pairs computation — the algorithm is exact, so the two
+    * must agree bit-for-bit.
+    */
+  val q98_setsim_join = QueryDef(
+    "q98_setsim_join",
+    (s, d) => graft.ops.SetSimJoin.jaccardJoin(docs(s, d), "doc_id", "text",
+      tauPpm = 500000L),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in generate_series(1, greatest(len(w) - 2, 0))]) AS sh
+             FROM w),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT a, b, inter, na.n + nb.n - inter AS un
+            FROM pairs JOIN sizes na ON pairs.a = na.doc_id
+                       JOIN sizes nb ON pairs.b = nb.doc_id)
+      SELECT a, b, CAST(inter AS BIGINT) AS inter_sz, CAST(un AS BIGINT) AS union_sz,
+        CAST(floor(inter * 1000000 / un) AS BIGINT) AS jaccard_ppm
+      FROM j WHERE inter * 1000000 >= 500000 * un"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2307,6 +2338,6 @@ object PipelineQueries {
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
-    q97_token_ids,
+    q97_token_ids, q98_setsim_join,
   )
 }
