@@ -30,6 +30,7 @@ object PlanAudit {
     "g89_ann_pq",          // deliberate: broadcast ADC tables vs all PQ codes
     "q82_sketch_overlap",  // deliberate: 5x5 sketch-table pair fan-out (a < b)
     "q87_hard_negatives",  // deliberate: broadcast query side vs all vectors (q27 shape + label predicate)
+    "q100_hybrid_rrf",     // deliberate: dense side is the q27 broadcast theta-join
   )
 
   def main(args: Array[String]): Unit = {

@@ -2319,6 +2319,124 @@ object PipelineQueries {
       FROM j WHERE inter * 1000000 >= 500000 * un"""),
   )
 
+  /** BM25 retrieval (graft.ops.Retrieval.bm25, log-free ratio-idf
+    * variant): queries are the first three tokens of every 50th
+    * document; scores are exact integer micro-units (per-term floor
+    * BEFORE the sum, so no float addition-order hazard). The oracle
+    * replays the identical IEEE +,-,*,/ chain — idf ratio, tf
+    * saturation, dl/avgdl normalization — term by term in DuckDB.
+    */
+  val q99_bm25_scores = QueryDef(
+    "q99_bm25_scores",
+    (s, d) => {
+      val corpus = docs(s, d)
+      val qterms = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(split(lower(col("text")), " "), 1, 3)))
+            .as("term"))
+      graft.ops.Retrieval.bm25(corpus, "doc_id", "text", qterms)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      tfc AS (SELECT doc_id, unnest(w) AS term FROM w),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:3]) AS term
+            FROM w WHERE doc_id % 50 = 0),
+      contrib AS (SELECT q.qid, t.doc_id,
+          CAST(floor(1000000.0 * (
+            ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+              / (CAST(f.df AS DOUBLE) + 0.5))
+            * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+          )) AS BIGINT) AS c
+        FROM q JOIN tf t ON q.term = t.term
+               JOIN dfs f ON q.term = f.term
+               JOIN dl d ON t.doc_id = d.doc_id, stats s)
+      SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2"""),
+  )
+
+  /** Hybrid retrieval: dense (brute-force cosine over embeddings, q27's
+    * shape) and sparse (q99's BM25) top-10 lists fused by reciprocal
+    * rank (graft.ops.Retrieval.rrfFuse) — integer 1e6 div (60+rank)
+    * contributions, so the fusion is exactly replayable. Queries align
+    * on the synthetic corpus's shared id space (vec_id == doc_id), every
+    * 50th id. The sparse list naturally retrieves the query document
+    * itself at rank 1; the dense side excludes self (q27 convention) —
+    * both choices replayed identically in the oracle.
+    */
+  val q100_hybrid_rrf = QueryDef(
+    "q100_hybrid_rrf",
+    (s, d) => {
+      import graft.ops.{Retrieval, Similarity}
+      val corpus = docs(s, d)
+      val qterms = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(split(lower(col("text")), " "), 1, 3)))
+            .as("term"))
+      val sparse = Retrieval.rankTopK(
+        Retrieval.bm25(corpus, "doc_id", "text", qterms)
+          .select(col("qid"), col("doc_id").as("id"), col("score_micro")),
+        10, "score_micro", "id")
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      val joined = e.join(q, col("vec_id") =!= col("qid"))
+      val dense = Retrieval.rankTopK(
+        joined.withColumn("cos", Similarity.cosine(joined, col("qv"), col("v")))
+          .select(col("qid"), col("vec_id").as("id"), col("cos")),
+        10, "cos", "id")
+      Retrieval.rrfFuse(Seq(dense, sparse), "id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      tfc AS (SELECT doc_id, unnest(w) AS term FROM w),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qq AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:3]) AS term
+             FROM w WHERE doc_id % 50 = 0),
+      contrib AS (SELECT qq.qid, t.doc_id,
+          CAST(floor(1000000.0 * (
+            ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+              / (CAST(f.df AS DOUBLE) + 0.5))
+            * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+          )) AS BIGINT) AS c
+        FROM qq JOIN tf t ON qq.term = t.term
+               JOIN dfs f ON qq.term = f.term
+               JOIN dl d ON t.doc_id = d.doc_id, stats s),
+      bm AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+             FROM contrib GROUP BY 1, 2),
+      sparse AS (SELECT qid, doc_id AS id, rnk FROM
+          (SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS rnk FROM bm)
+        WHERE rnk <= 10),
+      e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nv FROM e),
+      qv AS (SELECT vec_id AS qid, v AS qvec, nv AS nq FROM nn WHERE vec_id % 50 = 0),
+      cs AS (SELECT qid, vec_id,
+              list_sum([qvec[i] * v[i] for i in generate_series(1, len(v))]) / (nq * nv) AS cos
+            FROM nn, qv WHERE vec_id <> qid),
+      dense AS (SELECT qid, vec_id AS id, rnk FROM
+          (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+           FROM cs)
+        WHERE rnk <= 10),
+      unioned AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+      SELECT qid, id, CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm,
+        CAST(count(*) AS BIGINT) AS n_lists
+      FROM unioned GROUP BY 1, 2"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2338,6 +2456,6 @@ object PipelineQueries {
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
-    q97_token_ids, q98_setsim_join,
+    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
   )
 }
