@@ -2437,6 +2437,23 @@ object PipelineQueries {
       FROM unioned GROUP BY 1, 2"""),
   )
 
+  /** Entity-resolution merge candidates (graft.ops.FuzzyJoin): every
+    * pair of distinct part names within Levenshtein distance 2, via
+    * q-gram count-filter blocking — never all-pairs. Both engines share
+    * the unit-cost levenshtein definition, so the exact algorithm
+    * hash-matches the naive DuckDB computation.
+    */
+  val q101_fuzzy_names = QueryDef(
+    "q101_fuzzy_names",
+    (s, d) => graft.ops.FuzzyJoin.editDistanceJoin(
+      s.read.parquet(s"$d/part.parquet"), "p_name", k = 2),
+    Some("""WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+      SELECT a.s AS a, b.s AS b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM n a JOIN n b ON a.s < b.s
+      WHERE levenshtein(a.s, b.s) <= 2"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2456,6 +2473,6 @@ object PipelineQueries {
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
-    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
+    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf, q101_fuzzy_names,
   )
 }
