@@ -1265,6 +1265,54 @@ object SynthQueries {
           AS bucket_s, user_id, event_type
         FROM events""")),
 
+    // STREAM-STREAM interval join — the attribution shape (purchases
+    // within 30 minutes after a view by the same user) as a genuine
+    // two-stream join: both sides carry watermarks and the join
+    // condition carries the event-time range bound, so each side's
+    // state store holds only rows inside the 30-minute window + the
+    // 1-hour watermark slack — bounded state at any stream length.
+    // AvailableNow replay == the identical batch interval join in
+    // DuckDB (micros arithmetic on both sides).
+    QueryDef("g99_stream_interval_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, timestamp_micros}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val streamDir = java.nio.file.Files.createTempDirectory("g99_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val src = graft.queries.EventTs.toNanos(
+          s.readStream.schema(schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), expr("ts div 1000").as("v_us"),
+            col("event_time").as("v_time"))
+          .withWatermark("v_time", "1 hour")
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), expr("ts div 1000").as("p_us"),
+            col("event_time").as("p_time"))
+          .withWatermark("p_time", "1 hour")
+        val name = "g99_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = views.join(buys,
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 30 MINUTES"))
+          .select(col("v_user").as("user_id"), col("v_us"), col("p_us"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            epoch_ns(ts) // 1000 AS us FROM events)
+        SELECT v.user_id, CAST(v.us AS BIGINT) AS v_us, CAST(p.us AS BIGINT) AS p_us
+        FROM e v JOIN e p ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.us >= v.us AND p.us <= v.us + 1800000000""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
