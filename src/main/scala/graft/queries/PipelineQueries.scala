@@ -2454,6 +2454,112 @@ object PipelineQueries {
       WHERE levenshtein(a.s, b.s) <= 2"""),
   )
 
+  /** Data-quality gate (graft.ops.Constraints): a Deequ-style rule
+    * report over lineitem — not-null, range, predicate (one shared
+    * conditional-sum pass), uniqueness, functional dependency (keyed
+    * aggs), referential integrity against orders (left-anti). Every
+    * violation count is an exact bigint the oracle recomputes rule by
+    * rule.
+    */
+  val q102_quality_gate = QueryDef(
+    "q102_quality_gate",
+    (s, d) => {
+      import graft.ops.Constraints._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      validate(li, Seq(
+        NotNull("qty_not_null", "l_quantity"),
+        InRange("qty_in_1_25", "l_quantity", 1, 25),
+        Check("discount_le_tax", "l_discount <= l_tax"),
+        Unique("orderkey_unique", Seq("l_orderkey")),
+        Unique("line_pk_unique", Seq("l_orderkey", "l_linenumber")),
+        FunctionalDep("order_determines_flag", Seq("l_orderkey"), Seq("l_returnflag")),
+        RefIntegrity("orders_fk", "l_orderkey", ord, "o_orderkey"),
+      ))
+    },
+    Some("""SELECT 'qty_not_null' AS rule,
+        CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'qty_in_1_25',
+        CAST(count(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 25)
+          OR l_quantity IS NULL) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_le_tax',
+        CAST(count(*) FILTER (NOT (l_discount <= l_tax)
+          OR l_discount IS NULL OR l_tax IS NULL) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orderkey_unique', CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+        (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'line_pk_unique', CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+        (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber
+         HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'order_determines_flag', CAST(count(*) AS BIGINT) FROM
+        (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING count(DISTINCT l_returnflag) > 1)
+      UNION ALL
+      SELECT 'orders_fk', CAST(count(*) AS BIGINT) FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""),
+  )
+
+  /** Batch gap sessionization (graft.ops.Sessions): 30-minute-gap
+    * sessions per user over the event log — one keyed window (lag +
+    * running sum) and one keyed rollup, total-ordered by (ts, event_id)
+    * so ids are deterministic. DuckDB replays the identical windows.
+    */
+  val q103_batch_sessions = QueryDef(
+    "q103_batch_sessions",
+    (s, d) => graft.ops.Sessions.sessionStats(
+      events(s, d).select("user_id", "event_id", "ts"),
+      "user_id", "ts", "event_id", gapUnits = 1800000000000L)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ts").as("start_ns"), col("end_ts").as("end_ns")),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events),
+      l AS (SELECT *, lag(ns) OVER
+          (PARTITION BY user_id ORDER BY ns, event_id) AS prev FROM e),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR ns - prev > 1800000000000
+          THEN 1 ELSE 0 END AS brk FROM l),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ns, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(min(ns) AS BIGINT) AS start_ns, CAST(max(ns) AS BIGINT) AS end_ns
+      FROM s GROUP BY 1, 2"""),
+  )
+
+  /** Type-2 SCD build (graft.ops.Sessions.scd2): each user's
+    * event_type runs as validity intervals — change-detected via a
+    * null-safe lag compare, closed by the next version's open. The
+    * open-ended current version carries a null valid_to in both
+    * engines.
+    */
+  val q104_scd2_versions = QueryDef(
+    "q104_scd2_versions",
+    (s, d) => graft.ops.Sessions.scd2(
+      events(s, d).select("user_id", "event_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_ns"),
+        col("valid_to").as("valid_to_ns"), col("is_current")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns
+          FROM events),
+      c AS (SELECT *, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ns, event_id) AS prev FROM e),
+      ch AS (SELECT * FROM c
+        WHERE (event_type IS DISTINCT FROM prev)),
+      v AS (SELECT user_id, event_type, ns AS valid_from,
+          lead(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS valid_to
+        FROM ch)
+      SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from_ns,
+        CAST(valid_to AS BIGINT) AS valid_to_ns,
+        CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM v"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2473,6 +2579,6 @@ object PipelineQueries {
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
-    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf, q101_fuzzy_names,
+    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf, q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
   )
 }
