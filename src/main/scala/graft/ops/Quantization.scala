@@ -114,6 +114,13 @@ object Quantization {
   def quantizeUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     quantizeStaged(df, idCol, vecCol, unit = true)
 
+  /** [[quantizeUnit]] carrying extra passthrough columns (e.g. labels
+    * for the eval harness) through the staged projections.
+    */
+  def quantizeUnitKeep(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[String]): DataFrame =
+    quantizeStaged(df, idCol, vecCol, unit = true, extra = extra)
+
   /** Top-k neighbors by rescaled integer dot product over quantized
     * codes — asymmetric-distance ANN where BOTH the score and the
     * ranking are exact integer arithmetic: no floating-point ties, no

@@ -2537,6 +2537,95 @@ object PipelineQueries {
     * open-ended current version carries a null valid_to in both
     * engines.
     */
+  /** The DuckDB replay of quantizeUnit + fixedLinearScore: unit-
+    * normalize, int8-quantize (the q67/q68 formulas), then the fixed
+    * integer weight dot — producing the engine-independent integer
+    * score both eval queries grade.
+    */
+  private val scoredSql: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      un AS (SELECT vec_id, label,
+               CASE WHEN sqrt(list_sum([x * x for x in v])) = 0
+                    THEN [0.0 for x in v]
+                    ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v
+             FROM e),
+      mm AS (SELECT vec_id, label, v, list_max([abs(x) for x in v]) AS m FROM un),
+      codes AS (SELECT vec_id, label,
+          [CASE WHEN m = 0 THEN 0
+                ELSE CAST(floor(v[x] * 127 / m + 0.5) AS BIGINT) END
+           for x in generate_series(1, len(v))] AS q
+        FROM mm),
+      scored AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+          CAST(list_sum([q[x] * (((x - 1) * 37) % 15 - 7)
+                         for x in generate_series(1, len(q))]) AS BIGINT) AS s
+        FROM codes)"""
+
+  /** Binary-classifier evaluation (graft.ops.Eval.binaryMetrics): ROC
+    * AUC by tie-averaged Mann–Whitney rank-sum plus the threshold-0
+    * confusion metrics, over an integer score (fixed weights · int8
+    * codes of the unit-normalized embedding) and parity labels. The
+    * corpus collapses to a score histogram in one map-side-combinable
+    * pass; every metric — including the AUC division — is 64-bit
+    * integer arithmetic, so the oracle is a bit-exact replay, not a
+    * tolerance check.
+    */
+  val q105_classifier_eval = QueryDef(
+    "q105_classifier_eval",
+    (s, d) => {
+      val scored = graft.ops.Quantization.quantizeUnitKeep(
+        embs(s, d).withColumn("y", (col("label") % 2).cast("long")),
+        "vec_id", "embedding", Seq("y"))
+        .select(col("vec_id"), col("y"),
+          graft.ops.Eval.fixedLinearScore(col("codes")).as("s"))
+      graft.ops.Eval.binaryMetrics(scored, "s", "y")
+    },
+    Some(s"""WITH $scoredSql,
+      hist AS (SELECT s, count(*) AS c, sum(y) AS p FROM scored GROUP BY 1),
+      r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM hist),
+      a AS (SELECT sum(p) AS npos, sum(c) - sum(p) AS nneg,
+          sum(p * (2 * cum + c + 1)) AS u2r,
+          sum(CASE WHEN s >= 0 THEN p ELSE 0 END) AS tp,
+          sum(CASE WHEN s >= 0 THEN c - p ELSE 0 END) AS fp,
+          sum(CASE WHEN s < 0 THEN c - p ELSE 0 END) AS tn,
+          sum(CASE WHEN s < 0 THEN p ELSE 0 END) AS fn
+        FROM r)
+      SELECT CAST(npos AS BIGINT) AS npos, CAST(nneg AS BIGINT) AS nneg,
+        CAST((u2r - npos * (npos + 1)) * 1000000 // (2 * npos * nneg) AS BIGINT)
+          AS auc_micro,
+        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+        CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS prec_micro,
+        CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS rec_micro,
+        CAST(tp * 2000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_micro
+      FROM a"""),
+  )
+
+  /** Calibration / reliability bins (graft.ops.Eval.calibrationBins)
+    * over the same integer score: per-bin count, positives, and the
+    * empirical positive rate in micro-units. The bin is a true floor
+    * division (pmod-adjusted), identical across both engines'
+    * truncating integer ops.
+    */
+  val q106_calibration = QueryDef(
+    "q106_calibration",
+    (s, d) => {
+      val scored = graft.ops.Quantization.quantizeUnitKeep(
+        embs(s, d).withColumn("y", (col("label") % 2).cast("long")),
+        "vec_id", "embedding", Seq("y"))
+        .select(col("vec_id"), col("y"),
+          graft.ops.Eval.fixedLinearScore(col("codes")).as("s"))
+      graft.ops.Eval.calibrationBins(scored, "s", "y", binWidth = 500L)
+    },
+    Some(s"""WITH $scoredSql
+      SELECT CAST((s - ((s % 500) + 500) % 500) // 500 AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS pos,
+        CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS rate_micro
+      FROM scored GROUP BY 1"""),
+  )
+
   val q104_scd2_versions = QueryDef(
     "q104_scd2_versions",
     (s, d) => graft.ops.Sessions.scd2(
@@ -2579,6 +2668,8 @@ object PipelineQueries {
     q85_priority_sample, q86_group_split, q87_hard_negatives, q88_pagerank,
     q89_corpus_profile, q90_merge_upsert, q91_asof_native, q92_unicode_norm,
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
-    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf, q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
+    q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
+    q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
+    q105_classifier_eval, q106_calibration,
   )
 }
