@@ -2626,6 +2626,62 @@ object PipelineQueries {
       FROM scored GROUP BY 1"""),
   )
 
+  /** Collocation mining (graft.ops.Collocations.pmiBigrams): adjacent
+    * word bigrams with c_xy >= 5 scored by the integer PMI likelihood
+    * ratio lr_milli = c_xy·N·1000 div (c_x·c_y) — the log-free
+    * monotone image of PMI, so every value replays exactly. One staged
+    * token scan, two map-side-combinable aggs, word-keyed joins only
+    * on the pruned reporting set.
+    */
+  val q107_pmi_bigrams = QueryDef(
+    "q107_pmi_bigrams",
+    (s, d) => graft.ops.Collocations.pmiBigrams(docs(s, d), "text", minCount = 5L),
+    Some("""WITH toks AS (SELECT list_filter(
+          string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+          t -> length(t) > 0) AS w FROM documents),
+      uni AS (SELECT unnest(w) AS t FROM toks),
+      ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+      pairs AS (SELECT unnest([{'w1': w[i], 'w2': w[i + 1]}
+            for i in generate_series(1, len(w) - 1)]) AS p
+        FROM toks WHERE len(w) >= 2),
+      big AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT b.w1, b.w2, b.c_xy, x.c AS c_x, y.c AS c_y,
+        CAST(b.c_xy * t.n * 1000 // (x.c * y.c) AS BIGINT) AS lr_milli
+      FROM big b JOIN ucnt x ON b.w1 = x.t JOIN ucnt y ON b.w2 = y.t, tot t"""),
+  )
+
+  /** Phonetic blocking (graft.ops.Phonetic): simplified-Soundex keys
+    * over the part-name vocabulary, then the blocked candidate pairs —
+    * an equi-join on the key, never all-pairs. The key chain
+    * (translate + unrolled run-collapse replaces) is the same
+    * expression text in both engines, so every key and pair
+    * hash-matches.
+    */
+  val q108_soundex_block = QueryDef(
+    "q108_soundex_block",
+    (s, d) => {
+      import s.implicits._
+      graft.ops.Phonetic.soundexBlockJoin(
+        s.read.parquet(s"$d/part.parquet")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .union(graft.ops.Phonetic.sampleNames.toDF("w")), "w")
+    },
+    Some {
+      val sx = graft.ops.Phonetic.soundexSql("v")
+      val names = graft.ops.Phonetic.sampleNames
+        .map(n => s"('$n')").mkString(", ")
+      s"""WITH w AS (SELECT DISTINCT v FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS v FROM part
+            UNION ALL SELECT * FROM (VALUES $names) n(v))),
+        k AS (SELECT v, $sx AS key FROM w),
+        kk AS (SELECT * FROM k WHERE key <> '')
+      SELECT a.v AS a, b.v AS b, a.key AS key
+      FROM kk a JOIN kk b ON a.key = b.key AND a.v < b.v"""
+    },
+  )
+
   val q104_scd2_versions = QueryDef(
     "q104_scd2_versions",
     (s, d) => graft.ops.Sessions.scd2(
@@ -2670,6 +2726,7 @@ object PipelineQueries {
     q93_feature_hash, q94_inverted_index, q95_classifier_gram, q96_rag_chunks,
     q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
     q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
-    q105_classifier_eval, q106_calibration,
+    q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
+    q108_soundex_block,
   )
 }
