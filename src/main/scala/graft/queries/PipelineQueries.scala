@@ -2682,6 +2682,52 @@ object PipelineQueries {
     },
   )
 
+  /** Zone-map pruning report (graft.ops.ZoneMap): per-bucket min/max
+    * "zones" of the ship-day under two simulated file layouts —
+    * 32-day clustered buckets vs a hash scatter — and how much of the
+    * table a one-year (1997) predicate prunes under each. The clustered
+    * layout prunes almost everything; the hash layout prunes nothing:
+    * the data-skipping argument for sort-clustering at 100 TB, as an
+    * exact integer report.
+    */
+  val q109_zonemap_prune = QueryDef(
+    "q109_zonemap_prune", {
+      val lo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val hi = java.time.LocalDate.parse("1997-12-31").toEpochDay
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val day = datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+        graft.ops.ZoneMap.pruneReport(li, Seq(
+          "clustered_32d" -> expr(
+            "datediff(cast(l_shipdate AS date), cast('1970-01-01' AS date)) div 32"),
+          "hash_64" -> expr("((l_orderkey % 8191) * 2654435761) % 64")),
+          day, lo, hi)
+      }
+    },
+    Some {
+      val lo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+      val hi = java.time.LocalDate.parse("1997-12-31").toEpochDay
+      def layout(name: String, bucket: String) =
+        s"""SELECT '$name' AS layout,
+          CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(CASE WHEN zmax < $lo OR zmin > $hi THEN 1 ELSE 0 END) AS BIGINT)
+            AS pruned_buckets,
+          CAST(sum(CASE WHEN zmax < $lo OR zmin > $hi THEN cnt ELSE 0 END) AS BIGINT)
+            AS pruned_rows,
+          CAST(sum(cnt) AS BIGINT) AS total_rows
+        FROM (SELECT $bucket AS bucket,
+                min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS zmin,
+                max(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS zmax,
+                count(*) AS cnt
+              FROM lineitem GROUP BY 1)"""
+      layout("clustered_32d",
+        "(CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 32") +
+        " UNION ALL " +
+        layout("hash_64", "((l_orderkey % 8191) * 2654435761) % 64")
+    },
+  )
+
   val q104_scd2_versions = QueryDef(
     "q104_scd2_versions",
     (s, d) => graft.ops.Sessions.scd2(
@@ -2727,6 +2773,6 @@ object PipelineQueries {
     q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
     q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
     q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
-    q108_soundex_block,
+    q108_soundex_block, q109_zonemap_prune,
   )
 }
