@@ -1313,6 +1313,74 @@ object SynthQueries {
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.us >= v.us AND p.us <= v.us + 1800000000""")),
 
+    // STREAM-STREAM LEFT OUTER interval join — attribution with
+    // explicit non-conversions: views that saw no purchase within 30
+    // minutes are emitted with a null purchase time once the watermark
+    // passes their join window (left-side state eviction). A far-future
+    // sentinel row (the g57 technique) advances the watermark past
+    // every real view's window so the trailing no-data micro-batch
+    // flushes ALL unmatched rows; the bounded replay then equals the
+    // batch LEFT JOIN in DuckDB, nulls included.
+    QueryDef("g100_stream_outer_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val maxNs = graft.queries.EventTs.toNanos(evRaw)
+          .agg(max("ts")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g100_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a_events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        // sentinel 2 h past the last event: watermark (1 h delay) ends
+        // past every view's 30-minute join window
+        val sentinelNs = maxNs + 2L * 3600L * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
+        val tmpOut = java.nio.file.Files.createTempDirectory("g100_sentinel")
+        evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+          .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+        val src = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        // sentinel rides BOTH sides so each side's watermark advances
+        val views = src.filter(col("event_type").isin("view", "sentinel"))
+          .select(col("user_id").as("v_user"), expr("ts div 1000").as("v_us"),
+            col("event_time").as("v_time"))
+          .withWatermark("v_time", "1 hour")
+        val buys = src.filter(col("event_type").isin("purchase", "sentinel"))
+          .select(col("user_id").as("p_user"), expr("ts div 1000").as("p_us"),
+            col("event_time").as("p_time"))
+          .withWatermark("p_time", "1 hour")
+        val name = "g100_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = views.join(buys,
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+          .select(col("v_user").as("user_id"), col("v_us"), col("p_us"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).filter(col("user_id") >= 0)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            epoch_ns(ts) // 1000 AS us FROM events)
+        SELECT v.user_id, CAST(v.us AS BIGINT) AS v_us, CAST(p.us AS BIGINT) AS p_us
+        FROM e v LEFT JOIN e p ON v.user_id = p.user_id
+          AND p.event_type = 'purchase'
+          AND p.us >= v.us AND p.us <= v.us + 1800000000
+        WHERE v.event_type = 'view'""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
