@@ -518,6 +518,16 @@ class OpsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converges in O(log d) rounds on a long chain") {
+    // a 64-node path has diameter 63: plain min-label propagation needs
+    // ~63 rounds, pointer jumping ~log2(63)+2. maxIters=12 only passes
+    // with the jump in place.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = graft.ops.Clusters.connectedComponents(pairs, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 64 && comps.values.forall(_ == 1L))
+  }
+
   test("dedupDecision keeps one canonical doc per near-dup cluster") {
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
     val planted = Seq((9001L, base), (9002L, base + " omega"), (9003L, base))
