@@ -46,6 +46,24 @@ object SynthQueries {
     * instead of a checker error. Values are unchanged — JSON is just the
     * stable scalar encoding of the nested payload.
     */
+  /** Scope for the bounded streaming replays: stateful operators clone
+    * one state-store instance per shuffle partition and checkpoint each
+    * of them every micro-batch, so the default 32 partitions pay 32
+    * store commits per batch for kilobyte-scale state — measured 3x the
+    * whole query time on the interval joins. 8 is right for a
+    * single-JVM replay; on a real cluster the stateful shuffle should
+    * track executor count instead (set before the query first starts —
+    * state partitioning is fixed at the first run). The previous value
+    * is restored after the streaming part completes so batch queries
+    * keep the session default.
+    */
+  private def streamScoped(s: SparkSession)(f: => DataFrame): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
   private def checkerSafe(df: DataFrame): DataFrame =
     df.select(df.schema.fields.toSeq.map { f =>
       f.dataType match {
@@ -837,7 +855,7 @@ object SynthQueries {
     // the same readStream → watermark → window → writeStream pipeline a
     // live source would use — only the trigger bounds it.
     QueryDef("g55_stream_counts",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{count, expr, lit, timestamp_micros,
           unix_timestamp, window}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -876,7 +894,7 @@ object SynthQueries {
     // fires in the trailing no-data micro-batch); the emitted sessions
     // must hash-match DuckDB's batch gap-sessionization
     QueryDef("g57_stream_sessions",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val evRaw = s.read.parquet(s"$d/events.parquet")
@@ -943,7 +961,7 @@ object SynthQueries {
     // regime and must hash-match DuckDB's batch counts ranked
     // (cnt desc, item asc).
     QueryDef("g88_stream_freq",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{call_function, expr, lit,
           posexplode, timestamp_micros, unix_timestamp, window}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -992,7 +1010,7 @@ object SynthQueries {
     // on both sides (Spark's double->long cast truncates, DuckDB's
     // rounds — floor() pins them to the same integer).
     QueryDef("g92_stream_quantiles",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{call_function, ceil, expr, floor,
           lit, timestamp_micros, unix_timestamp, window}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1044,7 +1062,7 @@ object SynthQueries {
     // estimator returns its size) — the bounded replay must equal
     // DuckDB's batch count(DISTINCT) per bucket.
     QueryDef("g93_stream_distinct",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{call_function, expr, lit,
           timestamp_micros, unix_timestamp, window, xxhash64}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1083,7 +1101,7 @@ object SynthQueries {
     // truncated before comparing — flooring the difference instead
     // would disagree by 1 around sub-unit remainders.
     QueryDef("g81_stream_interval_join",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_millis}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -1129,7 +1147,7 @@ object SynthQueries {
     // DuckDB re-deriving every register from the batch table matches
     // bit-for-bit regardless of cardinality.
     QueryDef("g96_stream_hll",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{call_function, expr, lit,
           posexplode, timestamp_micros, unix_timestamp, window, xxhash64}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1193,7 +1211,7 @@ object SynthQueries {
     // never shuffle for the join. Bounded AvailableNow replay == the
     // identical batch join+GROUP BY in DuckDB.
     QueryDef("g97_stream_enrich",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{broadcast, count, expr, lit,
           pmod, timestamp_micros, unix_timestamp, window}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1236,7 +1254,7 @@ object SynthQueries {
     // output projects the KEY SET per hour bucket — deterministic — and
     // the oracle is DuckDB's batch DISTINCT.
     QueryDef("g98_stream_dedup",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{expr, lit, timestamp_micros}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -1274,7 +1292,7 @@ object SynthQueries {
     // AvailableNow replay == the identical batch interval join in
     // DuckDB (micros arithmetic on both sides).
     QueryDef("g99_stream_interval_join",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{expr, timestamp_micros}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -1322,7 +1340,7 @@ object SynthQueries {
     // flushes ALL unmatched rows; the bounded replay then equals the
     // batch LEFT JOIN in DuckDB, nulls included.
     QueryDef("g100_stream_outer_join",
-      (s, d) => {
+      (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val evRaw = s.read.parquet(s"$d/events.parquet")
