@@ -835,8 +835,9 @@ object SynthQueries {
       s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8)),
 
     // distributed BPE merge learning (tokenizer FITTING, not just
-    // application): one corpus pass builds the word-frequency table,
-    // then every iteration runs on that dimension-sized table. No SQL
+    // application): one corpus pass builds the bounded word-frequency
+    // table, then the merge loop runs in memory over those counts with
+    // an incremental pair index (see BpeTrainer scaladoc). No SQL
     // engine replays an iterative argmax-and-rewrite loop — rows-only
     // by design; the learned list is pinned against an independent
     // reference implementation (and proven partitioning-invariant) in

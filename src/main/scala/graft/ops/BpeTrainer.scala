@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE merge learning (Sennrich et al., ACL 2016) — the
@@ -8,18 +8,22 @@ import org.apache.spark.sql.functions._
   * applies tokenizations). The classic formulation is already the
   * scale-correct one: merges are learned from the WORD-FREQUENCY
   * table, so the 100 TB corpus is scanned exactly ONCE (explode +
-  * map-side-combinable word count); every one of the `nMerges`
-  * iterations then runs on the dimension-sized word table — an
-  * adjacent-pair explode weighted by word count, one
-  * map-side-combinable pair-count aggregation, and a single-row argmax
-  * collect (count desc, pair lexicographic asc: a total order, so the
-  * learned merge list is deterministic and partitioning-invariant).
-  * Nothing corpus-sized ever re-shuffles.
+  * map-side-combinable word count, top-`maxVocab` by a total order).
+  * That table is BOUNDED BY CONSTRUCTION (`maxVocab` rows, default
+  * 100k — broadcast-sized, the same contract as collecting k-means
+  * centroids), so the merge loop itself runs driver-local over the
+  * collected counts with the classic incremental pair index: a lazy
+  * max-heap over pair counts plus a pair→words posting index, so each
+  * merge touches only the words that actually contain the winning
+  * pair. This is exactly how production tokenizer trainers split the
+  * work (corpus pass distributed, count-table training in memory);
+  * the earlier formulation that re-shuffled the word table once per
+  * merge spent ~0.5 s of scheduler+shuffle fixed cost per iteration
+  * on a 100k-row table — driver-loop-over-tiny-jobs, the anti-pattern.
   *
-  * The optional `maxVocab` cap bounds the word table for open-domain
-  * corpora (keep the most frequent words — exactly what reference BPE
-  * trainers do); the cap is a top-k by (count desc, word asc), again a
-  * total order.
+  * Argmax order is (count desc, pair lexicographic asc) — a total
+  * order, so the learned merge list is deterministic and trivially
+  * partitioning-invariant (the collected table is a set).
   *
   * No SQL engine replays an iterative argmax-and-rewrite loop, so the
   * driver query (g94) is rows-only by design; correctness is pinned in
@@ -28,10 +32,6 @@ import org.apache.spark.sql.functions._
   * partitioning invariance of the learned list.
   */
 object BpeTrainer {
-
-  // public: the Dataset encoder's generated projection code must
-  // construct it reflectively
-  final case class WordSyms(syms: Seq[String], cnt: Long)
 
   /** End-of-word marker, kept distinct from any real character. */
   val Eow = "</w>"
@@ -42,49 +42,91 @@ object BpeTrainer {
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L, maxVocab: Int = 100000): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges out of range: $nMerges")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // the ONE corpus pass: word frequencies (bounded by maxVocab)
-    val words = df
+    // the ONE corpus pass: word frequencies, top-maxVocab by a total
+    // order. The result is bounded (maxVocab rows) — collecting it is a
+    // broadcast-sized transfer, NOT a collect-the-corpus anti-pattern.
+    val vocab: Array[(String, Long)] = df
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
       .limit(maxVocab)
-    var syms: Dataset[WordSyms] = words
-      .select(col("w"), col("cnt"))
-      .as[(String, Long)]
-      .map { case (w, c) => WordSyms(w.map(_.toString) :+ Eow, c) }
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist()
-    syms.count() // materialize before the loop so each iteration is incremental
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // classic incremental trainer over the bounded table: pair counts +
+    // pair→word posting index + lazy max-heap. Each merge rewrites only
+    // the words that contain the winning pair and delta-updates counts.
+    val syms = vocab.map { case (w, _) =>
+      scala.collection.mutable.ArrayBuffer[String](w.map(_.toString) :+ Eow: _*) }
+    val cnts = vocab.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def wordPairs(s: scala.collection.Seq[String]): Iterator[(String, String)] =
+      s.iterator.zip(s.iterator.drop(1))
+    syms.indices.foreach { i =>
+      wordPairs(syms(i)).foreach { p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnts(i)
+        pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += i
+      }
+    }
+    // max-heap with lazy invalidation: entries are (count-at-push, pair);
+    // an entry is live iff its count still matches pairCounts. Ordering:
+    // count desc, then pair lexicographic ASC (so the heap's max is the
+    // lexicographically smallest among tied counts).
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (c, l, r) => (c, l, r)
+      }(Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      // weighted adjacent-pair counts over the word table
-      val top = syms.flatMap(ws =>
-          ws.syms.iterator.zip(ws.syms.iterator.drop(1))
-            .map { case (a, b) => ((a, b), ws.cnt) })
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), c) => (a, b, c) }
-        .toDF("l", "r", "c")
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top.head.getLong(2) < minCount) exhausted = true
-      else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((rank, l, r, c))
-        val next = syms.map(ws => WordSyms(mergeOnce(ws.syms, l, r), ws.cnt)).persist()
-        next.count()
-        syms.unpersist()
-        syms = next
-        rank += 1
+      // pop until a live entry surfaces
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (pairCounts.getOrElse((l, r), 0L) == c && c > 0L) best = Some((c, l, r))
+      }
+      best match {
+        case Some((c, l, r)) if c >= minCount =>
+          merges += ((rank, l, r, c))
+          val touched = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          val affected = pairWords.getOrElse((l, r), scala.collection.mutable.HashSet.empty[Int])
+          affected.toArray.foreach { i =>
+            val before = wordPairs(syms(i)).toArray
+            val merged = mergeOnce(syms(i).toSeq, l, r)
+            syms(i).clear(); syms(i) ++= merged
+            val after = wordPairs(syms(i)).toArray
+            before.foreach { p =>
+              pairCounts(p) = pairCounts.getOrElse(p, 0L) - cnts(i)
+              touched(p) = 0L
+            }
+            after.foreach { p =>
+              pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnts(i)
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty[Int]) += i
+              touched(p) = 0L
+            }
+            // posting-index maintenance: i may have lost pairs entirely
+            val afterSet = after.toSet
+            before.foreach { p =>
+              if (!afterSet.contains(p)) pairWords.get(p).foreach(_ -= i)
+            }
+          }
+          touched.keysIterator.foreach { p =>
+            val c2 = pairCounts.getOrElse(p, 0L)
+            if (c2 <= 0L) { pairCounts.remove(p); pairWords.remove(p) }
+            else heap.enqueue((c2, p._1, p._2))
+          }
+          rank += 1
+        case _ => exhausted = true
       }
     }
-    syms.unpersist()
     merges.toSeq
   }
 
