@@ -2751,6 +2751,181 @@ object PipelineQueries {
       FROM v"""),
   )
 
+  /** k-anonymity / l-diversity audit (graft.ops.Privacy.kAnonymityAudit)
+    * over the customer table: quasi-identifiers (nation, market
+    * segment), sensitive attribute = account-balance band computed in
+    * integer cents. One keyed aggregation; every output integer.
+    */
+  val q110_k_anonymity = QueryDef(
+    "q110_k_anonymity",
+    (s, d) => {
+      val centsBal = round(col("c_acctbal") * 100).cast("long")
+      val band = when(centsBal < 0L, lit("DEBT"))
+        .when(centsBal < 500000L, lit("LOW")).otherwise(lit("HIGH"))
+      graft.ops.Privacy.kAnonymityAudit(
+        s.read.parquet(s"$d/customer.parquet").withColumn("bal_band", band),
+        Seq("c_nationkey", "c_mktsegment"), col("bal_band"), k = 10, l = 3)
+    },
+    Some("""WITH c AS (SELECT c_nationkey, c_mktsegment,
+        CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0 THEN 'DEBT'
+             WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 500000 THEN 'LOW'
+             ELSE 'HIGH' END AS band
+      FROM customer)
+      SELECT c_nationkey, c_mktsegment,
+        CAST(count(*) AS BIGINT) AS class_size,
+        CAST(count(DISTINCT band) AS BIGINT) AS n_sensitive,
+        CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS INT) AS k_anonymous,
+        CAST(CASE WHEN count(DISTINCT band) >= 3 THEN 1 ELSE 0 END AS INT) AS l_diverse
+      FROM c GROUP BY c_nationkey, c_mktsegment"""),
+  )
+
+  /** Deterministic keyed pseudonymization (graft.ops.Privacy
+    * .pseudonymizeKey): customer keys become salted-hash tokens, the
+    * orders table is tokenized INDEPENDENTLY with the same salt, and
+    * the per-customer order counts are joined ON THE TOKENS — the
+    * joinability-preservation contract, exercised for real. The oracle
+    * replays the token with the DuckXxHash XXH64 chain and joins on
+    * the raw key (equivalent because the PRF is injective on this
+    * domain — asserted by PrivacySpec's collision test).
+    */
+  val q111_pseudonymize: QueryDef = {
+    val salt = 6364136223846793005L
+    QueryDef(
+      "q111_pseudonymize",
+      (s, d) => {
+        val tok = graft.ops.Privacy.pseudonymizeKey(col("c_custkey"), salt)
+        val otok = graft.ops.Privacy.pseudonymizeKey(col("o_custkey"), salt)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(tok.as("cust_token"))
+        val perCust = s.read.parquet(s"$d/orders.parquet")
+          .groupBy(otok.as("cust_token")).agg(count(lit(1)).as("n_orders"))
+        cust.join(perCust, Seq("cust_token"), "left")
+          .select(col("cust_token"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some {
+        import DuckXxHash._
+        val ch = chain("s0",
+          s"SELECT c_custkey, ${unsigned("c_custkey")} AS v FROM customer")
+          .steps(hashLongSteps("t1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("t2", s"${BigInt(salt)}::HUGEINT", "t1out"))
+        val ch2 = ch
+          .cte("tok", s"SELECT c_custkey, ${signed("t2out")} AS cust_token FROM ${ch.last}")
+          .cte("oc", "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey")
+        ch2.render(
+          """SELECT cust_token, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+          FROM tok LEFT JOIN oc ON c_custkey = o_custkey""")
+      },
+    )
+  }
+
+  /** Differentially-private count release (graft.ops.Privacy
+    * .dpNoisyCounts): per-nation customer counts + truncated two-sided
+    * geometric noise at eps=1. The noise is a PRF of (seed, nation key)
+    * mapped through a 41-entry fixed-point threshold table; the oracle
+    * bakes the SAME constants and replays the hash, so the released
+    * histogram matches bit-for-bit — the auditable-DP-release pattern.
+    */
+  val q112_dp_counts: QueryDef = {
+    val seed = 2026L
+    QueryDef(
+      "q112_dp_counts",
+      (s, d) => graft.ops.Privacy.dpNoisyCounts(
+        s.read.parquet(s"$d/customer.parquet"), "c_nationkey", seed = seed),
+      Some {
+        import DuckXxHash._
+        val ths = graft.ops.Privacy.geometricThresholds(1.0, 20)
+        val caseSql = "CASE " +
+          ths.init.map { case (t, nz) => s"WHEN u32 < $t THEN ($nz)" }.mkString(" ") +
+          s" ELSE (${ths.last._2}) END"
+        val ch = chain("s0",
+          s"SELECT c_nationkey, ${unsigned("c_nationkey")} AS v, " +
+            "count(*) AS tc FROM customer GROUP BY 1, 2")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .steps(hashLongSteps("h2", s"$seed::HUGEINT", "h1out"))
+        val ch2 = ch.cte("noz",
+          s"SELECT c_nationkey, tc, ($caseSql) AS noise FROM " +
+            s"(SELECT *, ${pmod("h2out", 4294967296L)} AS u32 FROM ${ch.last})")
+        ch2.render(
+          """SELECT c_nationkey,
+            CAST(CASE WHEN tc + noise < 0 THEN 0 ELSE tc + noise END AS BIGINT)
+              AS released_count
+          FROM noz""")
+      },
+    )
+  }
+
+  /** MMR diversification (graft.ops.Mmr.diversify): top-8 cosine
+    * candidates per query vector, greedily re-ranked with λ=0.7 so the
+    * picked 3 trade relevance against redundancy. The greedy loop runs
+    * per-query inside flatMapGroups (bounded candidates, parallel
+    * across queries); the oracle unrolls the same three rounds in SQL
+    * over the same integer micro-cosines.
+    */
+  val q113_mmr_diversify = QueryDef(
+    "q113_mmr_diversify",
+    (s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      val joined = e.join(q, col("vec_id") =!= col("qid"))
+      val rel = round(graft.ops.Similarity.cosine(joined, col("qv"), col("v")) * 1000000)
+        .cast("long")
+      val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("id"))
+      val cands = joined
+        .select(col("qid"), col("vec_id").as("id"), rel.as("rel"), col("v"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .drop("rn")
+      graft.ops.Mmr.diversify(cands, "qid", "id", "rel", "v",
+        k = 3, lambdaPermille = 700L)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nv FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM n WHERE vec_id % 100 = 0),
+      sc AS (SELECT qid, vec_id AS id,
+               CAST(round(list_sum([qv[i] * v[i] for i in generate_series(1, len(v))])
+                 / (nq * nv) * 1000000) AS BIGINT) AS rel
+             FROM n, q WHERE vec_id <> qid),
+      cand AS (SELECT qid, id, rel FROM
+                 (SELECT *, row_number() OVER
+                    (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM sc)
+               WHERE rn <= 8),
+      cv AS (SELECT c.qid, c.id, c.rel, n.v, n.nv
+             FROM cand c JOIN n ON c.id = n.vec_id),
+      ps AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+               CAST(round(list_sum([a.v[i] * b.v[i]
+                   for i in generate_series(1, len(a.v))])
+                 / (a.nv * b.nv) * 1000000) AS BIGINT) AS sim
+             FROM cv a JOIN cv b ON a.qid = b.qid AND a.id <> b.id),
+      s1 AS (SELECT qid, id AS sid, 700 * rel AS score FROM
+               (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM cand)
+             WHERE rn = 1),
+      r2 AS (SELECT c.qid, c.id, 700 * c.rel - 300 * p.sim AS score
+             FROM cand c JOIN s1 ON c.qid = s1.qid AND c.id <> s1.sid
+             JOIN ps p ON p.qid = c.qid AND p.ia = c.id AND p.ib = s1.sid),
+      s2 AS (SELECT qid, id AS sid, score FROM
+               (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY score DESC, id) AS rn FROM r2)
+             WHERE rn = 1),
+      r3 AS (SELECT c.qid, c.id,
+               700 * c.rel - 300 * greatest(p1.sim, p2.sim) AS score
+             FROM cand c JOIN s1 ON c.qid = s1.qid AND c.id <> s1.sid
+             JOIN s2 ON c.qid = s2.qid AND c.id <> s2.sid
+             JOIN ps p1 ON p1.qid = c.qid AND p1.ia = c.id AND p1.ib = s1.sid
+             JOIN ps p2 ON p2.qid = c.qid AND p2.ia = c.id AND p2.ib = s2.sid),
+      s3 AS (SELECT qid, id AS sid, score FROM
+               (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY score DESC, id) AS rn FROM r3)
+             WHERE rn = 1)
+      SELECT qid, CAST(1 AS BIGINT) AS rnk, sid AS id,
+        CAST(score AS BIGINT) AS mmr_score FROM s1
+      UNION ALL SELECT qid, CAST(2 AS BIGINT), sid, CAST(score AS BIGINT) FROM s2
+      UNION ALL SELECT qid, CAST(3 AS BIGINT), sid, CAST(score AS BIGINT) FROM s3"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2773,6 +2948,7 @@ object PipelineQueries {
     q97_token_ids, q98_setsim_join, q99_bm25_scores, q100_hybrid_rrf,
     q101_fuzzy_names, q102_quality_gate, q103_batch_sessions, q104_scd2_versions,
     q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
-    q108_soundex_block, q109_zonemap_prune,
+    q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
+    q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
   )
 }
