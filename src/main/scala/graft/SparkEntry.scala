@@ -1400,6 +1400,66 @@ object SynthQueries {
           AND p.us >= v.us AND p.us <= v.us + 1800000000
         WHERE v.event_type = 'view'""")),
 
+    // CHAINED stateful operators in ONE streaming query (Spark 3.4+
+    // multi-stateful support): dropDuplicatesWithinWatermark FOLLOWED
+    // BY a tumbling-window aggregation — the production shape for
+    // "count unique actors per hour" over an at-least-once source.
+    // Multiple stateful operators force append mode, so a far-future
+    // sentinel row (g57's trick) advances the watermark past every
+    // real window in the trailing micro-batch. The sentinel must NOT
+    // be filtered out before the watermark node — Catalyst pushes the
+    // filter through EventTimeWatermark into the scan, and the clock
+    // never advances (observed: the last two windows stayed in state).
+    // Instead it flows through: its own window ends 10 h past the
+    // final watermark, so append mode never emits it — self-excluding.
+    QueryDef("g101_stream_dedup_counts",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{count, expr, lit, max,
+          timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g101_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a_events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val sentinelNs = maxNs + 36000L * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
+        val tmpOut = java.nio.file.Files.createTempDirectory("g101_sentinel")
+        evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+          .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+        val name = "g101_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .withColumn("bucket_s", expr("ts div 3600000000000 * 3600"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_s")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n_unique"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("n_unique"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT bucket_s, CAST(count(*) AS BIGINT) AS n_unique FROM (
+          SELECT DISTINCT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
+            AS bucket_s, user_id, event_type FROM events)
+        GROUP BY bucket_s""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
