@@ -192,4 +192,105 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------- audio (RIFF/WAV)
+
+  /** Encode 16-bit PCM samples as a canonical RIFF/WAV byte payload
+    * (44-byte header + little-endian samples) — the fixture encoder for
+    * the audio path and a usable sink for synthesized audio columns.
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Int, channels: Int): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1)
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                     // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)       // byte rate
+      .putShort((channels * 2).toShort)        // block align
+      .putShort(16.toShort)                    // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL RIFF/WAV parse: validates the RIFF/WAVE container, walks the
+    * chunk list (unknown chunks are skipped by their declared size, so
+    * files with LIST/INFO metadata between fmt and data parse fine),
+    * requires PCM 16-bit, and computes integer features from the data
+    * chunk. Returns (sampleRate, channels, nSamplesPerChannel, peak,
+    * sumSq) or None for anything that isn't a readable PCM wav.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
+      val id = tag(pos)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((bb.getShort(pos + 8).toInt, bb.getShort(pos + 10).toInt,
+            bb.getInt(pos + 12)))
+          bits = bb.getShort(pos + 22).toInt
+        case "data" =>
+          dataOff = pos + 8; dataLen = size
+        case _ => () // skip LIST/INFO/fact/...
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((1, channels, rate)) if bits == 16 && dataOff >= 0 && channels >= 1 =>
+        val n = dataLen / 2
+        var (i, peak, sumSq) = (0, 0L, 0L)
+        while (i < n) {
+          val s = bb.getShort(dataOff + i * 2).toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s * s
+          i += 1
+        }
+        Some((rate, channels, n.toLong / channels, peak, sumSq))
+      case _ => None
+    }
+  }
+
+  /** Audio feature extraction behind the same typed mapPartitions seam
+    * as [[decodeFeatures]]: appends sample_rate / channels / n_samples /
+    * duration_ms / peak / amp_sum_sq (all integer — engine-portable),
+    * null row on undecodable payloads. Embarrassingly parallel scan
+    * stage, no shuffle.
+    */
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("n_samples", LongType), StructField("duration_ms", LongType),
+      StructField("peak", LongType), StructField("amp_sum_sq", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        decodeWav(bytes) match {
+          case Some((rate, ch, n, peak, sumSq)) =>
+            // Seq[Any]: a plain Seq literal would numerically widen the
+            // Ints to Long and break the Row encoder's INT fields
+            Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, n, n * 1000L / rate, peak, sumSq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }
+  }
 }

@@ -2926,6 +2926,50 @@ object PipelineQueries {
       UNION ALL SELECT qid, CAST(3 AS BIGINT), sid, CAST(score AS BIGINT) FROM s3"""),
   )
 
+  /** Real audio parsing for the multimodal family (graft.ops.Multimodal
+    * .wavBytes/audioFeatures): each document gets a deterministic
+    * 16-bit PCM payload — REAL RIFF/WAV bytes, built then parsed back
+    * by the chunk-walking decoder, not a stub — and the extracted
+    * integer features (rate, channels, samples, duration, peak, energy)
+    * must equal the closed-form recomputation DuckDB does from the same
+    * sample formula. The byte round-trip is the thing under test; the
+    * oracle never sees bytes.
+    */
+  val q114_audio_features = QueryDef(
+    "q114_audio_features",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val base = docs(s, d).select(col("doc_id"))
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val withWav = base.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (400 + id % 800).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+          Row(id, graft.ops.Multimodal.wavBytes(samples, 16000, 1))
+        }
+      }
+      graft.ops.Multimodal.audioFeatures(withWav, "payload")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("peak"), col("amp_sum_sq"))
+    },
+    Some("""WITH nn AS (SELECT doc_id, 400 + doc_id % 800 AS n FROM documents),
+      s AS (SELECT doc_id, n,
+              unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM nn),
+      v AS (SELECT doc_id, n,
+              ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp FROM s)
+      SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+        CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(max(n) * 1000 // 16000 AS BIGINT) AS duration_ms,
+        CAST(max(abs(smp)) AS BIGINT) AS peak,
+        CAST(sum(smp * smp) AS BIGINT) AS amp_sum_sq
+      FROM v GROUP BY doc_id"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2950,5 +2994,6 @@ object PipelineQueries {
     q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
     q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
+    q114_audio_features,
   )
 }

@@ -86,6 +86,52 @@ class PrivacySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 12L)))
   }
 
+  test("wav: encode/decode round-trip recovers rate, channels, samples, peak, energy") {
+    import graft.ops.Multimodal
+    val samples = Array[Short](100, -200, 300, -32768)
+    val bytes = Multimodal.wavBytes(samples, 8000, 1)
+    assert(bytes.length == 44 + 8)
+    val Some((rate, ch, n, peak, sumSq)) = Multimodal.decodeWav(bytes)
+    assert((rate, ch, n) == ((8000, 1, 4L)))
+    assert(peak == 32768L)
+    assert(sumSq == 100L * 100 + 200L * 200 + 300L * 300 + 32768L * 32768)
+    // stereo: per-channel sample count halves
+    val st = Multimodal.decodeWav(Multimodal.wavBytes(samples, 44100, 2)).get
+    assert(st._2 == 2 && st._3 == 2L)
+  }
+
+  test("wav: unknown chunks between fmt and data are skipped; corrupt payloads reject") {
+    import graft.ops.Multimodal
+    val samples = Array[Short](1, 2, 3)
+    val plain = Multimodal.wavBytes(samples, 16000, 1)
+    // splice a LIST chunk (8 + 6 bytes, word-aligned) before "data"
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = plain.slice(0, 36) ++ listChunk ++ plain.slice(36, plain.length)
+    // fix the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    assert(Multimodal.decodeWav(spliced) == Multimodal.decodeWav(plain))
+    // corrupt: truncated header, non-RIFF garbage, declared size past EOF
+    assert(Multimodal.decodeWav(plain.slice(0, 20)) == None)
+    assert(Multimodal.decodeWav(Array.fill[Byte](64)(7)) == None)
+    val bad = plain.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 100000)
+    assert(Multimodal.decodeWav(bad) == None)
+  }
+
+  test("audioFeatures: features for valid wavs, nulls for corrupt payloads") {
+    import graft.ops.Multimodal
+    val good = Multimodal.wavBytes(Array[Short](10, -20), 1000, 1)
+    val df = Seq((1L, good), (2L, Array.fill[Byte](10)(1))).toDF("id", "payload")
+    val rows = Multimodal.audioFeatures(df, "payload").orderBy("id").collect()
+    assert(rows(0).getInt(2) == 1000 && rows(0).getLong(4) == 2L &&
+      rows(0).getLong(5) == 2L * 1000 / 1000 && rows(0).getLong(6) == 20L &&
+      rows(0).getLong(7) == 500L)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(6))
+  }
+
   test("mmr: rank-1 is argmax relevance, scores follow the integer formula") {
     val cands = Seq(
       (5L, 1L, 500000L, Seq(1.0, 0.0)),
