@@ -1460,6 +1460,75 @@ object SynthQueries {
             AS bucket_s, user_id, event_type FROM events)
         GROUP BY bucket_s""")),
 
+    // transformWithState (Spark 4 arbitrary stateful processing v2)
+    // made driver-visible: per-user event-type profiles in MapState,
+    // flushed by an event-time timer per key (see streaming/
+    // TypeCountProcessor). RocksDB state store — the provider TWS
+    // requires and the one a production deployment runs anyway;
+    // restored after the query so the rest of the suite keeps the
+    // default. The sentinel advances the watermark past every real
+    // user's flush timer; its own timer sits past the final watermark,
+    // so it self-excludes.
+    QueryDef("g102_stream_tws_profile",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val oldProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val evRaw = s.read.parquet(s"$d/events.parquet")
+          val ev = graft.queries.EventTs.toNanos(evRaw)
+          val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+          val streamDir = java.nio.file.Files.createTempDirectory("g102_events")
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve("a_events.parquet"),
+            java.nio.file.Paths.get(s"$d/events.parquet"))
+          val sentinelNs = maxNs + 36000L * 1000000000L
+          val sentinelTs = evRaw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+            case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+          }
+          val tmpOut = java.nio.file.Files.createTempDirectory("g102_sentinel")
+          evRaw.limit(1).select(
+            lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+            .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val part = java.nio.file.Files.list(tmpOut)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+          val name = "g102_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          import s.implicits._
+          val src = graft.queries.EventTs.toNanos(
+            s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_time", "1 hour")
+            .select(col("user_id").cast("long").as("uid"),
+              expr("ts div 1000000").as("ts_ms"), col("event_type"))
+            .as[(Long, Long, String)]
+          val q = src.groupByKey(_._1)
+            .transformWithState(new graft.streaming.TypeCountProcessor,
+              TimeMode.EventTime(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
+            .toDF("user_id", "event_type", "n")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(name).filter(col("user_id") >= 0)
+        } finally {
+          oldProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
