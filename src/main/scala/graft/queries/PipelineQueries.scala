@@ -2970,6 +2970,42 @@ object PipelineQueries {
       FROM v GROUP BY doc_id"""),
   )
 
+  /** Incremental aggregate maintenance (graft.ops.IncrementalAgg): the
+    * events table split into a "history" and a "new batch" slice, each
+    * summarized once, then algebraically merged — count/sum/min/max by
+    * arithmetic, distinct users by KMV sketch union (exact regime: the
+    * sketch IS the hash set at k=8192 ≫ per-key users at every driver
+    * SF). The oracle computes the same rollup from the WHOLE table in
+    * one pass: merge(summarize(A), summarize(B)) == summarize(A∪B) is
+    * exactly what's being hash-checked.
+    */
+  val q115_incremental_agg = QueryDef(
+    "q115_incremental_agg",
+    (s, d) => {
+      val k = 8192
+      val keys = Seq("event_type", "day")
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        col("user_id"), expr("ts div 86400000000000").as("day"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+      def slice(pred: org.apache.spark.sql.Column) = graft.ops.IncrementalAgg.summarize(
+        ev.filter(pred), keys, col("v_micro"), col("user_id"), k)
+      val merged = graft.ops.IncrementalAgg.merge(
+        slice(col("event_id") % 3 =!= 0), slice(col("event_id") % 3 === 0), keys, k)
+      merged.select(col("event_type"), col("day"), col("n"),
+        col("sum_v").as("sum_micro"), col("min_v").as("min_micro"),
+        col("max_v").as("max_micro"),
+        graft.ops.Sketches.kmvEstimate(col("kmv"), k).as("n_users"))
+    },
+    Some("""SELECT event_type,
+        CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+        CAST(min(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS min_micro,
+        CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_micro,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -2994,6 +3030,6 @@ object PipelineQueries {
     q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
     q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
-    q114_audio_features,
+    q114_audio_features, q115_incremental_agg,
   )
 }
