@@ -31,6 +31,8 @@ object PlanAudit {
     "q82_sketch_overlap",  // deliberate: 5x5 sketch-table pair fan-out (a < b)
     "q87_hard_negatives",  // deliberate: broadcast query side vs all vectors (q27 shape + label predicate)
     "q100_hybrid_rrf",     // deliberate: dense side is the q27 broadcast theta-join
+    "q107_pmi_bigrams",    // deliberate: crossJoin(broadcast(total)) of a 1-ROW aggregate
+    "q113_mmr_diversify",  // deliberate: broadcast query side vs all vectors (q27 shape)
   )
 
   def main(args: Array[String]): Unit = {
