@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust statistics for data-quality gates: median/MAD outlier
+  * detection (Hampel's rule — the mean/stddev z-score's breakdown
+  * point is zero; one corrupted shard shifts both, while the median
+  * and MAD tolerate up to 50% contamination). Everything nearest-rank
+  * integer, so reports replay exactly in any SQL engine.
+  *
+  * Scale shape: two exact-quantile passes (each one keyed shuffle
+  * reused by window + aggregation, ops/Quantiles' contract) and two
+  * broadcast joins of the dimension-sized per-key statistic tables.
+  */
+object Robust {
+
+  /** Per-key robust outlier report: nearest-rank median, MAD (median
+    * absolute deviation), and how many values violate
+    * |v − med| · thresholdDen > MAD · thresholdNum (default 3·MAD —
+    * Hampel's rule; the ratio form keeps the test in exact integers).
+    */
+  def madOutlierReport(df: DataFrame, keyCol: String, valCol: Column,
+      tieCol: Column, thresholdNum: Long = 3L, thresholdDen: Long = 1L): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= 1)
+    val base = df.select(col(keyCol), valCol.as("__v"), tieCol.as("__t"))
+    val med = Quantiles.exactQuantiles(base, keyCol, col("__v"), col("__t"), Seq(50))
+      .select(col(keyCol), col("n"), col("p50").as("med"))
+    val withMed = base.join(broadcast(med), keyCol)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = Quantiles.exactQuantiles(withMed, keyCol, col("__dev"), col("__t"), Seq(50))
+      .select(col(keyCol), col("p50").as("mad"))
+    withMed.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__dev") * thresholdDen > col("mad") * thresholdNum, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

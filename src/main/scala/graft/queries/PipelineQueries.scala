@@ -3006,6 +3006,72 @@ object PipelineQueries {
       FROM events GROUP BY 1, 2"""),
   )
 
+  /** Robust per-type outlier report (graft.ops.Robust.madOutlierReport):
+    * nearest-rank median + MAD with Hampel's 3·MAD rule, all integer
+    * micros — the drift/corruption gate whose statistics a single bad
+    * shard cannot shift (unlike mean/stddev z-scores).
+    */
+  val q116_mad_outliers = QueryDef(
+    "q116_mad_outliers",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+      graft.ops.Robust.madOutlierReport(ev, "event_type",
+        col("v_micro"), col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+          CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      r AS (SELECT event_type, event_id, v,
+          row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS med
+        FROM r GROUP BY event_type),
+      d AS (SELECT v.event_type, v.event_id, abs(v.v - m.med) AS dev,
+          m.med, m.n FROM v JOIN m USING (event_type)),
+      r2 AS (SELECT event_type, dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+      md AS (SELECT event_type,
+          max(CASE WHEN rn = (n2 * 50 + 99) // 100 THEN dev END) AS mad
+        FROM r2 GROUP BY event_type)
+      SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+        CAST(max(d.med) AS BIGINT) AS med, CAST(max(md.mad) AS BIGINT) AS mad,
+        CAST(sum(CASE WHEN d.dev * 1 > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM d JOIN md USING (event_type) GROUP BY d.event_type"""),
+  )
+
+  /** OHLC time-series downsampling (graft.ops.TimeSeries.ohlc): per
+    * (type, day) open/high/low/close in integer micros — the lossy
+    * compaction that keeps bucket shape. One keyed shuffle, both
+    * row_number windows share it.
+    */
+  val q117_ohlc = QueryDef(
+    "q117_ohlc",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"), col("ts"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+      graft.ops.TimeSeries.ohlc(ev, Seq("event_type", "day"),
+        col("ts"), col("v_micro"), col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_type,
+          CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+          epoch_ns(ts) AS ns, event_id,
+          CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY event_type, day
+            ORDER BY ns, event_id) AS rna,
+          row_number() OVER (PARTITION BY event_type, day
+            ORDER BY ns DESC, event_id DESC) AS rnd FROM v)
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        CAST(max(CASE WHEN rna = 1 THEN v END) AS BIGINT) AS open,
+        CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+        CAST(max(CASE WHEN rnd = 1 THEN v END) AS BIGINT) AS close
+      FROM r GROUP BY event_type, day"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3030,6 +3096,7 @@ object PipelineQueries {
     q105_classifier_eval, q106_calibration, q107_pmi_bigrams,
     q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
-    q114_audio_features, q115_incremental_agg,
+    q114_audio_features, q115_incremental_agg, q116_mad_outliers,
+    q117_ohlc,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Robust, TimeSeries}
+
+/** Robust MAD outlier gate and OHLC downsampling. */
+class RobustSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("mad outliers: hand-checked median/MAD, single spike flagged, mean-shift immune") {
+    // values 1..9 plus a huge spike: median 5 (of 10 values: nearest-rank
+    // ceil(10*0.5)=5th of sorted -> 5), MAD of deviations, spike flagged
+    val vals = (1L to 9L) :+ 1000L
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", v, i.toLong) }
+      .toDF("key", "v", "id")
+    val r = Robust.madOutlierReport(df, "key", col("v"), col("id")).collect().head
+    assert(r.getLong(1) == 10L)   // n
+    assert(r.getLong(2) == 5L)    // med: sorted(1..9,1000), rank 5 -> 5
+    // deviations |v-5|: 4,3,2,1,0,1,2,3,4,995 sorted 0,1,1,2,2,3,3,4,4,995
+    // rank ceil(10*0.5)=5 -> 2
+    assert(r.getLong(3) == 2L)    // mad
+    // outliers: dev > 3*2=6 -> only the spike (dev 995)
+    assert(r.getLong(4) == 1L)
+    // a classical z-score would see stddev ~314 and flag nothing:
+    // the robust gate is the point
+  }
+
+  test("mad outliers: zero-MAD degenerate key flags any deviation") {
+    val df = (Seq.fill(9)(5L) :+ 6L).zipWithIndex
+      .map { case (v, i) => ("k", v, i.toLong) }.toDF("key", "v", "id")
+    val r = Robust.madOutlierReport(df, "key", col("v"), col("id")).collect().head
+    assert(r.getLong(2) == 5L && r.getLong(3) == 0L && r.getLong(4) == 1L)
+  }
+
+  test("ohlc: open/close follow event time with tie-break, extremes exact") {
+    val df = Seq(
+      ("a", 1L, 10L, 100L), // open (earliest ts)
+      ("a", 5L, 11L, 50L),  // low
+      ("a", 5L, 12L, 900L), // high; ties on ts -> id 12 later than 11
+      ("a", 9L, 13L, 200L), // close (latest ts)
+      ("b", 2L, 20L, 7L),
+    ).toDF("key", "ts", "id", "v")
+    val out = TimeSeries.ohlc(df, Seq("key"), col("ts"), col("v"), col("id"))
+      .orderBy("key").collect()
+    assert(out(0).toSeq == Seq("a", 4L, 100L, 900L, 50L, 200L))
+    assert(out(1).toSeq == Seq("b", 1L, 7L, 7L, 7L, 7L))
+    // tie on the closing timestamp: highest id wins
+    val tied = TimeSeries.ohlc(
+      Seq(("k", 5L, 1L, 111L), ("k", 5L, 2L, 222L)).toDF("key", "ts", "id", "v"),
+      Seq("key"), col("ts"), col("v"), col("id")).collect().head
+    assert(tied.getLong(2) == 111L && tied.getLong(5) == 222L) // open id1, close id2
+  }
+}
