@@ -1529,6 +1529,71 @@ object SynthQueries {
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, event_type""")),
 
+    // Spark's NATIVE session_window aggregation in streaming (the
+    // declarative alternative to the custom flatMapGroupsWithState
+    // sessionizer g57 exercises): watermarked per-user session windows
+    // with a 30-minute gap, append mode, final sessions flushed by the
+    // g101 sentinel pattern (the sentinel's own session ends past the
+    // final watermark, so it self-excludes). Session semantics pinned
+    // by the oracle: a new session starts when the gap is >= 30 min
+    // (windows [t, t+gap) merge only when they OVERLAP), end = last
+    // event + gap.
+    QueryDef("g103_stream_session_window",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{count, expr, lit, max,
+          session_window, timestamp_micros, unix_timestamp}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g103_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a_events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val sentinelNs = maxNs + 36000L * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
+        val tmpOut = java.nio.file.Files.createTempDirectory("g103_sentinel")
+        evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+          .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+        val name = "g103_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("start_s"),
+            unix_timestamp(col("session_window.end")).as("end_s"),
+            col("n_events"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).filter(col("user_id") >= 0)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        o AS (SELECT user_id, us,
+            lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        g AS (SELECT user_id, us,
+            sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS start_s,
+          CAST(max(us) // 1000000 + 1800 AS BIGINT) AS end_s,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")

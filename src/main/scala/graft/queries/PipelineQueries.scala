@@ -3072,6 +3072,31 @@ object PipelineQueries {
       FROM r GROUP BY event_type, day"""),
   )
 
+  /** Column-level AES encryption for PII at rest (Spark's built-in
+    * aes_encrypt/aes_decrypt, ECB for a deterministic ciphertext): the
+    * name column encrypts, decrypts back, and must round-trip
+    * byte-identically. No SQL engine shares Spark's cipher, so the
+    * oracle checks the two things it CAN derive independently: the
+    * PKCS7-padded ciphertext length (16·(len/16 + 1)) and the
+    * round-trip identity flag the query itself computes — a
+    * self-validating derived view, same pattern as the g66 checksum
+    * re-derivations.
+    */
+  val q118_aes_roundtrip = QueryDef(
+    "q118_aes_roundtrip",
+    (s, d) =>
+      s.read.parquet(s"$d/customer.parquet").select(col("c_custkey"),
+        length(expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')"))
+          .as("ct_len"),
+        (expr("CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'), " +
+          "'0123456789abcdef', 'ECB') AS STRING)") === col("c_name"))
+          .cast("int").as("roundtrip_ok")),
+    Some("""SELECT c_custkey,
+        CAST(16 * (length(c_name) // 16 + 1) AS INT) AS ct_len,
+        1 AS roundtrip_ok
+      FROM customer"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3097,6 +3122,6 @@ object PipelineQueries {
     q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
-    q117_ohlc,
+    q117_ohlc, q118_aes_roundtrip,
   )
 }
