@@ -3097,6 +3097,125 @@ object PipelineQueries {
       FROM customer"""),
   )
 
+  /** Semi-structured JSON handling (the events.props column, unused
+    * until now): BOTH lowerings — schema'd from_json and schemaless
+    * get_json_object — extract the same field, and the query asserts
+    * their agreement row-by-row while aggregating. DuckDB replays with
+    * its own json_extract.
+    */
+  val q119_json_props = QueryDef(
+    "q119_json_props",
+    (s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val ev = events(s, d)
+      val k = from_json(col("props"),
+        StructType(Seq(StructField("k", LongType))))("k")
+      val k2 = get_json_object(col("props"), "$.k").cast("long")
+      ev.select(col("event_type"), k.as("k"), k2.as("k2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          sum(when(col("k") === col("k2"), 1L).otherwise(0L)).as("paths_agree"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          AS n_distinct_k,
+        CAST(count(*) AS BIGINT) AS paths_agree
+      FROM events GROUP BY event_type"""),
+  )
+
+  /** One-pass dataset profile (graft.ops.Stats.tableProfile): the
+    * ANALYZE TABLE a pipeline runs on every new drop — per-column
+    * row/null/distinct counts + string byte budget, all from a SINGLE
+    * aggregation melted via stack(); the oracle recomputes each column
+    * independently and unions.
+    */
+  val q120_table_profile = QueryDef(
+    "q120_table_profile",
+    (s, d) => graft.ops.Stats.tableProfile(
+      s.read.parquet(s"$d/customer.parquet")),
+    Some {
+      val cols = Seq("c_custkey" -> false, "c_name" -> true,
+        "c_nationkey" -> false, "c_acctbal" -> false, "c_mktsegment" -> true)
+      cols.map { case (c, isStr) =>
+        val len = if (isStr) s"CAST(sum(length($c)) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          $len AS total_len FROM customer"""
+      }.mkString(" UNION ALL ")
+    },
+  )
+
+  /** Fellegi–Sunter record linkage (graft.ops.EntityResolution.score)
+    * over a two-source link: source B is the customer table with a
+    * deterministic data-entry error injected (every 5th name loses its
+    * last character, every 7th segment is mangled). Candidates come
+    * from equi-join BLOCKING on the custkey band (never all-pairs);
+    * each pair scores three field comparisons — fuzzy name
+    * (levenshtein ≤ 1), segment equality, balance-band equality — with
+    * baked milli log-likelihood weights, and the two thresholds split
+    * match / possible / non_match. The oracle replays every flag,
+    * score, and decision with its own levenshtein and the same
+    * constants.
+    */
+  val q121_record_linkage = QueryDef(
+    "q121_record_linkage",
+    (s, d) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val a = cust.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("c_mktsegment").as("a_seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("a_band"),
+        expr("c_custkey div 5").as("block"))
+      val b = cust.select(col("c_custkey").as("b_key"),
+        when(col("c_custkey") % 5 === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("b_name"),
+        when(col("c_custkey") % 7 === 0, lit("ALTERED"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("b_band"),
+        expr("c_custkey div 5").as("block"))
+      val pairs = a.join(b, "block")
+      import graft.ops.EntityResolution.FieldRule
+      graft.ops.EntityResolution.score(pairs, Seq(
+        FieldRule("name", levenshtein(col("a_name"), col("b_name")) <= 1, 2400L, -1200L),
+        FieldRule("seg", col("a_seg") === col("b_seg"), 1600L, -800L),
+        FieldRule("band", col("a_band") === col("b_band"), 1000L, -500L)),
+        upperMilli = 3500L, lowerMilli = 1000L)
+        .select(col("a_key"), col("b_key"), col("name_agree"), col("seg_agree"),
+          col("band_agree"), col("score"), col("decision"))
+    },
+    Some("""WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name,
+          c_mktsegment AS a_seg,
+          CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS a_band,
+          c_custkey // 5 AS block FROM customer),
+      b AS (SELECT c_custkey AS b_key,
+          CASE WHEN c_custkey % 5 = 0
+               THEN substring(c_name, 1, length(c_name) - 1)
+               ELSE c_name END AS b_name,
+          CASE WHEN c_custkey % 7 = 0 THEN 'ALTERED'
+               ELSE c_mktsegment END AS b_seg,
+          CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS b_band,
+          c_custkey // 5 AS block FROM customer),
+      p AS (SELECT * FROM a JOIN b USING (block)),
+      f AS (SELECT a_key, b_key,
+          CAST(levenshtein(a_name, b_name) <= 1 AS INT) AS name_agree,
+          CAST(a_seg = b_seg AS INT) AS seg_agree,
+          CAST(a_band = b_band AS INT) AS band_agree FROM p),
+      sc AS (SELECT *,
+          CAST(CASE WHEN name_agree = 1 THEN 2400 ELSE -1200 END
+            + CASE WHEN seg_agree = 1 THEN 1600 ELSE -800 END
+            + CASE WHEN band_agree = 1 THEN 1000 ELSE -500 END AS BIGINT) AS score
+        FROM f)
+      SELECT a_key, b_key, name_agree, seg_agree, band_agree, score,
+        CASE WHEN score >= 3500 THEN 'match'
+             WHEN score >= 1000 THEN 'possible'
+             ELSE 'non_match' END AS decision
+      FROM sc"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3122,6 +3241,7 @@ object PipelineQueries {
     q108_soundex_block, q109_zonemap_prune, q110_k_anonymity,
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
-    q117_ohlc, q118_aes_roundtrip,
+    q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
+    q121_record_linkage,
   )
 }
