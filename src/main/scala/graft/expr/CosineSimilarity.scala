@@ -285,5 +285,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the bounded-heap topk_agg plan when provably equivalent (see
     // plans/TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // bounded edit distance: levenshtein(a,b) <= k gains a length
+    // prefilter + the banded 3-arg DP (plans/EditDistanceRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceRewrite)
   }
 }

@@ -657,4 +657,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("EditDistanceRewrite: levenshtein predicates gain the length guard and banded DP, results identical") {
+    val words = Seq("kitten", "sitting", "kitchen", "mitten", "written",
+      "abcdefghij", "abc", "ab", "zzzzzz", "kitte")
+    words.toDF("w").createOrReplaceTempView("__edr_src")
+    val out = spark.sql("""SELECT a.w AS a, b.w AS b FROM __edr_src a
+      JOIN __edr_src b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2""")
+    val optimized = out.queryExecution.optimizedPlan.toString
+    // the 3-arg (thresholded) levenshtein and the length guard both appear
+    assert(optimized.contains("levenshtein") && optimized.contains("2)"), optimized)
+    assert(optimized.contains("abs") && optimized.contains("length"), optimized)
+    // results identical to the unbounded definition
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = (for (a <- words; b <- words if a < b && lev(a, b) <= 2)
+      yield (a, b)).toSet
+    assert(got == expected)
+    // strict form rewrites too (lev < 3 == lev <= 2)
+    val strict = spark.sql("""SELECT a.w AS a, b.w AS b FROM __edr_src a
+      JOIN __edr_src b ON a.w < b.w AND levenshtein(a.w, b.w) < 3""")
+    assert(strict.collect().map(r => (r.getString(0), r.getString(1))).toSet == expected)
+    // the rewrite is stable at fixpoint: optimizing twice changes nothing
+    val again = out.queryExecution.optimizedPlan.toString
+    assert(again == optimized)
+  }
 }
