@@ -1594,6 +1594,63 @@ object SynthQueries {
           CAST(count(*) AS BIGINT) AS n_events
         FROM g GROUP BY user_id, sid""")),
 
+    // The DURABLE streaming sink path (every other streaming query uses
+    // the memory sink): windowed counts written to a parquet FILE sink
+    // with a checkpointed exactly-once manifest (_spark_metadata), then
+    // read back THROUGH the manifest. Append mode + the sentinel flush,
+    // exactly the g101 pattern; the query result is the sink directory's
+    // contents, so the hash-match also proves the manifest commit
+    // protocol delivered every finalized window exactly once.
+    QueryDef("g104_stream_file_sink",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{count, expr, lit, max,
+          timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g104_events")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a_events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val sentinelNs = maxNs + 36000L * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
+        val tmpOut = java.nio.file.Files.createTempDirectory("g104_sentinel")
+        evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+          .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+        val sinkDir = java.nio.file.Files.createTempDirectory("g104_sink").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("g104_ckpt").toString
+        val q = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // read back through the _spark_metadata manifest; the sentinel's
+        // own window never flushed, so only real buckets are on disk
+        s.read.parquet(sinkDir).filter(col("event_type") =!= "sentinel")
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
+          AS bucket_s, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
