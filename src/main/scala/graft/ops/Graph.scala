@@ -25,6 +25,44 @@ object Graph {
 
   private val Ppm = 1000000L
 
+  /** Synchronous label propagation community detection (Raghavan et
+    * al. 2007), made deterministic: every node starts labeled with its
+    * own id, and each iteration every node adopts its neighbors'
+    * majority label with the total tie-break (count desc, label asc) —
+    * no RNG, no asynchronous order dependence, so the result replays
+    * exactly in SQL and is partitioning-invariant.
+    *
+    * `edges` is an undirected edge list as (a: long, b: long) — each
+    * edge listed ONCE; the loop messages both directions. Scale shape
+    * mirrors [[pageRank]]: per iteration one equi-join (labels onto
+    * edge endpoints) + one keyed count + one per-node argmax window
+    * over the (node, label) counts — bounded shuffles, no driver graph.
+    * Returns (node_id, community) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label"))
+    }
+    val out = labels.select(col("id").as("node_id"), col("label").as("community"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
   /** Deterministic integer PageRank. `edges` must have (src: long,
     * dst: long, w: long) with positive weights; ranks are parts-per-
     * million (every node starts at 1 000 000) and ALL arithmetic is

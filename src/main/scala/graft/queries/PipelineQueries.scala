@@ -3216,6 +3216,49 @@ object PipelineQueries {
       FROM sc"""),
   )
 
+  /** Deterministic label-propagation communities (graft.ops.Graph
+    * .labelPropagation) over the bipartite user↔event-type graph (type
+    * nodes get negative ids so the two partitions share one id space).
+    * Three synchronous rounds with the (count desc, label asc)
+    * tie-break; the oracle unrolls the identical rounds as CTEs.
+    */
+  val q122_label_propagation = QueryDef(
+    "q122_label_propagation",
+    (s, d) => {
+      val te = events(s, d).select(col("user_id"), col("event_type")).distinct()
+      val ty = te.select(col("event_type")).distinct()
+        .withColumn("tid", -row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("event_type")))
+          .cast("long"))
+      val edges = te.join(ty, "event_type")
+        .select(col("user_id").as("a"), col("tid").as("b"))
+      graft.ops.Graph.labelPropagation(edges, iters = 3)
+    },
+    Some("""WITH te AS (SELECT DISTINCT user_id, event_type FROM events),
+      ty AS (SELECT event_type,
+          -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT event_type FROM te)),
+      ed AS (SELECT user_id AS a, tid AS b FROM te JOIN ty USING (event_type)),
+      und AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+      lab0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+      m1 AS (SELECT u.a AS id, l.label FROM und u JOIN lab0 l ON u.b = l.id),
+      c1 AS (SELECT id, label, count(*) AS c FROM m1 GROUP BY id, label),
+      lab1 AS (SELECT id, label FROM (SELECT *, row_number()
+          OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c1)
+        WHERE rn = 1),
+      m2 AS (SELECT u.a AS id, l.label FROM und u JOIN lab1 l ON u.b = l.id),
+      c2 AS (SELECT id, label, count(*) AS c FROM m2 GROUP BY id, label),
+      lab2 AS (SELECT id, label FROM (SELECT *, row_number()
+          OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c2)
+        WHERE rn = 1),
+      m3 AS (SELECT u.a AS id, l.label FROM und u JOIN lab2 l ON u.b = l.id),
+      c3 AS (SELECT id, label, count(*) AS c FROM m3 GROUP BY id, label),
+      lab3 AS (SELECT id, label FROM (SELECT *, row_number()
+          OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM c3)
+        WHERE rn = 1)
+      SELECT id AS node_id, label AS community FROM lab3"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3242,6 +3285,6 @@ object PipelineQueries {
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
-    q121_record_linkage,
+    q121_record_linkage, q122_label_propagation,
   )
 }

@@ -34,6 +34,19 @@ class RobustSpec extends AnyFunSuite {
     assert(r.getLong(2) == 5L && r.getLong(3) == 0L && r.getLong(4) == 1L)
   }
 
+  test("label propagation: disconnected cliques converge to their min ids, invariant") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val again = Graph.labelPropagation(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("ohlc: open/close follow event time with tie-break, extremes exact") {
     val df = Seq(
       ("a", 1L, 10L, 100L), // open (earliest ts)
