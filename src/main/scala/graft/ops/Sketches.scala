@@ -250,4 +250,44 @@ object Sketches {
     when(size(kmv) < k, size(kmv).cast("long")).otherwise(
       floor(lit((k - 1).toDouble * math.pow(2, 64)) / u).cast("long"))
   }
+
+  // --------------------------------------------- Count–Min (Cormode 2005)
+
+  /** Count–Min sketch as a SLOT TABLE: (slot, cnt) rows with
+    * slot = row·width + pmod(xxhash64(key, row), width) for each of the
+    * `depth` hash rows, summed over all occurrences of `keyCol` — the
+    * frequency-overestimate complement of the Misra–Gries sketch
+    * (freq_sketch tracks WHICH items are heavy; CM answers point
+    * queries for ANY item, always >= truth).
+    *
+    * The table form IS the sketch: it is map-side combinable (one keyed
+    * count), two sketches merge by adding counts slot-wise, the dense
+    * array is `transform(sequence(...))` post-processing if needed, and
+    * every count replays exactly in SQL (the q123 oracle). Only
+    * nonzero slots are materialized — at most depth·width rows total,
+    * constant in the input size.
+    */
+  def cmSketchRows(df: DataFrame, keyCol: Column, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1 && depth <= 8)
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("__row"), keyCol.as("__k"))
+      .select((col("__row").cast("long") * width +
+        pmod(xxhash64(col("__k").cast("long"), col("__row").cast("long")),
+          lit(width.toLong))).as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimate for `key` from a collected slot table: min over the
+    * depth rows of that row's slot count (absent slot = 0). The CM
+    * guarantee: estimate >= true count, with overestimate bounded by
+    * collisions. Uses the same XXH64 chain Spark's xxhash64(key, row)
+    * computes, so estimates agree with [[cmSketchRows]] exactly.
+    */
+  def cmEstimate(slots: Map[Long, Long], key: Long, width: Int, depth: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until depth).map { r =>
+      val h = XXH64.hashLong(r.toLong, XXH64.hashLong(key, 42L))
+      val pos = ((h % width) + width) % width
+      slots.getOrElse(r.toLong * width + pos, 0L)
+    }.min
+  }
 }

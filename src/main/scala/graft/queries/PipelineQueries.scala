@@ -3259,6 +3259,35 @@ object PipelineQueries {
       SELECT id AS node_id, label AS community FROM lab3"""),
   )
 
+  /** Count–Min sketch (graft.ops.Sketches.cmSketchRows) over event
+    * user_ids: the slot table IS the sketch — map-side combinable,
+    * slot-wise additive on merge, at most depth·width rows regardless
+    * of input size. The oracle replays both hash rows through the
+    * XXH64 SQL chain and reproduces every slot count bit-for-bit.
+    * Completes the mergeable-summary family: KMV (distinct), MG
+    * (heavy items), GK (quantiles), HLL (registers), CM (point
+    * frequency, always >= truth).
+    */
+  val q123_cm_sketch = QueryDef(
+    "q123_cm_sketch",
+    (s, d) => graft.ops.Sketches.cmSketchRows(
+      events(s, d), col("user_id"), width = 64, depth = 2),
+    Some {
+      import DuckXxHash._
+      val ch = chain("s0", s"SELECT ${unsigned("user_id")} AS v FROM events")
+        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+        .steps(hashLongSteps("r0", "0::HUGEINT", "h1out"))
+        .steps(hashLongSteps("r1", "1::HUGEINT", "h1out"))
+      val ch2 = ch.cte("slots",
+        s"SELECT ${pmod("r0out", 64L)} AS s0, " +
+          s"64 + ${pmod("r1out", 64L)} AS s1 FROM ${ch.last}")
+      ch2.render(
+        """SELECT slot, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT s0 AS slot FROM slots UNION ALL SELECT s1 FROM slots)
+        GROUP BY slot""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3285,6 +3314,6 @@ object PipelineQueries {
     q111_pseudonymize, q112_dp_counts, q113_mmr_diversify,
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
-    q121_record_linkage, q122_label_propagation,
+    q121_record_linkage, q122_label_propagation, q123_cm_sketch,
   )
 }

@@ -47,6 +47,38 @@ class RobustSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("count-min: estimates >= truth (exact at wide widths), slot-wise merge, invariant") {
+    import graft.ops.Sketches
+    val freqs = (0L until 20L).map(k => k -> (k + 1)) // key k appears k+1 times
+    val rows = freqs.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    val df = rows.toDF("u")
+    val wide = Sketches.cmSketchRows(df, col("u"), width = 4096, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    freqs.foreach { case (k, n) =>
+      val est = Sketches.cmEstimate(wide, k, 4096, 2)
+      assert(est >= n, s"CM under-counted key $k: $est < $n")
+      assert(est == n, s"collision at width 4096 for key $k: $est != $n")
+    }
+    // narrow width still never under-counts
+    val narrow = Sketches.cmSketchRows(df, col("u"), width = 8, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    freqs.foreach { case (k, n) =>
+      assert(Sketches.cmEstimate(narrow, k, 8, 2) >= n)
+    }
+    // merge = slot-wise addition; invariant under partitioning
+    val (a, b) = (rows.take(100), rows.drop(100))
+    val sa = Sketches.cmSketchRows(a.toDF("u"), col("u"), 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = Sketches.cmSketchRows(b.toDF("u"), col("u"), 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (sa.keySet ++ sb.keySet).map(s =>
+      s -> (sa.getOrElse(s, 0L) + sb.getOrElse(s, 0L))).toMap
+    assert(merged == narrow)
+    val re = Sketches.cmSketchRows(df.repartition(13), col("u"), 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == narrow)
+  }
+
   test("ohlc: open/close follow event time with tie-break, extremes exact") {
     val df = Seq(
       ("a", 1L, 10L, 100L), // open (earliest ts)
