@@ -3288,6 +3288,85 @@ object PipelineQueries {
     },
   )
 
+  /** Schema evolution: two parquet slices written with DIFFERENT
+    * schemas (v2 adds a bal_cents column) read back through
+    * mergeSchema — old rows surface the new column as null, the
+    * 100 TB reality where datasets grow columns across re-crawls.
+    * The aggregation proves both the union'd schema and the
+    * null-backfill semantics; the oracle recomputes from the source
+    * table knowing which half carried the column.
+    */
+  val q124_schema_evolution = QueryDef(
+    "q124_schema_evolution",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("q124_evo").toString
+      base.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      base.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bal_cents").isNull, 1L).otherwise(0L)).as("n_missing_bal"),
+          sum(coalesce(col("bal_cents"), lit(0L))).as("sum_bal_cents"))
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_missing_bal,
+        CAST(sum(CASE WHEN c_custkey % 2 = 1
+             THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS sum_bal_cents
+      FROM customer GROUP BY c_mktsegment"""),
+  )
+
+  /** The one-call curation funnel, end to end in a single plan:
+    * normalized-fingerprint dedup (keep-first) → token-count quality
+    * gate → per-language budget report. Everything rides one window
+    * over the fingerprint plus one keyed aggregation; the oracle
+    * replays the identical funnel. This is the composition smoke test:
+    * a user can run ingest→dedup→gate→budget as ONE DataFrame program.
+    */
+  val q125_e2e_curation = QueryDef(
+    "q125_e2e_curation",
+    (s, d) => {
+      val tok = size(filter(
+        split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"),
+        t => length(t) > 0)).cast("long")
+      val w = Window
+        .partitionBy(graft.ops.TextAnalysis.fingerprint(col("text")))
+        .orderBy("doc_id")
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), tok.as("tok"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("rn") === 1 && col("tok") >= 8, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("rn") === 1 && col("tok") >= 8, col("tok"))
+            .otherwise(0L)).as("tokens_kept"))
+    },
+    Some("""WITH f AS (SELECT doc_id, lang,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+            t -> length(t) > 0)) AS BIGINT) AS tok
+        FROM documents),
+      k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+          AS rn FROM f)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        CAST(sum(CASE WHEN rn = 1 AND tok >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(CASE WHEN rn = 1 AND tok >= 8 THEN tok ELSE 0 END) AS BIGINT)
+          AS tokens_kept
+      FROM k GROUP BY lang"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3315,5 +3394,6 @@ object PipelineQueries {
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
+    q124_schema_evolution, q125_e2e_curation,
   )
 }
