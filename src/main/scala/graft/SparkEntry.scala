@@ -1651,6 +1651,36 @@ object SynthQueries {
           AS bucket_s, event_type, count(*) AS n
         FROM events GROUP BY 1, 2""")),
 
+    // The DataSource V2 WRITE path (sources/ShardSink): documents
+    // exported through the exactly-once sharded JSONL sink, then read
+    // back ONLY through the _MANIFEST the commit protocol published —
+    // the hash-match proves every row survived the task-temp →
+    // driver-publish rename pipeline byte-intact.
+    QueryDef("g105_shard_sink",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, length, lit, sum}
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("g105_shards").toString
+        docsDf.write.format("graft-shards").mode("append")
+          .option("path", dir).save()
+        val manifest = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+        val shards = "\"shard\":\"([^\"]+)\"".r
+          .findAllMatchIn(manifest).map(_.group(1)).toSeq
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("text", StringType)))
+        s.read.schema(schema).json(shards.map(n => s"$dir/$n"): _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("chars"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(length(text)) AS BIGINT) AS chars
+        FROM documents GROUP BY lang""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
