@@ -3367,6 +3367,77 @@ object PipelineQueries {
       FROM k GROUP BY lang"""),
   )
 
+  /** Interval union (dwell time): each event opens a 5-minute activity
+    * interval; per user, overlapping intervals merge and the query
+    * reports how many merged intervals remain and the total covered
+    * seconds — the classic gaps-and-islands shape, one keyed window
+    * chain + two aggregations, all integer seconds.
+    */
+  val q126_interval_union = QueryDef(
+    "q126_interval_union",
+    (s, d) => {
+      val iv = events(s, d).select(col("user_id"),
+        expr("ts div 1000000000").as("st"))
+        .withColumn("en", col("st") + 300L)
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val prevMaxEnd = max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = iv
+        .withColumn("new_iv",
+          when(prevMaxEnd.isNull || col("st") > prevMaxEnd, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_iv")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("ien") - col("ist")).as("covered_s"))
+    },
+    Some("""WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS st,
+          epoch_ns(ts) // 1000000000 + 300 AS en FROM events),
+      o AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+      f AS (SELECT *, CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END
+            AS new_iv FROM o),
+      g AS (SELECT *, sum(new_iv) OVER (PARTITION BY user_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+      i AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+            FROM g GROUP BY user_id, island)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        CAST(sum(ien - ist) AS BIGINT) AS covered_s
+      FROM i GROUP BY user_id"""),
+  )
+
+  /** CSV round-trip under adversarial content: every name gains an
+    * embedded delimiter, quote, and NEWLINE, the rows go out through
+    * Spark's CSV writer and come back through the multiLine reader —
+    * quoting/escaping must be lossless. The oracle computes the same
+    * aggregate from the source table directly (it never touches CSV),
+    * so any quoting loss breaks the hash.
+    */
+  val q127_csv_roundtrip = QueryDef(
+    "q127_csv_roundtrip",
+    (s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tricky = concat(col("c_name"), lit(", \"x\"\n tail"))
+      val src = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"), tricky.as("payload"))
+      val dir = java.nio.file.Files.createTempDirectory("q127_csv").toString
+      src.write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType), StructField("payload", StringType)))
+      s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true").csv(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+          sum(length(col("payload")).cast("long")).as("payload_chars"))
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        CAST(sum(length(c_name) + 11) AS BIGINT) AS payload_chars
+      FROM customer GROUP BY c_mktsegment"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3394,6 +3465,7 @@ object PipelineQueries {
     q114_audio_features, q115_incremental_agg, q116_mad_outliers,
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
-    q124_schema_evolution, q125_e2e_curation,
+    q124_schema_evolution, q125_e2e_curation, q126_interval_union,
+    q127_csv_roundtrip,
   )
 }
