@@ -1681,6 +1681,74 @@ object SynthQueries {
           CAST(sum(length(text)) AS BIGINT) AS chars
         FROM documents GROUP BY lang""")),
 
+    // Second transformWithState shape: BOUNDED ListState (g102 covers
+    // MapState). Per-user latest-3 events held in a K-capped list —
+    // state is O(K) per user at any stream length — flushed ranked by
+    // an event-time timer. Same sentinel/RocksDB scaffolding as g102.
+    QueryDef("g106_stream_tws_latestk",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{expr, lit, max, timestamp_micros}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val oldProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val evRaw = s.read.parquet(s"$d/events.parquet")
+          val ev = graft.queries.EventTs.toNanos(evRaw)
+          val maxNs = ev.agg(max("ts")).collect()(0).getLong(0)
+          val streamDir = java.nio.file.Files.createTempDirectory("g106_events")
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve("a_events.parquet"),
+            java.nio.file.Paths.get(s"$d/events.parquet"))
+          val sentinelNs = maxNs + 36000L * 1000000000L
+          val sentinelTs = evRaw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+            case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+          }
+          val tmpOut = java.nio.file.Files.createTempDirectory("g106_sentinel")
+          evRaw.limit(1).select(
+            lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+            .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val part = java.nio.file.Files.list(tmpOut)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
+          val name = "g106_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          import s.implicits._
+          val src = graft.queries.EventTs.toNanos(
+            s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
+            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_time", "1 hour")
+            .select(col("user_id").cast("long").as("uid"),
+              expr("ts div 1000000").as("ts_ms"), col("event_id").cast("long"))
+            .as[(Long, Long, Long)]
+          val q = src.groupByKey(_._1)
+            .transformWithState(new graft.streaming.LatestKProcessor(3),
+              TimeMode.EventTime(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]])
+            .toDF("user_id", "rnk", "event_id", "ts_ms")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(name).filter(col("user_id") >= 0)
+        } finally {
+          oldProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      },
+      Some("""SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id,
+          CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms
+        FROM (SELECT user_id, event_id, ts, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+          FROM events)
+        WHERE rnk <= 3""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
