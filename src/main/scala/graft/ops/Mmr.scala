@@ -59,8 +59,9 @@ object Mmr {
         val (va, vb) = (vecs(a), vecs(b))
         var (dot, i) = (0d, 0)
         while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-        val c = dot / (norms(a) * norms(b))
-        BigDecimal(c * 1000000d)
+        val nn = norms(a) * norms(b)
+        if (nn == 0d) 0L // zero-norm guard: BigDecimal(NaN) would throw
+        else BigDecimal(dot / nn * 1000000d)
           .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
       }
       val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
