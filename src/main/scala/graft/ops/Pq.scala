@@ -220,6 +220,129 @@ object Pq {
         col("id").as("neighbor"), col("score"))
   }
 
+  // ------------------------------------- residual IVF-PQ (faiss proper)
+
+  /** Fit codebooks on RESIDUALS to the coarse centroids — the actual
+    * faiss IVF-PQ recipe. The coarse quantizer already explains most of
+    * each vector's energy; PQ-ing what REMAINS (unit(v) − centroid)
+    * spends the same code bits on a much smaller-variance signal, so
+    * reconstruction error (and therefore ranking error) drops at
+    * identical (m, k). Same bounded-sample contract as [[fitCodebooks]].
+    */
+  def fitResidualCodebooks(vectors: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], m: Int, k: Int, iters: Int = 10,
+      sampleSize: Int = 10000, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codewords: $m, $k")
+    val total = vectors.count()
+    val base = vectors.select(unitize(col(vecCol).cast("array<double>")).as("u"))
+    val sampled =
+      if (total <= sampleSize) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, 1.1 * sampleSize / total), seed)
+    val sample = sampled.limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    val residuals = sample.map { u =>
+      val c = centroids(nearestL2(centroids, u))
+      Array.tabulate(d)(i => u(i) - c(i))
+    }
+    Array.tabulate(m) { s =>
+      val pts = residuals.map(r => r.slice(s * sub, (s + 1) * sub))
+      kmeans(pts, k, iters, seed + s)
+    }
+  }
+
+  /** Persist a RESIDUAL IVF-PQ index: same layout as
+    * [[writePqIvfIndex]] (cluster partitions, code rows, metadata
+    * tables) but codes quantize the residual to the assigned centroid.
+    */
+  def writeResidualPqIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val spark = vectors.sparkSession
+    val cs = spark.sparkContext.broadcast(centroids)
+    val cb = spark.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (norm == 0d) arr else arr.map(_ / norm)
+      val c = nearestL2(cs.value, u)
+      val cen = cs.value(c)
+      val r = Array.tabulate(u.length)(i => u(i) - cen(i))
+      val m = cb.value.length
+      val sub = u.length / m
+      (c, Array.tabulate(m)(s => nearestL2(cb.value(s), r.slice(s * sub, (s + 1) * sub))))
+    }
+    vectors.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("e"))
+      .select(col(idCol), col("e._1").as("cluster"), col("e._2").as("codes"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+    Similarity.writeCentroidTable(spark, centroids, path)
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cbk, s) =>
+      cbk.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq.toDF("s", "c", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Top-k from a residual IVF-PQ index: per (query, probed cluster)
+    * the score decomposes as ⟨q, v⟩ ≈ ⟨q, centroid⟩ + ⟨q, residual⟩ —
+    * a per-probe integer BIAS plus the same m ADC table lookups, so
+    * serving stays table-lookup-only and the probed directories remain
+    * the only ones opened.
+    */
+  def residualPqIvfTopKFromIndex(indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$indexPath/codebooks").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val tableOf = adcTable(codebooks)
+    val cs = spark.sparkContext.broadcast(centroids)
+    // nProbe (probe, bias) pairs per query: bias = ⟨unit(q), centroid⟩ micros
+    val probeBias = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (norm == 0d) arr else arr.map(_ / norm)
+      cs.value.indices.map { c =>
+        var (d2, i) = (0d, 0)
+        while (i < u.length) { val t = u(i) - cs.value(c)(i); d2 += t * t; i += 1 }
+        (c, d2)
+      }.sortBy(_._2).take(nProbe).map { case (c, _) =>
+        var (dot, i) = (0d, 0)
+        while (i < u.length) { dot += u(i) * cs.value(c)(i); i += 1 }
+        (c, math.floor(dot * 1e6 + 0.5).toLong)
+      }
+    }
+    val qq = queries
+      .select(col(idCol).as("qid"),
+        tableOf(col(vecCol).cast("array<double>")).as("tab"),
+        explode(probeBias(col(vecCol).cast("array<double>"))).as("pb"))
+      .select(col("qid"), col("tab"), col("pb._1").as("probe"),
+        col("pb._2").as("bias"))
+    val probed = qq.select("probe").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col("codes"), col("cluster"))
+    val score = col("bias") + aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("tab"), s * k + c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    corpus.join(broadcast(qq),
+      col("cluster") === col("probe") && col("id") =!= col("qid"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("id").as("neighbor"), col("score"))
+  }
+
   /** The per-query ADC table as a UDF: tab[s·k + c] = ⟨q_s, cb_s[c]⟩ in
     * integer micros (shared by [[adcTopK]] and the IVF-PQ serving path
     * so their scores are identical by construction).

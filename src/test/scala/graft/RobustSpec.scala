@@ -79,6 +79,38 @@ class RobustSpec extends AnyFunSuite {
     assert(re == narrow)
   }
 
+  test("fellegi-sunter: weights sum per field, thresholds split decisions") {
+    import graft.ops.EntityResolution.{FieldRule, score}
+    val pairs = Seq(
+      (1L, 1L, "alice", "alice", "NY", "NY"),   // all agree
+      (2L, 3L, "alice", "alicia", "NY", "CA"),  // name fuzzy-disagree at <=1? lev=2 -> disagree; state disagree
+      (4L, 5L, "bob", "rob", "TX", "TX"),       // lev(bob,rob)=1 agree, state agree
+    ).toDF("a", "b", "an", "bn", "as", "bs")
+    val out = score(pairs, Seq(
+      FieldRule("name", levenshtein(col("an"), col("bn")) <= 1, 2000L, -1000L),
+      FieldRule("state", col("as") === col("bs"), 1000L, -500L)),
+      upperMilli = 3000L, lowerMilli = 0L)
+      .orderBy("a").collect()
+    assert(out(0).getAs[Long]("score") == 3000L &&
+      out(0).getAs[String]("decision") == "match")
+    assert(out(1).getAs[Long]("score") == -1500L &&
+      out(1).getAs[String]("decision") == "non_match")
+    assert(out(2).getAs[Long]("score") == 3000L &&
+      out(2).getAs[String]("decision") == "match")
+  }
+
+  test("table profile: null and distinct counts, string byte budget, one-pass") {
+    import graft.ops.Stats
+    val df = Seq(
+      (Some(1L), Some("aa")), (Some(1L), None), (None, Some("bbb")),
+    ).toDF("num", "str")
+    val got = Stats.tableProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got("num") == ((3L, 1L, 1L, -1L)))   // 3 rows, 1 null, 1 distinct, no len
+    assert(got("str") == ((3L, 1L, 2L, 5L)))    // "aa"+"bbb" = 5 chars
+  }
+
   test("ohlc: open/close follow event time with tie-break, extremes exact") {
     val df = Seq(
       ("a", 1L, 10L, 100L), // open (earliest ts)
