@@ -828,6 +828,22 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
+    // residual IVF-PQ (rows-only like g91: float k-means fits): the
+    // faiss-proper encoding — codes quantize the residual to the coarse
+    // centroid, serving adds the per-probe integer bias to the same ADC
+    // lookups. A/B superiority over raw encoding pinned in ScaleOpsSpec.
+    q("g107_ann_residual_pq")((s, d) => {
+      val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("g107_rpq").toString
+      val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
+      val cbs = graft.ops.Pq.fitResidualCodebooks(vecs, "embedding", centroids,
+        m = 8, k = 64)
+      graft.ops.Pq.writeResidualPqIvfIndex(vecs, "vec_id", "embedding", dir,
+        centroids, cbs)
+      graft.ops.Pq.residualPqIvfTopKFromIndex(dir,
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
+    }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)

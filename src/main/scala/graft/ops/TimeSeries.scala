@@ -19,6 +19,31 @@ object TimeSeries {
     * close = at the latest, high/low = extremes, n = bucket size.
     * Deterministic under ties via `tieCol`.
     */
+  /** Trapezoidal time-weighted integration per key: consecutive samples
+    * (ordered by ts, tie) contribute (t2−t1)·(v1+v2) to `area2` —
+    * twice the trapezoid area, kept doubled so everything stays exact
+    * integers. The time-weighted average is then area2 / (2·dt_sum).
+    * Irregularly-sampled series make the PLAIN mean wrong (a sensor
+    * that reports more often when idle drags the mean down); this is
+    * the standard TSDB correction. One keyed shuffle shared by the lag
+    * window and the aggregation.
+    */
+  def trapezoidArea(df: DataFrame, keyCols: Seq[String], tsCol: Column,
+      valCol: Column, tieCol: Column): DataFrame = {
+    require(keyCols.nonEmpty)
+    val keys = keyCols.map(col)
+    df.select(keys ++ Seq(tsCol.as("__t"), valCol.as("__v"), tieCol.as("__o")): _*)
+      .withColumn("__pt", lag("__t", 1).over(
+        Window.partitionBy(keys: _*).orderBy(col("__t").asc, col("__o").asc)))
+      .withColumn("__pv", lag("__v", 1).over(
+        Window.partitionBy(keys: _*).orderBy(col("__t").asc, col("__o").asc)))
+      .filter(col("__pt").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__t") - col("__pt")).as("dt_sum"),
+        sum((col("__t") - col("__pt")) * (col("__v") + col("__pv"))).as("area2"))
+  }
+
   def ohlc(df: DataFrame, keyCols: Seq[String], tsCol: Column,
       valCol: Column, tieCol: Column): DataFrame = {
     require(keyCols.nonEmpty)

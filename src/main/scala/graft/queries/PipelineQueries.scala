@@ -3438,6 +3438,33 @@ object PipelineQueries {
       FROM customer GROUP BY c_mktsegment"""),
   )
 
+  /** Time-weighted integration (graft.ops.TimeSeries.trapezoidArea):
+    * irregular samples make the plain mean wrong; the trapezoid rule
+    * in doubled-integer units is the TSDB correction, and every
+    * segment term replays exactly.
+    */
+  val q128_time_weighted = QueryDef(
+    "q128_time_weighted",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("t_s"),
+        round(col("value") * 1000000).cast("long").as("v"))
+      graft.ops.TimeSeries.trapezoidArea(ev, Seq("event_type"),
+        col("t_s"), col("v"), col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_type, event_id,
+          epoch_ns(ts) // 1000000000 AS t_s,
+          CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      o AS (SELECT event_type, t_s, v,
+          lag(t_s) OVER (PARTITION BY event_type ORDER BY t_s, event_id) AS pt,
+          lag(v) OVER (PARTITION BY event_type ORDER BY t_s, event_id) AS pv
+        FROM e)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        CAST(sum(t_s - pt) AS BIGINT) AS dt_sum,
+        CAST(sum((t_s - pt) * (v + pv)) AS BIGINT) AS area2
+      FROM o WHERE pt IS NOT NULL GROUP BY event_type"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3466,6 +3493,6 @@ object PipelineQueries {
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
-    q127_csv_roundtrip,
+    q127_csv_roundtrip, q128_time_weighted,
   )
 }
