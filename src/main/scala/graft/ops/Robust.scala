@@ -20,6 +20,42 @@ object Robust {
     * |v − med| · thresholdDen > MAD · thresholdNum (default 3·MAD —
     * Hampel's rule; the ratio form keeps the test in exact integers).
     */
+  /** Per-key winsorization: clip `valCol` into the [loPct, hiPct]
+    * nearest-rank percentile band — the standard tail-taming transform
+    * before moment-based statistics. Appends `clipped` plus flags.
+    * One exact-quantile pass + a broadcast of the per-key band table.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valCol: Column,
+      tieCol: Column, loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct)
+    val base = df.withColumn("__v", valCol).withColumn("__t", tieCol)
+    val band = Quantiles.exactQuantiles(base, keyCol, col("__v"), col("__t"),
+      Seq(loPct, hiPct))
+      .select(col(keyCol), col(s"p$loPct").as("__lo"), col(s"p$hiPct").as("__hi"))
+    base.join(broadcast(band), keyCol)
+      .withColumn("clipped", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .withColumn("clipped_lo", (col("__v") < col("__lo")).cast("int"))
+      .withColumn("clipped_hi", (col("__v") > col("__hi")).cast("int"))
+      .drop("__v", "__t", "__lo", "__hi")
+  }
+
+  /** Per-key median imputation: nulls in `valCol` are replaced by the
+    * key's nearest-rank median OF THE NON-NULL values. Appends
+    * `imputed` (the filled column) and `was_null`. The median table is
+    * dimension-sized and broadcasts.
+    */
+  def imputeMedian(df: DataFrame, keyCol: String, valCol: Column,
+      tieCol: Column): DataFrame = {
+    val base = df.withColumn("__v", valCol).withColumn("__t", tieCol)
+    val med = Quantiles.exactQuantiles(base.filter(col("__v").isNotNull),
+      keyCol, col("__v"), col("__t"), Seq(50))
+      .select(col(keyCol), col("p50").as("__med"))
+    base.join(broadcast(med), keyCol)
+      .withColumn("imputed", coalesce(col("__v"), col("__med")))
+      .withColumn("was_null", col("__v").isNull.cast("int"))
+      .drop("__v", "__t", "__med")
+  }
+
   def madOutlierReport(df: DataFrame, keyCol: String, valCol: Column,
       tieCol: Column, thresholdNum: Long = 3L, thresholdDen: Long = 1L): DataFrame = {
     require(thresholdNum >= 1 && thresholdDen >= 1)

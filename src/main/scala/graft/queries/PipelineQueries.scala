@@ -3465,6 +3465,71 @@ object PipelineQueries {
       FROM o WHERE pt IS NOT NULL GROUP BY event_type"""),
   )
 
+  /** Winsorization report (graft.ops.Robust.winsorize): per-type
+    * [p5, p95] nearest-rank clipping — tail counts and the clipped sum,
+    * all exact integers.
+    */
+  val q129_winsorize = QueryDef(
+    "q129_winsorize",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v"))
+      graft.ops.Robust.winsorize(ev, "event_type", col("v"), col("event_id"), 5, 95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("clipped_lo").cast("long")).as("n_lo"),
+          sum(col("clipped_hi").cast("long")).as("n_hi"),
+          sum(col("clipped")).as("sum_clipped"))
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+          CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+      r AS (SELECT event_type, event_id, v,
+          row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      b AS (SELECT event_type,
+          max(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo,
+          max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi
+        FROM r GROUP BY event_type)
+      SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        CAST(sum(least(greatest(v.v, b.lo), b.hi)) AS BIGINT) AS sum_clipped
+      FROM v JOIN b USING (event_type) GROUP BY v.event_type"""),
+  )
+
+  /** Median imputation (graft.ops.Robust.imputeMedian): values nulled
+    * on a deterministic pattern (every 7th event) are refilled with the
+    * per-type median of the survivors — the q51 graft-the-defect
+    * pattern applied to missing data.
+    */
+  val q130_impute = QueryDef(
+    "q130_impute",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(round(col("value") * 1000000).cast("long")).as("v"))
+      graft.ops.Robust.imputeMedian(ev, "event_type", col("v"), col("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("was_null").cast("long")).as("n_imputed"),
+          sum(col("imputed")).as("sum_after"))
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+          CASE WHEN event_id % 7 = 0 THEN NULL
+               ELSE CAST(round(value * 1000000) AS BIGINT) END AS v FROM events),
+      nn AS (SELECT event_type, event_id, v FROM v WHERE v IS NOT NULL),
+      r AS (SELECT event_type, v,
+          row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM nn),
+      m AS (SELECT event_type,
+          max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS med
+        FROM r GROUP BY event_type)
+      SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN v.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        CAST(sum(coalesce(v.v, m.med)) AS BIGINT) AS sum_after
+      FROM v JOIN m USING (event_type) GROUP BY v.event_type"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3493,6 +3558,6 @@ object PipelineQueries {
     q117_ohlc, q118_aes_roundtrip, q119_json_props, q120_table_profile,
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
-    q127_csv_roundtrip, q128_time_weighted,
+    q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
   )
 }

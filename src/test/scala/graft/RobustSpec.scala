@@ -111,6 +111,28 @@ class RobustSpec extends AnyFunSuite {
     assert(got("str") == ((3L, 1L, 2L, 5L)))    // "aa"+"bbb" = 5 chars
   }
 
+  test("winsorize clips tails into the band; imputeMedian fills nulls with the survivor median") {
+    import graft.ops.Robust
+    // values 1..20: p5 band lo = rank ceil(20*0.05)=1 -> 1? use a spikier set
+    val vals = Seq(-1000L) ++ (1L to 18L) ++ Seq(1000L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", v, i.toLong) }
+      .toDF("key", "v", "id")
+    val w = Robust.winsorize(df, "key", col("v"), col("id"), 10, 90)
+      .collect().map(r => (r.getAs[Long]("clipped"),
+        r.getAs[Int]("clipped_lo"), r.getAs[Int]("clipped_hi")))
+    // band: rank ceil(20*0.1)=2 -> value 1; rank ceil(20*0.9)=18 -> 17
+    assert(w.forall { case (c, _, _) => c >= 1L && c <= 17L })
+    assert(w.count(_._2 == 1) == 1 && w.count(_._3 == 1) == 2) // -1000 low; 18 and 1000 high
+    val imp = Robust.imputeMedian(
+      Seq(("k", Some(10L), 1L), ("k", None, 2L), ("k", Some(20L), 3L),
+        ("k", Some(30L), 4L)).toDF("key", "v", "id"),
+      "key", col("v"), col("id"))
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Long]("imputed"),
+        r.getAs[Int]("was_null"))).toMap
+    // survivor median of (10,20,30): rank ceil(3*0.5)=2 -> 20
+    assert(imp(2L) == ((20L, 1)) && imp(1L) == ((10L, 0)))
+  }
+
   test("ohlc: open/close follow event time with tie-break, extremes exact") {
     val df = Seq(
       ("a", 1L, 10L, 100L), // open (earliest ts)
