@@ -3530,6 +3530,47 @@ object PipelineQueries {
       FROM v JOIN m USING (event_type) GROUP BY v.event_type"""),
   )
 
+  /** Per-type OLS trend: slope of value (millis) against time (hours
+    * since the type's first event) as an EXACT integer fraction —
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), numerator and
+    * denominator emitted separately so no engine ever divides. Units
+    * chosen so every intermediate stays far inside int64 (x ≤ ~720 h,
+    * y ≤ ~2·10⁶ milli). Two keyed aggregations (min join, then the
+    * moment sums — both map-side combinable).
+    */
+  val q131_trend = QueryDef(
+    "q131_trend",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("ts div 3600000000000").as("t_h"),
+        round(col("value") * 1000).cast("long").as("y"))
+      val mins = ev.groupBy("event_type").agg(min(col("t_h")).as("t0"))
+      val xy = ev.join(broadcast(mins), "event_type")
+        .withColumn("x", col("t_h") - col("t0"))
+      xy.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+          epoch_ns(ts) // 3600000000000 AS t_h,
+          CAST(round(value * 1000) AS BIGINT) AS y FROM events),
+      m AS (SELECT event_type, min(t_h) AS t0 FROM e GROUP BY event_type),
+      x AS (SELECT e.event_type, e.t_h - m.t0 AS x, e.y
+        FROM e JOIN m USING (event_type)),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM x GROUP BY event_type)
+      SELECT event_type, n,
+        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+      FROM s"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3559,5 +3600,6 @@ object PipelineQueries {
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
     q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
+    q131_trend,
   )
 }
