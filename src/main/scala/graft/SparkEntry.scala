@@ -1765,6 +1765,50 @@ object SynthQueries {
           FROM events)
         WHERE rnk <= 3""")),
 
+    // MULTI-microbatch stateful correctness: the same windowed count as
+    // g55 but the events file is SPLIT IN HALF and the source capped at
+    // one file per trigger, so the aggregation state must merge across
+    // three separate micro-batches (two data + the trailing flush)
+    // instead of the single batch every other bounded replay gets. The
+    // oracle is the identical batch GROUP BY — cross-batch state merge
+    // has to be exact for the hash to survive.
+    QueryDef("g108_stream_multibatch",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{count, expr, lit, timestamp_micros,
+          unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("g108_events")
+        // two halves by event id parity — both halves span the whole
+        // timeline, so most windows receive rows from BOTH batches
+        evRaw.filter(col("event_id") % 2 === 0).repartition(1)
+          .write.parquet(streamDir.resolve("h0").toString)
+        evRaw.filter(col("event_id") % 2 === 1).repartition(1)
+          .write.parquet(streamDir.resolve("h1").toString)
+        val name = "g108_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val counts = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString + "/h*"))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 2, s"expected >= 2 data micro-batches, got $batches")
+        s.table(name)
+      },
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
+          AS bucket_s, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2""")),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
