@@ -276,6 +276,22 @@ object Sketches {
       .groupBy("slot").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join size estimation from two CM slot tables (the AGMS/CM
+    * inner-product estimator): per hash row, Σ_slot cmA[slot]·cmB[slot]
+    * is an OVERESTIMATE of |A ⋈ B| on the sketched key (collisions only
+    * add), and the min over rows is the estimate. In the exact regime
+    * (no collisions) the inner product IS the join size. This is the
+    * planning primitive: decide broadcast vs shuffle vs salt for a
+    * 100 TB join from two constant-size synopses, never scanning either
+    * side again. Input: two (slot, cnt) tables from [[cmSketchRows]]
+    * built with the SAME width/depth. Output: (hash_row, est).
+    */
+  def cmJoinSizeByRow(a: DataFrame, b: DataFrame, width: Int): DataFrame =
+    a.select(col("slot"), col("cnt").as("ca"))
+      .join(b.select(col("slot"), col("cnt").as("cb")), "slot")
+      .groupBy(expr(s"slot div $width").as("hash_row"))
+      .agg(sum(col("ca") * col("cb")).as("est"))
+
   /** Point estimate for `key` from a collected slot table: min over the
     * depth rows of that row's slot count (absent slot = 0). The CM
     * guarantee: estimate >= true count, with overestimate bounded by

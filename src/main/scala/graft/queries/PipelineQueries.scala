@@ -3571,6 +3571,67 @@ object PipelineQueries {
       FROM s"""),
   )
 
+  /** Sketch-based join-size estimation (graft.ops.Sketches
+    * .cmJoinSizeByRow — the AGMS/CM inner-product estimator): the
+    * events table split by event-id parity, each half CM-sketched on
+    * user_id, and |A ⋈ B| estimated per hash row from the two
+    * constant-size slot tables — the decide-broadcast-vs-salt planning
+    * primitive that never rescans either side. The oracle replays both
+    * sketches through the XXH64 chain AND computes the exact join size;
+    * the per-row estimates must be >= exact by construction, and
+    * hash-equality proves every product term.
+    */
+  val q132_join_size = QueryDef(
+    "q132_join_size",
+    (s, d) => {
+      val ev = events(s, d)
+      def half(parity: Int) = graft.ops.Sketches.cmSketchRows(
+        ev.filter(col("event_id") % 2 === parity), col("user_id"),
+        width = 64, depth = 2)
+      val est = graft.ops.Sketches.cmJoinSizeByRow(half(0), half(1), width = 64)
+      val exact = ev.filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(ev.filter(col("event_id") % 2 === 1)
+          .groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+    },
+    Some {
+      import DuckXxHash._
+      def halfSql(parity: Int, tag: String) = {
+        val ch = chain(s"s$tag",
+          s"SELECT ${unsigned("user_id")} AS v FROM events WHERE event_id % 2 = $parity")
+          .steps(hashLongSteps(s"h$tag", "v", "42::HUGEINT"))
+          .steps(hashLongSteps(s"r0$tag", "0::HUGEINT", s"h${tag}out"))
+          .steps(hashLongSteps(s"r1$tag", "1::HUGEINT", s"h${tag}out"))
+        (ch, s"SELECT slot, count(*) AS cnt FROM (" +
+          s"SELECT ${pmod(s"r0${tag}out", 64L)} AS slot FROM ${ch.last} " +
+          s"UNION ALL SELECT 64 + ${pmod(s"r1${tag}out", 64L)} FROM ${ch.last}" +
+          ") GROUP BY slot")
+      }
+      val (cha, sqlA) = halfSql(0, "a")
+      val (chb, sqlB) = halfSql(1, "b")
+      val merged = Chain(cha.ctes ++ chb.ctes, chb.last)
+        .cte("cma", sqlA)
+        .cte("cmb", sqlB)
+        .cte("estt",
+          """SELECT slot // 64 AS hash_row, sum(a.cnt * b.cnt) AS est
+          FROM cma a JOIN cmb b USING (slot) GROUP BY slot // 64""")
+        .cte("exactt",
+          """SELECT sum(na * nb) AS x FROM
+            (SELECT user_id, count(*) AS na FROM events
+             WHERE event_id % 2 = 0 GROUP BY user_id) a
+          JOIN
+            (SELECT user_id, count(*) AS nb FROM events
+             WHERE event_id % 2 = 1 GROUP BY user_id) b
+          USING (user_id)""")
+      merged.render(
+        """SELECT CAST(hash_row AS BIGINT) AS hash_row, CAST(est AS BIGINT) AS est,
+          CAST(x AS BIGINT) AS exact_join_size
+        FROM estt CROSS JOIN exactt""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3600,6 +3661,6 @@ object PipelineQueries {
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
     q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
-    q131_trend,
+    q131_trend, q132_join_size,
   )
 }

@@ -133,6 +133,19 @@ class RobustSpec extends AnyFunSuite {
     assert(imp(2L) == ((20L, 1)) && imp(1L) == ((10L, 0)))
   }
 
+  test("cm join-size estimator: exact without collisions, never under-estimates") {
+    import graft.ops.Sketches
+    val a = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("u")        // counts 2,1,3
+    val b = Seq(1L, 2L, 2L, 4L).toDF("u")                // counts 1,2,1
+    val exact = 2L * 1 + 1L * 2                           // keys 1 and 2 join
+    def est(width: Int): Long = Sketches.cmJoinSizeByRow(
+      Sketches.cmSketchRows(a, col("u"), width, 2),
+      Sketches.cmSketchRows(b, col("u"), width, 2), width)
+      .collect().map(_.getLong(1)).min
+    assert(est(4096) == exact)   // wide: no collisions -> inner product IS the join size
+    assert(est(4) >= exact)      // narrow: collisions only ever ADD
+  }
+
   test("ohlc: open/close follow event time with tie-break, extremes exact") {
     val df = Seq(
       ("a", 1L, 10L, 100L), // open (earliest ts)
