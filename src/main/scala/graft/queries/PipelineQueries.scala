@@ -3632,6 +3632,31 @@ object PipelineQueries {
     },
   )
 
+  /** Cross-source contamination matrix: how many normalized
+    * fingerprints each pair of corpus sources SHARES — the
+    * corpus-hygiene report that catches one crawl feed re-serving
+    * another's content. Distinct (source, fp) pairs, one self-join on
+    * the fingerprint key (never on text), ordered pairs a < b.
+    */
+  val q133_source_overlap = QueryDef(
+    "q133_source_overlap",
+    (s, d) => {
+      val fps = docs(s, d).select(col("source"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some("""WITH f AS (SELECT DISTINCT source,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3661,6 +3686,6 @@ object PipelineQueries {
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
     q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
-    q131_trend, q132_join_size,
+    q131_trend, q132_join_size, q133_source_overlap,
   )
 }
