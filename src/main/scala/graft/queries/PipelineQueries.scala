@@ -3657,6 +3657,46 @@ object PipelineQueries {
       GROUP BY a.source, b.source"""),
   )
 
+  /** Dedup survivorship-bias report: keep-first dedup silently follows
+    * doc-id order, and this query audits WHO loses — per source: docs
+    * in, docs surviving, docs dropped as duplicates, and of those how
+    * many lost to a survivor from a DIFFERENT source (the cross-source
+    * bias a fair curation pipeline must watch). One fingerprint window
+    * carrying the survivor's source via first_value, then a keyed agg.
+    */
+  val q134_dedup_bias = QueryDef(
+    "q134_dedup_bias",
+    (s, d) => {
+      val w = Window
+        .partitionBy(graft.ops.TextAnalysis.fingerprint(col("text")))
+        .orderBy("doc_id")
+      val flagged = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).as("rn"),
+          first("source").over(w).as("surv_source"))
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_survive"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rn") > 1 && col("surv_source") =!= col("source"), 1L)
+            .otherwise(0L)).as("n_lost_cross_source"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents),
+      r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+          first_value(source) OVER (PARTITION BY fp ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv_source
+        FROM f)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survive,
+        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN rn > 1 AND surv_source <> source THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_lost_cross_source
+      FROM r GROUP BY source"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3686,6 +3726,6 @@ object PipelineQueries {
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
     q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
-    q131_trend, q132_join_size, q133_source_overlap,
+    q131_trend, q132_join_size, q133_source_overlap, q134_dedup_bias,
   )
 }
