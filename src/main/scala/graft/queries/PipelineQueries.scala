@@ -3697,6 +3697,48 @@ object PipelineQueries {
       FROM r GROUP BY source"""),
   )
 
+  /** Vocabulary drift between two sources: per token, the scale-free
+    * integer disparity |n_A·tot_B − n_B·tot_A| (zero iff the token's
+    * share is identical in both sources — cross-multiplied so no
+    * engine divides), top-20 under a total order. The distribution-
+    * shift alarm for a corpus feed that changed character.
+    */
+  val q135_vocab_drift = QueryDef(
+    "q135_vocab_drift",
+    (s, d) => {
+      val toks = docs(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(filter(
+            split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"),
+            t => length(t) > 0)).as("t"))
+      val counts = toks.groupBy("t")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+      val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("disparity",
+          abs(col("na") * col("tb") - col("nb") * col("ta")))
+        .orderBy(col("disparity").desc, col("t"))
+        .limit(20)
+        .select(col("t"), col("na"), col("nb"), col("disparity"))
+    },
+    Some("""WITH tk AS (SELECT source,
+          unnest(list_filter(
+            string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+            t -> length(t) > 0)) AS t
+        FROM documents WHERE source IN ('src0', 'src1')),
+      c AS (SELECT t,
+          CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM tk GROUP BY t),
+      tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+          CAST(sum(nb) AS BIGINT) AS tb FROM c)
+      SELECT t, na, nb, CAST(abs(na * tb - nb * ta) AS BIGINT) AS disparity
+      FROM c CROSS JOIN tot
+      ORDER BY disparity DESC, t LIMIT 20"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
@@ -3726,6 +3768,6 @@ object PipelineQueries {
     q121_record_linkage, q122_label_propagation, q123_cm_sketch,
     q124_schema_evolution, q125_e2e_curation, q126_interval_union,
     q127_csv_roundtrip, q128_time_weighted, q129_winsorize, q130_impute,
-    q131_trend, q132_join_size, q133_source_overlap, q134_dedup_bias,
+    q131_trend, q132_join_size, q133_source_overlap, q134_dedup_bias, q135_vocab_drift,
   )
 }
