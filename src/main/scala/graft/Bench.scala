@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the driver-given scale
   * factor and prints ONE JSON line. Failures are reported per-query in an
@@ -40,9 +40,17 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Streaming replays run LAST: alphabetical order put g100-g108 (state
+    // store instances, checkpoint dirs, memory sinks, RocksDB native
+    // memory) BEFORE every batch query in the same JVM, and r6 measured a
+    // uniform ~1.5x suite-context slowdown on unchanged batch queries
+    // (g51_columns_fast 3.3->9.0 s in-suite vs unchanged isolated).
+    // Batch queries now see a streaming-free session; the streaming
+    // family pays its own fixed costs at the end.
+    val (streamQs, batchQs) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
+      .partition(_._1.contains("_stream"))
+    def runOne(name: String, fn: (SparkSession, String) => DataFrame): Option[(String, Double)] = {
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       // first failure aborts this query's remaining reps (re-running a
@@ -72,6 +80,13 @@ object Bench {
       // look like a fast green one
       if (failed) None else Some(name -> times.min)
     }
+    val batchResults = batchQs.flatMap { case (n, f) => runOne(n, f) }
+    // family boundary hygiene: drop anything cached and let the JVM
+    // settle before the streaming replays start paying their own costs
+    spark.catalog.clearCache()
+    System.gc()
+    val streamResults = streamQs.flatMap { case (n, f) => runOne(n, f) }
+    val results = batchResults ++ streamResults
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -140,6 +140,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"nearest_centroid(vec, centroids) takes 2 arguments, got ${children.length}")
+        require(children(1).foldable,
+          "nearest_centroid: centroids must be a literal array<array<double>>")
+        val ad = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        NearestCentroid(children(0), cents)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
       (children: Seq[Expression]) => {

@@ -252,7 +252,11 @@ object Multimodal {
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     fmt match {
-      case Some((1, channels, rate)) if bits == 16 && dataOff >= 0 && channels >= 1 =>
+      // rate >= 1: a corrupt fmt chunk with rate 0 (or negative) would
+      // otherwise reach audioFeatures' `n * 1000 / rate` and kill the
+      // scan with ArithmeticException — the decoder's contract is that
+      // untrusted bytes degrade to nulls, never to task failure
+      case Some((1, channels, rate)) if bits == 16 && dataOff >= 0 && channels >= 1 && rate >= 1 =>
         val n = dataLen / 2
         var (i, peak, sumSq) = (0, 0L, 0L)
         while (i < n) {

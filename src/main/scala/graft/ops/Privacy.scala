@@ -88,11 +88,23 @@ object Privacy {
     }
   }
 
-  /** Differentially-private count release per integer group key:
-    * true count + two-sided geometric noise (eps-DP for counting
-    * queries), clamped at zero. Noise is a PRF of (seed, group key):
-    * reproducible, partitioning-invariant, and replayable by any
-    * engine that shares the hash and the threshold constants.
+  /** Noisy count release per integer group key: true count + two-sided
+    * geometric noise TRUNCATED at |noise| <= cap, clamped at zero.
+    *
+    * Privacy contract, stated precisely: truncation breaks PURE eps-DP
+    * (neighboring datasets can produce boundary outputs with
+    * distinguishable probability), so the mechanism is approximate
+    * (eps, delta)-DP with delta bounded by the truncated tail mass
+    * 2·a^(cap+1)/(1+a−2a^(cap+1)·a/(1−a)) ≈ 2·e^(−eps·cap) — negligible
+    * at the default (eps=1, cap=20: delta < 5e−9) but not zero. And
+    * because the noise is a deterministic PRF of (seed, group key),
+    * ANY privacy guarantee holds only against adversaries who do not
+    * hold the seed: the seed is a secret key (treat it like one — a
+    * seed-holder subtracts the noise exactly). The PRF construction is
+    * what buys reproducibility, partitioning-invariance, and
+    * cross-engine replay; a production release pipeline wanting
+    * seedless randomness would swap the PRF for a true RNG and give up
+    * the replay oracle.
     *
     * One keyed aggregation; the noise is a scan-side CASE ladder over
     * the (2·cap+1)-entry constant table.

@@ -50,7 +50,11 @@ object Robust {
     val med = Quantiles.exactQuantiles(base.filter(col("__v").isNotNull),
       keyCol, col("__v"), col("__t"), Seq(50))
       .select(col(keyCol), col("p50").as("__med"))
-    base.join(broadcast(med), keyCol)
+    // LEFT join: the median table only has keys with >= 1 non-null value,
+    // and an inner join would silently DROP every row of an all-null key —
+    // the contract is a filled column plus flags, never row loss. All-null
+    // keys pass through with imputed = null, was_null = 1.
+    base.join(broadcast(med), Seq(keyCol), "left")
       .withColumn("imputed", coalesce(col("__v"), col("__med")))
       .withColumn("was_null", col("__v").isNull.cast("int"))
       .drop("__v", "__t", "__med")

@@ -162,32 +162,64 @@ object Similarity {
     best
   }
 
-  /** Assign each vector its IVF cluster id (the partition-pruning column). */
+  /** The centroid matrix as a plan-time literal — dimension-sized
+    * (nCentroids × dim doubles), folded once and shipped with the plan.
+    */
+  private def centroidsLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+
+  /** Assign each vector its IVF cluster id (the partition-pruning
+    * column): argmin-L2 over the unit-normalized vector. The native
+    * codegen'd `nearest_centroid` expression when GraftExtensions is
+    * registered (one fused loop per row — the former Seq[Double] UDF
+    * deserialized every corpus row); otherwise a STAGED higher-order-
+    * function lowering with the identical IEEE op order (norm, then
+    * per-centroid Σ(c−x)² in index order, first-wins argmin via
+    * array_position-of-min), so the two paths are bit-identical. The
+    * fallback stages norm/unit/distances as their own projections —
+    * Catalyst does not CSE inside lambda bodies (see
+    * Quantization.quantizeStaged), so the composed form would
+    * re-evaluate the norm aggregate per element.
+    */
   def assignClusters(vectors: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val cs = vectors.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Double]) => nearest(cs.value, unit(v.toArray)))
-    vectors.withColumn("cluster", assign(col(vecCol).cast("array<double>")))
+    val v = col(vecCol).cast("array<double>")
+    if (vectors.sparkSession.catalog.functionExists("nearest_centroid"))
+      vectors.withColumn("cluster",
+        call_function("nearest_centroid", v, centroidsLit(centroids)))
+    else
+      vectors
+        .withColumn("__nrm", sqrt(aggregate(v, lit(0d), (acc, x) => acc + x * x)))
+        .withColumn("__u", transform(v, x =>
+          when(col("__nrm") > 0d, x / col("__nrm")).otherwise(x)))
+        .withColumn("__d", transform(centroidsLit(centroids), c =>
+          aggregate(zip_with(c, col("__u"), (ci, xi) => (ci - xi) * (ci - xi)),
+            lit(0d), (acc, z) => acc + z)))
+        .withColumn("cluster",
+          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__nrm", "__u", "__d")
   }
 
-  /** The nProbe-nearest-centroid expansion of each query vector. */
+  /** The nProbe-nearest-centroid expansion of a query vector, as a pure
+    * Column function (array<int> of probe ids, nearest first). UDF-free:
+    * distances come from the same unit-normalize + Σ(c−x)² op order as
+    * [[assignClusters]]; ranking sorts (distance, centroid-id) structs —
+    * array_sort's struct ordering is (d asc, c asc), identical to the
+    * former stable sortBy. Query-side only (broadcast-sized input), so
+    * the HOF composition is not on the corpus hot path.
+    */
   private[graft] def probeIds(spark: org.apache.spark.sql.SparkSession,
-      centroids: Array[Array[Double]], nProbe: Int) =
-    probesUdf(spark, centroids, nProbe)
-
-  private def probesUdf(spark: org.apache.spark.sql.SparkSession,
-      centroids: Array[Array[Double]], nProbe: Int) = {
-    val cs = spark.sparkContext.broadcast(centroids)
-    udf { (v: Seq[Double]) =>
-      val x = unit(v.toArray)
-      cs.value.indices
-        .map(c => c -> {
-          var d = 0.0; var i = 0
-          while (i < x.length) { val t = cs.value(c)(i) - x(i); d += t * t; i += 1 }
-          d
-        })
-        .sortBy(_._2).take(nProbe).map(_._1)
-    }
+      centroids: Array[Array[Double]], nProbe: Int): Column => Column = { vIn =>
+    val v = vIn.cast("array<double>")
+    val nrm = sqrt(aggregate(v, lit(0d), (acc, x) => acc + x * x))
+    val u = transform(v, x => when(nrm > 0d, x / nrm).otherwise(x))
+    val dists = transform(centroidsLit(centroids), c =>
+      aggregate(zip_with(c, u, (ci, xi) => (ci - xi) * (ci - xi)),
+        lit(0d), (acc, z) => acc + z))
+    val ranked = array_sort(zip_with(dists,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (d, i) => struct(d.as("d"), i.as("c"))))
+    transform(slice(ranked, 1, nProbe), s => s.getField("c"))
   }
 
   /** Shared probe-join-rank tail of both IVF paths. */
@@ -206,7 +238,7 @@ object Similarity {
     val assigned = assignClusters(vectors, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         col("cluster"))
-    val probes = probesUdf(vectors.sparkSession, centroids, nProbe)
+    val probes = probeIds(vectors.sparkSession, centroids, nProbe)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("probe", explode(probes(col("qv")))))
@@ -261,7 +293,7 @@ object Similarity {
     // this is index-metadata loading, not a collect-in-the-hot-path
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
-    val probes = probesUdf(spark, centroids, nProbe)
+    val probes = probeIds(spark, centroids, nProbe)
     val q0 = queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("probe", explode(probes(col("qv"))))

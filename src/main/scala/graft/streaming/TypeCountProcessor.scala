@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4 `transformWithState` (arbitrary stateful processing v2)
   * processor: per-user event-type counts held in `MapState`, flushed by
@@ -23,10 +23,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
 class TypeCountProcessor
     extends StatefulProcessor[Long, (Long, Long, String), (Long, String, Long)] {
   @transient private var counts: MapState[String, Long] = _
+  @transient private var pendingTimer: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     counts = getHandle.getMapState[String, Long]("counts",
       Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    pendingTimer = getHandle.getValueState[Long]("pending_timer",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
       timers: TimerValues): Iterator[(Long, String, Long)] = {
@@ -36,10 +40,20 @@ class TypeCountProcessor
         (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + 1L)
       if (tsMs > maxMs) maxMs = tsMs
     }
-    // one flush per key: (re)register just past the newest event. A
-    // stale timer from an earlier batch fires into already-cleared
-    // state and emits nothing, so duplicate registration is harmless.
-    getHandle.registerTimer(maxMs + 1L)
+    // EXACTLY ONE live timer per key, moved forward monotonically: a
+    // stale earlier timer is NOT harmless — if the watermark overtakes
+    // it while later batches are still adding events, the key flushes in
+    // two partial emissions (split counts), diverging from the batch
+    // GROUP BY the processor promises. Track the registered expiry in
+    // ValueState and delete-before-advance; a batch of only older
+    // events (newExpiry <= pending) keeps the pending timer.
+    val newExpiry = maxMs + 1L
+    val pending = if (pendingTimer.exists()) pendingTimer.get() else Long.MinValue
+    if (newExpiry > pending) {
+      if (pending != Long.MinValue) getHandle.deleteTimer(pending)
+      getHandle.registerTimer(newExpiry)
+      pendingTimer.update(newExpiry)
+    }
     Iterator.empty
   }
 
@@ -47,6 +61,7 @@ class TypeCountProcessor
       info: ExpiredTimerInfo): Iterator[(Long, String, Long)] = {
     val out = counts.iterator().map { case (tpe, n) => (key, tpe, n) }.toArray
     counts.clear()
+    pendingTimer.clear()
     out.iterator
   }
 }
