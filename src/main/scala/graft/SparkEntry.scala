@@ -883,6 +883,78 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
+    // the hash-IVF disk index: the g67/g86/g91 serving shape with a FULL
+    // hash-match oracle. Coarse assignment + probe choice are exact
+    // BIGINT dots against hash-derived pseudo-centroids (the q54
+    // convention), codes are the bit-oracled q68 int8 quantization, so
+    // the entire index lifecycle — build, rout, prune, score, rank —
+    // replays bit-for-bit in DuckDB. This is the family's end-to-end
+    // correctness anchor; the float-k-means variants (g67/g86/g91/g107)
+    // share the serve path but can't be cross-engine-hashed.
+    QueryDef("g110_ann_hash_ivf",
+      (s, d) => {
+        val vecs = s.read.parquet(s"$d/embeddings.parquet")
+        val dir = cachedIndexDir("g110_hivf", d) { dir =>
+          graft.ops.Quantization.writeHashIvfIndex(vecs, "vec_id", "embedding", dir, 8)
+        }
+        graft.ops.Quantization.hashIvfTopKFromIndex(dir,
+          vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10,
+          numClusters = 8, nProbe = 2)
+      },
+      Some {
+        import graft.queries.DuckXxHash._
+        val k = 8
+        val nProbe = 2
+        val ch = chain("e",
+          "SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) " +
+            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings")
+          .cte("comp",
+            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, " +
+              "unnest(vq) AS x FROM e")
+          .cte("cells",
+            s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
+              "(SELECT DISTINCT i FROM comp) ti")
+          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
+          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+        val ch2 = ch
+          .cte("cent",
+            s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")
+          .cte("scores",
+            "SELECT vec_id, c, CAST(SUM(x * comp) AS BIGINT) AS score " +
+              "FROM comp JOIN cent USING (i) GROUP BY 1, 2")
+          .cte("assign",
+            "SELECT vec_id, c AS cluster FROM (SELECT vec_id, c, " +
+              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
+              "FROM scores) WHERE rn = 1")
+          .cte("un",
+            "SELECT vec_id, CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 " +
+              "THEN [0.0 for x in v] " +
+              "ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v " +
+              "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+          .cte("mm", "SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM un")
+          .cte("z",
+            "SELECT vec_id, [CASE WHEN m = 0 THEN 0 " +
+              "ELSE CAST(floor(v[x] * 127 / m + 0.5) AS BIGINT) END " +
+              "for x in generate_series(1, len(v))] AS codes, " +
+              "CAST(floor(m * 1e6 + 0.5) AS BIGINT) AS sm FROM mm")
+          .cte("probes",
+            s"SELECT vec_id AS qid, c AS probe FROM (SELECT vec_id, c, " +
+              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
+              s"FROM scores WHERE vec_id % 50 = 0) WHERE rn <= $nProbe")
+          .cte("qz", "SELECT vec_id AS qid, codes AS qcodes FROM z WHERE vec_id % 50 = 0")
+          .cte("sc",
+            "SELECT p.qid, z.vec_id, CAST(list_sum([z.codes[i] * q.qcodes[i] " +
+              "for i in generate_series(1, len(z.codes))]) * z.sm AS BIGINT) AS score " +
+              "FROM probes p JOIN assign a ON a.cluster = p.probe " +
+              "JOIN z ON z.vec_id = a.vec_id JOIN qz q ON q.qid = p.qid " +
+              "WHERE z.vec_id <> p.qid")
+        ch2.render(
+          "SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, score " +
+            "FROM (SELECT qid, vec_id, score, row_number() OVER " +
+            "(PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+            "WHERE rnk <= 10")
+      }),
+
     // end-to-end near-dup dedup decision: LSH pairs -> connected
     // components -> one canonical survivor per cluster (rows-only; the
     // clustering invariants are asserted in OpsSpec)
@@ -1847,6 +1919,99 @@ object SynthQueries {
       Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
           AS bucket_s, event_type, count(*) AS n
         FROM events GROUP BY 1, 2""")),
+
+    // transformWithState ACROSS watermark-advancing micro-batches: the
+    // events file split in TIME halves (one file per trigger), so after
+    // batch 1 the watermark has already overtaken the batch-1 flush
+    // timers of every user — while batch 2 still delivers events for
+    // those same users. Without the one-live-timer contract
+    // (TypeCountProcessor deletes the pending timer before advancing
+    // it), each such user flushes TWICE — a batch-1 partial and a
+    // batch-2 remainder — and the per-(user, type) counts split into
+    // two rows, so the batch GROUP BY oracle hash-catches the defect.
+    QueryDef("g111_stream_tws_multibatch",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{expr, lit, max, min, timestamp_micros}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val oldProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val streamDir = java.nio.file.Files.createTempDirectory("g111_events")
+        // three single-file triggers, processed in write order: early
+        // half, late half, sentinel (advances the final watermark so
+        // every key's last timer fires in the trailing batch)
+        def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory(s"g111_$sub")
+          df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
+        }
+        // split the RAW rows by their normalized-ns timestamp (the raw
+        // ts type varies by testdata generation — see EventTs). THIRDS,
+        // not halves: with only two data batches a stale timer fires
+        // after the final batch's input and accidentally flushes
+        // complete counts; the split needs a key to receive input in a
+        // batch AFTER a stale-timer flush, which takes >= 3 data batches.
+        val tsNs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => col("ts")
+          case _ => org.apache.spark.sql.functions.unix_micros(
+            col("ts").cast("timestamp")) * lit(1000L)
+        }
+        val t1 = minNs + (maxNs - minNs) / 3
+        val t2 = minNs + 2L * (maxNs - minNs) / 3
+        writeOne(evRaw.where(tsNs <= t1), "a_third0")
+        writeOne(evRaw.where(tsNs > t1 && tsNs <= t2), "b_third1")
+        writeOne(evRaw.where(tsNs > t2), "c_third2")
+        val sentinelNs = maxNs + 36000L * 1000000000L
+        val sentinelTs = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+        }
+        writeOne(evRaw.limit(1).select(
+          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props")),
+          "d_sentinel")
+        val name = "g111_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        import s.implicits._
+        val src = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .select(col("user_id").cast("long").as("uid"),
+            expr("ts div 1000000").as("ts_ms"), col("event_type"))
+          .as[(Long, Long, String)]
+        val q = src.groupByKey(_._1)
+          .transformWithState(new graft.streaming.TypeCountProcessor,
+            TimeMode.EventTime(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
+          .toDF("user_id", "event_type", "n")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+        s.table(name).filter(col("user_id") >= 0)
+        } finally {
+          oldProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type""")),
 
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(

@@ -216,6 +216,60 @@ object Quantization {
     rankQuantized(joined, k)
   }
 
+  /** Deterministic integer IVF index: coarse assignment by hash-derived
+    * pseudo-centroids ([[SemanticDedup.hashClusterAssign]], exact BIGINT
+    * dots) instead of float k-means, codes by [[quantizeUnit]]. Every
+    * build step is integer arithmetic, so the WHOLE index — which
+    * cluster holds which vector, every code, every scale — is a pure
+    * function of the corpus, bit-reproducible by an independent engine.
+    * Same storage contract as [[writeQuantizedIvfIndex]]: partitioned by
+    * cluster, probed directories are the only ones opened. No centroid
+    * table is persisted — the "centroids" re-derive from the hash
+    * anywhere, which is itself a 100 TB property (index metadata is
+    * zero bytes; any engine can route a query without reading state).
+    */
+  def writeHashIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, numClusters: Int): Unit = {
+    val assigned = SemanticDedup.hashClusterAssign(vectors, idCol, vecCol, numClusters)
+      .select(col(idCol), col("cluster"))
+    quantizeUnit(vectors, idCol, vecCol)
+      .join(assigned, idCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
+  /** Serve from a [[writeHashIvfIndex]] index: probe the nProbe best
+    * pseudo-centroids per query (exact integer ranking,
+    * [[SemanticDedup.hashClusterProbes]]), scan ONLY the probed
+    * directories (driver-collected probe set → PartitionFilters, the
+    * [[quantizedIvfTopKFromIndex]] shape), rank candidates by the
+    * rescaled integer dot. Probe choice, candidate set, scores, and
+    * ranking are ALL exact integers — the one ANN serving path whose
+    * end-to-end output an independent engine can hash-match (the float-
+    * k-means variants share this serve shape but not the replayability).
+    */
+  def hashIvfTopKFromIndex(indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, numClusters: Int,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    // probe ids as INT: the index's `cluster` partition column reads
+    // back as int, and a cast on the PARTITION side of the comparison
+    // would block PartitionFilters pruning
+    val probes = SemanticDedup.hashClusterProbes(
+      queries, idCol, vecCol, numClusters, nProbe)
+      .select(col(idCol).as("qid"), col("probe").cast("int").as("probe"))
+    val qq = broadcast(quantizeUnit(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("codes").as("qcodes"))
+      .join(probes, "qid"))
+    // BOUNDED collect: at most min(numClusters, |queries|·nProbe) ids —
+    // driver-side so the isin() lands in PartitionFilters
+    val probed = qq.select("probe").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol).as("id"), col("codes"), col("scale_micro"), col("cluster"))
+    rankQuantized(corpus.join(qq,
+      col("cluster") === col("probe") && col("id") =!= col("qid")), k)
+  }
+
   // -------------------------------------- JL random projection (±1 signs)
 
   /** Johnson–Lindenstrauss dimensionality reduction with a ±1 sign

@@ -29,8 +29,29 @@ object SemanticDedup {
     * replay possible.
     */
   def hashClusterAssign(
-      vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    scoredTopN(vectors, idCol, vecCol, k, 1)
+      .select(col(idCol), col("c").as("cluster"), col("score"))
+
+  /** The nProbe best pseudo-centroids per vector — the deterministic
+    * probe expansion for the hash-IVF serving path
+    * ([[Quantization.hashIvfTopKFromIndex]]): same exact-integer scores
+    * as [[hashClusterAssign]] (rank 1 IS the assigned cluster), so the
+    * probe choice replays bit-for-bit cross-engine.
+    */
+  def hashClusterProbes(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame =
+    scoredTopN(vectors, idCol, vecCol, k, nProbe)
+      .select(col(idCol), col("c").as("probe"), col("rn"))
+
+  /** Shared top-N of the exact-integer pseudo-centroid scores, ranked
+    * (score desc, c asc) — one scan, k score rows per vector, pruned to
+    * N before the executor-local checkpoint barrier.
+    */
+  private def scoredTopN(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, topN: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
+    require(topN >= 1 && topN <= k, s"topN must be in [1, $k]: $topN")
     val vq = vectors
       .select(col(idCol), transform(col(vecCol).cast("array<double>"),
         x => round(x * 1000000).cast("long")).as("vq"))
@@ -46,8 +67,7 @@ object SemanticDedup {
     val out = scored
       .select(col(idCol), col("c"), col("score"),
         row_number().over(w).as("rn"))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("c").as("cluster"), col("score"))
+      .filter(col("rn") <= topN)
       .localCheckpoint(true) // executor-local; see Dedup.exactShinglePairs
     vq.unpersist()
     out

@@ -119,6 +119,12 @@ class PrivacySpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, 100000)
     assert(Multimodal.decodeWav(bad) == None)
+    // sample rate 0 in the fmt chunk: must reject (audioFeatures divides
+    // by the rate — a Some here would kill the scan, not degrade to null)
+    val zeroRate = plain.clone()
+    java.nio.ByteBuffer.wrap(zeroRate).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(24, 0)
+    assert(Multimodal.decodeWav(zeroRate) == None)
   }
 
   test("audioFeatures: features for valid wavs, nulls for corrupt payloads") {

@@ -131,6 +131,18 @@ class RobustSpec extends AnyFunSuite {
         r.getAs[Int]("was_null"))).toMap
     // survivor median of (10,20,30): rank ceil(3*0.5)=2 -> 20
     assert(imp(2L) == ((20L, 1)) && imp(1L) == ((10L, 0)))
+    // a key whose values are ALL null must survive (imputed stays null,
+    // was_null=1) — the median table has no row for it, and an inner
+    // join would silently drop the whole key
+    val allNull = Robust.imputeMedian(
+      Seq(("k", Some(10L), 1L), ("dead", Option.empty[Long], 2L),
+        ("dead", Option.empty[Long], 3L)).toDF("key", "v", "id"),
+      "key", col("v"), col("id")).collect()
+    assert(allNull.length == 3)
+    val dead = allNull.filter(_.getAs[String]("key") == "dead")
+    assert(dead.length == 2 &&
+      dead.forall(r => r.isNullAt(r.fieldIndex("imputed")) &&
+        r.getAs[Int]("was_null") == 1))
   }
 
   test("cm join-size estimator: exact without collisions, never under-estimates") {

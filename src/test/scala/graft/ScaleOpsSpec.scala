@@ -389,6 +389,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 $recall < 0.5")
   }
 
+  test("hash-IVF disk index: pruned scan, probe-1 is the assigned cluster, scores replay the int8 kernel") {
+    import graft.ops.{Quantization, SemanticDedup}
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("hivf_test").toString
+    Quantization.writeHashIvfIndex(df, "vec_id", "embedding", dir, 8)
+    val res = Quantization.hashIvfTopKFromIndex(
+      dir, queries, "vec_id", "embedding", 10, numClusters = 8, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition pruning in plan:\n$plan")
+    // a vector's best probe must be its own assigned cluster (same
+    // score table — rank 1 of probes == the argmax of assignment)
+    val assign = SemanticDedup.hashClusterAssign(df, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = SemanticDedup.hashClusterProbes(df, "vec_id", "embedding", 8, 2)
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probes == assign.map { case (id, c) => id -> c })
+    // serve scores are EXACTLY the q68 integer kernel's values — the
+    // index only shrinks the candidate set, never the arithmetic
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val full = Quantization.int8TopK(df, queries, "vec_id", "embedding", 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    got.foreach { case (qid, nb, score) =>
+      assert(full((qid, nb)) == score, s"score drift for ($qid,$nb)")
+    }
+  }
+
   test("jl projection: bit-exact vs local XXH64 replay, planted near-pairs stay near") {
     import graft.ops.Quantization
     import org.apache.spark.sql.catalyst.expressions.XXH64

@@ -44,6 +44,28 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("shard sink: overwrite truncates the previous shard set") {
+    val dir = java.nio.file.Files.createTempDirectory("shard_sink_trunc").toString
+    (0L until 100L).map(i => (i, s"v1 $i")).toDF("id", "text").repartition(5)
+      .write.format("graft-shards").mode("append").option("path", dir).save()
+    val firstShards = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .map(_.getFileName.toString).toArray.map(_.toString)
+      .filter(_.startsWith("shard-")).toSet
+    assert(firstShards.nonEmpty)
+    // overwrite with FEWER shards: stale shard files from the first
+    // write must not survive (they would shadow the manifest's truth)
+    (0L until 10L).map(i => (i, s"v2 $i")).toDF("id", "text").repartition(1)
+      .write.format("graft-shards").mode("overwrite").option("path", dir).save()
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .map(_.getFileName.toString).toArray.map(_.toString)
+      .filter(_.startsWith("shard-")).toSet
+    assert(after == Set("shard-00000.jsonl"), s"stale shards survived: $after")
+    val back = spark.read.schema("id LONG, text STRING")
+      .json(s"$dir/shard-00000.jsonl")
+    assert(back.count() == 10L)
+    assert(back.agg(max("text")).collect()(0).getString(0).startsWith("v2"))
+  }
+
   test("shard sink: empty partitions produce no shards, missing path rejects") {
     val dir = java.nio.file.Files.createTempDirectory("shard_sink_empty").toString
     spark.range(0).select(col("id")).repartition(3)
