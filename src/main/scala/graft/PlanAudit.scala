@@ -33,6 +33,8 @@ object PlanAudit {
     "q100_hybrid_rrf",     // deliberate: dense side is the q27 broadcast theta-join
     "q107_pmi_bigrams",    // deliberate: crossJoin(broadcast(total)) of a 1-ROW aggregate
     "q113_mmr_diversify",  // deliberate: broadcast query side vs all vectors (q27 shape)
+    "q132_join_size",      // deliberate: crossJoin(broadcast(·)) of a 1-ROW exact-size aggregate (q107 shape)
+    "q135_vocab_drift",    // deliberate: crossJoin(broadcast(·)) of a 1-ROW totals aggregate (q107 shape)
   )
 
   def main(args: Array[String]): Unit = {

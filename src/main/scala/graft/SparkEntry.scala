@@ -146,23 +146,67 @@ object SynthQueries {
     q("g39_synth_header")((s, _) => Synth.dataFrame(s,
       """[{"name": "h", "class": "header"},
           {"name": "hm", "class": "header", "type": "mal1"}]""", 10000)),
-    q("g40_synth_measures")((s, _) => checkerSafe(Synth.dataFrame(s,
-      """[{"name": "g", "class": "gamma", "alpha": 3, "beta": 2},
-          {"name": "n", "class": "normal", "mean": 10, "sd": 2, "min": 5, "max": 15},
-          {"name": "fk", "class": "foreign-key", "size": "1M", "skew": 1},
-          {"name": "py", "class": "pitman_yor", "alpha": 5, "discount": 0.2},
-          {"name": "vec", "class": "vector", "length": 16, "mean": 0, "sd": 1},
-          {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
-          {"name": "burst", "class": "bursts", "value": {"class": "double"}}]""", 20000))),
-    q("g41_correlator")((s, d) => checkerSafe(Processors.correlate(
-      s.read.parquet(s"$d/orders.parquet"),
-      """[{"name": "device", "class": "uuid"}, {"name": "ip", "class": "ipv4"}]""",
-      "correlated").success)),
-    q("g42_transactions")((s, d) => checkerSafe(Processors.transactions(
-      s.read.parquet(s"$d/orders.parquet"), "o_orderkey"))),
-    q("g43_removefields")((s, d) => checkerSafe(Processors.removeFields(
-      Synth.dataFrame(s, """[{"name": "t", "class": "toll"}, {"name": "u", "class": "uuid"}]""", 5000),
-      Seq("u", "t.location.city")))),
+    // r7: the measures demo now returns EXACT bucket histograms of every
+    // sampled column (the g78 captured-constant convention — the
+    // interpreter is seed- and partitioning-deterministic, so the
+    // distribution shape is a pinned constant, a real oracle instead of
+    // a rows-only check). Buckets use only integer-exact edges on the
+    // Spark side; the oracle is the captured table, so no cross-engine
+    // float math is involved.
+    QueryDef("g40_synth_measures",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, element_at,
+          floor => ffloor, greatest, least, length, lit, substring}
+        val df = Synth.dataFrame(s,
+          """[{"name": "g", "class": "gamma", "alpha": 3, "beta": 2},
+              {"name": "n", "class": "normal", "mean": 10, "sd": 2, "min": 5, "max": 15},
+              {"name": "fk", "class": "foreign-key", "size": "1M", "skew": 1},
+              {"name": "py", "class": "pitman_yor", "alpha": 5, "discount": 0.2},
+              {"name": "vec", "class": "vector", "length": 16, "mean": 0, "sd": 1},
+              {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+              {"name": "burst", "class": "bursts", "value": {"class": "double"}}]""",
+          20000, 42L, partitions = 8)
+        def fam(name: String, bucket: org.apache.spark.sql.Column) =
+          df.select(lit(name).as("family"), bucket.cast("long").as("bucket"))
+        fam("gamma", least(lit(12L), ffloor(col("g"))))
+          .unionAll(fam("normal", ffloor(col("n"))))
+          .unionAll(fam("fk_digits", length(col("fk").cast("string"))))
+          .unionAll(fam("pitman_yor", least(lit(10L), col("py"))))
+          .unionAll(fam("vec0",
+            greatest(lit(-4L), least(lit(4L), ffloor(element_at(col("vec"), 1))))))
+          .unionAll(fam("date_year", substring(col("d"), 1, 4)))
+          .unionAll(fam("burst_value",
+            greatest(lit(0L), least(lit(9L), ffloor(col("burst.value") / 10)))))
+          .groupBy("family", "bucket").agg(fcount(lit(1)).as("n"))
+      },
+      Some(MeasuresHistOracle.sql)),
+    // g41_correlator / g42_transactions retired (r7): pure rows-only
+    // duplicates of the HASH-ORACLED q12 (correlate, same API on the
+    // same tables) and g54/q13 (transactions fan-out + amounts bit
+    // oracle) — the same retire-in-favor-of-the-oracle move the r6
+    // verdict prescribed for g44/g45.
+    //
+    // removeFields with a REAL oracle: top-level drop + nested
+    // dropFields over the orders table, the surviving struct rendered
+    // through checkerSafe's to_json so DuckDB can rebuild the exact
+    // JSON text (string + integer members only — key order and numeric
+    // rendering agree across engines).
+    QueryDef("g43_removefields",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{round, struct}
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"),
+            struct(col("o_orderstatus").as("status"),
+              struct(col("o_orderdate").cast("string").as("dropme"),
+                round(col("o_totalprice") * 100).cast("long").as("cents")).as("meta"))
+              .as("rec"),
+            col("o_custkey"))
+        checkerSafe(Processors.removeFields(o, Seq("o_custkey", "rec.meta.dropme")))
+      },
+      Some("""SELECT o_orderkey,
+          concat('{"status":"', o_orderstatus, '","meta":{"cents":',
+            CAST(round(o_totalprice * 100) AS BIGINT), '}}') AS rec
+        FROM orders""")),
     // the transactions fan-out + amounts, hash-match-checkable: the
     // processor's deterministic xxhash64 fan-out is reproduced in DuckDB
     // via DuckXxHash (mod-2^64 HUGEINT arithmetic), so this derived view
@@ -178,12 +222,9 @@ object SynthQueries {
             coalesce(col("tx.amount_cents"), lit(-1L)).as("amount_cents"))
       },
       Some(TxFanoutOracle.sql)),
-    q("g44_sink_template")((s, _) => Processors.renderTemplate(
-      CannedSources.phoneNumber(s, 5000),
-      "call ${phone} now")),
-    q("g45_sink_xml")((s, _) => Processors.toXml(
-      Synth.dataFrame(s, """[{"name": "b", "class": "browser"},
-        {"name": "i", "class": "int", "min": 0, "max": 9}]""", 5000))),
+    // g44_sink_template / g45_sink_xml retired (r7, per the r6 verdict):
+    // g61_template_bits / g62_xml_bits prove the identical sink
+    // machinery end-to-end with full DuckDB bit oracles.
 
     // the header lowering, hash-match-checked end-to-end: every line of
     // the rendered request (urls, host, user-agent pick + version
@@ -545,24 +586,57 @@ object SynthQueries {
 
     // the IoT flagship via the Catalyst fast path: cumulative event
     // clocks and random walks as per-row prefix-sum arrays, one explode —
-    // compare with g30 (same schema through the interpreter)
-    q("g53_iot_fast")((s, _) => Synth.dataFrameAuto(s, CannedSources.iotSchemaJson, 1000)),
+    // compare with g30 (same schema through the interpreter). r7: the
+    // returned view is the per-device rollup (device dims + reading
+    // count + first reading time), which DuckDB replays EXACTLY — the
+    // device ladders are the proven g82 chains, n_readings pins the
+    // 100-length explode, and min(time) is reading 1's formatted clock
+    // (the event clock is nondecreasing, so the min IS gap-1 — one
+    // hashInt chain). Per-reading bits at depth 3 are g82's oracle; the
+    // full 100-step chain is deliberately not unrolled into SQL (~2k
+    // materialized stages).
+    QueryDef("g53_iot_fast",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{count => fcount, lit, min}
+        Synth.dataFrameAuto(s, CannedSources.iotSchemaJson, 1000)
+          .groupBy(col("device-id"), col("device-ip"),
+            col("latitude"), col("longitude"))
+          .agg(fcount(lit(1)).as("n_readings"), min("time").as("first_time"))
+      },
+      Some(IotFastRollupOracle.sql)),
 
     // Catalyst fast path: 1M rows of a wide stateless schema as pure
-    // codegen'd column expressions (compare with g38's interpreter rate)
-    q("g51_columns_fast")((s, _) => Synth.dataFrameAuto(s,
-      """[{"name": "u", "class": "uuid"},
-          {"name": "ip", "class": "ipv4"},
-          {"name": "n", "class": "int", "min": 0, "max": 1000000},
-          {"name": "x", "class": "normal", "mean": 0, "sd": 1},
-          {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
-          {"name": "st", "class": "state"},
-          {"name": "b", "class": "browser"},
-          {"name": "phone", "class": "join", "separator": "-",
-           "value": {"class": "sequence", "array": [
-             {"class": "int", "min": 200, "max": 999},
-             {"class": "int", "min": 200, "max": 999},
-             {"class": "int", "min": 1000, "max": 9999}]}}]""", 1000000)),
+    // codegen'd column expressions (compare with g38's interpreter
+    // rate; 200k rows — the 1M variant's DuckDB replay needed >8 min,
+    // too heavy for the driver gate) — now with a FULL bit oracle composed from the proven
+    // ladder fragments over 200k ids (uuid surgery g56, ipv4 g58, int n#0 g56, date
+    // g64, state/browser ladders g58, phone join g61). The normal
+    // column is the one non-replayable-to-the-bit cell (libm log/cos
+    // may differ in the last ulp across engines), so it ships as the
+    // g78-convention clamped floor bucket — a boundary flip needs the
+    // true value within ~2 ulp of an integer, ~4e-11 over 200k rows.
+    QueryDef("g51_columns_fast",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{floor => ffloor, greatest, least, lit}
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "u", "class": "uuid"},
+              {"name": "ip", "class": "ipv4"},
+              {"name": "n", "class": "int", "min": 0, "max": 1000000},
+              {"name": "x", "class": "normal", "mean": 0, "sd": 1},
+              {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+              {"name": "st", "class": "state"},
+              {"name": "b", "class": "browser"},
+              {"name": "phone", "class": "join", "separator": "-",
+               "value": {"class": "sequence", "array": [
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 200000)
+          .select(col("i"), col("u"), col("ip"), col("n"),
+            greatest(lit(-4L), least(lit(4L), ffloor(col("x")))).cast("long").as("xb"),
+            col("d"), col("st"), col("b"), col("phone"))
+      },
+      Some(ColumnsFastOracle.sql)),
 
     // the Catalyst fast path itself, hash-match-checked: id + int + uuid
     // are pure functions of xxhash64(id, salt), so DuckDB can recompute
@@ -2013,6 +2087,24 @@ object SynthQueries {
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, event_type""")),
 
+    // Avro record-writer breadth with a FULL bit oracle: fast-path
+    // columns whose ladders are already hash-proven (g56/g58 XXH64
+    // chains) written as Avro container files and read back through the
+    // distributed AvroIo source — the DuckDB replay hash-matches ONLY
+    // if generation AND the Avro round-trip are both bit-lossless.
+    // (Byte-level nullable/array/binary coverage is in ShardSinkSpec.)
+    QueryDef("g112_sink_avro",
+      (s, _) => {
+        val df = Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "ip", "class": "ipv4"},
+              {"name": "n", "class": "int", "min": 0, "max": 1000}]""", 5000)
+        val dir = java.nio.file.Files.createTempDirectory("g112_avro").toString
+        graft.api.Processors.writeAvro(df, dir)
+        graft.sources.AvroIo.readAvro(s, dir)
+      },
+      Some(AvroRoundTripOracle.sql)),
+
     q("g50_multimodal_decode")((s, d) => {
       val assets = graft.ops.Multimodal.asAsset(
         s.read.parquet(s"$d/documents.parquet")
@@ -2214,6 +2306,197 @@ object SinkOracles {
     val n = fastPathInt("n2out", 0, 10)
     ch.render("SELECT concat('<record>', '<i>', i, '</i>', '<b>', " +
       s"$b, '</b>', '<n>', $n, '</n>', '</record>') AS xml FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g40_synth_measures: exact bucket-count constants
+  * captured from the pinned (seed=42, partitions=8) interpreter run —
+  * the g78 convention extended to the full measures demo (gamma,
+  * truncated normal, Zipf fk digit-lengths, CRP pitman-yor, vector
+  * element, date years, burst values).
+  */
+object MeasuresHistOracle {
+  lazy val sql: String =
+    """SELECT family, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n
+       FROM (VALUES
+         ('burst_value', 0, 2088),
+         ('burst_value', 1, 2058),
+         ('burst_value', 2, 1966),
+         ('burst_value', 3, 2026),
+         ('burst_value', 4, 2010),
+         ('burst_value', 5, 2018),
+         ('burst_value', 6, 1958),
+         ('burst_value', 7, 1955),
+         ('burst_value', 8, 1953),
+         ('burst_value', 9, 1968),
+         ('date_year', 2020, 4091),
+         ('date_year', 2021, 4065),
+         ('date_year', 2022, 3929),
+         ('date_year', 2023, 4014),
+         ('date_year', 2024, 3901),
+         ('fk_digits', 1, 4041),
+         ('fk_digits', 2, 3125),
+         ('fk_digits', 3, 3164),
+         ('fk_digits', 4, 3338),
+         ('fk_digits', 5, 3137),
+         ('fk_digits', 6, 3195),
+         ('gamma', 0, 6517),
+         ('gamma', 1, 8649),
+         ('gamma', 2, 3580),
+         ('gamma', 3, 977),
+         ('gamma', 4, 211),
+         ('gamma', 5, 52),
+         ('gamma', 6, 12),
+         ('gamma', 7, 2),
+         ('normal', 5, 314),
+         ('normal', 6, 869),
+         ('normal', 7, 1845),
+         ('normal', 8, 3102),
+         ('normal', 9, 3813),
+         ('normal', 10, 3910),
+         ('normal', 11, 3006),
+         ('normal', 12, 1898),
+         ('normal', 13, 892),
+         ('normal', 14, 351),
+         ('pitman_yor', 0, 2715),
+         ('pitman_yor', 1, 2289),
+         ('pitman_yor', 2, 2788),
+         ('pitman_yor', 3, 1866),
+         ('pitman_yor', 4, 1873),
+         ('pitman_yor', 5, 750),
+         ('pitman_yor', 6, 894),
+         ('pitman_yor', 7, 755),
+         ('pitman_yor', 8, 465),
+         ('pitman_yor', 9, 660),
+         ('pitman_yor', 10, 4945),
+         ('vec0', -4, 21),
+         ('vec0', -3, 415),
+         ('vec0', -2, 2711),
+         ('vec0', -1, 6784),
+         ('vec0', 0, 6802),
+         ('vec0', 1, 2824),
+         ('vec0', 2, 411),
+         ('vec0', 3, 31),
+         ('vec0', 4, 1)
+       ) AS t(family, bucket, n)"""
+}
+
+/** DuckDB oracle for g53_iot_fast's per-device rollup: the g82 device
+  * chains (uuid surgery, public ipv4, shared zip index for lat/lon)
+  * over 1000 ids, the constant 100-reading count, and reading 1's
+  * formatted event clock (= the first exponential gap, one hashInt
+  * chain — min over a nondecreasing clock).
+  */
+object IotFastRollupOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val base = uniformChain(1000, Seq(
+      "uh" -> "device-id#hi", "ul" -> "device-id#lo",
+      "ip" -> "device-ip", "zp" -> "zip", "tg" -> "seq/time#g"))
+    val ch = base.steps(hashIntSteps("t1", "1::HUGEINT", "h_tg"))
+    val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
+      "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
+    val loHex = "lower(lpad(to_hex(CAST((CAST(h_ul AS UBIGINT) & " +
+      "4611686018427387903::UBIGINT) | CAST(9223372036854775808 AS UBIGINT) " +
+      "AS UBIGINT)), 16, '0'))"
+    val uuid = "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), " +
+      "substr(h_hi, 13, 4), substr(h_lo, 1, 4), substr(h_lo, 5, 12))"
+    def octet(n: Int) = s"((h_ip // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val a0 = s"(${octet(24)} % 221 + 1)"
+    val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
+    val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
+    val ipCol = s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, " +
+      s"(${octet(0)} % 254 + 1))"
+    val rows = SeedData.continentalZips
+    val idx = s"(${pmod("h_zp", rows.length.toLong)} + 1)"
+    def dlist(xs: Seq[Double]): String =
+      xs.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+    val lat = s"(list_extract(${dlist(rows.map(_.latitude))}, $idx))"
+    val lon = s"(list_extract(${dlist(rows.map(_.longitude))}, $idx))"
+    val gap1 = s"(-ln((t1out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
+    val t1 = s"strftime(epoch_ms(1375315200000 + CAST(trunc(0.0 + $gap1) AS BIGINT)), " +
+      "'%Y-%m-%d %H:%M:%S')"
+    ch.render(
+      s"""SELECT $uuid AS "device-id", $ipCol AS "device-ip",
+        $lat AS latitude, $lon AS longitude,
+        CAST(100 AS BIGINT) AS n_readings, $t1 AS first_time
+      FROM (SELECT *, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})""")
+  }
+}
+
+/** DuckDB oracle for g51_columns_fast: every proven ladder fragment of
+  * the wide fast-path schema composed over 1M ids — uuid RFC-4122
+  * surgery (g56), public ipv4 (g58), skew-0 int (g56), Box–Muller
+  * normal as a clamped floor bucket (g78 convention — the only libm-
+  * dependent cell), bounded date (g64), state/browser CASE ladders
+  * (g58), and the 3-part phone join (g61).
+  */
+object ColumnsFastOracle {
+  import graft.queries.DuckXxHash._
+  import graft.runtime.SeedData
+
+  lazy val sql: String = {
+    val ch = uniformChain(200000, Seq(
+      "uh" -> "u#hi", "ul" -> "u#lo", "ip" -> "ip", "n" -> "n#0",
+      "xa" -> "x#a", "xb" -> "x#b", "d" -> "d", "st" -> "st", "b" -> "b",
+      "p0" -> "phone/join/[0]#0", "p1" -> "phone/join/[1]#0",
+      "p2" -> "phone/join/[2]#0"))
+    val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
+      "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
+    val loHex = "lower(lpad(to_hex(CAST((CAST(h_ul AS UBIGINT) & " +
+      "4611686018427387903::UBIGINT) | CAST(9223372036854775808 AS UBIGINT) " +
+      "AS UBIGINT)), 16, '0'))"
+    val uuid = "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), " +
+      "substr(h_hi, 13, 4), substr(h_lo, 1, 4), substr(h_lo, 5, 12))"
+    def octet(n: Int) = s"((h_ip // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val a0 = s"(${octet(24)} % 221 + 1)"
+    val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
+    val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
+    val ipCol = s"concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, " +
+      s"(${octet(0)} % 254 + 1))"
+    val x = s"(sqrt(ln(${uniform("h_xa")} + 1e-300) * -2.0) * " +
+      s"cos(${uniform("h_xb")} * 6.283185307179586) * 1.0 + 0.0)"
+    val xb = s"CAST(greatest(-4, least(4, floor($x))) AS BIGINT)"
+    val ftD = graft.runtime.FancyTime("yyyy-MM-dd")
+    val (s1, e1) = (ftD.parseMillis("2020-01-01"), ftD.parseMillis("2024-12-31"))
+    val dMs = s"CAST(floor(${uniform("h_d")} * ${e1 - s1} + $s1) AS BIGINT)"
+    ch.render(
+      s"SELECT i, $uuid AS u, $ipCol AS ip, ${fastPathInt("h_n", 0, 1000000)} AS n, " +
+        s"$xb AS xb, strftime(epoch_ms($dMs), '%Y-%m-%d') AS d, " +
+        s"${caseLadder(uniform("h_st"), SeedData.states)} AS st, " +
+        s"${caseLadder(uniform("h_b"), SeedData.browsers)} AS b, " +
+        s"concat(${fastPathInt("h_p0", 200, 999)}, '-', " +
+        s"${fastPathInt("h_p1", 200, 999)}, '-', " +
+        s"${fastPathInt("h_p2", 1000, 9999)}) AS phone " +
+        s"FROM (SELECT *, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
+  }
+}
+
+/** DuckDB oracle for g112_sink_avro: the same public-ipv4 and skew-0
+  * int-ladder formulas the g58/g56 oracles prove (salts "ip" and
+  * "n#0"), replayed over 5000 ids — a hash match certifies the Avro
+  * container round-trip byte-preserved every value.
+  */
+object AvroRoundTripOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = chain("s0",
+      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 5000)")
+      .steps(hashLongSteps("ip1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("ip2", saltLit("ip"), "ip1out"))
+      .steps(hashLongSteps("n1", "v", "42::HUGEINT"))
+      .steps(hashLongSteps("n2", saltLit("n#0"), "n1out"))
+    def octet(n: Int) = s"((ip2out // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val a0 = s"(${octet(24)} % 221 + 1)"
+    val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
+    val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
+    val lastOct = s"(${octet(0)} % 254 + 1)"
+    ch.render(
+      s"SELECT i, concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, $lastOct) AS ip, " +
+        s"${fastPathInt("n2out", 0, 1000)} AS n FROM ${ch.last}")
   }
 }
 

@@ -13,8 +13,14 @@ import graft.synth.Synth
   *
   * Usage:
   *   runMain graft.SynthCli -schema FILE -count N -output DIR
-  *     [-format json|csv|tsv|xml] [-template 'text ${field}']
+  *     [-format json|csv|tsv|xml|avro] [-template 'text ${field}']
+  *     [-quote DOUBLE_QUOTE|BACK_SLASH|OPTIMISTIC]
   *     [-threads P] [-seed S] [-fast]
+  *
+  * `-quote` selects the reference's delimited quoting convention
+  * (Synth.java:455-457) for csv/tsv and routes through
+  * [[Processors.toDelimited]] (line-exact, no header); without it the
+  * Spark CSV writer path is used (RFC-4180 quoting, header row).
   */
 object SynthCli {
   private val flagNames = Set("-fast")
@@ -55,12 +61,18 @@ object SynthCli {
       else Synth.dataFrame(spark, schema, count, seed, threads)
 
     val t0 = System.nanoTime()
+    val quote = opts.get("-quote")
     (format, opts.get("-template")) match {
       case (_, Some(t)) =>
         Processors.renderTemplate(df, t).write.mode("overwrite").text(output)
       case ("json", _) => Processors.writeJson(df, output)
+      case ("csv", _) if quote.isDefined =>
+        Processors.toDelimited(df, ",", quote.get).write.mode("overwrite").text(output)
+      case ("tsv", _) if quote.isDefined =>
+        Processors.toDelimited(df, "\t", quote.get).write.mode("overwrite").text(output)
       case ("csv", _)  => Processors.writeCsv(df, output)
       case ("tsv", _)  => Processors.writeTsv(df, output)
+      case ("avro", _) => Processors.writeAvro(df, output)
       case ("xml", _) =>
         Processors.toXml(df).write.mode("overwrite").text(output)
       case (other, _) => sys.error(s"unknown format '$other'")

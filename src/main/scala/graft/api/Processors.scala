@@ -126,10 +126,59 @@ object Processors {
     */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+  /** Avro container files (record-writer breadth parity — see
+    * [[graft.sources.AvroIo]]); returns nothing, the schema travels in
+    * the file headers.
+    */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    graft.sources.AvroIo.writeAvro(df, path); ()
+  }
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
   def writeTsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(path)
+
+  /** The reference CLI's three delimited quoting conventions
+    * (Synth.java:355-373 printDelimited, Quote enum:478-480, default
+    * DOUBLE_QUOTE), rendered as one text column so the output bytes
+    * match the reference's PrintStream line format — Spark's CSV writer
+    * has its own quoting engine and cannot produce any of these:
+    *
+    *   - `DOUBLE_QUOTE`: each value printed as its JSON representation
+    *     (strings double-quoted and JSON-escaped, numbers/booleans/null
+    *     bare) — `fields.get(name)` in the reference;
+    *   - `OPTIMISTIC`: raw text, no quoting at all (`asText()`);
+    *   - `BACK_SLASH`: raw text with comma, tab, whitespace and
+    *     backslash each escaped by a backslash.
+    *
+    * No header row (the reference's printDelimited emits values only).
+    * Scan-side codegen'd expressions, embarrassingly parallel.
+    */
+  def toDelimited(df: DataFrame, sep: String, quote: String): DataFrame = {
+    val parts: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      quote match {
+        case "DOUBLE_QUOTE" =>
+          // JSON rendering via to_json over a 1-element array, outer
+          // brackets stripped — strings get spec-exact JSON escaping,
+          // numbers print bare, null prints `null`, matching JsonNode
+          // toString
+          val j = to_json(array(c))
+          j.substr(lit(2), length(j) - lit(2))
+        case "OPTIMISTIC" =>
+          coalesce(c.cast("string"), lit("null"))
+        case "BACK_SLASH" =>
+          coalesce(regexp_replace(c.cast("string"),
+            "([,\\t\\s\\\\])", "\\\\$1"), lit("null"))
+        case other => throw new IllegalArgumentException(
+          s"unknown quote mode '$other' (DOUBLE_QUOTE|BACK_SLASH|OPTIMISTIC)")
+      }
+    }
+    val sepd = parts.zipWithIndex.flatMap { case (p, i) =>
+      if (i == 0) Seq(p) else Seq(lit(sep), p)
+    }
+    df.select(concat(sepd: _*).as("line"))
+  }
 
   /** XML rendering as an expression (no spark-xml in the jar set): one
     * `<record>` element per row, fields as child elements.

@@ -76,12 +76,14 @@ object SetSimJoin {
     // prefix length p = sz - ceil(tau*sz) + 1, integer-exact ceil
     val prefixLen = (col("__sz") - ceilPpm(col("__sz"), tauPpm) + lit(1)).cast("int")
     val prefix = arrs.select(col("__id"), col("__sz"),
-      explode(slice(col("__set"), lit(1), prefixLen)).as("__sh"))
+      posexplode(slice(col("__set"), lit(1), prefixLen)).as(Seq("__p0", "__sh")))
+      .select(col("__id"), col("__sz"), (col("__p0") + 1).as("__pos"), col("__sh"))
     val lenOk = lit(tauPpm) * greatest(col("x.__sz"), col("y.__sz")) <=
       lit(1000000L) * least(col("x.__sz"), col("y.__sz"))
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.__sh") === col("y.__sh") && col("x.__id") < col("y.__id") && lenOk)
+        col("x.__sh") === col("y.__sh") && col("x.__id") < col("y.__id") && lenOk
+          && positionalOk(tauPpm))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
     // exact verification: two id equi-joins pull the full sorted sets
@@ -105,11 +107,12 @@ object SetSimJoin {
   }
 
   /** Candidate pairs only (before exact verification) — exposed so tests
-    * and calibration can measure the prefix filter's pruning power
-    * against the full inverted-index pair count.
+    * and calibration can measure the pruning power of the prefix filter
+    * alone (`positional = false`) vs prefix + positional (the
+    * jaccardJoin configuration) against the full inverted-index count.
     */
   def candidateCount(df: DataFrame, idCol: String, textCol: String,
-      tauPpm: Long, shingleWords: Int = 3): Long = {
+      tauPpm: Long, shingleWords: Int = 3, positional: Boolean = true): Long = {
     val tokens = df
       .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__w"))
       .persist()
@@ -125,12 +128,15 @@ object SetSimJoin {
         size(col("__arr")).as("__sz"))
     val prefixLen = (col("__sz") - ceilPpm(col("__sz"), tauPpm) + lit(1)).cast("int")
     val prefix = arrs.select(col("__id"), col("__sz"),
-      explode(slice(col("__set"), lit(1), prefixLen)).as("__sh"))
+      posexplode(slice(col("__set"), lit(1), prefixLen)).as(Seq("__p0", "__sh")))
+      .select(col("__id"), col("__sz"), (col("__p0") + 1).as("__pos"), col("__sh"))
     val lenOk = lit(tauPpm) * greatest(col("x.__sz"), col("y.__sz")) <=
       lit(1000000L) * least(col("x.__sz"), col("y.__sz"))
+    val posOk = if (positional) positionalOk(tauPpm) else lit(true)
     val n = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.__sh") === col("y.__sh") && col("x.__id") < col("y.__id") && lenOk)
+        col("x.__sh") === col("y.__sh") && col("x.__id") < col("y.__id") && lenOk
+          && posOk)
       .select(col("x.__id"), col("y.__id")).distinct().count()
     tokens.unpersist()
     n
@@ -139,4 +145,24 @@ object SetSimJoin {
   /** ceil(sz * tauPpm / 1e6) in exact integer math. */
   private def ceilPpm(sz: Column, tauPpm: Long): Column =
     floor((sz * lit(tauPpm) + lit(999999L)) / lit(1000000L)).cast("long")
+
+  /** PPJoin's POSITIONAL filter (Xiao et al., WWW'08 §3.2), applied at
+    * candidate generation over aliases x/y carrying (__sz, __pos): a
+    * collision at 1-based prefix positions (ix, iy) bounds the overlap
+    * by 1 + min(|x|−ix, |y|−iy), and Jaccard >= tau requires overlap
+    * >= alpha = ceil(tau·(|x|+|y|)/(1+tau)). EXACT: the smallest common
+    * element of a qualifying pair sits inside both prefixes (the prefix
+    * guarantee) with no common element before it in either sorted array,
+    * so THAT collision always meets the bound — only can't-qualify
+    * collisions are dropped. Arithmetic stays integer-exact: the
+    * products stay below 2^53, so the double division inside floor is
+    * exact (the ceilPpm convention).
+    */
+  private def positionalOk(tauPpm: Long): Column = {
+    val den = 1000000L + tauPpm
+    val alpha = floor((lit(tauPpm) * (col("x.__sz") + col("y.__sz"))
+      + lit(den - 1)) / lit(den)).cast("long")
+    lit(1L) + least(col("x.__sz") - col("x.__pos"),
+      col("y.__sz") - col("y.__pos")) >= alpha
+  }
 }

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter,
+  GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file sink + source built directly on avro-core (the
+  * Spark distribution in this environment ships avro-1.12 but not the
+  * spark-avro connector module) — closes the reference's NiFi
+  * record-writer breadth gap (DataSynthesizerBase.java:86-92 can emit
+  * any record format via controller services, Avro included).
+  *
+  * Write shape: one container file per partition, written by the
+  * executor that owns the partition (embarrassingly parallel, no
+  * shuffle). File names are DETERMINISTIC per partition id, so a task
+  * retry overwrites its own file instead of duplicating rows —
+  * idempotent output without a commit protocol. Read shape: file list
+  * parallelized over the cluster, each task streams its files through
+  * DataFileReader — no driver-side row materialization.
+  *
+  * Type coverage: the flat record shapes the generator emits — numeric,
+  * boolean, string, binary, and arrays of those. Nullable fields map to
+  * Avro unions [null, T]. Nested structs/maps/decimals are rejected
+  * with a named error (flatten first — the same contract as the CSV
+  * sink).
+  */
+object AvroIo {
+
+  /** Avro schema JSON for a supported StructType. */
+  def avroSchemaJson(schema: StructType, recordName: String = "record"): String = {
+    def prim(dt: DataType): String = dt match {
+      case LongType            => "\"long\""
+      case IntegerType         => "\"int\""
+      case ShortType           => "\"int\""
+      case ByteType            => "\"int\""
+      case DoubleType          => "\"double\""
+      case FloatType           => "\"float\""
+      case BooleanType         => "\"boolean\""
+      case StringType          => "\"string\""
+      case BinaryType          => "\"bytes\""
+      case other => throw new IllegalArgumentException(
+        s"avro sink: unsupported element type $other (flatten or cast first)")
+    }
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case ArrayType(et, _) => s"""{"type": "array", "items": ${prim(et)}}"""
+        case dt               => prim(dt)
+      }
+      val t = if (f.nullable) s"""["null", $base]""" else base
+      s"""{"name": "${f.name}", "type": $t}"""
+    }
+    s"""{"type": "record", "name": "$recordName",
+       |"fields": [${fields.mkString(", ")}]}""".stripMargin
+  }
+
+  /** Write `df` as Avro container files under `path` (one per
+    * non-empty partition, deterministic names, snappy-free null codec
+    * for portability). Returns the written schema JSON.
+    */
+  def writeAvro(df: DataFrame, path: String): String = {
+    val schemaJson = avroSchemaJson(df.schema)
+    val sparkSchema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val avro = new Schema.Parser().parse(schemaJson)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avro))
+        val tmp = java.nio.file.Paths.get(path, f".part-$pid%05d.avro.tmp")
+        val dst = java.nio.file.Paths.get(path, f"part-$pid%05d.avro")
+        writer.create(avro, tmp.toFile)
+        try {
+          rows.foreach { r =>
+            val rec = new GenericData.Record(avro)
+            var i = 0
+            while (i < sparkSchema.length) {
+              rec.put(i, toAvro(r, i, sparkSchema.fields(i).dataType))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close()
+        // atomic publish: a retry rewrites the tmp and republishes the
+        // SAME destination name — idempotent, never a partial file
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    schemaJson
+  }
+
+  private def toAvro(r: Row, i: Int, dt: DataType): AnyRef =
+    if (r.isNullAt(i)) null
+    else dt match {
+      case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+      case ShortType  => Int.box(r.getShort(i).toInt)
+      case ByteType   => Int.box(r.getByte(i).toInt)
+      case ArrayType(et, _) =>
+        val xs = r.getSeq[Any](i)
+        xs.map(elemToAvro(_, et)).asJava
+      case _ => r.get(i).asInstanceOf[AnyRef]
+    }
+
+  private def elemToAvro(v: Any, dt: DataType): AnyRef = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: Short => Int.box(s.toInt)
+    case b: Byte => Int.box(b.toInt)
+    case other => other.asInstanceOf[AnyRef]
+  }
+
+  /** Read Avro container files written by [[writeAvro]] back into a
+    * DataFrame: schema from one file's header (driver, metadata-sized),
+    * rows decoded task-side over the parallelized file list.
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+    require(files.nonEmpty, s"no .avro files under $path")
+    val reader0 = new DataFileReader[GenericRecord](
+      new java.io.File(files.head), new GenericDatumReader[GenericRecord]())
+    val avroSchema = try reader0.getSchema finally reader0.close()
+    val sparkSchema = toSparkSchema(avroSchema)
+    val schemaJson = avroSchema.toString
+    val rdd = spark.sparkContext.parallelize(files, math.min(files.size, 32))
+      .flatMap { f =>
+        val avro = new Schema.Parser().parse(schemaJson)
+        val st = toSparkSchema(avro)
+        val rd = new DataFileReader[GenericRecord](
+          new java.io.File(f), new GenericDatumReader[GenericRecord](avro))
+        val out = scala.collection.mutable.ArrayBuffer[Row]()
+        try while (rd.hasNext) {
+          val rec = rd.next()
+          out += Row.fromSeq(st.fields.indices.map(i =>
+            fromAvro(rec.get(i), st.fields(i).dataType)))
+        } finally rd.close()
+        out
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  private def toSparkSchema(avro: Schema): StructType = {
+    def unwrap(s: Schema): (Schema, Boolean) =
+      if (s.getType == Schema.Type.UNION) {
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1, s"unsupported union $s")
+        (nonNull.head, true)
+      } else (s, false)
+    def prim(s: Schema): DataType = s.getType match {
+      case Schema.Type.LONG    => LongType
+      case Schema.Type.INT     => IntegerType
+      case Schema.Type.DOUBLE  => DoubleType
+      case Schema.Type.FLOAT   => FloatType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.STRING  => StringType
+      case Schema.Type.BYTES   => BinaryType
+      case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (s, nullable) = unwrap(f.schema())
+      val dt = s.getType match {
+        // items are always non-union primitives here (the writer never
+        // emits nullable elements), so containsNull = false round-trips
+        // the original ArrayType exactly
+        case Schema.Type.ARRAY => ArrayType(prim(s.getElementType), containsNull = false)
+        case _                 => prim(s)
+      }
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def fromAvro(v: AnyRef, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case l: java.util.List[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      l.asScala.toSeq.map(e => fromAvro(e.asInstanceOf[AnyRef], et))
+    case other => other
+  }
+}

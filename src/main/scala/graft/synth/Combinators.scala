@@ -108,6 +108,29 @@ object Combinators {
     def fromFile(path: String, skew: Int): LookupFileSampler = {
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
+      fromText(path, text, skew)
+    }
+
+    /** Classpath-resource lookup — reference parity with
+      * FileSampler.setResource (FileSampler.java:74-84): the table ships
+      * inside the jar and resolves by name on any executor, no shared
+      * filesystem needed (the 100 TB-friendly way to distribute a small
+      * dimension with the job). Format sniffed from the name exactly
+      * like the file path (.json / .tsv / csv default).
+      */
+    def fromResource(name: String, skew: Int): LookupFileSampler = {
+      val in = Option(Thread.currentThread.getContextClassLoader)
+        .flatMap(cl => Option(cl.getResourceAsStream(name)))
+        .orElse(Option(getClass.getClassLoader.getResourceAsStream(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"lookup: resource '$name' not found on classpath"))
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      fromText(name, text, skew)
+    }
+
+    private def fromText(path: String, text: String, skew: Int): LookupFileSampler = {
       val rows: Seq[Map[String, String]] =
         if (path.endsWith(".json")) {
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

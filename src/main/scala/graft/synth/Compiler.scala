@@ -246,9 +246,18 @@ object Compiler {
     case "array-flatten" => new ArrayFlattenSampler(compile(sub(f, "value")))
     case "flatten" => compile(sub(f, "value")) // nested flatten: struct passthrough
     case "lookup" =>
-      val path = f.str("file").orElse(f.str("resource")).getOrElse(
-        throw new IllegalArgumentException("lookup needs 'file'"))
-      LookupFileSampler.fromFile(path, f.int("skew").getOrElse(0))
+      // `resource`/`resource:` loads from the classpath (FileSampler
+      // setResource parity); `file` reads the filesystem
+      val skew = f.int("skew").getOrElse(0)
+      f.str("file") match {
+        case Some(p) if p.startsWith("resource:") =>
+          LookupFileSampler.fromResource(p.stripPrefix("resource:"), skew)
+        case Some(p) => LookupFileSampler.fromFile(p, skew)
+        case None => LookupFileSampler.fromResource(
+          f.str("resource").getOrElse(
+            throw new IllegalArgumentException("lookup needs 'file' or 'resource'")),
+          skew)
+      }
     case "changer" =>
       val fields = subFields(f.node("values").orElse(f.node("value")).getOrElse(
         throw new IllegalArgumentException("changer needs 'values'")))

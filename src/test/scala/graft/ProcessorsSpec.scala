@@ -10,6 +10,7 @@ import graft.synth.Synth
   */
 class ProcessorsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
   private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
   test("correlator embeds 1..k sampled records per input row") {
@@ -77,6 +78,64 @@ class ProcessorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Synth.dataFrame(spark,
       s"""[{"name": "d", "class": "lookup", "file": "${empty.getAbsolutePath}"}]""", 1))
     assert(e.getMessage.contains("no data rows"))
+  }
+
+  test("lookup resolves a bundled classpath resource (FileSampler setResource parity)") {
+    // both spellings: a dedicated "resource" key and a "resource:" path prefix
+    for (spec <- Seq(
+      """[{"name": "t", "class": "lookup", "resource": "graft/tiers.tsv"}]""",
+      """[{"name": "t", "class": "lookup", "file": "resource:graft/tiers.tsv"}]""")) {
+      val rows = Synth.dataFrame(spark, spec, 30).select("t.tier", "t.limit").collect()
+      assert(rows.length == 30)
+      val valid = Map("bronze" -> "100", "silver" -> "1000", "gold" -> "10000")
+      rows.foreach(r => assert(valid(r.getString(0)) == r.getString(1)))
+    }
+    val e = intercept[IllegalArgumentException](Synth.dataFrame(spark,
+      """[{"name": "t", "class": "lookup", "resource": "graft/nope.tsv"}]""", 1))
+    assert(e.getMessage.contains("not found on classpath"))
+  }
+
+  test("delimited quote modes match the reference's printDelimited conventions") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq((7L, "plain", "has,comma and\\slash")).toDF("n", "a", "b")
+    def render(quote: String, sep: String = ","): String =
+      Processors.toDelimited(df, sep, quote).collect()(0).getString(0)
+    // DOUBLE_QUOTE: JSON rendering — strings quoted+escaped, numbers bare
+    assert(render("DOUBLE_QUOTE") == """7,"plain","has,comma and\\slash"""")
+    // OPTIMISTIC: raw text, nothing escaped (deliberately naive)
+    assert(render("OPTIMISTIC") == """7,plain,has,comma and\slash""")
+    // BACK_SLASH: comma/tab/whitespace/backslash each backslash-escaped
+    assert(render("BACK_SLASH") == """7,plain,has\,comma\ and\\slash""")
+    // null handling: all three print the literal `null` like JsonNode
+    val nulls = Seq((1L, Option.empty[String])).toDF("n", "s")
+    for (q <- Seq("DOUBLE_QUOTE", "OPTIMISTIC", "BACK_SLASH"))
+      assert(Processors.toDelimited(nulls, ",", q).collect()(0).getString(0) == "1,null")
+    val e = intercept[IllegalArgumentException](Processors.toDelimited(df, ",", "WAT"))
+    assert(e.getMessage.contains("unknown quote mode"))
+  }
+
+  test("avro round-trip preserves nullable, array, binary, and float columns") {
+    import graft.sources.AvroIo
+    val df = Seq(
+      (1L, Some("a"), Seq(1.5f, -2.5f), Array[Byte](1, 2, 3), Some(0.25)),
+      (2L, None, Seq.empty[Float], Array.empty[Byte], None),
+    ).toDF("id", "s", "fs", "bin", "d")
+    val dir = java.nio.file.Files.createTempDirectory("avro_rt").toString
+    AvroIo.writeAvro(df, dir)
+    val back = AvroIo.readAvro(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0)).map { r =>
+      (r.getLong(0), Option(r.getString(1)), r.getSeq[Float](2),
+        r.getAs[Array[Byte]](3).toSeq, if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toSeq
+    assert(got == Seq(
+      (1L, Some("a"), Seq(1.5f, -2.5f), Seq[Byte](1, 2, 3), Some(0.25)),
+      (2L, None, Seq.empty[Float], Seq.empty[Byte], None)))
+    // unsupported nested type rejects with a named error
+    val nested = Seq((1L, (2L, "x"))).toDF("id", "st")
+    val e = intercept[IllegalArgumentException](AvroIo.writeAvro(nested, dir))
+    assert(e.getMessage.contains("unsupported"))
   }
 
   test("schema registry compiles named schemas (DataGenerator analog)") {

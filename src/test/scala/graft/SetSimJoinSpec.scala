@@ -85,6 +85,20 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(got == naivePairs(docs, 0.8))
   }
 
+  test("positional filter prunes candidates below prefix-only without losing pairs") {
+    val df = corpus.toDF("doc_id", "text")
+    val prefixOnly = SetSimJoin.candidateCount(df, "doc_id", "text",
+      tauPpm = 500000L, positional = false)
+    val positional = SetSimJoin.candidateCount(df, "doc_id", "text",
+      tauPpm = 500000L, positional = true)
+    assert(positional <= prefixOnly,
+      s"positional $positional > prefix-only $prefixOnly")
+    assert(positional < prefixOnly,
+      "positional bound pruned nothing on a corpus where it should")
+    // exactness already pinned by the naive-equality tests above, which
+    // run through the positional path (jaccardJoin always applies it)
+  }
+
   test("result is invariant to input partitioning") {
     val df1 = corpus.toDF("doc_id", "text").repartition(1)
     val df13 = corpus.toDF("doc_id", "text").repartition(13)
