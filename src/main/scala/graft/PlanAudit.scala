@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
 
 /** Physical-plan audit: for every SparkEntry query, check the properties
   * that matter at 100 TB — broadcast joins where a side is dimension-
@@ -37,6 +37,34 @@ object PlanAudit {
     "q135_vocab_drift",    // deliberate: crossJoin(broadcast(·)) of a 1-ROW totals aggregate (q107 shape)
   )
 
+  /** Queries that read EVERY column of a wide (> 4-column) table by
+    * design — full-record consumers, not pruning misses. Everything
+    * else that scans a wide table full-width is a hard failure: at
+    * 100 TB an unpruned scan reads the whole table for a 2-column
+    * projection.
+    */
+  private val fullScanAllowed = Set(
+    "q01_filter_project",  // returns full lineitem records (the smoke filter)
+    "q124_schema_evolution", // by definition reads every (evolving) column
+    "q120_table_profile",  // one-pass profile of EVERY column
+    "q89_corpus_profile",  // corpus report over all document fields
+    "q127_csv_roundtrip",  // round-trips whole records through CSV
+    "q90_merge_upsert",    // MERGE of full-record upserts/deletes: every column flows to output
+  )
+
+  /** Parquet scans as (table file name, #columns read, #columns in
+    * table). The audit session runs with AQE OFF so the scan nodes are
+    * directly collectable (pruning/pushdown are decided at planning —
+    * AQE never changes them).
+    */
+  private def parquetScans(plan: SparkPlan): Seq[(String, Int, Int)] =
+    plan.collect {
+      case f: FileSourceScanExec =>
+        val path = f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("?")
+        (path, f.requiredSchema.length, f.relation.dataSchema.length)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -45,6 +73,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE off: scan nodes must be collectable for the pruning audit;
+      // join-strategy/pushdown decisions the audit grades are made at
+      // planning time, before AQE re-optimization
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,11 +92,22 @@ object PlanAudit {
         // codegen spans appear as "*(n)" operator prefixes in the plan string
         val codegenSpans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq
           .map(_.drop(2).dropRight(1).toInt).distinct.length
-        val scans = "Scan parquet".r.findAllIn(plan).length
+        val scanInfo = parquetScans(qe.executedPlan)
+        val scans = scanInfo.length
+        // pruning rule: a scan of a > 4-column table that reads EVERY
+        // column is a miss unless the query is a by-design full-record
+        // consumer — at 100 TB that scan reads the whole table for a
+        // narrow projection
+        val fullScans = scanInfo.filter { case (_, read, total) =>
+          total > 4 && read >= total
+        }
         val flags = new StringBuilder
         if (cartesian) flags.append(" CARTESIAN!")
         if (nestedLoop && !nestedLoopAllowed(name)) flags.append(" NESTEDLOOP!")
-        if ((cartesian || (nestedLoop && !nestedLoopAllowed(name))))
+        if (fullScans.nonEmpty && !fullScanAllowed(name))
+          flags.append(s" FULLSCAN!(${fullScans.map(_._1).mkString(",")})")
+        if (cartesian || (nestedLoop && !nestedLoopAllowed(name))
+            || (fullScans.nonEmpty && !fullScanAllowed(name)))
           hardFailures ::= name
         println(f"$name%-24s scans=$scans bhj=$broadcasts smj=$sortMerge " +
           f"codegen=$codegenSpans$flags")
