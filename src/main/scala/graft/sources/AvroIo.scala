@@ -72,7 +72,12 @@ object AvroIo {
         val avro = new Schema.Parser().parse(schemaJson)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avro))
-        val tmp = java.nio.file.Paths.get(path, f".part-$pid%05d.avro.tmp")
+        // uuid temp name: CONCURRENT attempts of the same partition
+        // (speculation) must not share a temp file — each writes its
+        // own and the last atomic move wins; the destination name stays
+        // deterministic so retries never duplicate rows
+        val tmp = java.nio.file.Paths.get(path,
+          f".part-$pid%05d-${java.util.UUID.randomUUID}.avro.tmp")
         val dst = java.nio.file.Paths.get(path, f"part-$pid%05d.avro")
         writer.create(avro, tmp.toFile)
         try {
