@@ -859,30 +859,57 @@ object SynthQueries {
     // fixed banding — mismatched on both sides (midpoint 0.5 misses
     // 0.05-pairs; a banding loose enough for 0.05 admits nearly all
     // pairs, the candidate-set scale-killer).
-    q("g46_minhash_lsh")((s, d) => graft.ops.Dedup.minHashLsh(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.7)),
+    // MinHash-LSH with a FULL hash-match oracle (r7): the entire
+    // pipeline — \s+ tokenize, 3-word shingles, string-XXH64 (the g113
+    // primitive), the 64-permutation signature (min over
+    // hashInt(j, hashLong(h, 42))), s-curve banding with multi-arg
+    // band-key chains, bucket self-join, and hashed-set Jaccard
+    // verification — replays bit-for-bit in DuckDB, including the
+    // double-valued jaccard column (exact int ratio, correctly rounded
+    // identically in both engines). The banding the oracle unrolls
+    // comes from the SAME chooseBanding call the operator makes.
+    QueryDef("g46_minhash_lsh",
+      (s, d) => graft.ops.Dedup.minHashLsh(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.7),
+      Some(MinHashLshOracle.sql)),
     // maxHamming 3 = 4 bands of 16 bits: selective buckets. Larger
     // distances keep recall 1.0 (pigeonhole banding) but the narrower
     // band keys stop pruning — 13 bands of 4 bits benched 2x slower.
-    q("g47_simhash_pairs")((s, d) => graft.ops.Dedup.simHashPairs(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 3)),
+    // SimHash near-dup with a FULL hash-match oracle (r7): token
+    // multiset → string-XXH64 per distinct token (g113 primitive) →
+    // 64 per-bit majority counters (duplicates count, the multiset
+    // contract) → banded bucket join → hamming <= 3 verification, all
+    // replayed in DuckDB including the arithmetic-shift band keys.
+    QueryDef("g47_simhash_pairs",
+      (s, d) => graft.ops.Dedup.simHashPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", maxHamming = 3),
+      Some(SimHashOracle.sql)),
     // the raw corpus is random vectors (max pairwise cosine ~0.5, no true
     // near-dups), so near-dup detection is exercised against a
     // deterministically perturbed copy of the corpus: each planted pair
     // sits at cosine ~0.998 and must be recovered at threshold 0.98 by
     // the multi-table SRP index (16-bit buckets x 4 tables)
-    q("g48_embed_neardup")((s, d) => {
-      import org.apache.spark.sql.functions.{lit, pmod, transform, xxhash64}
-      val base = s.read.parquet(s"$d/embeddings.parquet")
-      val perturbed = base
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
-        .withColumn("embedding", transform(col("embedding"), (x, i) =>
-          (x.cast("double") *
-            (lit(1.0) + (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
-              .cast("double") / lit(10000.0))).cast("float")))
-      graft.ops.Dedup.embeddingNearDup(base.unionByName(perturbed),
-        "vec_id", "embedding", threshold = 0.98)
-    }),
+    // SRP embedding near-dup with a FULL hash-match oracle (r7): the
+    // hash-derived hyperplane signs are data-independent, so the oracle
+    // precomputes all nTables×nBits×dim of them JVM-side (the same
+    // XXH64 calls SrpSig makes) and embeds them as literal sign lists;
+    // the xxhash-based perturbation, the index-order ±x sign dots, the
+    // any-table bucket union, and the cosine verification all replay
+    // exactly (every float op correctly rounded from identical inputs).
+    QueryDef("g48_embed_neardup",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{lit, pmod, transform, xxhash64}
+        val base = s.read.parquet(s"$d/embeddings.parquet")
+        val perturbed = base
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            (x.cast("double") *
+              (lit(1.0) + (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L)
+                .cast("double") / lit(10000.0))).cast("float")))
+        graft.ops.Dedup.embeddingNearDup(base.unionByName(perturbed),
+          "vec_id", "embedding", threshold = 0.98)
+      },
+      Some(EmbedNearDupOracle.sql)),
     q("g49_ann_ivf")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val centroids = cachedFit(s"g49|$d") {
@@ -1050,11 +1077,39 @@ object SynthQueries {
             "WHERE rnk <= 10")
       }),
 
-    // end-to-end near-dup dedup decision: LSH pairs -> connected
-    // components -> one canonical survivor per cluster (rows-only; the
-    // clustering invariants are asserted in OpsSpec)
-    q("g52_dedup_decision")((s, d) => graft.ops.Clusters.dedupDecision(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8)),
+    // the string-XXH64 primitive itself, hash-match-checked: Spark's
+    // xxhash64 over VARCHAR replayed in DuckDB by the full canonical
+    // algorithm (DuckXxHash.hashStringSteps — 4-lane stripes, tail
+    // chunks, byte loop, avalanche) across every length class the
+    // corpus produces: whole document texts (many 32-byte stripes) and
+    // 3-word shingles (the <32 and 1-stripe paths). This is the
+    // primitive that makes the MinHash-LSH pipeline cross-engine
+    // replayable (g46's oracle builds on it).
+    QueryDef("g113_strhash_bits",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{explode, lit, lower, split, trim, xxhash64}
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val toks = docs.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+        val sh = toks
+          .select(explode(graft.ops.Dedup.shinglesFromTokens(col("w"), 3)).as("key"))
+          .distinct()
+          .select(lit("sh").as("kind"), col("key"), xxhash64(col("key")).as("h"))
+        val dc = docs.select(lit("doc").as("kind"),
+          col("doc_id").cast("string").as("key"), xxhash64(col("text")).as("h"))
+        dc.unionByName(sh)
+      },
+      Some(StrHashOracle.sql)),
+
+    // end-to-end near-dup dedup decision with a FULL hash-match oracle
+    // (r7): LSH pairs (the g46 machinery at threshold 0.8) -> connected
+    // components (replayed as a recursive transitive-closure CTE —
+    // cluster = min reachable id, the same fixpoint pointer jumping
+    // converges to) -> one canonical survivor per cluster.
+    QueryDef("g52_dedup_decision",
+      (s, d) => graft.ops.Clusters.dedupDecision(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", threshold = 0.8),
+      Some(MinHashLshOracle.decisionSql)),
 
     // distributed BPE merge learning (tokenizer FITTING, not just
     // application): one corpus pass builds the bounded word-frequency
@@ -2327,6 +2382,254 @@ object SinkOracles {
     val n = fastPathInt("n2out", 0, 10)
     ch.render("SELECT concat('<record>', '<i>', i, '</i>', '<b>', " +
       s"$b, '</b>', '<n>', $n, '</n>', '</record>') AS xml FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g113_strhash_bits: Spark's `xxhash64(string)`
+  * recomputed over the same byte streams — documents' full texts and
+  * their 3-word shingles — via the canonical XXH64 stages
+  * (DuckXxHash.hashStringSteps). Tokenization mirrors the Spark side
+  * exactly (`\s+` on trimmed lowered text — the VT caveat from q53
+  * applies and the corpus contains none).
+  */
+object StrHashOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = chain("u",
+      """SELECT kind, key, s FROM (
+           SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS key, text AS s
+           FROM documents
+           UNION ALL
+           SELECT DISTINCT 'sh' AS kind, sh AS key, sh AS s FROM (
+             SELECT unnest([array_to_string(w[i:i+2], ' ')
+                            for i in generate_series(1, len(w) - 2)]) AS sh
+             FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+                   FROM documents)))""")
+      .cte("b",
+        "SELECT kind, key, hex(encode(s)) AS hhx, " +
+          "octet_length(encode(s)) AS hln FROM u")
+      .steps(hashStringSteps("h"))
+    ch.render(
+      s"SELECT kind, key, ${signed("hout")} AS h FROM ${ch.last}")
+  }
+}
+
+/** DuckDB oracle for g46_minhash_lsh: the COMPLETE MinHash-LSH near-dup
+  * pipeline replayed bit-for-bit. Stages: distinct (doc, 3-word
+  * shingle) pairs; string-XXH64 per DISTINCT shingle (the g113
+  * primitive — dedup before hashing keeps every hash stage at the
+  * distinct-shingle count, ~16k rows, instead of doc×shingle×64);
+  * pre = hashLong(h, 42); the 64-permutation expansion hashInt(j, pre);
+  * signatures = signed min per (doc, j); band keys = the multi-arg
+  * xxhash64 fold over each band's signature slice (bands/rowsPerBand
+  * from the operator's own chooseBanding); bucket equi-self-join with
+  * a < b; hashed-set Jaccard verification and the >= threshold filter.
+  */
+object MinHashLshOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val ch = pairsChain(0.7)
+    ch.render("SELECT a, b2 AS b, jaccard FROM pairsout")
+  }
+
+  /** g52_dedup_decision's oracle: the SAME pipeline at threshold 0.8
+    * (its own chooseBanding), then connected components as a recursive
+    * transitive-closure CTE — cluster = min reachable id, exactly the
+    * fixpoint the pointer-jumping Spark implementation converges to —
+    * and the keep flag for every document (singletons keep themselves).
+    */
+  lazy val decisionSql: String = {
+    val ch = pairsChain(0.8)
+    ch.render(
+      """SELECT id, cluster, keep FROM (
+        WITH RECURSIVE
+          bi AS (SELECT a, b2 AS b FROM pairsout UNION SELECT b2, a FROM pairsout),
+          reach(id, m) AS (
+            SELECT a AS id, b AS m FROM bi
+            UNION
+            SELECT r.id, e.b FROM reach r JOIN bi e ON e.a = r.m),
+          comp AS (SELECT id, least(id, min(m)) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS cluster,
+          (d.doc_id = coalesce(c.cluster, d.doc_id)) AS keep
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)""")
+  }
+
+  /** The full LSH pair pipeline as a Chain ending in CTE `pairsout`
+    * (a, b2, jaccard — the verified pairs at `threshold`, with the
+    * threshold's own chooseBanding).
+    */
+  private def pairsChain(threshold: Double): Chain = {
+    val numHashes = 64
+    val (nBands, rowsPerBand) = graft.ops.Dedup.chooseBanding(numHashes, threshold)
+    var ch = chain("d0",
+      "SELECT doc_id AS did, string_split_regex(lower(trim(text)), '\\s+') AS w " +
+        "FROM documents")
+      .cte("sh",
+        "SELECT DISTINCT did, unnest([array_to_string(w[i:i+2], ' ') " +
+          "for i in generate_series(1, len(w) - 2)]) AS s FROM d0 WHERE len(w) >= 3")
+      .cte("ds", "SELECT DISTINCT s FROM sh")
+      .cte("db",
+        "SELECT s, hex(encode(s)) AS hhx, octet_length(encode(s)) AS hln FROM ds")
+      .steps(hashStringSteps("h"))
+    ch = ch.cte("hp", s"SELECT s, hout FROM ${ch.last}")
+      .steps(hashLongSteps("p", "hout", "42::HUGEINT"))
+    ch = ch.cte("hp2", s"SELECT s, hout, pout FROM ${ch.last}")
+      .cte("xj", s"SELECT s, pout, j FROM hp2, generate_series(0, ${numHashes - 1}) AS tj(j)")
+      .steps(hashIntSteps("q", "j::HUGEINT", "pout"))
+    ch = ch.cte("qv", s"SELECT s, j, ${signed("qout")} AS qs FROM ${ch.last}")
+      .cte("sig",
+        "SELECT did, j, min(qs) AS sig FROM sh JOIN qv USING (s) GROUP BY did, j")
+      .cte("sigs", "SELECT did, list(sig ORDER BY j) AS sg FROM sig GROUP BY did")
+      .cte("bandrows",
+        (0 until rowsPerBand).map(r => s"sg[b*$rowsPerBand + ${r + 1}] AS s$r")
+          .mkString(
+            s"SELECT did, b, ", ", ",
+            s" FROM sigs, generate_series(0, ${nBands - 1}) AS tb(b)"))
+    // the multi-arg xxhash64 fold over the band's slice: seed 42, each
+    // signature hashed as a long with the running hash as seed
+    (0 until rowsPerBand).foreach { r =>
+      val seed = if (r == 0) "42::HUGEINT" else s"k${r - 1}out"
+      ch = ch.steps(hashLongSteps(s"k$r", unsigned(s"s$r"), seed))
+    }
+    ch = ch.cte("buckets",
+      s"SELECT did, b, k${rowsPerBand - 1}out AS bsig FROM ${ch.last}")
+      .cte("cand",
+        "SELECT x.did AS a, y.did AS b2 FROM buckets x JOIN buckets y " +
+          "ON x.b = y.b AND x.bsig = y.bsig AND x.did < y.did GROUP BY 1, 2")
+      .cte("hsd", "SELECT did, hout FROM sh JOIN hp USING (s)")
+      .cte("nsz", "SELECT did, count(*) AS n FROM hsd GROUP BY did")
+      .cte("common",
+        "SELECT c.a, c.b2, count(DISTINCT xa.hout) AS cm FROM cand c " +
+          "JOIN hsd xa ON xa.did = c.a " +
+          "JOIN hsd xb ON xb.did = c.b2 AND xb.hout = xa.hout GROUP BY 1, 2")
+      .cte("pairsout",
+        s"SELECT a, b2, jaccard FROM (" +
+          s"SELECT c.a, c.b2, CAST(c.cm AS DOUBLE) / (na.n + nb.n - c.cm) AS jaccard " +
+          s"FROM common c JOIN nsz na ON na.did = c.a JOIN nsz nb ON nb.did = c.b2) " +
+          s"WHERE jaccard >= $threshold")
+    ch
+  }
+}
+
+/** DuckDB oracle for g47_simhash_pairs: the SimHash near-dup decision
+  * replayed exactly — per-token string-XXH64 (hashed once per DISTINCT
+  * token, weighted by its in-doc count: the multiset semantics of the
+  * per-bit majority counters), signature bits from counter > 0, 4×16-bit
+  * band keys (the &mask makes Spark's arithmetic shift equal the
+  * unsigned shift), bucket self-join, popcount hamming <= maxHamming.
+  */
+object SimHashOracle {
+  import graft.queries.DuckXxHash._
+
+  lazy val sql: String = {
+    val maxHamming = 3
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    var ch = chain("d0",
+      "SELECT doc_id AS did, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents")
+      .cte("tc", "SELECT did, t, count(*) AS cnt FROM d0 GROUP BY did, t")
+      .cte("dt", "SELECT DISTINCT t FROM tc")
+      .cte("db",
+        "SELECT t, hex(encode(t)) AS hhx, octet_length(encode(t)) AS hln FROM dt")
+      .steps(hashStringSteps("h"))
+    ch = ch.cte("th", s"SELECT t, hout FROM ${ch.last}")
+      .cte("bits",
+        "SELECT tc.did, bi.i, " +
+          "SUM(CASE WHEN (th.hout // (1::HUGEINT << bi.i)) % 2 = 1 " +
+          "THEN tc.cnt ELSE -tc.cnt END) AS ctr " +
+          "FROM tc JOIN th USING (t), generate_series(0, 63) AS bi(i) " +
+          "GROUP BY tc.did, bi.i")
+      .cte("sig",
+        "SELECT did, SUM(CASE WHEN ctr > 0 THEN (1::HUGEINT << i) " +
+          "ELSE 0::HUGEINT END)::HUGEINT AS usig FROM bits GROUP BY did")
+      .cte("banded",
+        s"SELECT did, usig, b, (usig // (1::HUGEINT << (b * $bandBits))) % " +
+          s"${BigInt(1) << bandBits} AS key " +
+          s"FROM sig, generate_series(0, ${nBands - 1}) AS tb(b)")
+      .cte("cand",
+        "SELECT x.did AS a, y.did AS b2, x.usig AS ua, y.usig AS ub " +
+          "FROM banded x JOIN banded y " +
+          "ON x.b = y.b AND x.key = y.key AND x.did < y.did " +
+          "GROUP BY 1, 2, 3, 4")
+    ch.render(
+      s"""SELECT a, b2 AS b, hamming FROM (
+           SELECT a, b2, CAST(bit_count(xor(CAST(ua AS UBIGINT),
+             CAST(ub AS UBIGINT))) AS BIGINT) AS hamming FROM cand)
+         WHERE hamming <= $maxHamming""")
+  }
+}
+
+/** DuckDB oracle for g48_embed_neardup: the multi-table SRP near-dup
+  * decision replayed exactly. The hyperplane signs are pure functions
+  * of (seed, table, bit, index) — precomputed here with the SAME XXH64
+  * calls expr/SketchExprs.SrpSig makes and embedded as literal ±1.0
+  * lists. The perturbed corpus replays the xxhash64(vec_id, i) factor
+  * chain; per-bit dots fold ±x in index order; sig = Σ 2^j over
+  * dot >= 0 bits; candidates collide in ANY table; cosine verification
+  * uses the same three index-order accumulators as cosine_sim.
+  */
+object EmbedNearDupOracle {
+  import graft.queries.DuckXxHash._
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  lazy val sql: String = {
+    val nBits = 16
+    val nTables = 4
+    val seed = 42L
+    val threshold = 0.98
+    val maxDim = 64
+    val signRows = (for { t <- 0 until nTables; j <- 0 until nBits } yield {
+      val hj = XXH64.hashInt(j, XXH64.hashInt(t, XXH64.hashLong(seed, 42L)))
+      val ss = (0 until maxDim)
+        .map(i => if ((XXH64.hashInt(i, hj) & 1L) == 1L) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"($t, $j, $ss::DOUBLE[])"
+    }).mkString(",\n         ")
+    var ch = chain("e0",
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      .cte("pe",
+        "SELECT vec_id + 1000000 AS pid, vec_id, " +
+          "unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e0")
+      .steps(hashLongSteps("pa", unsigned("pid"), "42::HUGEINT"))
+      .steps(hashIntSteps("pb", "(i - 1)::HUGEINT", "paout"))
+    ch = ch.cte("pv",
+      s"SELECT pid, i, CAST(CAST(x * (1.0 + " +
+        s"(CAST(${pmod("pbout", 2001L)} - 1000 AS DOUBLE) / 10000.0)) " +
+        s"AS REAL) AS DOUBLE) AS px FROM ${ch.last}")
+      .cte("pvec", "SELECT pid AS id, list(px ORDER BY i) AS v FROM pv GROUP BY pid")
+      .cte("corp",
+        "SELECT vec_id AS id, v FROM e0 UNION ALL SELECT id, v FROM pvec")
+      .cte("signs", s"SELECT * FROM (VALUES\n         $signRows) AS s(t, j, sg)")
+      .cte("dots",
+        "SELECT c.id, s.t, s.j, list_reduce(list_prepend(0.0, " +
+          "[ c.v[i] * s.sg[i] for i in generate_series(1, len(c.v)) ]), " +
+          "(a, x) -> a + x) AS dt FROM corp c, signs s")
+      .cte("sig",
+        "SELECT id, t, SUM(CASE WHEN dt >= 0 THEN (1::BIGINT << j) " +
+          "ELSE 0 END) AS sg FROM dots GROUP BY id, t")
+      .cte("cand",
+        "SELECT x.id AS a, y.id AS b2 FROM sig x JOIN sig y " +
+          "ON x.t = y.t AND x.sg = y.sg AND x.id < y.id GROUP BY 1, 2")
+      .cte("cv",
+        "SELECT c.a, c.b2, va.v AS va, vb.v AS vb FROM cand c " +
+          "JOIN corp va ON va.id = c.a JOIN corp vb ON vb.id = c.b2")
+      .cte("cs",
+        "SELECT a, b2, " +
+          "list_reduce(list_prepend(0.0, [ va[i] * vb[i] " +
+          "for i in generate_series(1, len(va)) ]), (x, y) -> x + y) / " +
+          "(sqrt(list_reduce(list_prepend(0.0, [ va[i] * va[i] " +
+          "for i in generate_series(1, len(va)) ]), (x, y) -> x + y)) * " +
+          "sqrt(list_reduce(list_prepend(0.0, [ vb[i] * vb[i] " +
+          "for i in generate_series(1, len(vb)) ]), (x, y) -> x + y))) AS c " +
+          "FROM cv")
+    ch.render(
+      s"""SELECT a, b2 AS b, cosine FROM (
+           SELECT a, b2, CASE WHEN isnan(c) THEN -1.0 ELSE c END AS cosine
+           FROM cs)
+         WHERE cosine >= $threshold""")
   }
 }
 

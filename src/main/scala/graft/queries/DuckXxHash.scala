@@ -93,6 +93,95 @@ object DuckXxHash {
     (init ++ tail :+ (s"${pfx}tl" -> s"${pfx}b${bytes.length}r")) ++ fmixSteps(pfx, s"${pfx}tl")
   }
 
+  // -------------------------------------- XXH64 over VARCHAR (any length)
+
+  private def addmod(a: String, b: String): String = s"((($a) + ($b)) % $M)"
+
+  /** Byte `pos` (1-based SQL int expr) of the column `hxCol` (a hex
+    * rendering of the UTF-8 bytes) as HUGEINT in [0, 255].
+    */
+  private def byteAt(hxCol: String, pos: String): String =
+    s"((strpos('0123456789ABCDEF', substr($hxCol, 2*($pos)-1, 1))-1)*16 + " +
+      s"strpos('0123456789ABCDEF', substr($hxCol, 2*($pos), 1))-1)::HUGEINT"
+
+  private def lane(hxCol: String, pos: String, nBytes: Int): String =
+    "(" + (0 until nBytes)
+      .map(b => s"${byteAt(hxCol, s"($pos)+$b")} * ${BigInt(1) << (8 * b)}::HUGEINT")
+      .mkString(" + ") + s") % $M"
+
+  /** XXH64 of a VARCHAR column's UTF-8 bytes, seed 42 — Spark's
+    * `xxhash64(stringCol)` — for ARBITRARY lengths: the full canonical
+    * algorithm (4-lane 32-byte stripes, 8-byte tail chunks, 4-byte
+    * word, byte loop, avalanche), validated byte-for-byte against Spark
+    * on every code path (tools/XxhStringRef corpus: empty, <4, 4–7, 8,
+    * 9–31, 32, >32, multi-stripe, multibyte UTF-8).
+    *
+    * Emitted as ~14 MATERIALIZED stages (the repo-wide rule: fmix-style
+    * steps reference their input twice, so inlining explodes). The
+    * sequential chunk folds run as `list_reduce` lambdas — inside a
+    * lambda the accumulator is a variable, so the textual duplication
+    * in each step is O(1). The four stripe lanes are INDEPENDENT folds
+    * (lane N only ever consumes stripe words N), which is what makes
+    * the >= 32 path expressible without a struct accumulator.
+    *
+    * Prerequisite columns in the chain: `<pfx>hx` = hex bytes and
+    * `<pfx>ln` = octet length (emit them in a prior stage, e.g.
+    * `hex(encode(s))` / `octet_length(encode(s))`). Result lands in
+    * `<pfx>out` (unsigned HUGEINT).
+    */
+  def hashStringSteps(pfx: String): Seq[(String, String)] = {
+    val seed = 42L
+    val hx = s"${pfx}hx"
+    val ln = s"${pfx}ln"
+    val init = Seq(
+      (BigInt(seed) + P1 + P2).mod(BigInt(1) << 64),
+      (BigInt(seed) + P2).mod(BigInt(1) << 64),
+      BigInt(seed),
+      (BigInt(seed) - P1).mod(BigInt(1) << 64))
+    def roundStep(acc: String, k: String): String =
+      mulmod(rotl(addmod(acc, mulmod(k, P2)), 31), P1)
+    def round0(v: String): String = mulmod(rotl(mulmod(v, P2), 31), P1)
+    val vCols = (0 until 4).map { n =>
+      val lst = s"[ ${lane(hx, s"32*t + ${8 * n} + 1", 8)} " +
+        s"for t in generate_series(0, $ln//32 - 1) ]"
+      s"${pfx}v${n + 1}" ->
+        (s"list_reduce(list_prepend(${init(n)}::HUGEINT, $lst), " +
+          s"(acc, k) -> ${roundStep("acc", "k")})")
+    }
+    val merged = addmod(
+      addmod(rotl(s"${pfx}v1", 1), rotl(s"${pfx}v2", 7)),
+      addmod(rotl(s"${pfx}v3", 12), rotl(s"${pfx}v4", 18)))
+    val smallInit = (BigInt(seed) + P5).mod(BigInt(1) << 64)
+    val h0 = s"${pfx}m0" ->
+      s"(CASE WHEN $ln >= 32 THEN $merged ELSE $smallInit::HUGEINT END)"
+    val mergeRounds = (0 until 4).map { n =>
+      val prev = if (n == 0) s"${pfx}m0" else s"${pfx}m$n"
+      s"${pfx}m${n + 1}" ->
+        (s"(CASE WHEN $ln >= 32 THEN " +
+          s"${addmod(mulmod(xor(prev, round0(s"${pfx}v${n + 1}")), P1), s"$P4::HUGEINT")} " +
+          s"ELSE $prev END)")
+    }
+    val hLen = s"${pfx}hl" -> addmod(s"${pfx}m4", s"$ln::HUGEINT")
+    val t8Step = addmod(mulmod(rotl(xor("acc", round0("k")), 27), P1), s"$P4::HUGEINT")
+    val t8 = s"${pfx}t8" ->
+      (s"list_reduce(list_prepend(${pfx}hl, " +
+        s"[ ${lane(hx, s"32*($ln//32) + 8*u + 1", 8)} " +
+        s"for u in generate_series(0, ($ln % 32)//8 - 1) ]), " +
+        s"(acc, k) -> $t8Step)")
+    val k4 = lane(hx, s"32*($ln//32) + 8*(($ln % 32)//8) + 1", 4)
+    val h4 = s"${pfx}t4" ->
+      (s"(CASE WHEN ($ln % 32) % 8 >= 4 THEN " +
+        s"${addmod(mulmod(rotl(xor(s"${pfx}t8", mulmod(k4, P1)), 23), P2), s"$P3::HUGEINT")} " +
+        s"ELSE ${pfx}t8 END)")
+    val bStep = mulmod(rotl(xor("acc", mulmod("bv", P5)), 11), P1)
+    val hb = s"${pfx}tb" ->
+      (s"list_reduce(list_prepend(${pfx}t4, " +
+        s"[ ${byteAt(hx, s"$ln - ($ln % 32) % 4 + u + 1")} " +
+        s"for u in generate_series(0, ($ln % 32) % 4 - 1) ]), " +
+        s"(acc, bv) -> $bStep)")
+    (vCols :+ h0) ++ mergeRounds ++ Seq(hLen, t8, h4, hb) ++ fmixSteps(pfx, s"${pfx}tb")
+  }
+
   /** A chain of MATERIALIZED CTEs, one per hash step. MATERIALIZED is
     * load-bearing: DuckDB inlines plain subqueries/CTEs into a single
     * projection, and an 11-step hash whose steps each reference their
