@@ -9,6 +9,16 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     Queries.relational ++ PipelineQueries.pipeline ++ SynthQueries.defs
 
+  /** First .parquet part file in `dir`, closing the directory stream
+    * (Files.list pins an fd until closed; the streaming replays call
+    * this once per micro-batch source file, per bench rep).
+    */
+  private[graft] def firstParquet(dir: java.nio.file.Path): java.nio.file.Path = {
+    val ls = java.nio.file.Files.list(dir)
+    try ls.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    finally ls.close()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q02_join_regions.fn(spark, "/root/testdata/sf0.001")
@@ -1023,59 +1033,49 @@ object SynthQueries {
           vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10,
           numClusters = 8, nProbe = 2)
       },
-      Some {
-        import graft.queries.DuckXxHash._
-        val k = 8
-        val nProbe = 2
-        val ch = chain("e",
-          "SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) " +
-            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings")
-          .cte("comp",
-            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, " +
-              "unnest(vq) AS x FROM e")
-          .cte("cells",
-            s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
-              "(SELECT DISTINCT i FROM comp) ti")
-          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
-          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
-        val ch2 = ch
-          .cte("cent",
-            s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")
-          .cte("scores",
-            "SELECT vec_id, c, CAST(SUM(x * comp) AS BIGINT) AS score " +
-              "FROM comp JOIN cent USING (i) GROUP BY 1, 2")
-          .cte("assign",
-            "SELECT vec_id, c AS cluster FROM (SELECT vec_id, c, " +
-              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
-              "FROM scores) WHERE rn = 1")
-          .cte("un",
-            "SELECT vec_id, CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 " +
-              "THEN [0.0 for x in v] " +
-              "ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v " +
-              "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
-          .cte("mm", "SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM un")
-          .cte("z",
-            "SELECT vec_id, [CASE WHEN m = 0 THEN 0 " +
-              "ELSE CAST(floor(v[x] * 127 / m + 0.5) AS BIGINT) END " +
-              "for x in generate_series(1, len(v))] AS codes, " +
-              "CAST(floor(m * 1e6 + 0.5) AS BIGINT) AS sm FROM mm")
-          .cte("probes",
-            s"SELECT vec_id AS qid, c AS probe FROM (SELECT vec_id, c, " +
-              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
-              s"FROM scores WHERE vec_id % 50 = 0) WHERE rn <= $nProbe")
-          .cte("qz", "SELECT vec_id AS qid, codes AS qcodes FROM z WHERE vec_id % 50 = 0")
-          .cte("sc",
-            "SELECT p.qid, z.vec_id, CAST(list_sum([z.codes[i] * q.qcodes[i] " +
-              "for i in generate_series(1, len(z.codes))]) * z.sm AS BIGINT) AS score " +
-              "FROM probes p JOIN assign a ON a.cluster = p.probe " +
-              "JOIN z ON z.vec_id = a.vec_id JOIN qz q ON q.qid = p.qid " +
-              "WHERE z.vec_id <> p.qid")
-        ch2.render(
-          "SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, score " +
-            "FROM (SELECT qid, vec_id, score, row_number() OVER " +
-            "(PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
-            "WHERE rnk <= 10")
-      }),
+      Some(HashIvfOracle.sql)),
+
+    // the SAME serve path as a STREAM — the online-ANN-serving shape:
+    // queries arrive in micro-batches (maxFilesPerTrigger=1 over two
+    // parquet files) and foreachBatch serves each batch against the
+    // STATIC disk index (stream-static, index built once, probe
+    // pruning per batch). Each query is served independently, so the
+    // union over micro-batches equals the batch serve over the full
+    // query set — g110's DuckDB oracle replays this output bit-for-bit,
+    // making it the first STREAMING query with a full ANN serving
+    // oracle. Results land in an append-only parquet dir (exactly-once
+    // per batch via the stream checkpoint).
+    QueryDef("g114_stream_ann_serve",
+      (s, d) => streamScoped(s) {
+        val vecs = s.read.parquet(s"$d/embeddings.parquet")
+        val dir = cachedIndexDir("g110_hivf", d) { dir =>
+          graft.ops.Quantization.writeHashIvfIndex(vecs, "vec_id", "embedding", dir, 8)
+        }
+        val q = vecs.filter(col("vec_id") % 50 === 0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g114_queries")
+        def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+          val tmpOut = java.nio.file.Files.createTempDirectory(s"g114_$sub")
+          df.repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val part = SparkEntry.firstParquet(tmpOut)
+          java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
+        }
+        writeOne(q.filter(col("vec_id") % 100 === 0), "a")
+        writeOne(q.filter(col("vec_id") % 100 =!= 0), "b")
+        val outDir = java.nio.file.Files.createTempDirectory("g114_out").toString
+        val sq = s.readStream.schema(q.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.ops.Quantization.hashIvfTopKFromIndex(dir, batch,
+              "vec_id", "embedding", 10, numClusters = 8, nProbe = 2)
+              .write.mode("append").parquet(outDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.read.parquet(outDir)
+      },
+      Some(HashIvfOracle.sql)),
 
     // the string-XXH64 primitive itself, hash-match-checked: Spark's
     // xxhash64 over VARCHAR replayed in DuckDB by the full canonical
@@ -1196,8 +1196,7 @@ object SynthQueries {
           lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        val part = SparkEntry.firstParquet(tmpOut)
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
 
         val stream = graft.queries.EventTs.toNanos(
@@ -1640,8 +1639,7 @@ object SynthQueries {
           lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        val part = SparkEntry.firstParquet(tmpOut)
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
         val src = graft.queries.EventTs.toNanos(
           s.readStream.schema(evRaw.schema).parquet(streamDir.toString))
@@ -1711,8 +1709,7 @@ object SynthQueries {
           lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        val part = SparkEntry.firstParquet(tmpOut)
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
         val name = "g101_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val q = graft.queries.EventTs.toNanos(
@@ -1773,8 +1770,7 @@ object SynthQueries {
             lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
             lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
             .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val part = java.nio.file.Files.list(tmpOut)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          val part = SparkEntry.firstParquet(tmpOut)
           java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
           val name = "g102_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
           import s.implicits._
@@ -1837,8 +1833,7 @@ object SynthQueries {
           lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        val part = SparkEntry.firstParquet(tmpOut)
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
         val name = "g103_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val q = graft.queries.EventTs.toNanos(
@@ -1900,8 +1895,7 @@ object SynthQueries {
           lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
           .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        val part = SparkEntry.firstParquet(tmpOut)
         java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
         val sinkDir = java.nio.file.Files.createTempDirectory("g104_sink").toString
         val ckptDir = java.nio.file.Files.createTempDirectory("g104_ckpt").toString
@@ -1989,8 +1983,7 @@ object SynthQueries {
             lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
             lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
             .repartition(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val part = java.nio.file.Files.list(tmpOut)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          val part = SparkEntry.firstParquet(tmpOut)
           java.nio.file.Files.move(part, streamDir.resolve("z_sentinel.parquet"))
           val name = "g106_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
           import s.implicits._
@@ -2100,8 +2093,7 @@ object SynthQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
           val tmp = java.nio.file.Files.createTempDirectory(s"g111_$sub")
           df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          val part = SparkEntry.firstParquet(tmp)
           java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
         }
         // split the RAW rows by their normalized-ns timestamp (the raw
@@ -3254,4 +3246,64 @@ object TxFanoutOracle {
         "UNION ALL SELECT o_orderkey, CAST(-1 AS BIGINT) AS seq, " +
         "CAST(-1 AS BIGINT) AS amount_cents FROM keyss WHERE n_tx = 0")
   }
+}
+
+/** The hash-IVF serving-path oracle shared by g110 (batch serve) and
+  * g114 (streamed serve): the full index lifecycle — pseudo-centroid
+  * routing, probe choice, partition-pruned candidate scan, int8 ADC
+  * scoring, ranking — replayed in DuckDB as exact integers.
+  */
+object HashIvfOracle {
+  def sql: String = {
+        import graft.queries.DuckXxHash._
+        val k = 8
+        val nProbe = 2
+        val ch = chain("e",
+          "SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) " +
+            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings")
+          .cte("comp",
+            "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, " +
+              "unnest(vq) AS x FROM e")
+          .cte("cells",
+            s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
+              "(SELECT DISTINCT i FROM comp) ti")
+          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
+          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+        val ch2 = ch
+          .cte("cent",
+            s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")
+          .cte("scores",
+            "SELECT vec_id, c, CAST(SUM(x * comp) AS BIGINT) AS score " +
+              "FROM comp JOIN cent USING (i) GROUP BY 1, 2")
+          .cte("assign",
+            "SELECT vec_id, c AS cluster FROM (SELECT vec_id, c, " +
+              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
+              "FROM scores) WHERE rn = 1")
+          .cte("un",
+            "SELECT vec_id, CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 " +
+              "THEN [0.0 for x in v] " +
+              "ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v " +
+              "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+          .cte("mm", "SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM un")
+          .cte("z",
+            "SELECT vec_id, [CASE WHEN m = 0 THEN 0 " +
+              "ELSE CAST(floor(v[x] * 127 / m + 0.5) AS BIGINT) END " +
+              "for x in generate_series(1, len(v))] AS codes, " +
+              "CAST(floor(m * 1e6 + 0.5) AS BIGINT) AS sm FROM mm")
+          .cte("probes",
+            s"SELECT vec_id AS qid, c AS probe FROM (SELECT vec_id, c, " +
+              "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn " +
+              s"FROM scores WHERE vec_id % 50 = 0) WHERE rn <= $nProbe")
+          .cte("qz", "SELECT vec_id AS qid, codes AS qcodes FROM z WHERE vec_id % 50 = 0")
+          .cte("sc",
+            "SELECT p.qid, z.vec_id, CAST(list_sum([z.codes[i] * q.qcodes[i] " +
+              "for i in generate_series(1, len(z.codes))]) * z.sm AS BIGINT) AS score " +
+              "FROM probes p JOIN assign a ON a.cluster = p.probe " +
+              "JOIN z ON z.vec_id = a.vec_id JOIN qz q ON q.qid = p.qid " +
+              "WHERE z.vec_id <> p.qid")
+        ch2.render(
+          "SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor, score " +
+            "FROM (SELECT qid, vec_id, score, row_number() OVER " +
+            "(PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+            "WHERE rnk <= 10")  }
 }

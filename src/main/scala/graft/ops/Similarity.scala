@@ -183,6 +183,13 @@ object Similarity {
     */
   def assignClusters(vectors: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
+    // uniform non-empty centroids are the domain on which the native and
+    // HOF paths are bit-identical (ragged sets would diverge: the native
+    // expression nulls the whole row, array_min skips the null distance)
+    // — reject the malformed input at driver time instead
+    require(centroids.nonEmpty, "assignClusters: empty centroid set")
+    require(centroids.forall(_.length == centroids.head.length),
+      s"assignClusters: ragged centroid dims ${centroids.map(_.length).distinct.toSeq}")
     val v = col(vecCol).cast("array<double>")
     if (vectors.sparkSession.catalog.functionExists("nearest_centroid"))
       vectors.withColumn("cluster",

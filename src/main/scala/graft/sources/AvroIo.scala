@@ -46,10 +46,22 @@ object AvroIo {
       case other => throw new IllegalArgumentException(
         s"avro sink: unsupported element type $other (flatten or cast first)")
     }
+    val avroName = "[A-Za-z_][A-Za-z0-9_]*".r
+    require(avroName.matches(recordName),
+      s"avro sink: illegal record name '$recordName'")
     val fields = schema.fields.map { f =>
+      // fail at schema-build time with the column named, not with a
+      // SchemaParseException from deep inside the executor-side writer
+      // (the repo's canned schemas use hyphenated names like device-id)
+      require(avroName.matches(f.name), s"avro sink: column name '${f.name}' " +
+        "is not a legal Avro name [A-Za-z_][A-Za-z0-9_]* — rename first " +
+        "(e.g. withColumnRenamed to snake_case)")
       val base = f.dataType match {
-        case ArrayType(et, _) => s"""{"type": "array", "items": ${prim(et)}}"""
-        case dt               => prim(dt)
+        // containsNull arrays get union items so a legal Spark array with
+        // null elements round-trips instead of NPE-ing in DatumWriter
+        case ArrayType(et, true)  => s"""{"type": "array", "items": ["null", ${prim(et)}]}"""
+        case ArrayType(et, false) => s"""{"type": "array", "items": ${prim(et)}}"""
+        case dt                   => prim(dt)
       }
       val t = if (f.nullable) s"""["null", $base]""" else base
       s"""{"name": "${f.name}", "type": $t}"""
@@ -65,7 +77,17 @@ object AvroIo {
   def writeAvro(df: DataFrame, path: String): String = {
     val schemaJson = avroSchemaJson(df.schema)
     val sparkSchema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    // overwrite semantics like the sibling write* sinks: a rewrite with
+    // fewer partitions must not leave stale part files for readAvro's
+    // glob to silently include
+    val old = java.nio.file.Files.list(dir)
+    try old.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".avro") || n.endsWith(".avro.tmp"))
+        java.nio.file.Files.deleteIfExists(p)
+    } finally old.close()
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -127,8 +149,10 @@ object AvroIo {
     * rows decoded task-side over the parallelized file list.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      .iterator().asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val files =
+      try ls.iterator().asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+      finally ls.close()
     require(files.nonEmpty, s"no .avro files under $path")
     val reader0 = new DataFileReader[GenericRecord](
       new java.io.File(files.head), new GenericDatumReader[GenericRecord]())
@@ -172,11 +196,12 @@ object AvroIo {
     StructType(avro.getFields.asScala.toSeq.map { f =>
       val (s, nullable) = unwrap(f.schema())
       val dt = s.getType match {
-        // items are always non-union primitives here (the writer never
-        // emits nullable elements), so containsNull = false round-trips
-        // the original ArrayType exactly
-        case Schema.Type.ARRAY => ArrayType(prim(s.getElementType), containsNull = false)
-        case _                 => prim(s)
+        // union items ([null, T]) come from containsNull = true arrays;
+        // plain primitive items round-trip containsNull = false
+        case Schema.Type.ARRAY =>
+          val (et, elemNullable) = unwrap(s.getElementType)
+          ArrayType(prim(et), containsNull = elemNullable)
+        case _ => prim(s)
       }
       StructField(f.name(), dt, nullable)
     })

@@ -24,9 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     speculative/retried attempts write DIFFERENT uuids and only the
   *     committed attempt's message reaches the driver;
   *   - the driver's BatchWrite.commit renames committed temp files to
-  *     `shard-NNNNN.jsonl` and writes `_MANIFEST.json` listing every
-  *     shard with its row count — readers that go through the manifest
-  *     never observe a partial write;
+  *     generation-unique `shard-<gen>-NNNNN.jsonl` names, then swaps in
+  *     `_MANIFEST.json` (temp file + ATOMIC_MOVE) listing every shard
+  *     with its row count — readers that go through the manifest never
+  *     observe a partial write, and a crash mid-commit leaves the
+  *     previous generation complete and readable;
   *   - abort() deletes the temp directory, leaving the destination
   *     untouched.
   *
@@ -58,11 +60,11 @@ final class ShardTable(schema: StructType, opts: CaseInsensitiveStringMap)
   }
 }
 
-/** TRUNCATE (mode("overwrite")) replaces the previous shard set: the
-  * new shards and manifest are staged first, old `shard-*.jsonl` are
-  * deleted inside commit() AFTER every new temp file exists — a reader
-  * going through the manifest never observes a partial state (the
-  * manifest swap is the atomic point).
+/** TRUNCATE (mode("overwrite")) replaces the previous shard set: new
+  * shards are published under generation-unique names first, the
+  * manifest swap (ATOMIC_MOVE) is the atomic point, and only then are
+  * the no-longer-referenced old shard files deleted — a crash at any
+  * step leaves exactly one complete generation on disk.
   *
   * Filesystem assumption (by design, documented not hidden): commit()
   * renames task temp files with driver-local java.nio, so the
@@ -90,31 +92,53 @@ final class ShardBatchWrite(path: String, schema: StructType,
     new ShardWriterFactory(path, schema.json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
-    // truncate semantics: clear the previous shard set now — every new
-    // temp file already exists, so failure between deletes and moves
-    // loses nothing that a retry of commit() can't restore from _tmp
-    if (truncate) {
-      java.nio.file.Files.list(dir).forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("shard-") && n.endsWith(".jsonl") || n == "_MANIFEST.json")
-          java.nio.file.Files.deleteIfExists(p)
-      }
-    }
     val committed = messages.collect { case ShardCommit(tmp, rows) => (tmp, rows) }
       .filter(_._2 > 0).sortBy(_._1)
+    // generation-unique names: the previous shard set AND the manifest
+    // pointing at it stay fully intact and readable until the manifest
+    // swap below. A crash anywhere before the swap leaves the OLD
+    // dataset complete; a crash after it leaves the NEW one — never a
+    // mixed, partial, or empty state.
+    val gen = java.util.UUID.randomUUID.toString.take(8)
     val entries = committed.zipWithIndex.map { case ((tmp, rows), i) =>
-      val name = f"shard-$i%05d.jsonl"
+      val name = f"shard-$gen-$i%05d.jsonl"
       java.nio.file.Files.move(dir.resolve("_tmp").resolve(tmp),
         dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       (name, rows)
     }
     // empty-task temp files (0 rows) just get cleaned with the tmp dir
-    val manifest = entries.map { case (n, r) => s"""{"shard":"$n","rows":$r}""" }
-      .mkString("[", ",", "]")
-    java.nio.file.Files.write(dir.resolve("_MANIFEST.json"),
-      manifest.getBytes("UTF-8"))
+    val manifestPath = dir.resolve("_MANIFEST.json")
+    // append mode keeps the previous generation's entries; truncate
+    // (mode("overwrite")) replaces them
+    val entryRe = """\{"shard":"([^"]+)","rows":(\d+)\}""".r
+    val prev: Seq[String] =
+      if (!truncate && java.nio.file.Files.exists(manifestPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(manifestPath), "UTF-8")
+        entryRe.findAllMatchIn(txt).map(_.matched).toSeq
+      } else Seq.empty
+    val manifest =
+      (prev ++ entries.map { case (n, r) => s"""{"shard":"$n","rows":$r}""" })
+        .mkString("[", ",", "]")
+    // the atomic publish point: temp manifest + ATOMIC_MOVE
+    val mTmp = dir.resolve(s"._MANIFEST.$gen.tmp")
+    java.nio.file.Files.write(mTmp, manifest.getBytes("UTF-8"))
+    java.nio.file.Files.move(mTmp, manifestPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // only AFTER the swap: drop shard files the new manifest no longer
+    // references (previous generations under truncate)
+    if (truncate) {
+      val keep = entries.map(_._1).toSet
+      val ls = java.nio.file.Files.list(dir)
+      try ls.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("shard-") && n.endsWith(".jsonl") && !keep(n))
+          java.nio.file.Files.deleteIfExists(p)
+      } finally ls.close()
+    }
     deleteTmp()
   }
 
@@ -123,7 +147,9 @@ final class ShardBatchWrite(path: String, schema: StructType,
   private def deleteTmp(): Unit = {
     val tmp = java.nio.file.Paths.get(path, "_tmp")
     if (java.nio.file.Files.exists(tmp)) {
-      java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val ls = java.nio.file.Files.list(tmp)
+      try ls.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally ls.close()
       java.nio.file.Files.deleteIfExists(tmp)
     }
   }

@@ -138,6 +138,47 @@ class ProcessorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("avro rewrite clears stale parts; null array elements and bad names handled") {
+    import graft.sources.AvroIo
+    val dir = java.nio.file.Files.createTempDirectory("avro_rw").toString
+    // 4 partitions, then rewrite with 1: readAvro must see ONLY the new data
+    AvroIo.writeAvro(
+      spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4), dir)
+    AvroIo.writeAvro(
+      spark.range(10).selectExpr("id", "id * 3 AS v").repartition(1), dir)
+    val back = AvroIo.readAvro(spark, dir)
+    assert(back.count() == 10L, "stale part files survived the rewrite")
+    assert(back.selectExpr("max(v)").collect()(0).getLong(0) == 27L)
+    // a legal Spark array with a null element round-trips (union items)
+    val dir2 = java.nio.file.Files.createTempDirectory("avro_nullelem").toString
+    val withNulls = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "xs")
+    AvroIo.writeAvro(withNulls, dir2)
+    val b2 = AvroIo.readAvro(spark, dir2).collect()(0)
+    assert(b2.getSeq[Any](1) == Seq(1.0, null, 3.0))
+    // hyphenated column names reject at schema build with the name cited
+    val bad = spark.range(1).selectExpr("id AS `device-id`")
+    val e2 = intercept[IllegalArgumentException](AvroIo.writeAvro(bad, dir2))
+    assert(e2.getMessage.contains("device-id"))
+  }
+
+  test("shard sink append merges the manifest across generations") {
+    val dir = java.nio.file.Files.createTempDirectory("shard_append").toString
+    spark.range(10).selectExpr("id", "cast(id as string) AS text").repartition(2)
+      .write.format("graft-shards").mode("append").option("path", dir).save()
+    spark.range(10, 15).selectExpr("id", "cast(id as string) AS text").repartition(1)
+      .write.format("graft-shards").mode("append").option("path", dir).save()
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    val names = "\"shard\":\"([^\"]+)\"".r.findAllMatchIn(manifest).map(_.group(1)).toSeq
+    val rows = "\"rows\":(\\d+)".r.findAllMatchIn(manifest).map(_.group(1).toLong).sum
+    assert(names.size == 3 && names.distinct.size == 3, s"manifest: $names")
+    assert(rows == 15L)
+    val back = spark.read.schema("id LONG, text STRING")
+      .json(names.map(n => s"$dir/$n"): _*)
+    assert(back.count() == 15L)
+  }
+
   test("schema registry compiles named schemas (DataGenerator analog)") {
     val reg = new SchemaRegistry
     reg.register("pings", """[{"name": "ip", "class": "ipv4"}]""")

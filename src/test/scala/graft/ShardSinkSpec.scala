@@ -59,9 +59,17 @@ class ShardSinkSpec extends AnyFunSuite {
     val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .map(_.getFileName.toString).toArray.map(_.toString)
       .filter(_.startsWith("shard-")).toSet
-    assert(after == Set("shard-00000.jsonl"), s"stale shards survived: $after")
+    val manifest2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    val names2 = "\"shard\":\"([^\"]+)\"".r
+      .findAllMatchIn(manifest2).map(_.group(1)).toSet
+    // on-disk shard set is EXACTLY the new manifest: no stale files
+    // from the first generation, nothing referenced but missing
+    assert(names2.size == 1, s"expected one shard, got $names2")
+    assert(after == names2, s"disk $after != manifest $names2")
+    assert(firstShards.intersect(after).isEmpty, s"stale shards survived: $after")
     val back = spark.read.schema("id LONG, text STRING")
-      .json(s"$dir/shard-00000.jsonl")
+      .json(s"$dir/${names2.head}")
     assert(back.count() == 10L)
     assert(back.agg(max("text")).collect()(0).getString(0).startsWith("v2"))
   }
