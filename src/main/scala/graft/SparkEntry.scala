@@ -1077,6 +1077,29 @@ object SynthQueries {
       },
       Some(HashIvfOracle.sql)),
 
+    // incremental index maintenance with a FULL oracle: build the index
+    // on two thirds of the corpus, APPEND the remaining third
+    // (appendToHashIvfIndex — hash routing is stateless, so no rebuild,
+    // no read of existing shards), then serve. The appended index is
+    // serve-identical to one built on the union, so g110's oracle (the
+    // full-corpus replay) proves the append path end-to-end: any row
+    // lost, duplicated, or mis-routed by the append would break the
+    // hash match.
+    QueryDef("g115_ann_index_append",
+      (s, d) => {
+        val vecs = s.read.parquet(s"$d/embeddings.parquet")
+        val dir = cachedIndexDir("g115_hivf_app", d) { dir =>
+          graft.ops.Quantization.writeHashIvfIndex(
+            vecs.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", dir, 8)
+          graft.ops.Quantization.appendToHashIvfIndex(
+            vecs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", dir, 8)
+        }
+        graft.ops.Quantization.hashIvfTopKFromIndex(dir,
+          vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10,
+          numClusters = 8, nProbe = 2)
+      },
+      Some(HashIvfOracle.sql)),
+
     // the string-XXH64 primitive itself, hash-match-checked: Spark's
     // xxhash64 over VARCHAR replayed in DuckDB by the full canonical
     // algorithm (DuckXxHash.hashStringSteps — 4-lane stripes, tail

@@ -237,6 +237,28 @@ object Quantization {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
+  /** Incrementally grow a [[writeHashIvfIndex]] index: route the new
+    * vectors through the SAME deterministic hash assignment and append
+    * their quantized codes into the existing cluster partitions — no
+    * rebuild, no read of the existing index, no shuffle of old data.
+    * Because routing is a pure function of the vector (not of fitted
+    * state), an index built on a prefix and appended with the rest
+    * serves IDENTICALLY to one built on the union (g115's oracle is
+    * literally g110's). At 100 TB this is the difference between
+    * re-clustering the corpus and appending a day's crawl. Caller
+    * contract: ids in `vectors` are new — append does not dedup
+    * against existing shards (run the incremental-dedup decision
+    * first, the ops/Dedup crawl-loop path).
+    */
+  def appendToHashIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      path: String, numClusters: Int): Unit = {
+    val assigned = SemanticDedup.hashClusterAssign(vectors, idCol, vecCol, numClusters)
+      .select(col(idCol), col("cluster"))
+    quantizeUnit(vectors, idCol, vecCol)
+      .join(assigned, idCol)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
   /** Serve from a [[writeHashIvfIndex]] index: probe the nProbe best
     * pseudo-centroids per query (exact integer ranking,
     * [[SemanticDedup.hashClusterProbes]]), scan ONLY the probed

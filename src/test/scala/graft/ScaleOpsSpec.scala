@@ -418,6 +418,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-IVF append: build-then-append serves identically to build-on-union") {
+    import graft.ops.Quantization
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val unionDir = java.nio.file.Files.createTempDirectory("hivf_union").toString
+    Quantization.writeHashIvfIndex(df, "vec_id", "embedding", unionDir, 8)
+    val appDir = java.nio.file.Files.createTempDirectory("hivf_app").toString
+    Quantization.writeHashIvfIndex(
+      df.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", appDir, 8)
+    Quantization.appendToHashIvfIndex(
+      df.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", appDir, 8)
+    def serve(dir: String) = Quantization.hashIvfTopKFromIndex(
+      dir, queries, "vec_id", "embedding", 10, numClusters = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(serve(appDir) == serve(unionDir),
+      "appended index diverged from union-built index")
+  }
+
   test("jl projection: bit-exact vs local XXH64 replay, planted near-pairs stay near") {
     import graft.ops.Quantization
     import org.apache.spark.sql.catalyst.expressions.XXH64
