@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -257,6 +257,27 @@ object Quantization {
     quantizeUnit(vectors, idCol, vecCol)
       .join(assigned, idCol)
       .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
+  /** Compact an appended index into `destPath`: every [[appendToHashIvfIndex]]
+    * call adds at least one file per written cluster partition, and at
+    * crawl cadence the accumulated small files dominate serve latency
+    * (per-file open/footer cost, not bytes — the classic lakehouse
+    * small-file problem). Compaction rewrites each cluster partition as
+    * one file; codes are already cluster-routed, so this is a pure
+    * repartition-by-partition-column write — one exchange on the
+    * partition key, no re-quantization, no re-routing. Writes to a NEW
+    * directory (an in-place overwrite would race concurrent readers);
+    * the caller swaps the serving path when it's done — the
+    * [[graft.sources.ShardSink]] manifest convention at directory
+    * granularity.
+    */
+  def compactHashIvfIndex(spark: SparkSession, path: String,
+      destPath: String): Unit = {
+    spark.read.parquet(s"$path/vectors")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$destPath/vectors")
   }
 
   /** Serve from a [[writeHashIvfIndex]] index: probe the nProbe best

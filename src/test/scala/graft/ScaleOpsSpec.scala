@@ -435,6 +435,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       .toSet
     assert(serve(appDir) == serve(unionDir),
       "appended index diverged from union-built index")
+
+    // compaction: repeated appends accumulate files; the compacted copy
+    // has ONE file per cluster partition and serves identically
+    def parquetCount(dir: String): Int = {
+      val files = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+      try walk.forEach(p => if (p.toString.endsWith(".parquet")) files += p)
+      finally walk.close()
+      files.size
+    }
+    val before = parquetCount(appDir)
+    val compactDir = java.nio.file.Files.createTempDirectory("hivf_cmp").toString
+    Quantization.compactHashIvfIndex(spark, appDir, compactDir)
+    val clusters = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(compactDir, "vectors"))
+      try ls.iterator().asScala.count(_.getFileName.toString.startsWith("cluster="))
+      finally ls.close()
+    }
+    assert(parquetCount(compactDir) == clusters,
+      s"expected 1 file per cluster, got ${parquetCount(compactDir)} for $clusters clusters")
+    assert(parquetCount(compactDir) < before, "compaction did not reduce file count")
+    assert(serve(compactDir) == serve(unionDir), "compacted index diverged")
   }
 
   test("jl projection: bit-exact vs local XXH64 replay, planted near-pairs stay near") {
