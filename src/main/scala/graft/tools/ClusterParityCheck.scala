@@ -44,7 +44,7 @@ object ClusterParityCheck {
     "q06_sessionize", "q45_hash_split", "q88_pagerank", "q91_asof_native",
     "q98_setsim_join", "g46_minhash_lsh", "g56_fastpath_bits",
     "g59_salted_agg", "g60_salted_join", "g76_scalar_bits", "g82_iot_bits",
-    "g110_ann_hash_ivf",
+    "g110_ann_hash_ivf", "g115_ann_index_append",
     // streaming replays: state stores (incl. RocksDB transformWithState)
     // live on the forked executors; the memory-sink results must still
     // be bit-identical to the single-JVM run
