@@ -267,4 +267,46 @@ object Sampling {
       .limit(k)
       .withColumnRenamed("__u", "u")
   }
+
+  /** Byte-balanced shard assignment — equal-SIZE training shards from
+    * wildly varying document lengths. [[deterministicShuffle]] balances
+    * row COUNTS (equal expected bytes only by law of large numbers); a
+    * training-data writer wants each output file within one document of
+    * the byte target, which takes a greedy prefix-sum pack: lay the
+    * corpus on a deterministic line (bucket = id mod nBuckets, ordered
+    * by id within bucket), take the running byte total, and cut every
+    * `targetBytes`. shard = exclusive-prefix-bytes div target, so a
+    * shard's size is within max(doc bytes) of the target.
+    *
+    * Scale shape (the two-phase prefix sum): per-bucket byte totals to
+    * the driver — nBuckets longs, dimension-sized — become literal
+    * bucket offsets; the corpus-side cumsum is a window WITHIN each
+    * bucket (parallel across buckets, one shuffle, no global sort).
+    * All-integer arithmetic, partitioning-invariant, exactly replayable
+    * in SQL. For randomized shard contents, compose with
+    * [[deterministicShuffle]]'s hash as the id first.
+    */
+  def byteBalancedShards(df: DataFrame, idCol: String, bytesCol: Column,
+      targetBytes: Long, nBuckets: Int = 256): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be positive: $targetBytes")
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val bucketed = df
+      .withColumn("__bytes", bytesCol.cast("long"))
+      .withColumn("__b", pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int"))
+    // phase 1: BOUNDED collect — nBuckets totals, never corpus rows
+    val totals = bucketed.groupBy("__b").agg(sum("__bytes").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nBuckets)
+      .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L)).init
+    // phase 2: within-bucket exclusive prefix + the bucket's offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("__cum",
+        sum(col("__bytes")).over(w) - col("__bytes") +
+          element_at(array(offsets.map(lit): _*), col("__b") + 1))
+      .withColumn("shard", expr(s"__cum div ${targetBytes}L"))
+      .select(col(idCol), col("__bytes").as("bytes"), col("shard"))
+  }
 }

@@ -3739,7 +3739,34 @@ object PipelineQueries {
       ORDER BY disparity DESC, t LIMIT 20"""),
   )
 
+  /** Byte-balanced shard assignment over documents
+    * ([[graft.ops.Sampling.byteBalancedShards]]): greedy prefix-sum
+    * packing at a 64 KiB target — equal-size training shard files, not
+    * equal row counts. The two-phase prefix sum (bucket totals to the
+    * driver, within-bucket window) is all-integer, so the oracle
+    * replays it with plain SQL windows.
+    */
+  val q136_balanced_shards = QueryDef(
+    "q136_balanced_shards",
+    (s, d) => graft.ops.Sampling.byteBalancedShards(
+      docs(s, d), "doc_id", octet_length(coalesce(col("text"), lit(""))),
+      targetBytes = 65536L, nBuckets = 64),
+    Some("""WITH b AS (SELECT doc_id,
+          CAST(strlen(coalesce(text, '')) AS BIGINT) AS bytes,
+          doc_id % 64 AS bk FROM documents),
+      t AS (SELECT bk, CAST(sum(bytes) AS BIGINT) AS tb FROM b GROUP BY bk),
+      o AS (SELECT bk, CAST(coalesce(sum(tb) OVER (ORDER BY bk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM t),
+      c AS (SELECT doc_id, bytes, bk,
+          CAST(sum(bytes) OVER (PARTITION BY bk ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS cumb FROM b)
+      SELECT doc_id, bytes, CAST((cumb + off) // 65536 AS BIGINT) AS shard
+      FROM c JOIN o USING (bk)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
+    q136_balanced_shards,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

@@ -298,6 +298,32 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("byteBalancedShards: every shard within one document of the byte target") {
+    import graft.ops.Sampling
+    // doc sizes vary 1..400 bytes — count-balanced sharding would skew
+    val df = (1L to 2000L).map(i => (i, "x" * (1 + (i * 7919 % 400)).toInt))
+      .toDF("doc_id", "text")
+    val target = 10000L
+    val out = Sampling.byteBalancedShards(df, "doc_id",
+      octet_length(col("text")), target, nBuckets = 16).persist()
+    val perShard = out.groupBy("shard").agg(sum("bytes").as("b"),
+      max("bytes").as("mx")).collect()
+    val maxDoc = out.agg(max("bytes")).collect()(0).getLong(0)
+    val last = perShard.map(_.getLong(0)).max
+    perShard.foreach { r =>
+      val (shard, b) = (r.getLong(0), r.getLong(1))
+      // greedy prefix cut: a shard exceeds target only by its boundary doc
+      assert(b <= target + maxDoc, s"shard $shard overflows: $b")
+      // all but the final shard reach the target (no premature cuts)
+      if (shard != last) assert(b + maxDoc >= target, s"shard $shard underfull: $b")
+    }
+    // partitioning-invariant (pure integer function of ids and sizes)
+    val again = Sampling.byteBalancedShards(df.repartition(13), "doc_id",
+      octet_length(col("text")), target, nBuckets = 16)
+    assert(out.except(again).count() == 0)
+    out.unpersist()
+  }
+
   test("winnowing: identical docs share sketches, shared runs guarantee a common fp") {
     import graft.ops.Winnowing
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
