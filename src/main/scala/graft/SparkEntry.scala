@@ -108,6 +108,14 @@ object SynthQueries {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop all memoized index directories so the next invocation
+    * REBUILDS them. ClusterParityCheck calls this between its two
+    * masters: without the reset, the local-cluster pass would serve the
+    * index the local[32] pass built, and a topology-dependent bug in
+    * the index WRITE path could never surface.
+    */
+  private[graft] def clearIndexCache(): Unit = indexCache.clear()
+
   /** Same build-once contract for DRIVER-SIDE fits (k-means centroids,
     * PQ codebooks) used by the in-memory ANN queries: the model is fit
     * once per (query, corpus) in this JVM and reused, so bench reps

@@ -229,12 +229,20 @@ object Quantization {
     * zero bytes; any engine can route a query without reading state).
     */
   def writeHashIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      path: String, numClusters: Int): Unit = {
+      path: String, numClusters: Int): Unit =
+    writeIndexShards(vectors, idCol, vecCol, path, numClusters, "overwrite")
+
+  /** The one assign/quantize/route pipeline behind both the initial
+    * build and the append — a single definition so the
+    * serve-identical-to-rebuild invariant cannot drift between them.
+    */
+  private def writeIndexShards(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, numClusters: Int, mode: String): Unit = {
     val assigned = SemanticDedup.hashClusterAssign(vectors, idCol, vecCol, numClusters)
       .select(col(idCol), col("cluster"))
     quantizeUnit(vectors, idCol, vecCol)
       .join(assigned, idCol)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+      .write.mode(mode).partitionBy("cluster").parquet(s"$path/vectors")
   }
 
   /** Incrementally grow a [[writeHashIvfIndex]] index: route the new
@@ -251,13 +259,8 @@ object Quantization {
     * first, the ops/Dedup crawl-loop path).
     */
   def appendToHashIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      path: String, numClusters: Int): Unit = {
-    val assigned = SemanticDedup.hashClusterAssign(vectors, idCol, vecCol, numClusters)
-      .select(col(idCol), col("cluster"))
-    quantizeUnit(vectors, idCol, vecCol)
-      .join(assigned, idCol)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
-  }
+      path: String, numClusters: Int): Unit =
+    writeIndexShards(vectors, idCol, vecCol, path, numClusters, "append")
 
   /** Compact an appended index into `destPath`: every [[appendToHashIvfIndex]]
     * call adds at least one file per written cluster partition, and at

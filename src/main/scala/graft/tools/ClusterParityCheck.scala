@@ -108,6 +108,10 @@ object ClusterParityCheck {
 
   private def runSlice(master: String, sfDir: String, names: Seq[String])
       : Map[String, Either[String, Digest]] = {
+    // each master must BUILD its own ANN indexes, not serve the other
+    // pass's memoized directories — otherwise the index write path is
+    // never exercised across process boundaries
+    graft.SynthQueries.clearIndexCache()
     val spark = session(master)
     try {
       // one tiny action first so executor registration / codegen warm-up

@@ -20,6 +20,7 @@ object IndexAppendBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = args.lift(1).getOrElse("1,4,10").split(",").map(_.trim.toInt).toSeq
+    require(scales.forall(_ >= 1), s"scales must be >= 1: $scales")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.expr.GraftExtensions)
