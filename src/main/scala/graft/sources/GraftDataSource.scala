@@ -115,9 +115,12 @@ final class GraftScan(schemaJson: String, full: StructType, required: StructType
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = if (partitions > 0) partitions
-      else org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      else graft.synth.Synth.pinnedPartitions(n)
     // the same contiguous range split spark.range(0, n, 1, p) produces,
-    // so (seed, partitions) → bit-identical output vs Synth.dataFrame
+    // so (seed, partitions) → bit-identical output vs Synth.dataFrame;
+    // the default mirrors the interpreter's pinned (topology-independent)
+    // partition count so both defaulted paths stay bit-equal on any
+    // cluster shape
     (0 until p).map { i =>
       val start = i * n / p
       val end = (i + 1) * n / p

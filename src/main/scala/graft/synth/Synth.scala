@@ -21,6 +21,25 @@ import graft.runtime.Rng
   */
 object Synth {
 
+  /** Topology-independent default partition count for the INTERPRETER
+    * path. Per-partition RNG streams make the partition count part of
+    * the output contract — the same (schema, seed, n) must yield
+    * identical bytes on a laptop and a 1000-executor cluster — so the
+    * default cannot come from the session: `defaultParallelism` differs
+    * per topology (measured under local-cluster[2,4] vs local[32], the
+    * nine stateful simulation queries produced different bytes, and the
+    * commuter/dns simulators different ROW COUNTS). 32 partitions up to
+    * ~2M ids, then one partition per 64k ids: small runs stay parallel,
+    * large generations grow the task count linearly, and the value is a
+    * pure function of `n`. Pass `partitions` explicitly to override —
+    * it is then part of the reproducibility key, like the seed.
+    * (The column fast path needs none of this: its expressions derive
+    * every draw from the row id, so its bytes are partition-invariant
+    * and it keeps `defaultParallelism` for free parallelism.)
+    */
+  def pinnedPartitions(n: Long): Int =
+    math.max(32L, (n + 65535) / 65536).toInt
+
   /** Generate with the best available lowering: the Catalyst column fast
     * path when every field is stateless (fully codegen'd, reproducible
     * under any partitioning), else the interpreter source. The two paths
@@ -92,7 +111,7 @@ object Synth {
       seed: Long = 42L, partitions: Int = 0): DataFrame = {
     // compile on the driver first: validates the spec and fixes the schema
     val schema = Compiler.structType(Compiler.compileSchema(schemaJson))
-    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val p = if (partitions > 0) partitions else pinnedPartitions(n)
     // typed mapPartitions with a Row encoder: the encoder's codegen'd
     // serializer converts each Row once, instead of the slower
     // CatalystTypeConverters walk that createDataFrame(rdd, schema) does

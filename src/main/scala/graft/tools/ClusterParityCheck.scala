@@ -135,8 +135,16 @@ object ClusterParityCheck {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.lift(1).map(_.split(",").toSeq.map(_.trim))
-      .getOrElse(DefaultSlice)
+    // "all" = the entire registered suite (batch first, streaming last —
+    // the Bench hygiene ordering)
+    val names = args.lift(1) match {
+      case Some("all") =>
+        val (st, ba) = graft.SparkEntry.queries.keys.toSeq.sorted
+          .partition(_.contains("_stream"))
+        ba ++ st
+      case Some(csv) => csv.split(",").toSeq.map(_.trim)
+      case None      => DefaultSlice
+    }
 
     val localRes = runSlice("local[32]", sfDir, names)
     val clusterRes = runSlice("local-cluster[2,4,4096]", sfDir, names)
