@@ -71,6 +71,28 @@ class SynthEngineSpec extends AnyFunSuite {
     assert(direct.distinct.size > 3990)
   }
 
+  test("default partition count is a pure function of n (topology-independent)") {
+    // the interpreter's per-partition RNG streams make partition count
+    // part of the output contract; a defaultParallelism-derived default
+    // made the same (schema, seed, n) generate different data — and for
+    // the simulators different ROW COUNTS — on different cluster shapes
+    // (caught by ClusterParityCheck all). The default must never read
+    // session or cluster state.
+    assert(Synth.pinnedPartitions(1) == 32)
+    assert(Synth.pinnedPartitions(20) == 32)
+    assert(Synth.pinnedPartitions(2_000_000) == 32)
+    assert(Synth.pinnedPartitions(2_200_000) == 34)       // growth knee ~2.1M
+    assert(Synth.pinnedPartitions(64_000_000) == 977)     // ~64k ids/partition
+    assert(Synth.pinnedPartitions(640_000_000) == 9766)   // linear task growth
+    // and the defaulted call really uses it: byte-equal to the explicit
+    // pinned count, regardless of what parallelism this session has
+    val schema = """[{"name": "x", "class": "int", "min": 0, "max": 1000000000}]"""
+    val byDefault = Synth.dataFrame(spark, schema, 1000).collect().map(_.toString).toSeq
+    val explicit = Synth.dataFrame(spark, schema, 1000,
+      partitions = Synth.pinnedPartitions(1000)).collect().map(_.toString).toSeq
+    assert(byDefault == explicit)
+  }
+
   test("event times are monotonic within a partition (arrival clock)") {
     val df = Synth.dataFrame(spark, iotSchema, 2, seed = 3, partitions = 1)
     val times = df.select("time").collect().map(_.getString(0))
