@@ -87,6 +87,101 @@ object SynthQueries {
     }
   }
 
+  /** Scope a streaming replay to the RocksDB state-store provider,
+    * restoring the session's previous provider afterwards.
+    */
+  private def withRocksDb(s: SparkSession)(f: => DataFrame): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally {
+      oldProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  /** The multi-batch transformWithState event split (g111/g116): the
+    * events table cut into three TIME-thirds plus a far-future sentinel
+    * row (advances the final watermark so every key's last timer fires;
+    * its own timer never does). Thirds, not halves: a stale-timer
+    * double-flush only manifests when a key receives input in a batch
+    * AFTER a premature flush, which takes >= 3 data batches. Returned
+    * (name, df) pairs are in processing order — names sort
+    * alphabetically so the file stream source's modTime/path order
+    * matches write order.
+    */
+  private def eventThirdFiles(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.{lit, max, min, timestamp_micros}
+    val evRaw = s.read.parquet(s"$d/events.parquet")
+    val ev = graft.queries.EventTs.toNanos(evRaw)
+    val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // split the RAW rows by their normalized-ns timestamp (the raw ts
+    // type varies by testdata generation — see EventTs)
+    val tsNs = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => org.apache.spark.sql.functions.unix_micros(
+        col("ts").cast("timestamp")) * lit(1000L)
+    }
+    val t1 = minNs + (maxNs - minNs) / 3
+    val t2 = minNs + 2L * (maxNs - minNs) / 3
+    val sentinelNs = maxNs + 36000L * 1000000000L
+    val sentinelTs = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+      case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
+    }
+    Seq(
+      "a_third0" -> evRaw.where(tsNs <= t1),
+      "b_third1" -> evRaw.where(tsNs > t1 && tsNs <= t2),
+      "c_third2" -> evRaw.where(tsNs > t2),
+      "d_sentinel" -> evRaw.limit(1).select(
+        lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props")))
+  }
+
+  /** Materialize one split file into `streamDir` as a single parquet
+    * part named `sub.parquet` (one file = one maxFilesPerTrigger batch).
+    */
+  private def writeStreamFile(df: DataFrame, streamDir: java.nio.file.Path,
+      sub: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$sub")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = SparkEntry.firstParquet(tmp)
+    java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet")); ()
+  }
+
+  /** The per-user event-type count stream over a split directory: file
+    * source (one file per trigger) -> watermarked event time ->
+    * TypeCountProcessor (transformWithState, event-time timers, MapState
+    * counts under the one-live-timer contract). Sink wiring is the
+    * caller's.
+    */
+  private def typeCountStream(s: SparkSession, streamDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    graft.queries.EventTs.toNanos(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id").cast("long").as("uid"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.TypeCountProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
+      .toDF("user_id", "event_type", "n")
+  }
+
   private def checkerSafe(df: DataFrame): DataFrame =
     df.select(df.schema.fields.toSeq.map { f =>
       f.dataType match {
@@ -2104,70 +2199,17 @@ object SynthQueries {
     // batch-2 remainder — and the per-(user, type) counts split into
     // two rows, so the batch GROUP BY oracle hash-catches the defect.
     QueryDef("g111_stream_tws_multibatch",
-      (s, d) => streamScoped(s) {
-        import org.apache.spark.sql.functions.{expr, lit, max, min, timestamp_micros}
-        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      (s, d) => streamScoped(s)(withRocksDb(s) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val oldProv = s.conf.getOption(provKey)
-        s.conf.set(provKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
         val evRaw = s.read.parquet(s"$d/events.parquet")
-        val ev = graft.queries.EventTs.toNanos(evRaw)
-        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
-          .toSeq.map(_.asInstanceOf[Long]).toArray
         val streamDir = java.nio.file.Files.createTempDirectory("g111_events")
-        // three single-file triggers, processed in write order: early
-        // half, late half, sentinel (advances the final watermark so
-        // every key's last timer fires in the trailing batch)
-        def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory(s"g111_$sub")
-          df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = SparkEntry.firstParquet(tmp)
-          java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
+        // four single-file triggers, processed in write order (thirds +
+        // sentinel — see eventThirdFiles for why thirds)
+        eventThirdFiles(s, d).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
         }
-        // split the RAW rows by their normalized-ns timestamp (the raw
-        // ts type varies by testdata generation — see EventTs). THIRDS,
-        // not halves: with only two data batches a stale timer fires
-        // after the final batch's input and accidentally flushes
-        // complete counts; the split needs a key to receive input in a
-        // batch AFTER a stale-timer flush, which takes >= 3 data batches.
-        val tsNs = evRaw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType => col("ts")
-          case _ => org.apache.spark.sql.functions.unix_micros(
-            col("ts").cast("timestamp")) * lit(1000L)
-        }
-        val t1 = minNs + (maxNs - minNs) / 3
-        val t2 = minNs + 2L * (maxNs - minNs) / 3
-        writeOne(evRaw.where(tsNs <= t1), "a_third0")
-        writeOne(evRaw.where(tsNs > t1 && tsNs <= t2), "b_third1")
-        writeOne(evRaw.where(tsNs > t2), "c_third2")
-        val sentinelNs = maxNs + 36000L * 1000000000L
-        val sentinelTs = evRaw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType => lit(sentinelNs)
-          case t => timestamp_micros(lit(sentinelNs / 1000L)).cast(t)
-        }
-        writeOne(evRaw.limit(1).select(
-          lit(-1L).as("event_id"), sentinelTs.as("ts"), lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props")),
-          "d_sentinel")
         val name = "g111_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        import s.implicits._
-        val src = graft.queries.EventTs.toNanos(
-          s.readStream.schema(evRaw.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(streamDir.toString))
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-          .withWatermark("event_time", "1 hour")
-          .select(col("user_id").cast("long").as("uid"),
-            expr("ts div 1000000").as("ts_ms"), col("event_type"))
-          .as[(Long, Long, String)]
-        val q = src.groupByKey(_._1)
-          .transformWithState(new graft.streaming.TypeCountProcessor,
-            TimeMode.EventTime(), OutputMode.Append(),
-            implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
-          .toDF("user_id", "event_type", "n")
+        val q = typeCountStream(s, streamDir, evRaw.schema)
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2176,13 +2218,72 @@ object SynthQueries {
         val batches = q.recentProgress.count(_.numInputRows > 0)
         require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
         s.table(name).filter(col("user_id") >= 0)
-        } finally {
-          oldProv match {
-            case Some(p) => s.conf.set(provKey, p)
-            case None => s.conf.unset(provKey)
-          }
+      }),
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type""")),
+
+    // Checkpoint-restart recovery with a FULL oracle: the g111 rig (same
+    // thirds + sentinel, RocksDB transformWithState, one-live-timer
+    // contract) run as TWO query incarnations against ONE checkpoint.
+    // The first incarnation sees only the early thirds and stops; the
+    // second starts on the same checkpoint and durable parquet sink and
+    // processes the remainder. Matching the batch GROUP-BY oracle
+    // requires the restart to recover EVERYTHING exactly: source offsets
+    // (re-reading a processed file doubles counts), RocksDB MapState and
+    // ValueState, the registered event-time timers, the watermark, and
+    // the file-sink transaction log (a duplicated or lost sink commit
+    // breaks the hash). This is the production restart path —
+    // resume-after-deploy — that single-incarnation AvailableNow replays
+    // never exercise. A require() additionally pins that phase 2 read
+    // ONLY the two new files, so a silent full-reprocess cannot pass
+    // even if it were numerically idempotent.
+    QueryDef("g116_stream_restart_recovery",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("g116_events")
+        val ckptDir = java.nio.file.Files.createTempDirectory("g116_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g116_out").toString
+        val files = eventThirdFiles(s, d)
+        def runIncarnation(): Long = {
+          val q = typeCountStream(s, streamDir, evRaw.schema)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
         }
-      },
+        // phase 1: thirds 0 and 1 only — run to completion, stop cleanly.
+        // No-data micro-batches are disabled for THIS incarnation: the
+        // trailing no-data batch AvailableNow otherwise runs would
+        // advance the watermark past the last data batch and fire the
+        // go-quiet timers of every key inactive in its final hour —
+        // emitting partial profiles at what is semantically a deploy
+        // stop, not a quiet user. Phase 2 re-enables them so the
+        // sentinel's trailing batch performs the final flush.
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val oldNoData = s.conf.get(noDataKey)
+        files.take(2).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        s.conf.set(noDataKey, "false")
+        val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
+        require(rows1 > 0L, "phase 1 processed no rows")
+        // phase 2: the last third + sentinel land; a NEW query resumes
+        // from the checkpoint
+        val tailRows = files(2)._2.count() + 1L
+        files.drop(2).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        val rows2 = runIncarnation()
+        require(rows2 == tailRows,
+          s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
+            s"expected exactly the new files' $tailRows")
+        s.read.parquet(outDir).filter(col("user_id") >= 0)
+      }),
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, event_type""")),
 
