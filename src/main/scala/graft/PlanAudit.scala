@@ -35,6 +35,8 @@ object PlanAudit {
     "q113_mmr_diversify",  // deliberate: broadcast query side vs all vectors (q27 shape)
     "q132_join_size",      // deliberate: crossJoin(broadcast(·)) of a 1-ROW exact-size aggregate (q107 shape)
     "q135_vocab_drift",    // deliberate: crossJoin(broadcast(·)) of a 1-ROW totals aggregate (q107 shape)
+    "q137_source_drift",   // deliberate: crossJoin(broadcast(·)) of 1-ROW snapshot totals (q107 shape)
+    "q138_length_drift",   // deliberate: same drift-report totals shape as q137
   )
 
   /** Queries that read EVERY column of a wide (> 4-column) table by

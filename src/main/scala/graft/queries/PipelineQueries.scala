@@ -3765,8 +3765,99 @@ object PipelineQueries {
       FROM c JOIN o USING (bk)"""),
   )
 
+  /** Source-mix drift between two corpus snapshots
+    * ([[graft.ops.Drift.categoricalDrift]]): baseline A vs a current B
+    * that lost one source entirely (vanished), gained a new one
+    * (appeared), and shifted the rest. Per-category floor-ppm shares
+    * and deltas, all-integer — the recurring-feed monitoring report.
+    */
+  val q137_source_drift = QueryDef(
+    "q137_source_drift",
+    (s, d) => {
+      val all = docs(s, d)
+      val aSnap = all.filter(col("doc_id") % 7 =!= 0)
+      val bSnap = all.filter(col("doc_id") % 10 =!= 0)
+        .filter(col("source") =!= "src1")
+        .withColumn("source", when(col("doc_id") % 97 === 0, lit("src_new"))
+          .otherwise(col("source")))
+      graft.ops.Drift.categoricalDrift(aSnap, bSnap, "source")
+    },
+    Some("""WITH a AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS category
+          FROM documents WHERE doc_id % 7 <> 0),
+        b AS (SELECT coalesce(CASE WHEN doc_id % 97 = 0 THEN 'src_new'
+              ELSE CAST(source AS VARCHAR) END, '') AS category
+          FROM documents WHERE doc_id % 10 <> 0 AND source <> 'src1'),
+        ca AS (SELECT category, CAST(count(*) AS BIGINT) AS n_a
+          FROM a GROUP BY category),
+        cb AS (SELECT category, CAST(count(*) AS BIGINT) AS n_b
+          FROM b GROUP BY category),
+        tot AS (SELECT (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) FROM ca) AS tot_a,
+          (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) FROM cb) AS tot_b),
+        j AS (SELECT coalesce(ca.category, cb.category) AS category,
+            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        r AS (SELECT category, n_a, n_b,
+            CASE WHEN tot_a > 0 THEN n_a * 1000000 // tot_a ELSE 0 END AS ppm_a,
+            CASE WHEN tot_b > 0 THEN n_b * 1000000 // tot_b ELSE 0 END AS ppm_b
+          FROM j CROSS JOIN tot)
+      SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+        CAST(abs(ppm_a - ppm_b) AS BIGINT) AS delta_ppm,
+        CASE WHEN n_a = 0 THEN 'appeared' WHEN n_b = 0 THEN 'vanished'
+          ELSE 'present' END AS status
+      FROM r"""),
+  )
+
+  /** Length-distribution drift ([[graft.ops.Drift.numericDrift]]):
+    * snapshot B caps a third of the documents at 128 bytes, shifting
+    * the byte-length histogram left. Integer-exact bucket edges
+    * (`off * nb div span`, clamped to the edge buckets so tail drift
+    * is visible), then the same ppm report as q137.
+    */
+  val q138_length_drift = QueryDef(
+    "q138_length_drift",
+    (s, d) => {
+      val all = docs(s, d)
+        .withColumn("len", octet_length(coalesce(col("text"), lit(""))).cast("long"))
+      val aSnap = all.filter(col("doc_id") % 7 =!= 0)
+      val bSnap = all.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("len", when(col("doc_id") % 3 === 0,
+          least(col("len"), lit(128L))).otherwise(col("len")))
+      graft.ops.Drift.numericDrift(aSnap, bSnap, col("len"), 0L, 512L, 16)
+    },
+    Some("""WITH a AS (SELECT CAST(least(greatest(
+            CAST(strlen(coalesce(text, '')) AS BIGINT) * 16 // 512, 0), 15)
+            AS VARCHAR) AS category
+          FROM documents WHERE doc_id % 7 <> 0),
+        b AS (SELECT CAST(least(greatest(
+            (CASE WHEN doc_id % 3 = 0
+              THEN least(CAST(strlen(coalesce(text, '')) AS BIGINT), 128)
+              ELSE CAST(strlen(coalesce(text, '')) AS BIGINT) END) * 16 // 512,
+            0), 15) AS VARCHAR) AS category
+          FROM documents WHERE doc_id % 10 <> 0),
+        ca AS (SELECT category, CAST(count(*) AS BIGINT) AS n_a
+          FROM a GROUP BY category),
+        cb AS (SELECT category, CAST(count(*) AS BIGINT) AS n_b
+          FROM b GROUP BY category),
+        tot AS (SELECT (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) FROM ca) AS tot_a,
+          (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) FROM cb) AS tot_b),
+        j AS (SELECT coalesce(ca.category, cb.category) AS category,
+            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        r AS (SELECT category, n_a, n_b,
+            CASE WHEN tot_a > 0 THEN n_a * 1000000 // tot_a ELSE 0 END AS ppm_a,
+            CASE WHEN tot_b > 0 THEN n_b * 1000000 // tot_b ELSE 0 END AS ppm_b
+          FROM j CROSS JOIN tot)
+      SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+        CAST(abs(ppm_a - ppm_b) AS BIGINT) AS delta_ppm,
+        CASE WHEN n_a = 0 THEN 'appeared' WHEN n_b = 0 THEN 'vanished'
+          ELSE 'present' END AS status
+      FROM r"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q136_balanced_shards,
+    q136_balanced_shards, q137_source_drift, q138_length_drift,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

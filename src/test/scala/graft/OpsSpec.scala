@@ -1007,4 +1007,39 @@ class OpsSpec extends AnyFunSuite {
       "n_tokens", maxTokens = 512, nBuckets = 4).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("categorical drift: statuses, floor-ppm shares, TV distance") {
+    val a = Seq("x", "x", "x", "y").toDF("c")       // x 750000ppm, y 250000ppm
+    val b = Seq("x", "y", "y", "z").toDF("c")       // x 250000, y 500000, z 250000
+    val rep = graft.ops.Drift.categoricalDrift(a, b, "c").collect()
+      .map(r => r.getAs[String]("category") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("ppm_a"),
+          r.getAs[Long]("ppm_b"), r.getAs[Long]("delta_ppm"),
+          r.getAs[String]("status"))).toMap
+    assert(rep("x") == ((3L, 1L, 750000L, 250000L, 500000L, "present")))
+    assert(rep("y") == ((1L, 2L, 250000L, 500000L, 250000L, "present")))
+    assert(rep("z") == ((0L, 1L, 0L, 250000L, 250000L, "appeared")))
+    val sum = graft.ops.Drift.driftSummary(
+      graft.ops.Drift.categoricalDrift(a, b, "c")).collect()(0)
+    assert(sum.getAs[Long]("n_categories") == 3L)
+    assert(sum.getAs[Long]("n_appeared") == 1L)
+    assert(sum.getAs[Long]("n_vanished") == 0L)
+    assert(sum.getAs[Long]("tv_ppm") == 500000L)    // (500k+250k+250k)/2
+    // null categories count as "" instead of dropping rows
+    val withNull = graft.ops.Drift.categoricalDrift(
+      Seq(Some("x"), None).toDF("c"), Seq(Some("x")).toDF("c"), "c").collect()
+    assert(withNull.exists(r => r.getAs[String]("category") == "" &&
+      r.getAs[String]("status") == "vanished"))
+  }
+
+  test("numeric drift: integer bucket edges, out-of-range clamps to edge buckets") {
+    val a = Seq(0L, 5L, 10L, 99L, -7L).toDF("v")    // -7 clamps to bucket 0
+    val b = Seq(0L, 250L).toDF("v")                 // 250 clamps to bucket 9
+    val rep = graft.ops.Drift.numericDrift(a, b, col("v"), 0L, 100L, 10)
+      .collect().map(r => r.getAs[String]("category") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toMap
+    assert(rep("0") == ((3L, 1L)))  // 0, 5, and clamped -7
+    assert(rep("1") == ((1L, 0L)))  // 10 -> bucket 1
+    assert(rep("9") == ((1L, 1L)))  // 99 exact edge; 250 clamped
+  }
 }
