@@ -152,7 +152,23 @@ object SynthQueries {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_$sub")
     df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
     val part = SparkEntry.firstParquet(tmp)
-    java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet")); ()
+    java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
+    deleteTree(tmp) // the _SUCCESS/.crc staging leftovers
+  }
+
+  /** Recursive delete, best-effort (the replays create tmp trees per
+    * run and the parity tools run the whole suite repeatedly in one
+    * process — unbounded leftovers would grow /tmp by a RocksDB
+    * checkpoint tree per invocation).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val all = Files.walk(root)
+      try all.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally all.close()
+    }
   }
 
   /** The per-user event-type count stream over a split directory: file
@@ -2217,6 +2233,7 @@ object SynthQueries {
         q.awaitTermination()
         val batches = q.recentProgress.count(_.numInputRows > 0)
         require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+        deleteTree(streamDir) // result lives in the memory sink
         s.table(name).filter(col("user_id") >= 0)
       }),
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
@@ -2282,7 +2299,16 @@ object SynthQueries {
         require(rows2 == tailRows,
           s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
             s"expected exactly the new files' $tailRows")
-        s.read.parquet(outDir).filter(col("user_id") >= 0)
+        // the report is (user, type)-dimension-sized by design —
+        // materialize it, then delete the three temp trees (split
+        // files, RocksDB checkpoint, sink); without this every suite
+        // rep leaks a full checkpoint tree
+        val res = s.read.parquet(outDir).filter(col("user_id") >= 0)
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(streamDir, java.nio.file.Paths.get(ckptDir),
+          java.nio.file.Paths.get(outDir)).foreach(deleteTree)
+        out
       }),
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, event_type""")),

@@ -50,11 +50,18 @@ object Drift {
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         col("tot_a"), col("tot_b"))
-      // floor ppm; guard the degenerate empty snapshot (share 0)
+      // floor ppm; guard the degenerate empty snapshot (share 0). The
+      // n * 1e6 product goes through DECIMAL(38,0): at corpus scale a
+      // dominant category's count * 1e6 exceeds Long.MaxValue
+      // (n > ~9.2e12 rows) and the pure-long product would throw under
+      // ANSI — the quotient is <= 1e6 so the result is exactly the same
+      // BIGINT wherever both are defined
       .withColumn("ppm_a", when(col("tot_a") > 0,
-        expr("n_a * 1000000 div tot_a")).otherwise(lit(0L)))
+        expr("CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 div tot_a AS BIGINT)"))
+        .otherwise(lit(0L)))
       .withColumn("ppm_b", when(col("tot_b") > 0,
-        expr("n_b * 1000000 div tot_b")).otherwise(lit(0L)))
+        expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 div tot_b AS BIGINT)"))
+        .otherwise(lit(0L)))
       .withColumn("delta_ppm", abs(col("ppm_a") - col("ppm_b")))
       .withColumn("status",
         when(col("n_a") === 0L, lit("appeared"))
@@ -73,12 +80,21 @@ object Drift {
   def numericDrift(a: DataFrame, b: DataFrame, valCol: Column,
       lo: Long, hi: Long, nBuckets: Int): DataFrame = {
     require(hi > lo && nBuckets >= 1, "need hi > lo and nBuckets >= 1")
-    // integral `div`, not Column./ (which is double division — a 2^53+
-    // offset would round the bucket edge)
+    require(hi - lo <= Long.MaxValue / nBuckets,
+      "span * nBuckets must fit in a Long")
+    // clamp the VALUE into [lo, hi] BEFORE subtracting and multiplying:
+    // a corrupt extreme (Long.MaxValue sentinel in a dirty feed — the
+    // data this monitor targets) would otherwise overflow `off * nb`
+    // (ANSI throw, or a silent wrap filing the outlier into the WRONG
+    // edge bucket). Clamp-first is bucket-equivalent for every input:
+    // in-range values are untouched, out-of-range land on the edge.
+    // Integral `div`, not Column./ (double division — a 2^53+ offset
+    // would round the bucket edge).
     def bucketed(df: DataFrame): DataFrame = df
-      .select((valCol.cast("long") - lit(lo)).as("__off"))
-      .selectExpr("least(greatest(__off * " + nBuckets + "L div " +
-        (hi - lo) + "L, 0L), " + (nBuckets - 1) + "L) AS bucket")
+      .select((least(greatest(valCol.cast("long"), lit(lo)), lit(hi)) - lit(lo))
+        .as("__off"))
+      .selectExpr("least(__off * " + nBuckets + "L div " +
+        (hi - lo) + "L, " + (nBuckets - 1) + "L) AS bucket")
     categoricalDrift(bucketed(a), bucketed(b), "bucket")
   }
 

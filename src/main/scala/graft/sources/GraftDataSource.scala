@@ -122,8 +122,13 @@ final class GraftScan(schemaJson: String, full: StructType, required: StructType
     // partition count so both defaulted paths stay bit-equal on any
     // cluster shape
     (0 until p).map { i =>
-      val start = i * n / p
-      val end = (i + 1) * n / p
+      // BigInt: i * n overflows Long once p grows with n (the pinned
+      // default is ~n/64k, so max(i*n) ~ n^2/64k — wraps silently at
+      // n >= ~7.8e11 and emits duplicated/missing id ranges).
+      // spark.range's own split does the same exact math, so the
+      // bit-parity contract with Synth.dataFrame holds at every n.
+      val start = (BigInt(i) * n / p).toLong
+      val end = (BigInt(i + 1) * n / p).toLong
       GraftInputPartition(i, start, end): InputPartition
     }.toArray
   }

@@ -38,7 +38,10 @@ object Synth {
     * and it keeps `defaultParallelism` for free parallelism.)
     */
   def pinnedPartitions(n: Long): Int =
-    math.max(32L, (n + 65535) / 65536).toInt
+    // cap at Int.MaxValue: a plain .toInt would wrap NEGATIVE at
+    // n >= 2^31 * 64k, and a negative partition count silently planned
+    // ZERO input partitions downstream
+    math.max(32L, math.min((n + 65535) / 65536, Int.MaxValue.toLong)).toInt
 
   /** Generate with the best available lowering: the Catalyst column fast
     * path when every field is stateless (fully codegen'd, reproducible
