@@ -37,6 +37,7 @@ object PlanAudit {
     "q135_vocab_drift",    // deliberate: crossJoin(broadcast(·)) of a 1-ROW totals aggregate (q107 shape)
     "q137_source_drift",   // deliberate: crossJoin(broadcast(·)) of 1-ROW snapshot totals (q107 shape)
     "q138_length_drift",   // deliberate: same drift-report totals shape as q137
+    "q139_drift_summary",  // deliberate: q137's report aggregated — same totals shape
   )
 
   /** Queries that read EVERY column of a wide (> 4-column) table by

@@ -3856,8 +3856,51 @@ object PipelineQueries {
       FROM r"""),
   )
 
+  /** The one-row drift alarm ([[graft.ops.Drift.driftSummary]]) over
+    * q137's report: total categories, appeared/vanished counts, and
+    * the total-variation distance in ppm — the single number a feed
+    * monitor thresholds on.
+    */
+  val q139_drift_summary = QueryDef(
+    "q139_drift_summary",
+    (s, d) => {
+      val all = docs(s, d)
+      val aSnap = all.filter(col("doc_id") % 7 =!= 0)
+      val bSnap = all.filter(col("doc_id") % 10 =!= 0)
+        .filter(col("source") =!= "src1")
+        .withColumn("source", when(col("doc_id") % 97 === 0, lit("src_new"))
+          .otherwise(col("source")))
+      graft.ops.Drift.driftSummary(
+        graft.ops.Drift.categoricalDrift(aSnap, bSnap, "source"))
+    },
+    Some("""WITH a AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS category
+          FROM documents WHERE doc_id % 7 <> 0),
+        b AS (SELECT coalesce(CASE WHEN doc_id % 97 = 0 THEN 'src_new'
+              ELSE CAST(source AS VARCHAR) END, '') AS category
+          FROM documents WHERE doc_id % 10 <> 0 AND source <> 'src1'),
+        ca AS (SELECT category, CAST(count(*) AS BIGINT) AS n_a
+          FROM a GROUP BY category),
+        cb AS (SELECT category, CAST(count(*) AS BIGINT) AS n_b
+          FROM b GROUP BY category),
+        tot AS (SELECT (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) FROM ca) AS tot_a,
+          (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) FROM cb) AS tot_b),
+        j AS (SELECT coalesce(ca.category, cb.category) AS category,
+            coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        r AS (SELECT category, n_a, n_b,
+            CASE WHEN tot_a > 0 THEN n_a * 1000000 // tot_a ELSE 0 END AS ppm_a,
+            CASE WHEN tot_b > 0 THEN n_b * 1000000 // tot_b ELSE 0 END AS ppm_b
+          FROM j CROSS JOIN tot)
+      SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        CAST(sum(CASE WHEN n_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appeared,
+        CAST(sum(CASE WHEN n_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vanished,
+        CAST(sum(abs(ppm_a - ppm_b)) // 2 AS BIGINT) AS tv_ppm
+      FROM r"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q136_balanced_shards, q137_source_drift, q138_length_drift,
+    q139_drift_summary,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,
