@@ -15,6 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Per-key CUSUM changepoint: the split index maximizing the
+    * cumulative deviation from the key's mean — the classic
+    * at-most-one-changepoint estimator for "where did this metric
+    * change regime" over a feed. All-integer via cross-multiplication:
+    * the score at position i is |n·cumsum_i − i·total| (the CUSUM of
+    * (v − mean) scaled by n, so no engine divides), carried in
+    * DECIMAL(38,0) because n·cumsum exceeds Long at corpus scale
+    * (~22 digits at 1e5 rows of micro-unit values; 38 holds to ~1e19
+    * rows). Output per key: n, the 1-based changepoint index (the
+    * LAST row of the left regime), and its timestamp — ties on the
+    * score resolve to the earliest index, so the result is a pure
+    * function of the data.
+    *
+    * Scale shape: one shuffle on the key, reused by all three windows
+    * (cumsum, totals, rank) as local sorts over the same exchange; the
+    * filter keeps one row per key.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: Column,
+      tieCol: Column, valCol: Column): DataFrame = {
+    val base = df.select(col(keyCol), tsCol.cast("long").as("__ts"),
+      tieCol.as("__tie"), valCol.cast("long").as("__v"))
+    val ord = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__tie"))
+    val all = Window.partitionBy(keyCol)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val scored = base
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(dec(col("__v"))).over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tot", sum(dec(col("__v"))).over(all))
+      .withColumn("__s",
+        abs(dec(col("__n")) * col("__cum") - dec(col("__i")) * col("__tot")))
+    val rank = Window.partitionBy(keyCol)
+      .orderBy(col("__s").desc, col("__i").asc)
+    scored.withColumn("__rk", row_number().over(rank))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("__n").as("n"), col("__i").as("cp_idx"),
+        col("__ts").as("cp_ts"))
+  }
+
   /** Per-key-bucket OHLC: open = value at the earliest (ts, tie),
     * close = at the latest, high/low = extremes, n = bucket size.
     * Deterministic under ties via `tieCol`.

@@ -3898,9 +3898,48 @@ object PipelineQueries {
       FROM r"""),
   )
 
+  /** Per-event-type CUSUM changepoint
+    * ([[graft.ops.TimeSeries.cusumChangepoint]]): where in the
+    * timeline each metric's mean shifted — the at-most-one-changepoint
+    * estimator a feed monitor pairs with the drift report (q137: WHAT
+    * shifted; this: WHEN). Micro-unit values, HUGEINT/DECIMAL
+    * cross-multiplied scores, ties to the earliest index — the oracle
+    * replays the identical argmax.
+    */
+  val q140_changepoint = QueryDef(
+    "q140_changepoint",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v_micro"))
+      graft.ops.TimeSeries.cusumChangepoint(ev, "event_type",
+        col("ts"), col("event_id"), col("v_micro"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn, event_id,
+            CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        w AS (SELECT event_type, tsn,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY tsn, event_id) AS BIGINT) AS i,
+            CAST(sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type
+              ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+            CAST(sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type)
+              AS HUGEINT) AS tot
+          FROM e),
+        sc AS (SELECT event_type, tsn, i, n,
+            abs(CAST(n AS HUGEINT) * cum - CAST(i AS HUGEINT) * tot) AS s
+          FROM w),
+        r AS (SELECT event_type, tsn, i, n,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY s DESC, i ASC) AS rk
+          FROM sc)
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_idx,
+        CAST(tsn AS BIGINT) AS cp_ts
+      FROM r WHERE rk = 1"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q136_balanced_shards, q137_source_drift, q138_length_drift,
-    q139_drift_summary,
+    q139_drift_summary, q140_changepoint,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

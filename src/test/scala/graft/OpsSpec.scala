@@ -1032,6 +1032,21 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[String]("status") == "vanished"))
   }
 
+  test("cusum changepoint finds a planted mean shift, partitioning-invariant") {
+    // 40 points at 10 then 60 at 50: the true split is after index 40
+    val rows = (1 to 40).map(i => ("k", i.toLong, i.toLong, 10L)) ++
+      (41 to 100).map(i => ("k", i.toLong, i.toLong, 50L))
+    val df = rows.toDF("k", "ts", "id", "v")
+    def cp(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.cusumChangepoint(d, "k", col("ts"), col("id"),
+        col("v")).collect()(0)
+    val out = cp(df)
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("cp_idx") == 40L) // last row of the left regime
+    assert(out.getAs[Long]("cp_ts") == 40L)
+    assert(cp(df.repartition(7)).toString == out.toString)
+  }
+
   test("numeric drift: integer bucket edges, out-of-range clamps to edge buckets") {
     val a = Seq(0L, 5L, 10L, 99L, -7L).toDF("v")    // -7 clamps to bucket 0
     val b = Seq(0L, 250L).toDF("v")                 // 250 clamps to bucket 9
