@@ -1162,8 +1162,10 @@ object SynthQueries {
     // union over micro-batches equals the batch serve over the full
     // query set — g110's DuckDB oracle replays this output bit-for-bit,
     // making it the first STREAMING query with a full ANN serving
-    // oracle. Results land in an append-only parquet dir (exactly-once
-    // per batch via the stream checkpoint).
+    // oracle. Each batch writes (overwrite) to its own batchId-derived
+    // subdirectory, so a replayed batch lands on the same path instead
+    // of appending duplicates — idempotent even if the sink batch is
+    // re-executed.
     QueryDef("g114_stream_ann_serve",
       (s, d) => streamScoped(s) {
         val vecs = s.read.parquet(s"$d/embeddings.parquet")
@@ -1184,15 +1186,17 @@ object SynthQueries {
         val sq = s.readStream.schema(q.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.ops.Quantization.hashIvfTopKFromIndex(dir, batch,
               "vec_id", "embedding", 10, numClusters = 8, nProbe = 2)
-              .write.mode("append").parquet(outDir)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         sq.awaitTermination()
-        s.read.parquet(outDir)
+        // `batch=N` subdirs surface as a discovered partition column;
+        // drop it — the oracle sees the union of batches, not the split
+        s.read.parquet(outDir).drop("batch")
       },
       Some(HashIvfOracle.sql)),
 
@@ -2901,7 +2905,8 @@ object IotFastRollupOracle {
 }
 
 /** DuckDB oracle for g51_columns_fast: every proven ladder fragment of
-  * the wide fast-path schema composed over 1M ids — uuid RFC-4122
+  * the wide fast-path schema composed over 200k ids (matching
+  * uniformChain(200000) and the query's generation count) — uuid RFC-4122
   * surgery (g56), public ipv4 (g58), skew-0 int (g56), Box–Muller
   * normal as a clamped floor bucket (g78 convention — the only libm-
   * dependent cell), bounded date (g64), state/browser CASE ladders

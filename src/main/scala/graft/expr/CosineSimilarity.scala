@@ -149,7 +149,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "nearest_centroid: centroids must be a literal array<array<double>>")
         val ad = children(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val cents = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        val cents = IndexedSeq.tabulate(ad.numElements())(i =>
+          ad.getArray(i).toDoubleArray().toIndexedSeq)
         NearestCentroid(children(0), cents)
       }))
 

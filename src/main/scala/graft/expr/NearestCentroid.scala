@@ -22,8 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Null elements or a centroid/input dimension mismatch yield NULL
   * (matching the zip_with-pads-with-null fallback semantics).
   */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
+
+  // The field is an IndexedSeq so case-class equals/hashCode are
+  // structural — with Array fields two identical nearest_centroid calls
+  // never compare equal and semanticEquals / subexpression elimination /
+  // exchange reuse silently degrade. The hot loops run over this
+  // transient flat copy (rebuilt per deserialized task, dimension-sized).
+  @transient private lazy val centroidArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -52,8 +60,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
-    while (c < centroids.length) {
-      val cc = centroids(c)
+    val cents = centroidArr
+    while (c < cents.length) {
+      val cc = cents(c)
       if (cc.length != n) return null
       var d = 0.0
       i = 0
@@ -66,7 +75,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cents = ctx.addReferenceObj("centroids", centroidArr, "double[][]")
       val n = ctx.freshName("n")
       val x = ctx.freshName("x")
       val s = ctx.freshName("s")

@@ -317,11 +317,14 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__b").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    bucketed
+    val out = bucketed
       .withColumn("__cum",
         sum(col("__bytes")).over(w) - col("__bytes") +
           element_at(array(offsets.map(lit): _*), col("__b") + 1))
       .withColumn("shard", expr(s"__cum div ${targetBytes}L"))
       .select(col(idCol), col("__bytes").as("bytes"), col("shard"))
+      .localCheckpoint(true) // cuts lineage off `bucketed`, so it can be
+    bucketed.unpersist()     // released NOW instead of leaking for the JVM
+    out                      // lifetime (SemanticDedup convention)
   }
 }
