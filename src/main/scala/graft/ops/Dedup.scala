@@ -389,6 +389,23 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"),
+        simhashCol(textCol,
+          native = df.sparkSession.catalog.functionExists("simhash64")).as("__sig"))
+    bandedHammingPairs(sig, "__id", "__sig", maxHamming)
+  }
+
+  /** The pigeonhole banding over ANY 64-bit signature column (shared by
+    * SimHash text near-dup and dHash image near-dup): id pairs with
+    * `popcount(sigA XOR sigB) <= maxHamming`, found via band-bucket
+    * equi-joins — recall 1.0 by construction, never an all-pairs
+    * product. `maxHamming = 0` degenerates to one full-signature
+    * equi-join (exact signature match). Output: (a, b, hamming) with
+    * a < b in `idCol`'s ordering.
+    */
+  def bandedHammingPairs(sig0: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (got $maxHamming): more bands than " +
         "64/4 bits makes the buckets too coarse to prune anything")
@@ -399,10 +416,7 @@ object Dedup {
     val bandBits = 64 / nBands
     // Scala shifts mod 64: (1L << 64) - 1 would be 0, not all-ones
     val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
-    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("__id"),
-        simhashCol(textCol,
-          native = df.sparkSession.catalog.functionExists("simhash64")).as("__sig"))
+    val sig = sig0.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
     val banded = sig.select(col("__id"), col("__sig"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),

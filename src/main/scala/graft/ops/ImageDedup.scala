@@ -1,0 +1,144 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Perceptual image deduplication via difference hash (dHash).
+  *
+  * The standard near-dup detector for image corpora: decode, grayscale,
+  * shrink to a (W+1) x H luma grid, and emit one bit per cell — set when
+  * the right neighbor is brighter. The 64-bit signature is invariant
+  * under uniform brightness/contrast shifts and lossy re-encodes (both
+  * preserve the ORDER of neighboring lumas), which is exactly the
+  * duplicate class crawl pipelines need to collapse: the same photo
+  * served at different quality settings.
+  *
+  * Scale shape: hashing is an embarrassingly parallel decode scan
+  * (the [[Multimodal.decodeFeatures]] mapPartitions seam — no shuffle);
+  * pair finding reuses the SimHash pigeonhole banding
+  * ([[Dedup.bandedHammingPairs]]), so candidates come from band-equal
+  * bucket joins, never an all-pairs product — the same plan that holds
+  * for text near-dup at 100 TB holds here.
+  *
+  * Everything downstream of the decode is integer-exact: grayscale is
+  * the ITU-R 601 weighting in parts-per-1000 (299·R + 587·G + 114·B)
+  * div 1000, comparisons are strict, so the q141 oracle can replay the
+  * full 64-bit hash in SQL for losslessly-encoded fixtures.
+  */
+object ImageDedup {
+
+  /** Hash grid: 9x8 lumas -> 8x8 = 64 horizontal comparisons. */
+  val GridW: Int = 9
+  val GridH: Int = 8
+
+  /** Integer ITU-R 601 luma of a packed RGB pixel (exact: the weights
+    * sum to 1000, so a gray pixel r=g=b=v maps back to v).
+    */
+  private[ops] def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Lossless gray PNG encoder (fixture generator and a usable sink for
+    * synthesized image columns — the image analog of
+    * [[Multimodal.wavBytes]]). `lumas` is row-major, values clamped to
+    * [0, 255]; pixels are written r=g=b=v into an RGB raster so the
+    * decode side's integer luma recovers v exactly.
+    */
+  def grayPng(lumas: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && lumas.length == w * h,
+      s"expected $w x $h = ${w * h} lumas, got ${lumas.length}")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < lumas.length) {
+      val v = math.max(0, math.min(255, lumas(i)))
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Bilinear shrink to the hash grid (the [[Multimodal.resizeImages]]
+    * path); images already at grid geometry skip the raster copy so
+    * lossless fixtures stay bit-exact.
+    */
+  private def toGrid(img: BufferedImage): BufferedImage =
+    if (img.getWidth == GridW && img.getHeight == GridH) img
+    else {
+      val out = new BufferedImage(GridW, GridH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, GridW, GridH, null)
+      g.dispose()
+      out
+    }
+
+  /** The 64-bit dHash of a decoded image: bit (y·8 + x) is set when
+    * luma(x+1, y) > luma(x, y) on the 9x8 grid.
+    */
+  def dHashBits(img: BufferedImage): Long = {
+    val grid = toGrid(img)
+    var bits = 0L
+    var y = 0
+    while (y < GridH) {
+      var left = luma(grid.getRGB(0, y))
+      var x = 0
+      while (x < GridW - 1) {
+        val right = luma(grid.getRGB(x + 1, y))
+        if (right > left) bits |= 1L << (y * (GridW - 1) + x)
+        left = right
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Decode + hash a binary image column behind the same typed
+    * mapPartitions seam as [[Multimodal.decodeFeatures]]: appends
+    * `<binCol>_dhash` (LongType; null when the payload isn't a readable
+    * image, so corrupt assets degrade to a filterable column, never a
+    * task failure). No shuffle — a pure scan stage.
+    */
+  def dHash(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(s"${binCol}_dhash", LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val hash: Any =
+          if (bytes == null) null
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null else Long.box(dHashBits(img))
+          } catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` bits: drop
+    * undecodable rows, then the shared pigeonhole banding
+    * ([[Dedup.bandedHammingPairs]]) — recall 1.0, candidates from
+    * band-bucket joins. `maxHamming = 0` degenerates to one full-hash
+    * equi-join (exact perceptual match).
+    */
+  def dHashPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 0): DataFrame = {
+    val hashed = dHash(df, binCol)
+      .filter(col(s"${binCol}_dhash").isNotNull)
+      .select(col(idCol), col(s"${binCol}_dhash"))
+    Dedup.bandedHammingPairs(hashed, idCol, s"${binCol}_dhash", maxHamming)
+  }
+}

@@ -3937,9 +3937,83 @@ object PipelineQueries {
       FROM r WHERE rk = 1"""),
   )
 
+  /** Perceptual image dedup ([[graft.ops.ImageDedup]]) with a FULL
+    * 64-bit oracle: a lossless gray-PNG corpus (9x8 lumas from the
+    * XXH64 chain the DuckDB replay reproduces bit-for-bit) plus a
+    * planted brightness-shifted duplicate for every tenth image
+    * (+3 on every luma — dHash compares neighbor ORDER, so the shifted
+    * copy hashes identically while remaining byte-distinct). The Spark
+    * side runs the production path for real: PNG encode, ImageIO
+    * decode, integer-luma dHash, pigeonhole band join; the oracle
+    * recomputes every pixel, every comparison bit, and the final
+    * signed-64 signature in SQL, then forms the same a < b pairs.
+    */
+  val q141_image_dhash = QueryDef(
+    "q141_image_dhash",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val nPx = graft.ops.ImageDedup.GridW * graft.ops.ImageDedup.GridH
+      val ids = docs(s, d).select(col("doc_id").cast("long").as("base_id"))
+      val rig = ids
+        .select(col("base_id"), col("base_id").as("id"), lit(0).as("shift"))
+        .unionAll(ids.filter(col("base_id") % 10 === 0)
+          .select(col("base_id"), (col("base_id") + 10000000L).as("id"),
+            lit(3).as("shift")))
+      val outSchema = StructType(Seq(StructField("id", LongType),
+        StructField("png", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val withPng = rig.mapPartitions { rows =>
+        rows.map { r =>
+          val (baseId, id, shift) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          // lumas in [0, 200] (+shift <= 203): the +3 perturbation can
+          // never clamp at 255, so neighbor order — hence the hash — is
+          // provably preserved
+          val lumas = Array.tabulate(nPx) { idx =>
+            Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(baseId * nPx + idx, 42L), 201L).toInt + shift
+          }
+          Row(id, graft.ops.ImageDedup.grayPng(lumas,
+            graft.ops.ImageDedup.GridW, graft.ops.ImageDedup.GridH))
+        }
+      }
+      val hashed = graft.ops.ImageDedup.dHash(withPng, "png")
+        .select(col("id"), col("png_dhash").as("dhash"))
+      graft.ops.Dedup.bandedHammingPairs(hashed, "id", "dhash", maxHamming = 0)
+        .join(hashed.withColumnRenamed("id", "a"), "a")
+        .select(col("a"), col("b"), col("dhash"))
+    },
+    Some {
+      import DuckXxHash._
+      val ch = chain("rig",
+        """SELECT CAST(doc_id AS BIGINT) AS base_id, CAST(doc_id AS BIGINT) AS id,
+            0 AS shift FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 10000000 AS BIGINT), 3
+          FROM documents WHERE doc_id % 10 = 0""")
+        .cte("px", "SELECT id, shift, r.range AS idx, " +
+          s"${unsigned("base_id * 72 + r.range")} AS v FROM rig, range(0, 72) r")
+        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      val ch2 = ch
+        .cte("lum",
+          s"SELECT id, idx, ${pmod("h1out", 201L)} + shift AS lum FROM ${ch.last}")
+        .cte("bits",
+          """SELECT l.id, CAST((l.idx // 9) * 8 + (l.idx % 9) AS INT) AS pos
+            FROM lum l JOIN lum r ON r.id = l.id AND r.idx = l.idx + 1
+            WHERE l.idx % 9 < 8 AND r.lum > l.lum""")
+        .cte("dh",
+          s"SELECT p.id, ${signed("coalesce(b.s, 0::HUGEINT)")} AS dhash " +
+            "FROM (SELECT DISTINCT id FROM lum) p LEFT JOIN " +
+            "(SELECT id, sum(1::HUGEINT << pos) AS s FROM bits GROUP BY id) b " +
+            "ON p.id = b.id")
+      ch2.render("""SELECT x.id AS a, y.id AS b, x.dhash AS dhash
+        FROM dh x JOIN dh y ON x.dhash = y.dhash AND x.id < y.id""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q136_balanced_shards, q137_source_drift, q138_length_drift,
-    q139_drift_summary, q140_changepoint,
+    q139_drift_summary, q140_changepoint, q141_image_dhash,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, ImageDedup}
+
+class ImageDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def lumas(seed: Long): Array[Int] =
+    Array.tabulate(ImageDedup.GridW * ImageDedup.GridH) { i =>
+      Math.floorMod(graft.runtime.Rng.mix(seed * 1000 + i), 200L).toInt
+    }
+
+  private def decode(png: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+
+  test("grayPng round-trips lumas exactly through ImageIO") {
+    val ls = lumas(1)
+    val img = decode(ImageDedup.grayPng(ls, 9, 8))
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val rgb = img.getRGB(x, y)
+      assert((rgb & 0xff) == ls(y * 9 + x))
+      assert(((rgb >> 8) & 0xff) == ls(y * 9 + x))
+    }
+  }
+
+  test("dHash is invariant under uniform brightness shift, changes under content edit") {
+    val base = lumas(2)
+    val h0 = ImageDedup.dHashBits(decode(ImageDedup.grayPng(base, 9, 8)))
+    val brighter = base.map(_ + 40) // max 239, never clamps
+    assert(ImageDedup.dHashBits(decode(ImageDedup.grayPng(brighter, 9, 8))) == h0)
+    // flipping one neighbor ORDER flips at least one bit
+    val edited = base.clone()
+    val i = base.indices.find(i => i % 9 < 8 && base(i + 1) != base(i)).get
+    val tmp = edited(i); edited(i) = edited(i + 1); edited(i + 1) = tmp
+    assert(ImageDedup.dHashBits(decode(ImageDedup.grayPng(edited, 9, 8))) != h0)
+  }
+
+  test("dHash survives the resize path: 4x nearest-neighbor upscale hashes identically") {
+    val base = lumas(3)
+    val h0 = ImageDedup.dHashBits(decode(ImageDedup.grayPng(base, 9, 8)))
+    // 36x32 image of uniform 4x4 blocks: bilinear shrink back to 9x8
+    // averages each block to its own value
+    val big = Array.tabulate(36 * 32) { i =>
+      val (x, y) = (i % 36, i / 36)
+      base((y / 4) * 9 + x / 4)
+    }
+    val hBig = ImageDedup.dHashBits(decode(ImageDedup.grayPng(big, 36, 32)))
+    assert(hBig == h0, f"resize path diverged: $h0%016x vs $hBig%016x")
+  }
+
+  test("dHash column: real decode on PNGs, null on undecodable payloads") {
+    val rows = Seq(
+      (1L, ImageDedup.grayPng(lumas(4), 9, 8)),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "png")
+    val out = ImageDedup.dHash(rows, "png").select("id", "png_dhash")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).contains(ImageDedup.dHashBits(decode(ImageDedup.grayPng(lumas(4), 9, 8)))))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("dHashPairs finds planted near-dups within hamming 3 via banding, no false pairs") {
+    val base = (0L until 40L).map(i => i -> lumas(100 + i))
+    // plant: id+1000 = brightness-shifted copy (hamming 0) for ids 0-9;
+    // id+2000 = one-comparison edit (hamming >= 1, <= 3) for ids 10-14
+    val shifted = (0L until 10L).map(i => (i + 1000L) -> lumas(100 + i).map(_ + 5))
+    val edited = (10L until 15L).map { i =>
+      val ls = lumas(100 + i).clone()
+      val j = ls.indices.find(j => j % 9 < 8 && ls(j + 1) != ls(j)).get
+      val t = ls(j); ls(j) = ls(j + 1); ls(j + 1) = t
+      (i + 2000L) -> ls
+    }
+    val df = (base ++ shifted ++ edited)
+      .map { case (id, ls) => (id, ImageDedup.grayPng(ls, 9, 8)) }
+      .toDF("id", "png")
+    val pairs = ImageDedup.dHashPairs(df, "id", "png", maxHamming = 3)
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, i + 1000L)).contains(0L), s"missing shifted pair $i")
+    }
+    (10L until 15L).foreach { i =>
+      val h = pairs.get((i, i + 2000L))
+      assert(h.exists(v => v >= 1L && v <= 3L), s"missing edited pair $i: $h")
+    }
+    // the 40 base images are mutually far apart — only planted pairs
+    assert(pairs.size == 15, s"unexpected extra pairs: ${pairs.keys}")
+  }
+
+  test("bandedHammingPairs at maxHamming=0 equals the exact-equality grouping") {
+    val sigs = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L), (5L, -1L), (6L, -1L))
+      .toDF("id", "sig")
+    val got = Dedup.bandedHammingPairs(sigs, "id", "sig", 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+  }
+}
