@@ -2317,6 +2317,184 @@ object SynthQueries {
       Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id, event_type""")),
 
+    // Streaming drift monitor with a FULL oracle: the q137-q139 family
+    // detects drift BETWEEN two batch snapshots; this is the production
+    // twin — hourly per-type event volumes, windowed-aggregated over the
+    // live stream, compared inside the stream against a broadcast
+    // reference-period rate (milli-events/hour, integer-exact) via a
+    // stream-static left join AFTER the append-mode aggregation. Every
+    // quantity is integer (counts, milli-rates, strict comparisons), so
+    // the whole monitor — window buckets, expected rates, deltas, the
+    // >50%-deviation alarm bit — replays exactly in DuckDB. At scale the
+    // plan is the right one: one keyed stateful shuffle for the window
+    // agg, a dimension-sized broadcast for the baseline, no second
+    // stateful operator.
+    QueryDef("g117_stream_drift",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{abs, broadcast, coalesce,
+          count, expr, lit, max, min, timestamp_micros, unix_timestamp, window}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val midNs = (minNs + maxNs) / 2
+        val spanS = (midNs - minNs) / 1000000000L
+        // reference-period hourly rate per type, in milli-events/hour
+        // (dimension-sized: one row per event type)
+        val baseline = ev.filter(col("ts") <= midNs)
+          .groupBy("event_type").agg(count(lit(1)).as("nb"))
+          .select(col("event_type"),
+            expr(s"nb * 3600000L div ${spanS}L").as("expected_milli"))
+        val streamDir = java.nio.file.Files.createTempDirectory("g117_events")
+        eventThirdFiles(s, d).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        val name = "g117_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val windowed = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          // the sentinel row MUST flow through here: a pre-agg filter on
+          // event_type gets pushed down into the parquet source scan
+          // (measured: the sentinel batch reports numInputRows=0), so the
+          // watermark node never sees the far-future row, the watermark
+          // stalls at the data's end, and the final windows never flush.
+          // Its phantom window stays in state unfired and is filtered at
+          // the sink instead — the g111 pattern.
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+          .join(broadcast(baseline), Seq("event_type"), "left")
+          .select(col("bucket_s"), col("event_type"), col("n"),
+            coalesce(col("expected_milli"), lit(0L)).as("expected_milli"),
+            abs(col("n") * 1000L - coalesce(col("expected_milli"), lit(0L)))
+              .as("delta_milli"))
+          .withColumn("alarm",
+            (col("delta_milli") * 2L > col("expected_milli")).cast("int"))
+        val q = windowed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+        deleteTree(streamDir)
+        s.table(name).filter(col("event_type") =!= "sentinel")
+      },
+      Some("""WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+            FROM events),
+          b AS (SELECT event_type, count(*) AS nb FROM events, mm
+            WHERE epoch_ns(ts) <= (mn + mx) // 2 GROUP BY event_type),
+          sp AS (SELECT ((mn + mx) // 2 - mn) // 1000000000 AS span_s FROM mm),
+          be AS (SELECT event_type,
+              CAST(nb * 3600000 // span_s AS BIGINT) AS expected_milli
+            FROM b, sp),
+          w AS (SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT)
+                AS bucket_s, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT w.bucket_s, w.event_type, w.n,
+          coalesce(be.expected_milli, 0) AS expected_milli,
+          abs(w.n * 1000 - coalesce(be.expected_milli, 0)) AS delta_milli,
+          CAST(CASE WHEN abs(w.n * 1000 - coalesce(be.expected_milli, 0)) * 2
+                > coalesce(be.expected_milli, 0) THEN 1 ELSE 0 END AS INT)
+            AS alarm
+        FROM w LEFT JOIN be ON w.event_type = be.event_type""")),
+
+    // Streaming mean-shift detection with a FULL oracle: q140's batch
+    // CUSUM answers WHERE the mean moved after the fact; this is the
+    // production twin — an online one-sided CUSUM (streaming/
+    // CusumProcessor) that alarms DURING ingestion, with O(1) state per
+    // key (six longs). A +300-unit mean shift is PLANTED in the final
+    // time-third of every feed; the detector's first
+    // threshold-crossing index and timestamp, the max score, and the
+    // event count must all hash-match DuckDB's replay of the identical
+    // integer recursion (prefix sum minus running minimum — the exact
+    // algebraic form the processor folds incrementally). Runs on
+    // RocksDB state across four watermark-advancing micro-batches.
+    QueryDef("g118_stream_cusum",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{expr, lit, max, min, round,
+          sum, timestamp_micros, when}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val midNs = (minNs + maxNs) / 2
+        val t2 = minNs + 2L * (maxNs - minNs) / 3
+        // reference-period mean in micro-units — the CUSUM target
+        val target = ev.filter(col("ts") <= midNs)
+          .agg(sum(round(col("value") * 1000000).cast("long")).as("sv"),
+            org.apache.spark.sql.functions.count(lit(1)).as("nv"))
+          .select(expr("sv div nv")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g118_events")
+        eventThirdFiles(s, d).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        val name = "g118_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val scored = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .select(col("event_type"), col("ts").as("ts_ns"),
+            col("event_id").cast("long").as("eid"),
+            (round(col("value") * 1000000).cast("long") +
+              when(col("ts") > t2, lit(300000000L)).otherwise(lit(0L)))
+              .as("v_micro"))
+          .as[(String, Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.CusumProcessor(target, 50000000000L),
+            TimeMode.EventTime(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(String, Long, Long, Long, Long)]])
+          .toDF("event_type", "n", "max_s", "alarm_idx", "alarm_ts")
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+        deleteTree(streamDir)
+        s.table(name).filter(col("event_type") =!= "sentinel")
+      }),
+      Some("""WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+            FROM events),
+          tg AS (SELECT CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+              // count(*) AS BIGINT) AS tgt
+            FROM events, mm WHERE epoch_ns(ts) <= (mn + mx) // 2),
+          e AS (SELECT event_type, epoch_ns(ts) AS tsn, event_id,
+              CAST(round(value * 1000000) AS BIGINT) +
+                CASE WHEN epoch_ns(ts) > mn + 2 * (mx - mn) // 3
+                  THEN 300000000 ELSE 0 END AS v
+            FROM events, mm),
+          w AS (SELECT event_type, tsn,
+              CAST(row_number() OVER pk AS BIGINT) AS i,
+              CAST(sum(v - tgt) OVER
+                (pk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM e, tg
+            WINDOW pk AS (PARTITION BY event_type ORDER BY tsn, event_id)),
+          sc AS (SELECT event_type, tsn, i,
+              cum - least(0, min(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) AS s
+            FROM w)
+        SELECT event_type, CAST(max(i) AS BIGINT) AS n,
+          CAST(max(s) AS BIGINT) AS max_s,
+          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN i END), -1)
+            AS BIGINT) AS alarm_idx,
+          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN tsn END), -1)
+            AS BIGINT) AS alarm_ts
+        FROM sc GROUP BY event_type""")),
+
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
     // chains) written as Avro container files and read back through the
