@@ -4011,9 +4011,113 @@ object PipelineQueries {
     },
   )
 
+  /** URL canonicalization ([[graft.ops.UrlOps]]) with a FULL oracle by
+    * construction: messy URLs are assembled from hash-derived parts
+    * (random scheme case, `WwW.` prefix, default/non-default ports,
+    * trailing slashes, shuffled tracking params, fragments), the op
+    * must recover the canonical form, and the oracle builds BOTH the
+    * messy string and the canonical form directly from the same hash
+    * picks — so every normalization rule (case, www, port, slash,
+    * param filter+sort, fragment) is proven, not just run.
+    */
+  val q142_url_canonical = QueryDef(
+    "q142_url_canonical",
+    (s, d) => {
+      def peel(c: org.apache.spark.sql.Column, m: Int)
+          : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+        ((c % m).cast("long"), (c / lit(m)).cast("long"))
+      val u0 = pmod(xxhash64(col("doc_id")), lit(1000000000L))
+      val (scheme, r1) = peel(u0, 4) // 0 http, 1 HTTP, 2 https, 3 HTTPS
+      val (www, r2) = peel(r1, 2)
+      val (sub, r3) = peel(r2, 2)
+      val (word, r4) = peel(r3, 50)
+      val (tld, r5) = peel(r4, 4) // .com .org .co.uk .de
+      val (port, r6) = peel(r5, 3) // 0 none, 1 scheme default, 2 :8080
+      val (pathN, r7) = peel(r6, 100)
+      val (slash, r8) = peel(r7, 2)
+      val (ord, r9) = peel(r8, 2)
+      val (frag, r10) = peel(r9, 2)
+      val (qv, r11) = peel(r10, 10)
+      val (idv, _) = peel(r11, 10)
+      val schemeStr = element_at(array(lit("http"), lit("HTTP"),
+        lit("https"), lit("HTTPS")), (scheme + 1).cast("int"))
+      val isHttps = scheme >= 2
+      val tldStr = element_at(array(lit(".com"), lit(".org"),
+        lit(".co.uk"), lit(".de")), (tld + 1).cast("int"))
+      val hostCore = concat(when(sub === 1, lit("cdn.")).otherwise(lit("")),
+        lit("site"), word.cast("string"), tldStr)
+      val messyHost = concat(when(www === 1, lit("WwW.")).otherwise(lit("")),
+        hostCore)
+      val portStr = when(port === 1,
+        when(isHttps, lit(":443")).otherwise(lit(":80")))
+        .when(port === 2, lit(":8080")).otherwise(lit(""))
+      val pathStr = concat(lit("/p/"), pathN.cast("string"),
+        when(slash === 1, lit("/")).otherwise(lit("")))
+      val pq = concat(lit("q="), qv.cast("string"))
+      val pid = concat(lit("id="), idv.cast("string"))
+      val qstr = when(ord === 0, concat(pq, lit("&utm_source=track&"), pid))
+        .otherwise(concat(lit("utm_source=track&"), pid, lit("&"), pq))
+      val fragStr = when(frag === 1, lit("#sec")).otherwise(lit(""))
+      val url = concat(schemeStr, lit("://"), messyHost, portStr, pathStr,
+        lit("?"), qstr, fragStr)
+      docs(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.UrlOps.canonicalizeUrl(col("url")).as("canon"),
+          graft.ops.UrlOps.registrableDomain(
+            graft.ops.UrlOps.canonicalHost(col("url"))).as("domain"))
+    },
+    Some {
+      import DuckXxHash._
+      val ch = chain("s0",
+        s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM documents")
+        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+        .cte("u", s"SELECT doc_id, ${pmod("h1out", 1000000000L)} AS u0 FROM c_h1out")
+        .cte("picks", """SELECT doc_id,
+            u0 % 4 AS s, u0 // 4 % 2 AS www, u0 // 8 % 2 AS sub,
+            u0 // 16 % 50 AS word, u0 // 800 % 4 AS tld,
+            u0 // 3200 % 3 AS port, u0 // 9600 % 100 AS pathn,
+            u0 // 960000 % 2 AS slash, u0 // 1920000 % 2 AS ord,
+            u0 // 3840000 % 2 AS frag, u0 // 7680000 % 10 AS qv,
+            u0 // 76800000 % 10 AS idv
+          FROM u""")
+        .cte("parts", """SELECT doc_id,
+            CASE s WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+              WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme_messy,
+            CASE WHEN s >= 2 THEN 'https' ELSE 'http' END AS scheme_canon,
+            (CASE sub WHEN 1 THEN 'cdn.' ELSE '' END) || 'site' ||
+              CAST(word AS VARCHAR) ||
+              (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                WHEN 2 THEN '.co.uk' ELSE '.de' END) AS host_core,
+            'site' || CAST(word AS VARCHAR) ||
+              (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                WHEN 2 THEN '.co.uk' ELSE '.de' END) AS domain,
+            CASE www WHEN 1 THEN 'WwW.' ELSE '' END AS wprefix,
+            CASE port WHEN 1 THEN (CASE WHEN s >= 2 THEN ':443' ELSE ':80' END)
+              WHEN 2 THEN ':8080' ELSE '' END AS port_messy,
+            CASE port WHEN 2 THEN ':8080' ELSE '' END AS port_canon,
+            '/p/' || CAST(pathn AS VARCHAR) AS path_canon,
+            CASE slash WHEN 1 THEN '/' ELSE '' END AS slash_sfx,
+            'q=' || CAST(qv AS VARCHAR) AS pq,
+            'id=' || CAST(idv AS VARCHAR) AS pid,
+            ord, CASE frag WHEN 1 THEN '#sec' ELSE '' END AS frag_sfx
+          FROM picks""")
+      ch.render("""SELECT doc_id,
+          scheme_messy || '://' || wprefix || host_core || port_messy ||
+            path_canon || slash_sfx || '?' ||
+            (CASE ord WHEN 0 THEN pq || '&utm_source=track&' || pid
+              ELSE 'utm_source=track&' || pid || '&' || pq END) ||
+            frag_sfx AS url,
+          scheme_canon || '://' || host_core || port_canon || path_canon ||
+            '?' || pid || '&' || pq AS canon,
+          domain
+        FROM parts""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
+    q142_url_canonical,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

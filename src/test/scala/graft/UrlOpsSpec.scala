@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.UrlOps
+
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[Option[String]] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+    df.orderBy("i").select(UrlOps.canonicalizeUrl(col("url")))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+  }
+
+  test("canonicalization rules: case, www, default port, tracking params, sort, fragment, slash") {
+    assert(canon(
+      "HTTP://WwW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://example.com:443/a?gclid=1&fbclid=2&ref=x&z=9",
+      "https://example.com:8443/a",       // non-default port kept
+      "http://example.com/",              // root path stays "/"
+      "http://example.com/a%20b?q=1"      // encoded path untouched
+    ) == Seq(
+      Some("http://example.com/a/b?a=1&b=2"),
+      Some("https://example.com/a?z=9"),
+      Some("https://example.com:8443/a"),
+      Some("http://example.com/"),
+      Some("http://example.com/a%20b?q=1")))
+  }
+
+  test("idempotence: canonicalizing a canonical URL is a no-op") {
+    val once = canon(
+      "HTTP://WwW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://Sub.Example.co.uk:9090/x/?utm_medium=m&k=v").map(_.get)
+    assert(canon(once: _*).map(_.get) == once)
+  }
+
+  test("unparseable input degrades to null, never a failure") {
+    assert(canon("not a url at all", "://nope", "http//missing.colon")
+      == Seq(None, None, None))
+  }
+
+  test("registrableDomain handles multi-label suffixes and deep subdomains") {
+    val hosts = Seq("a.b.site.co.uk", "site.co.uk", "cdn.site.com",
+      "site.com", "localhost").toDF("h")
+    val got = hosts.select(UrlOps.registrableDomain(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("site.co.uk", "site.co.uk", "site.com", "site.com",
+      "localhost"))
+  }
+
+  test("utm_ prefix filters any utm param; only whole-key matches drop for the rest") {
+    assert(canon("http://x.com/p?utm_campaign=c&utm_id=7&refresh=1&ref=drop")
+      == Seq(Some("http://x.com/p?refresh=1")))
+  }
+}
