@@ -2495,6 +2495,94 @@ object SynthQueries {
             AS BIGINT) AS alarm_ts
         FROM sc GROUP BY event_type""")),
 
+    // Streaming PERCEPTUAL image dedup — the multimodal decode seam and
+    // the streaming dedup index composed, with a FULL oracle: a gray-PNG
+    // corpus (q141's XXH64-pixel fixture, plus second-generation
+    // duplicates at two brightness shifts) replayed through three
+    // id-ordered micro-batches; each batch ImageIO-decodes its images
+    // IN-STREAM (mapPartitions on the streaming Dataset), dHashes them,
+    // and routes every arrival through FirstSeenProcessor, which emits
+    // the keep/dup decision immediately (dup_of = survivor id) — the
+    // crawl-loop shape: history is one long of state per distinct image,
+    // never re-shuffled. The oracle recomputes every pixel, every hash
+    // bit, and the first-seen attribution (min id per signature — the
+    // id-ordered splits make arrival order the id order) in SQL.
+    QueryDef("g119_stream_image_dedup",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+          StructType}
+        import s.implicits._
+        val ids = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("base_id"))
+        val rig = ids
+          .select(col("base_id"), col("base_id").as("id"), lit(0).as("shift"))
+          .unionAll(ids.filter(col("base_id") % 10 === 0)
+            .select(col("base_id"), (col("base_id") + 10000000L).as("id"),
+              lit(3).as("shift")))
+          .unionAll(ids.filter(col("base_id") % 20 === 0)
+            .select(col("base_id"), (col("base_id") + 20000000L).as("id"),
+              lit(6).as("shift")))
+        val outSchema = StructType(Seq(StructField("id", LongType),
+          StructField("ts", LongType), StructField("png", BinaryType)))
+        implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        val fixture = rig.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(1)
+            Row(id, id * 1000000000L,
+              graft.ops.ImageDedup.hashCorpusPng(r.getLong(0), r.getInt(2)))
+          }
+        }
+        // three id-ordered files: both duplicate generations arrive
+        // AFTER their originals, so first-seen attribution is decidable
+        val streamDir = java.nio.file.Files.createTempDirectory("g119_imgs")
+        val half = ids.agg(org.apache.spark.sql.functions.max("base_id"))
+          .collect()(0).getLong(0) / 2
+        Seq(
+          "a_low" -> fixture.filter(col("id") <= half),
+          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
+          "c_dups" -> fixture.filter(col("id") >= 10000000L)
+        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        val name = "g119_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val hashed = graft.ops.ImageDedup.dHash(
+          s.readStream.schema(fixture.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString), "png")
+          .select(col("png_dhash").as("key"), col("ts"), col("id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.FirstSeenProcessor,
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+          .toDF("id", "dhash", "dup_of")
+        val q = hashed.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+        deleteTree(streamDir)
+        s.table(name)
+      }),
+      Some {
+        graft.queries.PipelineQueries.dhashOracleChain(
+          """SELECT CAST(doc_id AS BIGINT) AS base_id,
+              CAST(doc_id AS BIGINT) AS id, 0 AS shift FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 10000000 AS BIGINT), 3
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 20000000 AS BIGINT), 6
+            FROM documents WHERE doc_id % 20 = 0""")
+          .render("""SELECT id, dhash,
+            CASE WHEN id = min(id) OVER (PARTITION BY dhash) THEN -1
+              ELSE min(id) OVER (PARTITION BY dhash) END AS dup_of
+          FROM dh""")
+      }),
+
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
     // chains) written as Avro container files and read back through the

@@ -65,6 +65,21 @@ object ImageDedup {
     bos.toByteArray
   }
 
+  /** Deterministic fixture image: a 9x8 gray PNG whose lumas come from
+    * the XXH64 chain DuckDB replays bit-for-bit (shared by the q141 and
+    * g119 rigs). Lumas sit in [0, 200], so a uniform `shift` up to 55
+    * can never clamp at 255 — neighbor order, hence the dHash, is
+    * provably preserved for shifted duplicates.
+    */
+  def hashCorpusPng(baseId: Long, shift: Int): Array[Byte] = {
+    val nPx = GridW * GridH
+    val lumas = Array.tabulate(nPx) { idx =>
+      Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(baseId * nPx + idx, 42L), 201L).toInt + shift
+    }
+    grayPng(lumas, GridW, GridH)
+  }
+
   /** Bilinear shrink to the hash grid (the [[Multimodal.resizeImages]]
     * path); images already at grid geometry skip the raster copy so
     * lossless fixtures stay bit-exact.

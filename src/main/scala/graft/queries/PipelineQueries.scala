@@ -3953,7 +3953,6 @@ object PipelineQueries {
     (s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
-      val nPx = graft.ops.ImageDedup.GridW * graft.ops.ImageDedup.GridH
       val ids = docs(s, d).select(col("doc_id").cast("long").as("base_id"))
       val rig = ids
         .select(col("base_id"), col("base_id").as("id"), lit(0).as("shift"))
@@ -3965,16 +3964,8 @@ object PipelineQueries {
       implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
       val withPng = rig.mapPartitions { rows =>
         rows.map { r =>
-          val (baseId, id, shift) = (r.getLong(0), r.getLong(1), r.getInt(2))
-          // lumas in [0, 200] (+shift <= 203): the +3 perturbation can
-          // never clamp at 255, so neighbor order — hence the hash — is
-          // provably preserved
-          val lumas = Array.tabulate(nPx) { idx =>
-            Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashLong(baseId * nPx + idx, 42L), 201L).toInt + shift
-          }
-          Row(id, graft.ops.ImageDedup.grayPng(lumas,
-            graft.ops.ImageDedup.GridW, graft.ops.ImageDedup.GridH))
+          Row(r.getLong(1),
+            graft.ops.ImageDedup.hashCorpusPng(r.getLong(0), r.getInt(2)))
         }
       }
       val hashed = graft.ops.ImageDedup.dHash(withPng, "png")
@@ -3984,32 +3975,41 @@ object PipelineQueries {
         .select(col("a"), col("b"), col("dhash"))
     },
     Some {
-      import DuckXxHash._
-      val ch = chain("rig",
+      dhashOracleChain(
         """SELECT CAST(doc_id AS BIGINT) AS base_id, CAST(doc_id AS BIGINT) AS id,
             0 AS shift FROM documents
           UNION ALL
           SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 10000000 AS BIGINT), 3
           FROM documents WHERE doc_id % 10 = 0""")
-        .cte("px", "SELECT id, shift, r.range AS idx, " +
-          s"${unsigned("base_id * 72 + r.range")} AS v FROM rig, range(0, 72) r")
-        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      val ch2 = ch
-        .cte("lum",
-          s"SELECT id, idx, ${pmod("h1out", 201L)} + shift AS lum FROM ${ch.last}")
-        .cte("bits",
-          """SELECT l.id, CAST((l.idx // 9) * 8 + (l.idx % 9) AS INT) AS pos
-            FROM lum l JOIN lum r ON r.id = l.id AND r.idx = l.idx + 1
-            WHERE l.idx % 9 < 8 AND r.lum > l.lum""")
-        .cte("dh",
-          s"SELECT p.id, ${signed("coalesce(b.s, 0::HUGEINT)")} AS dhash " +
-            "FROM (SELECT DISTINCT id FROM lum) p LEFT JOIN " +
-            "(SELECT id, sum(1::HUGEINT << pos) AS s FROM bits GROUP BY id) b " +
-            "ON p.id = b.id")
-      ch2.render("""SELECT x.id AS a, y.id AS b, x.dhash AS dhash
-        FROM dh x JOIN dh y ON x.dhash = y.dhash AND x.id < y.id""")
+        .render("""SELECT x.id AS a, y.id AS b, x.dhash AS dhash
+          FROM dh x JOIN dh y ON x.dhash = y.dhash AND x.id < y.id""")
     },
   )
+
+  /** The SQL replay of [[graft.ops.ImageDedup.hashCorpusPng]] +
+    * `dHashBits`: given a rig CTE producing (base_id, id, shift), emit
+    * the chain ending in `dh(id, dhash)` — every pixel via the XXH64
+    * chain, every comparison bit, the signed-64 signature. Shared by
+    * q141 (batch pairs) and g119 (streaming first-seen attribution).
+    */
+  private[graft] def dhashOracleChain(rigSql: String): DuckXxHash.Chain = {
+    import DuckXxHash._
+    val ch = chain("rig", rigSql)
+      .cte("px", "SELECT id, shift, r.range AS idx, " +
+        s"${unsigned("base_id * 72 + r.range")} AS v FROM rig, range(0, 72) r")
+      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+    ch.cte("lum",
+      s"SELECT id, idx, ${pmod("h1out", 201L)} + shift AS lum FROM ${ch.last}")
+      .cte("bits",
+        """SELECT l.id, CAST((l.idx // 9) * 8 + (l.idx % 9) AS INT) AS pos
+          FROM lum l JOIN lum r ON r.id = l.id AND r.idx = l.idx + 1
+          WHERE l.idx % 9 < 8 AND r.lum > l.lum""")
+      .cte("dh",
+        s"SELECT p.id, ${signed("coalesce(b.s, 0::HUGEINT)")} AS dhash " +
+          "FROM (SELECT DISTINCT id FROM lum) p LEFT JOIN " +
+          "(SELECT id, sum(1::HUGEINT << pos) AS s FROM bits GROUP BY id) b " +
+          "ON p.id = b.id")
+  }
 
   /** URL canonicalization ([[graft.ops.UrlOps]]) with a FULL oracle by
     * construction: messy URLs are assembled from hash-derived parts
