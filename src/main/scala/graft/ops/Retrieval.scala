@@ -106,4 +106,38 @@ object Retrieval {
       .groupBy("qid", idCol)
       .agg(sum("__r").as("rrf_ppm"), count(lit(1)).as("n_lists"))
   }
+
+  /** Late-interaction (MaxSim) reranking, the ColBERT scoring rule:
+    * `score(q, d) = Σ_{query tokens} max_{doc tokens} <qv, dv>` — the
+    * multi-vector retrieval step between single-vector ANN recall and a
+    * full cross-encoder. Scores a CANDIDATE set (qid, id), never the
+    * full corpus: at 100 TB the candidates come from a first-stage
+    * retriever (BM25/ANN, both in this file), so the token-level join
+    * fan-out is `|candidates| x |q_tokens| x |d_tokens|` — linear in
+    * candidates, and the query side broadcasts (queries are always the
+    * small side).
+    *
+    * `qToks` carries (qid, qt, qv: array<long>) — `qt` is the caller's
+    * STABLE token index (a position, never a generated id: the group
+    * key must not depend on partitioning), one row per query token.
+    * `dToks` carries (<idCol>, dv: array<long>), one row per document
+    * token. Integer vectors (the int8/quantized convention of q67/q68)
+    * keep the kernel exact — the dot product is a codegen'd
+    * zip_with/aggregate, no UDF. Two keyed aggregations: max over doc
+    * tokens, then sum over query tokens — both map-side combinable.
+    */
+  def maxSim(cands: DataFrame, idCol: String, qToks: DataFrame,
+      dToks: DataFrame): DataFrame = {
+    val dot = aggregate(
+      zip_with(col("__qv"), col("__dv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    cands.select(col("qid"), col(idCol))
+      .join(broadcast(qToks.select(col("qid"),
+        col("qt").as("__qt"), col("qv").as("__qv"))), "qid")
+      .join(dToks.select(col(idCol), col("dv").as("__dv")), idCol)
+      .groupBy(col("qid"), col(idCol), col("__qt"))
+      .agg(max(dot).as("__m"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum("__m").as("score"))
+  }
 }

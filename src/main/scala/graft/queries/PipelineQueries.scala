@@ -4114,10 +4114,73 @@ object PipelineQueries {
     },
   )
 
+  /** Late-interaction (MaxSim / ColBERT) reranking
+    * ([[graft.ops.Retrieval.maxSim]]) with a FULL oracle: multi-vector
+    * token embeddings are deterministic integer hash-vectors (the
+    * q54/q68 convention — dim 4, components in [-8, 8]), candidates
+    * come from an equi-join on a mod key (a stand-in for the
+    * first-stage retriever, and deliberately NOT a theta-join), and
+    * the oracle replays every token component, every token-pair dot,
+    * the per-query-token max, and the final sum in SQL.
+    */
+  val q143_late_interaction = QueryDef(
+    "q143_late_interaction",
+    (s, d) => {
+      def vec(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array((0 until 4).map(j =>
+          pmod(xxhash64(key, lit(j.toLong)), lit(17L)) - 8L): _*)
+      val base = docs(s, d).select(col("doc_id"))
+      val dToks = base
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("t"))
+        .select(col("doc_id"), vec(col("doc_id") * 8 + col("t")).as("dv"))
+      val qToks = base.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(sequence(lit(0L), lit(3L))).as("qt"))
+        .select(col("qid"), col("qt"),
+          vec(lit(10000000L) + col("qid") * 4 + col("qt")).as("qv"))
+      // candidates: (doc + qid) % 5 == 0 as an equi-join on the mod key
+      val dc = base.select(col("doc_id"), pmod(col("doc_id"), lit(5L)).as("k"))
+      val qc = base.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), pmod(-col("doc_id"), lit(5L)).as("k"))
+      val cands = dc.join(broadcast(qc), "k").select(col("qid"), col("doc_id"))
+      graft.ops.Retrieval.maxSim(cands, "doc_id", qToks, dToks)
+    },
+    Some {
+      import DuckXxHash._
+      val ch = chain("base", "SELECT CAST(doc_id AS BIGINT) AS id FROM documents")
+        .cte("dkey", "SELECT id AS doc_id, id * 8 + t.range AS key " +
+          "FROM base, range(0, 8) t")
+        .cte("qkey", "SELECT id AS qid, t.range AS qt, " +
+          "10000000 + id * 4 + t.range AS key FROM base, range(0, 4) t " +
+          "WHERE id % 50 = 0")
+        .cte("kj", "SELECT key, j.range AS j FROM " +
+          "(SELECT key FROM dkey UNION SELECT key FROM qkey) ks, range(0, 4) j")
+        .steps(hashLongSteps("h1", unsigned("key"), "42::HUGEINT"))
+        .steps(hashLongSteps("h2", unsigned("j"), "h1out"))
+      val ch2 = ch
+        .cte("comp", s"SELECT key, j, ${pmod("h2out", 17L)} - 8 AS c FROM ${ch.last}")
+        .cte("dcomp", "SELECT d.doc_id, d.key, c.j, c.c " +
+          "FROM dkey d JOIN comp c USING (key)")
+        .cte("qcomp", "SELECT q.qid, q.qt, c.j, c.c " +
+          "FROM qkey q JOIN comp c USING (key)")
+        .cte("cands", "SELECT q.id AS qid, d.id AS doc_id FROM base q, base d " +
+          "WHERE q.id % 50 = 0 AND (d.id + q.id) % 5 = 0")
+        .cte("dots", """SELECT cd.qid, cd.doc_id, qc.qt, dc.key AS dkey,
+            CAST(sum(qc.c * dc.c) AS BIGINT) AS dot
+          FROM cands cd
+          JOIN qcomp qc ON qc.qid = cd.qid
+          JOIN dcomp dc ON dc.doc_id = cd.doc_id AND dc.j = qc.j
+          GROUP BY 1, 2, 3, 4""")
+        .cte("ms", "SELECT qid, doc_id, qt, max(dot) AS m FROM dots GROUP BY 1, 2, 3")
+      ch2.render(
+        "SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score FROM ms GROUP BY 1, 2")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
-    q142_url_canonical,
+    q142_url_canonical, q143_late_interaction,
     q20_dedup_exact, q21_dedup_survivors, q22_fingerprint, q23_ngram_jaccard,
     q24_token_count, q25_quality_score, q26_lang_signal, q27_ann_cosine_topk,
     q28_embed_label_stats, q29_bpe_tokens, q30_langid_guess, q31_multimodal_bytes,

@@ -71,4 +71,30 @@ class RetrievalSpec extends AnyFunSuite {
     val r1 = 1000000L / 61; val r2 = 1000000L / 62
     assert(got == Set((100L, r1, 1L), (101L, r2 + r1, 2L), (102L, r2, 1L)))
   }
+
+  test("maxSim: per-query-token max over doc tokens, duplicates counted, candidates only") {
+    // doc 10 tokens: (1,0), (0,2); doc 11 token: (3,3)
+    val dToks = Seq((10L, Seq(1L, 0L)), (10L, Seq(0L, 2L)), (11L, Seq(3L, 3L)))
+      .toDF("id", "dv")
+    // query 1: tokens (2,1) twice (duplicates must BOTH count) and (1,1)
+    val qToks = Seq((1L, 0L, Seq(2L, 1L)), (1L, 1L, Seq(2L, 1L)),
+      (1L, 2L, Seq(1L, 1L))).toDF("qid", "qt", "qv")
+    val cands = Seq((1L, 10L)).toDF("qid", "id") // doc 11 NOT a candidate
+    val got = Retrieval.maxSim(cands, "id", qToks, dToks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (2,1): max(2*1+1*0, 2*0+1*2) = 2, twice; (1,1): max(1, 2) = 2 -> 6
+    assert(got == Set((1L, 10L, 6L)))
+  }
+
+  test("maxSim is invariant to input partitioning") {
+    val dToks = (0L until 40L).map(i => (i % 8, Seq(i % 5 - 2, i % 7 - 3)))
+      .toDF("id", "dv")
+    val qToks = (0L until 6L).map(t => (t % 2, t, Seq(t % 3 - 1, t % 5 - 2)))
+      .toDF("qid", "qt", "qv")
+    val cands = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 7L)).toDF("qid", "id")
+    def run(p: Int) = Retrieval.maxSim(cands.repartition(p), "id",
+      qToks.repartition(p), dToks.repartition(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+  }
 }
