@@ -2601,15 +2601,61 @@ object SynthQueries {
       },
       Some(AvroRoundTripOracle.sql)),
 
-    q("g50_multimodal_decode")((s, d) => {
-      val assets = graft.ops.Multimodal.asAsset(
-        s.read.parquet(s"$d/documents.parquet")
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload", "image", "png")
-      checkerSafe(graft.ops.Multimodal.sampleFrames(
-        graft.ops.Multimodal.decodeFeatures(assets, "payload"), "payload", 4)
-        .drop("payload"))
-    }),
+    // The multimodal STUB seam with a FULL oracle (rows-only until
+    // round 8): text payloads fail the image magic-byte sniff, so every
+    // row takes decodeStub — whose SplitMix64 derivation is pure
+    // integer/IEEE arithmetic DuckDB can replay exactly (DuckXxHash
+    // .mixSteps + the proven uniform()/REAL cast). The oracle recomputes
+    // the metadata struct, the stub geometry, all 8 float features, and
+    // the frame-sampling fan-out byte offsets. The REAL ImageIO path has
+    // its own full oracles (q141/g119); this one certifies the fallback
+    // seam a real codec would replace.
+    QueryDef("g50_multimodal_decode",
+      (s, d) => {
+        import org.apache.spark.sql.functions.element_at
+        val assets = graft.ops.Multimodal.asAsset(
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload", "image", "png")
+        val frames = graft.ops.Multimodal.sampleFrames(
+          graft.ops.Multimodal.decodeFeatures(assets, "payload"), "payload", 4)
+        frames.select(Seq(col("doc_id"),
+          col("payload_meta.modality").as("modality"),
+          col("payload_meta.format").as("format"),
+          col("payload_meta.n_bytes").as("n_bytes"),
+          col("payload_decoded.width").as("width"),
+          col("payload_decoded.height").as("height"),
+          col("payload_decoded.channels").as("channels")) ++
+          (0 until 8).map(i =>
+            element_at(col("payload_decoded.features"), i + 1).as(s"f$i")) ++
+          Seq(col("frame_idx"), col("frame_offset_bytes")): _*)
+      },
+      Some {
+        import graft.queries.DuckXxHash._
+        var ch = chain("b",
+          """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+              CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ascii(substr(text, 1, 1)) END AS b0
+            FROM documents""")
+          .cte("xv", "SELECT doc_id, n, xor(CAST(n AS UBIGINT), " +
+            "CAST(b0 * 4294967296 AS UBIGINT))::HUGEINT AS x FROM b")
+          .steps(mixSteps("h", "x"))
+        for (i <- 0 until 8)
+          ch = ch.steps(mixSteps(s"m$i",
+            s"((hout + $i) % 18446744073709551616::HUGEINT)"))
+        val feats = (0 until 8)
+          .map(i => s"CAST(${uniform(s"m${i}out")} AS REAL) AS f$i")
+          .mkString(", ")
+        ch.render(s"""SELECT doc_id, 'image' AS modality, 'png' AS format,
+            n AS n_bytes,
+            CAST(64 + (hout % 16) * 64 AS INT) AS width,
+            CAST(64 + ((hout // 256) % 16) * 64 AS INT) AS height,
+            CAST(3 AS INT) AS channels, $feats,
+            CAST(fi.range AS INT) AS frame_idx,
+            CAST(trunc(fi.range * greatest(n / 4.0, 1.0)) AS BIGINT)
+              AS frame_offset_bytes
+          FROM ${ch.last}, range(0, 4) fi""")
+      }),
   )
 }
 

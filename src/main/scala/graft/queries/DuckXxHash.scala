@@ -66,6 +66,19 @@ object DuckXxHash {
     s"${pfx}a2" -> s"((${mulmod(rotl(s"${pfx}a1", 27), P1)} + $P4::HUGEINT) % $M)"
   ) ++ fmixSteps(pfx, s"${pfx}a2")
 
+  /** SplitMix64 finalizer (graft.runtime.Rng.mix) over a HUGEINT
+    * expression in [0, 2^64); result lands in `<pfx>out`. Unlocks SQL
+    * replays of the interpreter-side stub seams (e.g. the multimodal
+    * decodeStub) that derive values from Rng.mix rather than xxhash64.
+    */
+  def mixSteps(pfx: String, v: String): Seq[(String, String)] = Seq(
+    s"${pfx}z0" -> s"((($v) + ${BigInt("9e3779b97f4a7c15", 16)}::HUGEINT) % $M)",
+    s"${pfx}z1" -> mulmod(xor(s"${pfx}z0", shr(s"${pfx}z0", 30)),
+      BigInt("bf58476d1ce4e5b9", 16)),
+    s"${pfx}z2" -> mulmod(xor(s"${pfx}z1", shr(s"${pfx}z1", 27)),
+      BigInt("94d049bb133111eb", 16)),
+    s"${pfx}out" -> xor(s"${pfx}z2", shr(s"${pfx}z2", 31)))
+
   /** XXH64 of one 4-byte int (Spark's per-argument primitive for
     * IntegerType — e.g. `sequence()` element indexes). `v` is a HUGEINT
     * expression in [0, 2^32); result lands in `<pfx>out`.
