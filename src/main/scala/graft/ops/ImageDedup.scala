@@ -151,9 +151,14 @@ object ImageDedup {
     */
   def dHashPairs(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 0): DataFrame = {
+    // localCheckpoint: the banding self-join references the hashed frame
+    // twice — without the barrier every PNG decodes twice. Signatures
+    // are 16 bytes/row, so the checkpoint is id-space-sized, not
+    // payload-sized.
     val hashed = dHash(df, binCol)
       .filter(col(s"${binCol}_dhash").isNotNull)
       .select(col(idCol), col(s"${binCol}_dhash"))
+      .localCheckpoint(true)
     Dedup.bandedHammingPairs(hashed, idCol, s"${binCol}_dhash", maxHamming)
   }
 }

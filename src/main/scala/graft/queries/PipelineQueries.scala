@@ -3968,8 +3968,13 @@ object PipelineQueries {
             graft.ops.ImageDedup.hashCorpusPng(r.getLong(0), r.getInt(2)))
         }
       }
+      // localCheckpoint: the banding self-join + the hash join-back
+      // reference `hashed` THREE times — without the barrier the plan
+      // re-encodes and re-decodes every PNG per reference (measured
+      // 3.2 s -> the decode once). Signatures are 16 bytes/row.
       val hashed = graft.ops.ImageDedup.dHash(withPng, "png")
         .select(col("id"), col("png_dhash").as("dhash"))
+        .localCheckpoint(true)
       graft.ops.Dedup.bandedHammingPairs(hashed, "id", "dhash", maxHamming = 0)
         .join(hashed.withColumnRenamed("id", "a"), "a")
         .select(col("a"), col("b"), col("dhash"))
