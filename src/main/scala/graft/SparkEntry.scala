@@ -2583,6 +2583,109 @@ object SynthQueries {
           FROM dh""")
       }),
 
+    // LATE-DATA semantics with a FULL oracle: every streaming replay
+    // above arrives time-ordered, so the watermark's DROP path never
+    // executes — this rig makes it execute and proves the exact
+    // semantics. Every 20th event (by id hash) is DISPLACED TWO
+    // micro-batches later than its time-tercile, arriving late by
+    // construction (two, not one: the late filter LAGS — measured with
+    // tools-level probes — batch k filters with the watermark reported
+    // at batch k-1, which is computed from data through batch k-2, so
+    // a one-batch displacement never drops anything). The pinned rules:
+    // batch k drops an input row iff its WINDOW END (not its raw event
+    // time) <= max-event-time(batches 0..k-2) - delay (ms-floored,
+    // compared in micros); end-of-batch eviction emits windows with
+    // end <= max-event-time(batches 0..k-1) - delay, so a late row
+    // whose window is evicted in the SAME batch still counts, and a
+    // row for an already-emitted window can never resurface (the
+    // eviction bound always trails the filter bound by one batch). The
+    // oracle replays all of it integer-exactly from per-file prefix
+    // maxima: near-boundary displaced rows survive, deep-late rows
+    // drop (a require pins numRowsDroppedByWatermark > 0), and the
+    // trailing-hour windows stay unflushed exactly as in production.
+    QueryDef("g120_stream_late_data",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{count, expr, lit, max, min,
+          pmod, timestamp_micros, unix_timestamp, window, xxhash64}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val t1 = minNs + (maxNs - minNs) / 3
+        val t2 = minNs + 2L * (maxNs - minNs) / 3
+        val tagged = ev
+          .withColumn("__disp", (pmod(xxhash64(col("event_id")), lit(20L)) === 0L)
+            .cast("int"))
+          .withColumn("__file",
+            (org.apache.spark.sql.functions.when(col("ts") <= t1, 1)
+              .when(col("ts") <= t2, 2).otherwise(3)) + col("__disp") * 2)
+        val streamDir = java.nio.file.Files.createTempDirectory("g120_events")
+        (1 to 5).foreach { k =>
+          writeStreamFile(tagged.filter(col("__file") === k)
+            .drop("__disp", "__file"), streamDir, s"${('a' + k - 1).toChar}_f$k")
+        }
+        val name = "g120_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val counts = s.readStream
+          .schema(tagged.drop("__disp", "__file").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("bucket_s"),
+            col("event_type"), col("n"))
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 5, s"expected >= 5 micro-batches, got $batches")
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped > 0L, "the rig must actually exercise the drop path")
+        deleteTree(streamDir)
+        s.table(name)
+      },
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = chain("e0",
+          s"""SELECT event_type, epoch_ns(ts) AS tsn, ${unsigned("event_id")} AS v
+            FROM events""")
+          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+        val ch2 = ch
+          .cte("ef", s"SELECT event_type, tsn, " +
+            s"CASE WHEN ${pmod("h1out", 20L)} = 0 THEN 1 ELSE 0 END AS disp " +
+            s"FROM ${ch.last}")
+          .cte("mm", "SELECT min(tsn) AS mn, max(tsn) AS mx FROM ef")
+          .cte("tf", """SELECT event_type, tsn,
+              (CASE WHEN tsn <= mn + (mx - mn) // 3 THEN 1
+                WHEN tsn <= mn + 2 * (mx - mn) // 3 THEN 2 ELSE 3 END)
+                + disp * 2 AS f
+            FROM ef, mm""")
+          .cte("fmax", "SELECT f, max(tsn // 1000) AS mx_us FROM tf GROUP BY f")
+          // the watermark trajectory: wm reported at batch k (micros) =
+          // (prefix-max event-time ms over files 1..k) - 1h, re-scaled —
+          // Spark tracks max event time in ms and compares in micros
+          .cte("wmv", """SELECT k.range AS k,
+              (max(fm.mx_us) // 1000 - 3600000) * 1000 AS wm_us
+            FROM range(1, 6) k JOIN fmax fm ON fm.f <= k.range GROUP BY 1""")
+          // the late filter for file k lags one batch: it uses the
+          // watermark computed from files 1..k-2 (files 1-2 see none)
+          .cte("kept", """SELECT tf.event_type, tf.tsn FROM tf
+            LEFT JOIN wmv ON wmv.k = tf.f - 2
+            WHERE tf.f <= 2
+              OR (tf.tsn // 3600000000000 + 1) * 3600000000 > wmv.wm_us""")
+        ch2.render("""SELECT
+            CAST(tsn // 3600000000000 * 3600 AS BIGINT) AS bucket_s,
+            event_type, CAST(count(*) AS BIGINT) AS n
+          FROM kept, (SELECT wm_us AS wmf FROM wmv WHERE k = 5) fin
+          WHERE (tsn // 3600000000000 + 1) * 3600000000 <= wmf
+          GROUP BY 1, 2""")
+      }),
+
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
     // chains) written as Avro container files and read back through the
