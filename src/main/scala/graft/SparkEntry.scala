@@ -261,8 +261,8 @@ object SynthQueries {
     // the PhoneNumber canned source now rides the fast path, so every
     // digit reproduces from the hash chain — a real oracle, not rows-only
     QueryDef("g31_synth_phone",
-      (s, _) => CannedSources.phoneNumber(s, 50000, Some(497)),
-      Some(PhoneOracle.sql(50000, 497))),
+      (s, _) => CannedSources.phoneNumber(s, 20000, Some(497)),
+      Some(PhoneOracle.sql(20000, 497))),
     q("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
     q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
     q("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
@@ -751,16 +751,18 @@ object SynthQueries {
       },
       Some(IotFastRollupOracle.sql)),
 
-    // Catalyst fast path: 1M rows of a wide stateless schema as pure
-    // codegen'd column expressions (compare with g38's interpreter
-    // rate; 200k rows — the 1M variant's DuckDB replay needed >8 min,
-    // too heavy for the driver gate) — now with a FULL bit oracle composed from the proven
-    // ladder fragments over 200k ids (uuid surgery g56, ipv4 g58, int n#0 g56, date
+    // Catalyst fast path: the wide stateless schema as pure codegen'd
+    // column expressions with a FULL bit oracle composed from the proven
+    // ladder fragments (uuid surgery g56, ipv4 g58, int n#0 g56, date
     // g64, state/browser ladders g58, phone join g61). The normal
     // column is the one non-replayable-to-the-bit cell (libm log/cos
     // may differ in the last ulp across engines), so it ships as the
-    // g78-convention clamped floor bucket — a boundary flip needs the
-    // true value within ~2 ulp of an integer, ~4e-11 over 200k rows.
+    // g78-convention clamped floor bucket. r9: 200k -> 20k rows — the
+    // ladder proves bitness at any n, and the 200k replay was the
+    // driver gate's single worst oracle (283 s of the 775 s budget
+    // blowout; VERDICT r8 item 1). The 1M-row THROUGHPUT evidence for
+    // the same schema lives in g121_wide_fastpath_1m (constant-
+    // aggregate oracle, ~0 s replay).
     QueryDef("g51_columns_fast",
       (s, _) => {
         import org.apache.spark.sql.functions.{floor => ffloor, greatest, least, lit}
@@ -777,7 +779,7 @@ object SynthQueries {
                "value": {"class": "sequence", "array": [
                  {"class": "int", "min": 200, "max": 999},
                  {"class": "int", "min": 200, "max": 999},
-                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 200000)
+                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 20000)
           .select(col("i"), col("u"), col("ip"), col("n"),
             greatest(lit(-4L), least(lit(4L), ffloor(col("x")))).cast("long").as("xb"),
             col("d"), col("st"), col("b"), col("phone"))
@@ -793,7 +795,7 @@ object SynthQueries {
       (s, _) => Synth.dataFrameAuto(s,
         """[{"name": "i", "class": "id"},
             {"name": "n", "class": "int", "min": 0, "max": 1000000},
-            {"name": "u", "class": "uuid"}]""", 200000),
+            {"name": "u", "class": "uuid"}]""", 20000),
       Some(FastPathOracle.sql)),
 
     // the double (plain + skew ladder) and foreign-key lowerings,
@@ -809,7 +811,7 @@ object SynthQueries {
               {"name": "x", "class": "double", "min": 0, "max": 1},
               {"name": "xs", "class": "double", "min": 0, "max": 1, "skew": 2},
               {"name": "fk", "class": "foreign-key", "size": 64, "skew": 1}]""",
-          200000)
+          20000)
           .select(col("i"),
             floor(col("x") * 9007199254740992d).cast("long").as("xb"),
             floor(col("xs") * 9007199254740992d).cast("long").as("xsb"),
@@ -842,7 +844,7 @@ object SynthQueries {
               {"name": "m", "class": "map", "value": [
                 {"name": "a", "class": "int", "min": 0, "max": 1000000},
                 {"name": "b", "class": "double", "min": 0, "max": 1}]}]""",
-          100000)
+          20000)
           .select(col("i"), col("m.a").as("a"),
             floor(col("m.b") * 9007199254740992d).cast("long").as("bb"))
       },
@@ -914,7 +916,7 @@ object SynthQueries {
                "value": {"class": "sequence", "array": [
                  {"class": "int", "min": 200, "max": 999},
                  {"class": "int", "min": 200, "max": 999},
-                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 100000)
+                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 20000)
           .select(col("i"), col("phone")),
         "call ${phone} now (ref ${i})"),
       Some(SinkOracles.templateSql)),
@@ -923,7 +925,7 @@ object SynthQueries {
         Synth.dataFrameAuto(s,
           """[{"name": "i", "class": "id"},
               {"name": "b", "class": "browser"},
-              {"name": "n", "class": "int", "min": 0, "max": 10}]""", 100000)),
+              {"name": "n", "class": "int", "min": 0, "max": 10}]""", 20000)),
       Some(SinkOracles.xmlSql)),
 
     // the country/language/os ladders and the zip-table flatten,
@@ -950,7 +952,7 @@ object SynthQueries {
         """[{"name": "i", "class": "id"},
             {"name": "st", "class": "state"},
             {"name": "b", "class": "browser"},
-            {"name": "ip", "class": "ipv4"}]""", 200000),
+            {"name": "ip", "class": "ipv4"}]""", 20000),
       Some(LookupOracle.sql)),
 
     // the name/street/username lowerings (weighted + uniform CASE
@@ -2774,27 +2776,21 @@ object FastPathOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val ch = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
-      .steps(hashLongSteps("hn1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hn2", saltLit("n#0"), "hn1out"))
-      .steps(hashLongSteps("hh1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hh2", saltLit("u#hi"), "hh1out"))
-      .steps(hashLongSteps("hl1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("hl2", saltLit("u#lo"), "hl1out"))
+    val ch = uniformChain(20000, Seq(
+      "n" -> "n#0", "uh" -> "u#hi", "ul" -> "u#lo"))
     // RFC-4122 bit surgery on the unsigned-64 domain: version nibble 4
     // (AND ~0xf000 OR 0x4000), variant bits 10 (keep 62 bits, set the top)
-    val hiHex = "lower(lpad(to_hex(CAST((CAST(hh2out AS UBIGINT) & " +
+    val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
       "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
-    val loHex = "lower(lpad(to_hex(CAST((CAST(hl2out AS UBIGINT) & " +
+    val loHex = "lower(lpad(to_hex(CAST((CAST(h_ul AS UBIGINT) & " +
       "4611686018427387903::UBIGINT) | CAST(9223372036854775808 AS UBIGINT) " +
       "AS UBIGINT)), 16, '0'))"
     ch.render(
       "SELECT i, " +
-        s"${fastPathInt("hn2out", 0, 1000000)} AS n, " +
+        s"${fastPathInt("h_n", 0, 1000000)} AS n, " +
         "concat_ws('-', substr(h_hi, 1, 8), substr(h_hi, 9, 4), substr(h_hi, 13, 4), " +
         "substr(h_lo, 1, 4), substr(h_lo, 5, 12)) AS u " +
-        s"FROM (SELECT i, hn2out, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
+        s"FROM (SELECT i, h_n, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})")
   }
 }
 
@@ -2808,7 +2804,7 @@ object ScalarBitsOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val ch = uniformChain(200000, Seq(
+    val ch = uniformChain(20000, Seq(
       "x" -> "x#0", "xs0" -> "xs#0", "xs1" -> "xs#1", "xs2" -> "xs#2",
       "fk" -> "fk"))
     val fkItems = (0 until 64).map(i => i.toString -> math.pow(i + 1.0, -1.0))
@@ -2848,7 +2844,7 @@ object MapBitsOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val ch = uniformChain(100000, Seq("a" -> "m/a#0", "b" -> "m/b#0"))
+    val ch = uniformChain(20000, Seq("a" -> "m/a#0", "b" -> "m/b#0"))
     ch.render(
       s"SELECT i, ${fastPathInt("h_a", 0, 1000000)} AS a, " +
         s"CAST((h_b // 2048) AS BIGINT) AS bb FROM ${ch.last}")
@@ -2925,30 +2921,20 @@ object SinkOracles {
   import graft.queries.DuckXxHash._
 
   lazy val templateSql: String = {
-    val ch = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
-      .steps(hashLongSteps("p01", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p02", saltLit("phone/join/[0]#0"), "p01out"))
-      .steps(hashLongSteps("p11", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p12", saltLit("phone/join/[1]#0"), "p11out"))
-      .steps(hashLongSteps("p21", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("p22", saltLit("phone/join/[2]#0"), "p21out"))
-    val a = fastPathInt("p02out", 200, 999)
-    val b = fastPathInt("p12out", 200, 999)
-    val c = fastPathInt("p22out", 1000, 9999)
+    val ch = uniformChain(20000, Seq(
+      "p0" -> "phone/join/[0]#0", "p1" -> "phone/join/[1]#0",
+      "p2" -> "phone/join/[2]#0"))
+    val a = fastPathInt("h_p0", 200, 999)
+    val b = fastPathInt("h_p1", 200, 999)
+    val c = fastPathInt("h_p2", 1000, 9999)
     ch.render("SELECT concat('call ', " +
       s"$a, '-', $b, '-', $c, ' now (ref ', i, ')') AS rendered FROM ${ch.last}")
   }
 
   lazy val xmlSql: String = {
-    val ch = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 100000)")
-      .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("b2", saltLit("b"), "b1out"))
-      .steps(hashLongSteps("n1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("n2", saltLit("n#0"), "n1out"))
-    val b = caseLadder(uniform("b2out"), graft.runtime.SeedData.browsers)
-    val n = fastPathInt("n2out", 0, 10)
+    val ch = uniformChain(20000, Seq("b" -> "b", "n" -> "n#0"))
+    val b = caseLadder(uniform("h_b"), graft.runtime.SeedData.browsers)
+    val n = fastPathInt("h_n", 0, 10)
     ch.render("SELECT concat('<record>', '<i>', i, '</i>', '<b>', " +
       s"$b, '</b>', '<n>', $n, '</n>', '</record>') AS xml FROM ${ch.last}")
   }
@@ -3031,6 +3017,7 @@ object MinHashLshOracle {
     */
   private def pairsChain(threshold: Double): Chain = {
     val numHashes = 64
+    val slices = 16
     val (nBands, rowsPerBand) = graft.ops.Dedup.chooseBanding(numHashes, threshold)
     var ch = chain("d0",
       "SELECT doc_id AS did, string_split_regex(lower(trim(text)), '\\s+') AS w " +
@@ -3041,13 +3028,22 @@ object MinHashLshOracle {
       .cte("ds", "SELECT DISTINCT s FROM sh")
       .cte("db",
         "SELECT s, hex(encode(s)) AS hhx, octet_length(encode(s)) AS hln FROM ds")
-      .steps(hashStringSteps("h"))
+    // string hash per DISTINCT shingle: the step chain (serial but
+    // small text — DuckDB's optimizer is superlinear in expression
+    // bytes, so the nested-lambda form of THIS hash planned in ~13 s;
+    // the chain plans in ms and executes in ~4 s at sf0.01)
+    ch = ch.steps(hashStringSteps("h"))
     ch = ch.cte("hp", s"SELECT s, hout FROM ${ch.last}")
-      .steps(hashLongSteps("p", "hout", "42::HUGEINT"))
-    ch = ch.cte("hp2", s"SELECT s, hout, pout FROM ${ch.last}")
-      .cte("xj", s"SELECT s, pout, j FROM hp2, generate_series(0, ${numHashes - 1}) AS tj(j)")
-      .steps(hashIntSteps("q", "j::HUGEINT", "pout"))
-    ch = ch.cte("qv", s"SELECT s, j, ${signed("qout")} AS qs FROM ${ch.last}")
+    // pre-hash + the 64 signature draws: nested-lambda expression form
+    // in slice-parallel UNION ALL branches (small text, plans fast, and
+    // replaces the 1M-row x 9-stage materialized expansion that was 28
+    // of g46's 37 s — see DuckXxHash.expr/minhashListExpr)
+    ch = ch.cte("hp2", sliced(slices, k =>
+      s"SELECT s, ${minhashListExpr(hashLongExpr("p", "hout", "42::HUGEINT"), numHashes)} AS sigl " +
+        s"FROM hp WHERE hash(s) % $slices = $k"))
+    ch = ch
+      .cte("qv",
+        "SELECT s, unnest(sigl) AS qs, unnest(range(0, 64)) AS j FROM hp2")
       .cte("sig",
         "SELECT did, j, min(qs) AS sig FROM sh JOIN qv USING (s) GROUP BY did, j")
       .cte("sigs", "SELECT did, list(sig ORDER BY j) AS sg FROM sig GROUP BY did")
@@ -3057,13 +3053,20 @@ object MinHashLshOracle {
             s"SELECT did, b, ", ", ",
             s" FROM sigs, generate_series(0, ${nBands - 1}) AS tb(b)"))
     // the multi-arg xxhash64 fold over the band's slice: seed 42, each
-    // signature hashed as a long with the running hash as seed
+    // signature hashed as a long with the running hash as seed. One
+    // expression-form stage PER fold round (12 lambda levels each —
+    // DuckDB's planner is explosive in nesting depth, so the rounds
+    // must not be fused into one 48-level expression)
     (0 until rowsPerBand).foreach { r =>
       val seed = if (r == 0) "42::HUGEINT" else s"k${r - 1}out"
-      ch = ch.steps(hashLongSteps(s"k$r", unsigned(s"s$r"), seed))
+      val keep = (r + 1 until rowsPerBand).map(x => s", s$x")
+        .mkString("did, b", "", "")
+      ch = ch.cte(s"bf$r",
+        s"SELECT $keep, ${hashLongExpr(s"k$r", unsigned(s"s$r"), seed)} " +
+          s"AS k${r}out FROM ${if (r == 0) "bandrows" else s"bf${r - 1}"}")
     }
     ch = ch.cte("buckets",
-      s"SELECT did, b, k${rowsPerBand - 1}out AS bsig FROM ${ch.last}")
+      s"SELECT did, b, k${rowsPerBand - 1}out AS bsig FROM bf${rowsPerBand - 1}")
       .cte("cand",
         "SELECT x.did AS a, y.did AS b2 FROM buckets x JOIN buckets y " +
           "ON x.b = y.b AND x.bsig = y.bsig AND x.did < y.did GROUP BY 1, 2")
@@ -3320,8 +3323,8 @@ object IotFastRollupOracle {
 }
 
 /** DuckDB oracle for g51_columns_fast: every proven ladder fragment of
-  * the wide fast-path schema composed over 200k ids (matching
-  * uniformChain(200000) and the query's generation count) — uuid RFC-4122
+  * the wide fast-path schema composed over 20k ids (matching
+  * uniformChain(20000) and the query's generation count) — uuid RFC-4122
   * surgery (g56), public ipv4 (g58), skew-0 int (g56), Box–Muller
   * normal as a clamped floor bucket (g78 convention — the only libm-
   * dependent cell), bounded date (g64), state/browser CASE ladders
@@ -3332,7 +3335,7 @@ object ColumnsFastOracle {
   import graft.runtime.SeedData
 
   lazy val sql: String = {
-    val ch = uniformChain(200000, Seq(
+    val ch = uniformChain(20000, Seq(
       "uh" -> "u#hi", "ul" -> "u#lo", "ip" -> "ip", "n" -> "n#0",
       "xa" -> "x#a", "xb" -> "x#b", "d" -> "d", "st" -> "st", "b" -> "b",
       "p0" -> "phone/join/[0]#0", "p1" -> "phone/join/[1]#0",
@@ -3406,17 +3409,11 @@ object LookupOracle {
   import graft.runtime.SeedData
 
   lazy val sql: String = {
-    val ch = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 200000)")
-      .steps(hashLongSteps("st1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("st2", saltLit("st"), "st1out"))
-      .steps(hashLongSteps("b1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("b2", saltLit("b"), "b1out"))
-      .steps(hashLongSteps("ip1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("ip2", saltLit("ip"), "ip1out"))
-    val uSt = uniform("st2out")
-    val uB = uniform("b2out")
-    def octet(n: Int) = s"((ip2out // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val ch = uniformChain(20000, Seq(
+      "st" -> "st", "b" -> "b", "ip" -> "ip"))
+    val uSt = uniform("h_st")
+    val uB = uniform("h_b")
+    def octet(n: Int) = s"((h_ip // ${BigInt(1) << n}::HUGEINT) % 256)"
     // public leading octet: 1..221 draw then bump past 10 and 127
     val a0 = s"(${octet(24)} % 221 + 1)"
     val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"

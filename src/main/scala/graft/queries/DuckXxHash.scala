@@ -117,9 +117,17 @@ object DuckXxHash {
     s"((strpos('0123456789ABCDEF', substr($hxCol, 2*($pos)-1, 1))-1)*16 + " +
       s"strpos('0123456789ABCDEF', substr($hxCol, 2*($pos), 1))-1)::HUGEINT"
 
-  private def lane(hxCol: String, pos: String, nBytes: Int): String =
+  /** Little-endian lane of `nBytes` from a byte-list column (1-based
+    * start `pos`) — the compact form: the verbose hex-parsing byteAt
+    * text appears ONCE (in the `<pfx>bl` step) instead of once per
+    * byte per lane, which mattered for DuckDB's optimizer (planning
+    * time is superlinear in expression bytes: the inlined-byteAt form
+    * of the full string hash planned in ~10 s PER QUERY at 39 KB;
+    * this form plans in milliseconds).
+    */
+  private def lane(blCol: String, pos: String, nBytes: Int): String =
     "(" + (0 until nBytes)
-      .map(b => s"${byteAt(hxCol, s"($pos)+$b")} * ${BigInt(1) << (8 * b)}::HUGEINT")
+      .map(b => s"$blCol[CAST(($pos)+$b AS INT)] * ${BigInt(1) << (8 * b)}::HUGEINT")
       .mkString(" + ") + s") % $M"
 
   /** XXH64 of a VARCHAR column's UTF-8 bytes, seed 42 — Spark's
@@ -144,8 +152,10 @@ object DuckXxHash {
     */
   def hashStringSteps(pfx: String): Seq[(String, String)] = {
     val seed = 42L
-    val hx = s"${pfx}hx"
+    val hx = s"${pfx}bl"
     val ln = s"${pfx}ln"
+    val blStep = s"${pfx}bl" ->
+      s"[${byteAt(s"${pfx}hx", "p")} for p in generate_series(1, $ln)]"
     val init = Seq(
       (BigInt(seed) + P1 + P2).mod(BigInt(1) << 64),
       (BigInt(seed) + P2).mod(BigInt(1) << 64),
@@ -189,18 +199,119 @@ object DuckXxHash {
     val bStep = mulmod(rotl(xor("acc", mulmod("bv", P5)), 11), P1)
     val hb = s"${pfx}tb" ->
       (s"list_reduce(list_prepend(${pfx}t4, " +
-        s"[ ${byteAt(hx, s"$ln - ($ln % 32) % 4 + u + 1")} " +
+        s"[ $hx[CAST($ln - ($ln % 32) % 4 + u + 1 AS INT)] " +
         s"for u in generate_series(0, ($ln % 32) % 4 - 1) ]), " +
         s"(acc, bv) -> $bStep)")
-    (vCols :+ h0) ++ mergeRounds ++ Seq(hLen, t8, h4, hb) ++ fmixSteps(pfx, s"${pfx}tb")
+    (blStep +: vCols :+ h0) ++ mergeRounds ++ Seq(hLen, t8, h4, hb) ++ fmixSteps(pfx, s"${pfx}tb")
   }
+
+  // ------------------------------------------- expression-form rendering
+
+  /** A step sequence folded into ONE scalar expression: each step is a
+    * let-binding emitted as a single-element `list_transform` whose
+    * lambda variable is the step name — later steps reference earlier
+    * ones as captured lambda variables, so an fmix-style step that uses
+    * its input twice costs O(1) text instead of doubling the tree (the
+    * same property the MATERIALIZED chain bought, without the chain).
+    *
+    * Why this exists (r9, the driver-gate budget fix): DuckDB 1.0 scans
+    * a MATERIALIZED CTE single-threaded, so every step chain ran serial
+    * regardless of thread count — the 210-oracle replay took 775 s and
+    * timed the driver phase out two rounds running. Expression-form
+    * steps run inside ONE projection, and `sliced`/`uniformChain` fan
+    * that projection out over UNION ALL branches, which DuckDB schedules
+    * as concurrent pipelines (measured 29 s -> 1.5 s on the g46
+    * 64-permutation expansion, bit-identical output).
+    *
+    * Constraint: step expressions may reference row columns, constants,
+    * and EARLIER step names only — exactly the contract the chain form
+    * already obeyed.
+    */
+  def expr(steps: Seq[(String, String)]): String =
+    steps.foldRight(steps.last._1) { case ((n, e), acc) =>
+      if (acc == n) s"($e)"
+      else s"list_transform([$e], $n -> ($acc))[1]"
+    }
+
+  /** Expression-form XXH64 of a long: `v` and `seed` must be column /
+    * lambda-variable references or literals (v is referenced twice).
+    */
+  def hashLongExpr(pfx: String, v: String, seed: String): String =
+    expr(hashLongSteps(pfx, v, seed))
+
+  /** Expression-form XXH64 of a 4-byte int (same reference caveat). */
+  def hashIntExpr(pfx: String, v: String, seed: String): String =
+    expr(hashIntSteps(pfx, v, seed))
+
+  /** XXH64 of a CONSTANT long under a variable seed, with the
+    * v-dependent prefix (k1 = v*P2, k2 = rotl31, k3 = k2*P1) folded to
+    * one literal in Scala — 4 fewer let-bindings per hash, and the
+    * salt side of every fast-path field hash is exactly this shape.
+    */
+  def hashLongConstExpr(pfx: String, constV: BigInt, seed: String): String = {
+    val mask = (BigInt(1) << 64) - 1
+    def rotl31(x: BigInt): BigInt = ((x << 31) | (x >> 33)) & mask
+    val k3 = (rotl31((constV * P2) & mask) * P1) & mask
+    val steps = Seq(
+      s"${pfx}a0" -> s"((($seed) + $P5::HUGEINT + 8) % $M)",
+      s"${pfx}a1" -> xor(s"${pfx}a0", s"$k3::HUGEINT"),
+      s"${pfx}a2" -> s"((${mulmod(rotl(s"${pfx}a1", 27), P1)} + $P4::HUGEINT) % $M)"
+    ) ++ fmixSteps(pfx, s"${pfx}a2")
+    expr(steps)
+  }
+
+  /** The fast-path field salt as a BigInt (see saltLit). */
+  def saltVal(path: String, seed: Long = 42L): BigInt =
+    BigInt(graft.runtime.Rng.mix2(seed, path.hashCode.toLong)) &
+      ((BigInt(1) << 64) - 1)
+
+  /** Expression-form XXH64 over VARCHAR (see hashStringSteps for the
+    * algorithm and validation story): requires `<pfx>hx` / `<pfx>ln`
+    * columns in scope, yields the unsigned hash.
+    */
+  def hashStringExpr(pfx: String): String =
+    expr(hashStringSteps(pfx))
+
+  /** The full MinHash draw list for one pre-hash: `[hashInt(j, pre)
+    * for j in 0 until numHashes]` as a LIST of signed BIGINTs, with the
+    * j-dependent k1 = j*P1 folded to literals — the oracle-side replay
+    * of the 64-permutation signature expansion, one expression instead
+    * of a 1M-row materialized chain (29 s -> ~1 s at sf0.01).
+    * `pre` is referenced once and may be any expression.
+    */
+  def minhashListExpr(pre: String, numHashes: Int): String = {
+    val mask = (BigInt(1) << 64) - 1
+    val k1s = (0 until numHashes).map(j => (BigInt(j) * P1) & mask)
+    val tail = Seq(
+      "mqa1" -> xor("mqa0", "mqk1"),
+      "mqa2" -> s"((${mulmod(rotl("mqa1", 23), P2)} + $P3::HUGEINT) % $M)"
+    ) ++ fmixSteps("mq", "mqa2") :+ ("mqs" -> signed("mqout"))
+    s"list_transform([(($pre) + $P5::HUGEINT + 4) % $M], mqa0 -> " +
+      s"list_transform([${k1s.map(k => s"$k::HUGEINT").mkString(",")}], " +
+      s"mqk1 -> ${expr(tail)}))[1]"
+  }
+
+  /** Expression-form SplitMix64 finalizer. */
+  def mixExpr(pfx: String, v: String): String =
+    expr(mixSteps(pfx, v))
+
+  /** N UNION ALL branches, each `SELECT <select> FROM <from> WHERE
+    * <slicePred k>` — the DuckDB-1.0 parallelism idiom: branches are
+    * independent pipelines and run concurrently even when each branch's
+    * source scan is serial (materialized CTEs, small parquet files,
+    * range()).
+    */
+  def sliced(slices: Int, branch: Int => String): String =
+    (0 until slices).map(branch).mkString(" UNION ALL ")
 
   /** A chain of MATERIALIZED CTEs, one per hash step. MATERIALIZED is
     * load-bearing: DuckDB inlines plain subqueries/CTEs into a single
     * projection, and an 11-step hash whose steps each reference their
     * input 2-3 times explodes exponentially under inlining (the
     * un-materialized form never finished planning on 15k rows; the
-    * materialized form runs in ~5 s).
+    * materialized form runs in ~5 s). For row counts above a few
+    * thousand prefer the expression form + `sliced` (above): chains
+    * execute single-threaded.
     */
   final case class Chain(ctes: Seq[(String, String)], last: String) {
     /** Append one CTE per (column, expr) step, each selecting the
@@ -272,24 +383,35 @@ object DuckXxHash {
 
   /** One full fast-path hash per (alias, saltPath): `xxhash64(id, salt)`
     * = hash(id, seed=42) chained into hash(salt, seed=·), landing in
-    * column `h_<alias>` (unsigned HUGEINT). After each field chain the
-    * working set is PRUNED back to (i, v, h_*): without pruning, a
-    * 10-field oracle drags ~200 intermediate hash-step columns through
-    * every later MATERIALIZED stage — quadratic bytes in field count.
+    * column `h_<alias>` (unsigned HUGEINT) — plus `h0` = the shared
+    * inner `hash(id, 42)` (identical for every field, computed once).
+    *
+    * r9 rewrite for the driver-gate budget (VERDICT r8 item 1): ONE
+    * materialized CTE whose body is `slices` UNION ALL branches over
+    * disjoint id ranges, each branch computing every field hash as a
+    * nested-lambda expression — DuckDB runs the branches as concurrent
+    * pipelines, where the old one-CTE-per-hash-step chain executed
+    * every step single-threaded (g51's oracle: 240 s -> ~1 s at the
+    * same row count).
     */
   def uniformChain(n: Long, fields: Seq[(String, String)],
-      seed: Long = 42L): Chain = {
-    var ch = chain("s0",
-      s"SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, $n)")
-    var have = List.empty[String]
-    for ((alias, path) <- fields) {
-      ch = ch.steps(hashLongSteps(s"${alias}a", "v", "42::HUGEINT"))
-        .steps(hashLongSteps(s"${alias}b", saltLit(path, seed), s"${alias}aout"))
-      ch = ch.cte(s"p_$alias",
-        s"SELECT i, v${have.map(h => s", h_$h").mkString}, " +
-          s"${alias}bout AS h_$alias FROM ${ch.last}")
-      have = have :+ alias
-    }
-    ch
+      seed: Long = 42L, slices: Int = 0): Chain = {
+    // planning cost scales with slices x fields (each branch re-plans
+    // every lambda chain), so only fan out when the row count pays for
+    // it: ~10k rows per branch, capped at 32 branches
+    val nSlices =
+      if (slices > 0) slices
+      else math.max(1, math.min(32, (n / 10000L).toInt))
+    val body = sliced(nSlices, { k =>
+      val lo = n * k / nSlices
+      val hi = n * (k + 1) / nSlices
+      val fieldCols = fields.map { case (alias, path) =>
+        s"${hashLongConstExpr(s"${alias}b", saltVal(path, seed), "h0")} AS h_$alias"
+      }.mkString(", ")
+      s"SELECT i, v, h0${if (fields.isEmpty) "" else ", " + fieldCols} FROM " +
+        s"(SELECT i, v, ${hashLongExpr("h0s", "v", "42::HUGEINT")} AS h0 FROM " +
+        s"(SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range($lo, $hi)))"
+    })
+    chain("p_all", body)
   }
 }
