@@ -1608,7 +1608,7 @@ object SynthQueries {
         val ch = chain("d",
           "SELECT DISTINCT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) " +
             "AS bucket_s, user_id FROM events")
-          .steps(hashLongSteps("h", unsigned("user_id"), "42::HUGEINT"))
+          .stepsExpr(hashLongSteps("h", unsigned("user_id"), "42::HUGEINT"))
         val ch2 = ch
           .cte("rr",
             s"SELECT bucket_s, CAST(hout // $twoW::HUGEINT AS BIGINT) AS reg, " +
@@ -2656,7 +2656,7 @@ object SynthQueries {
         val ch = chain("e0",
           s"""SELECT event_type, epoch_ns(ts) AS tsn, ${unsigned("event_id")} AS v
             FROM events""")
-          .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
         val ch2 = ch
           .cte("ef", s"SELECT event_type, tsn, " +
             s"CASE WHEN ${pmod("h1out", 20L)} = 0 THEN 1 ELSE 0 END AS disp " +
@@ -2744,10 +2744,9 @@ object SynthQueries {
             FROM documents""")
           .cte("xv", "SELECT doc_id, n, xor(CAST(n AS UBIGINT), " +
             "CAST(b0 * 4294967296 AS UBIGINT))::HUGEINT AS x FROM b")
-          .steps(mixSteps("h", "x"))
-        for (i <- 0 until 8)
-          ch = ch.steps(mixSteps(s"m$i",
-            s"((hout + $i) % 18446744073709551616::HUGEINT)"))
+          .stepsExpr(mixSteps("h", "x"))
+        ch = ch.exprStage((0 until 8).map(i => mixSteps(s"m$i",
+          s"((hout + $i) % 18446744073709551616::HUGEINT)")))
         val feats = (0 until 8)
           .map(i => s"CAST(${uniform(s"m${i}out")} AS REAL) AS f$i")
           .mkString(", ")
@@ -2823,13 +2822,9 @@ object VectorBitsOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val base = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("h2", saltLit("vec"), "h1out"))
-    val ch = (1 to 8).foldLeft(base) { (c, k) =>
-      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
-    }
+    val ch = uniformChain(20000, Seq("vec" -> "vec"))
+      .exprStage((1 to 8).map(k =>
+        hashIntSteps(s"e$k", s"$k::HUGEINT", "h_vec")), slices = 8)
     val poss = (1 to 8).map(k => s"CAST(${k - 1} AS BIGINT)").mkString(", ")
     val bits = (1 to 8).map(k => s"CAST((e${k}out // 2048) AS BIGINT)").mkString(", ")
     ch.render(
@@ -3165,8 +3160,8 @@ object EmbedNearDupOracle {
       .cte("pe",
         "SELECT vec_id + 1000000 AS pid, vec_id, " +
           "unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e0")
-      .steps(hashLongSteps("pa", unsigned("pid"), "42::HUGEINT"))
-      .steps(hashIntSteps("pb", "(i - 1)::HUGEINT", "paout"))
+      .stepsExpr(hashLongSteps("pa", unsigned("pid"), "42::HUGEINT"))
+      .stepsExpr(hashIntSteps("pb", "(i - 1)::HUGEINT", "paout"))
     ch = ch.cte("pv",
       s"SELECT pid, i, CAST(CAST(x * (1.0 + " +
         s"(CAST(${pmod("pbout", 2001L)} - 1000 AS DOUBLE) / 10000.0)) " +
@@ -3291,7 +3286,7 @@ object IotFastRollupOracle {
     val base = uniformChain(1000, Seq(
       "uh" -> "device-id#hi", "ul" -> "device-id#lo",
       "ip" -> "device-ip", "zp" -> "zip", "tg" -> "seq/time#g"))
-    val ch = base.steps(hashIntSteps("t1", "1::HUGEINT", "h_tg"))
+    val ch = base.stepsExpr(hashIntSteps("t1", "1::HUGEINT", "h_tg"))
     val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
       "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
     val loHex = "lower(lpad(to_hex(CAST((CAST(h_ul AS UBIGINT) & " +
@@ -3380,20 +3375,15 @@ object AvroRoundTripOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val ch = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 5000)")
-      .steps(hashLongSteps("ip1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("ip2", saltLit("ip"), "ip1out"))
-      .steps(hashLongSteps("n1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("n2", saltLit("n#0"), "n1out"))
-    def octet(n: Int) = s"((ip2out // ${BigInt(1) << n}::HUGEINT) % 256)"
+    val ch = uniformChain(5000, Seq("ip" -> "ip", "n" -> "n#0"))
+    def octet(n: Int) = s"((h_ip // ${BigInt(1) << n}::HUGEINT) % 256)"
     val a0 = s"(${octet(24)} % 221 + 1)"
     val a1 = s"($a0 + CASE WHEN $a0 >= 10 THEN 1 ELSE 0 END)"
     val aPub = s"($a1 + CASE WHEN $a1 >= 127 THEN 1 ELSE 0 END)"
     val lastOct = s"(${octet(0)} % 254 + 1)"
     ch.render(
       s"SELECT i, concat_ws('.', $aPub, ${octet(16)}, ${octet(8)}, $lastOct) AS ip, " +
-        s"${fastPathInt("n2out", 0, 1000)} AS n FROM ${ch.last}")
+        s"${fastPathInt("h_n", 0, 1000)} AS n FROM ${ch.last}")
   }
 }
 
@@ -3451,11 +3441,14 @@ object NamesOracle {
     val sc = lad("sc", SeedData.streetThird.map(_ -> 1.0))
     val stems = SeedData.usernames.zipWithIndex.map { case (s, i) => s -> (1.0 / (i + 1)) }
     val stem = lad("us", stems)
-    ch.render(
+    // the five CASE ladders are WIDE (hundreds of branches) and the
+    // materialized-CTE scan they run over is single-threaded, so the
+    // final projection is itself slice-parallelized (see DuckXxHash)
+    ch.render(sliced(8, k =>
       s"SELECT i, concat($first, ' ', $last) AS nm, " +
         s"concat($sa, ' ', $sb, ' ', $sc) AS street, " +
         s"concat($stem, CAST(${pmod("h_ux", 1000)} AS VARCHAR)) AS uname " +
-        s"FROM ${ch.last}")
+        s"FROM ${ch.last} WHERE i % 8 = $k"))
   }
 }
 
@@ -3585,16 +3578,13 @@ object SeriesOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val base = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("h2", saltLit("seq/ev#g"), "h1out"))
-    // one chain per element index: the third xxhash64 argument is the
-    // CONSTANT element number, hashed as a 4-byte INT (the sequence()
-    // array is array<int> — Spark folds it through XXH64.hashInt)
-    val ch = (1 to 3).foldLeft(base) { (c, k) =>
-      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
-    }
+    // one fused expression per element index: the third xxhash64
+    // argument is the CONSTANT element number, hashed as a 4-byte INT
+    // (the sequence() array is array<int> — Spark folds it through
+    // XXH64.hashInt)
+    val ch = uniformChain(20000, Seq("g" -> "seq/ev#g"))
+      .exprStage((1 to 3).map(k =>
+        hashIntSteps(s"e$k", s"$k::HUGEINT", "h_g")))
     def gap(k: Int): String =
       s"(-ln((e${k}out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
     // left-associated exactly like the Spark accumulator: ((0+g1)+g2)+g3
@@ -3616,15 +3606,9 @@ object VarlenSeriesOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val base = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
-      .steps(hashLongSteps("l1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("l2", saltLit("seq#len"), "l1out"))
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("h2", saltLit("seq/ev#g"), "h1out"))
-    val ch = (1 to 3).foldLeft(base) { (c, k) =>
-      c.steps(hashIntSteps(s"e$k", s"$k::HUGEINT", "h2out"))
-    }
+    val ch = uniformChain(20000, Seq("l" -> "seq#len", "g" -> "seq/ev#g"))
+      .exprStage((1 to 3).map(k =>
+        hashIntSteps(s"e$k", s"$k::HUGEINT", "h_g")))
     def gap(k: Int): String =
       s"(-ln((e${k}out // 2048) * 1.1102230246251565e-16 + 1e-300) * 60000.0)"
     val a1 = s"(0.0 + ${gap(1)})"
@@ -3634,7 +3618,7 @@ object VarlenSeriesOracle {
       s"CAST(1375315200000 + CAST(trunc($a) AS BIGINT) AS VARCHAR)"
     ch.render(
       s"SELECT i, unnest(([${ev(a1)}, ${ev(a2)}, ${ev(a3)}])" +
-        s"[1:${fastPathInt("l2out", 1, 4)}]) AS ev FROM ${ch.last}")
+        s"[1:${fastPathInt("h_l", 1, 4)}]) AS ev FROM ${ch.last}")
   }
 }
 
@@ -3654,11 +3638,10 @@ object IotBitsOracle {
       "uh" -> "device-id#hi", "ul" -> "device-id#lo",
       "ip" -> "device-ip", "zp" -> "zip",
       "tg" -> "seq/time#g", "wa" -> "seq/temp#a", "wb" -> "seq/temp#b"))
-    val ch = (1 to 3).foldLeft(base) { (c, k) =>
-      c.steps(hashIntSteps(s"t$k", s"$k::HUGEINT", "h_tg"))
-        .steps(hashIntSteps(s"wa$k", s"$k::HUGEINT", "h_wa"))
-        .steps(hashIntSteps(s"wb$k", s"$k::HUGEINT", "h_wb"))
-    }
+    val ch = base.exprStage((1 to 3).flatMap(k => Seq(
+      hashIntSteps(s"t$k", s"$k::HUGEINT", "h_tg"),
+      hashIntSteps(s"wa$k", s"$k::HUGEINT", "h_wa"),
+      hashIntSteps(s"wb$k", s"$k::HUGEINT", "h_wb"))), slices = 8)
     // uuid: version-4 / variant-10 bit surgery on the unsigned domain
     val hiHex = "lower(lpad(to_hex(CAST((CAST(h_uh AS UBIGINT) & " +
       "CAST(18446744073709490175 AS UBIGINT)) | 16384::UBIGINT AS UBIGINT)), 16, '0'))"
@@ -3720,15 +3703,10 @@ object WalkOracle {
   import graft.queries.DuckXxHash._
 
   lazy val sql: String = {
-    val base = chain("s0",
-      "SELECT range AS i, CAST(range AS HUGEINT) AS v FROM range(0, 20000)")
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("ha", saltLit("seq/w#a"), "h1out"))
-      .steps(hashLongSteps("hb", saltLit("seq/w#b"), "h1out"))
-    val ch = (1 to 3).foldLeft(base) { (c, k) =>
-      c.steps(hashIntSteps(s"a$k", s"$k::HUGEINT", "haout"))
-        .steps(hashIntSteps(s"b$k", s"$k::HUGEINT", "hbout"))
-    }
+    val ch = uniformChain(20000, Seq("wa" -> "seq/w#a", "wb" -> "seq/w#b"))
+      .exprStage((1 to 3).flatMap(k => Seq(
+        hashIntSteps(s"a$k", s"$k::HUGEINT", "h_wa"),
+        hashIntSteps(s"b$k", s"$k::HUGEINT", "h_wb"))), slices = 8)
     def u(pfx: String): String = s"((${pfx}out // 2048) * 1.1102230246251565e-16)"
     // step = sqrt(ln(uA + 1e-300) * -2.0) * cos(uB * 2pi) * sd + mean,
     // evaluated with sd = 1, mean = 0 exactly as the Spark lowering does
@@ -3803,18 +3781,21 @@ object TxFanoutOracle {
     // h2 = xxh64(seq | h1), h3 = xxh64('amt' | h2), h4 = xxh64(42 | h3).
     val hashed = chain("s0",
       s"SELECT o_orderkey, ${unsigned("o_orderkey")} AS v FROM orders")
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-      .steps(hashLongSteps("h1b", "42::HUGEINT", "h1out"))
+      .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .stepsExpr(hashLongSteps("h1b", "42::HUGEINT", "h1out"))
     val ch = hashed
       .cte("keyss",
         s"SELECT o_orderkey, h1out, ${pmod("h1bout", 6)} AS n_tx FROM ${hashed.last}")
       .cte("expl", "SELECT o_orderkey, h1out, " +
         "unnest(generate_series(1, CAST(n_tx AS INT))) AS seq FROM keyss WHERE n_tx > 0")
       .cte("expl2", s"SELECT o_orderkey, seq, h1out, ${unsigned("seq")} AS vs FROM expl")
-      .steps(hashLongSteps("h2", "vs", "h1out"))
-      .steps(hashShortBytesSteps("h3",
-        "amt".getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_.toInt), "h2out"))
-      .steps(hashLongSteps("h4", "42::HUGEINT", "h3out"))
+      .exprStage(Seq(hashLongSteps("h2", "vs", "h1out")),
+        slices = 8, sliceKey = "o_orderkey")
+      .exprStage(Seq(hashShortBytesSteps("h3",
+        "amt".getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_.toInt), "h2out")),
+        slices = 8, sliceKey = "o_orderkey")
+      .exprStage(Seq(hashLongSteps("h4", "42::HUGEINT", "h3out")),
+        slices = 8, sliceKey = "o_orderkey")
     ch.render(
       "SELECT o_orderkey, CAST(seq AS BIGINT) AS seq, " +
         s"CAST(${pmod("h4out", 20000)} + 1 AS BIGINT) AS amount_cents FROM ${ch.last} " +
@@ -3842,8 +3823,8 @@ object HashIvfOracle {
           .cte("cells",
             s"SELECT c, i FROM generate_series(0, ${k - 1}) AS tc(c), " +
               "(SELECT DISTINCT i FROM comp) ti")
-          .steps(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
-          .steps(hashLongSteps("h2", unsigned("i"), "h1out"))
+          .stepsExpr(hashLongSteps("h1", unsigned("c"), "42::HUGEINT"))
+          .stepsExpr(hashLongSteps("h2", unsigned("i"), "h1out"))
         val ch2 = ch
           .cte("cent",
             s"SELECT c, i, ${pmod("h2out", 2001L)} - 1000 AS comp FROM ${ch.last}")

@@ -131,10 +131,20 @@ object Retrieval {
     val dot = aggregate(
       zip_with(col("__qv"), col("__dv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
+    // Left-semi prefilter: only candidate documents' tokens enter the
+    // scoring join. Without it the hash join builds/streams ALL of
+    // dToks — at 100 TB the doc-token table dwarfs the candidate set
+    // by orders of magnitude (VERDICT r8 item 2). The semi join
+    // shuffles on the same idCol the scoring join uses, so AQE/
+    // exchange reuse keeps it one extra cheap pass over dToks, and
+    // tools/MaxSimScaleBench measures join input scaling with
+    // candidates, not corpus.
+    val candToks = dToks.select(col(idCol), col("dv").as("__dv"))
+      .join(cands.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
     cands.select(col("qid"), col(idCol))
       .join(broadcast(qToks.select(col("qid"),
         col("qt").as("__qt"), col("qv").as("__qv"))), "qid")
-      .join(dToks.select(col(idCol), col("dv").as("__dv")), idCol)
+      .join(candToks, idCol)
       .groupBy(col("qid"), col(idCol), col("__qt"))
       .agg(max(dot).as("__m"))
       .groupBy(col("qid"), col(idCol))

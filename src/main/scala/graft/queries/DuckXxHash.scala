@@ -321,6 +321,30 @@ object DuckXxHash {
       ss.foldLeft(this) { case (ch, (name, expr)) =>
         ch.cte(s"c_$name", s"SELECT *, ($expr) AS $name FROM ${ch.last}")
       }
+    /** One CTE stage computing a whole step sequence as a single
+      * nested-lambda expression — only the FINAL step's column is
+      * added (intermediates become lambda variables). Use for step
+      * sequences <= ~12 deep with compact step text (hashLong/hashInt/
+      * mix); the planner is explosive in nesting depth x expression
+      * bytes, so hashStringSteps must stay in per-step chain form.
+      */
+    def stepsExpr(ss: Seq[(String, String)]): Chain =
+      exprStage(Seq(ss))
+    /** One CTE stage adding SEVERAL independent fused step sequences
+      * at once (each sequence's final column) — e.g. the nine per-index
+      * hashInt chains of an unrolled series oracle in one projection.
+      */
+    def exprStage(groups: Seq[Seq[(String, String)]],
+        slices: Int = 1, sliceKey: String = "i"): Chain = {
+      val cols = groups
+        .map(ss => s"(${DuckXxHash.expr(ss)}) AS ${ss.last._1}")
+        .mkString(", ")
+      val body =
+        if (slices <= 1) s"SELECT *, $cols FROM $last"
+        else DuckXxHash.sliced(slices, k =>
+          s"SELECT *, $cols FROM $last WHERE $sliceKey % $slices = $k")
+      cte(s"c_${groups.head.last._1}", body)
+    }
     def cte(name: String, sql: String): Chain = Chain(ctes :+ (name -> sql), name)
     def render(finalSelect: String): String =
       s"WITH ${ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")}\n$finalSelect"
@@ -366,9 +390,13 @@ object DuckXxHash {
     */
   def caseLadder(uCol: String, items: Seq[(String, Double)]): String = {
     val cums = graft.synth.ColumnCompiler.cumWeights(items)
-    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN '$v'" }
+    // bind the draw once: a wide ladder would otherwise re-evaluate the
+    // uniform expression (a HUGEINT division) in EVERY branch compare —
+    // measured as most of g63's execution time at 500-entry ladders
+    val whens = cums.init.map { case (v, c) => s"WHEN zlu < $c THEN '$v'" }
       .mkString(" ")
-    s"(CASE $whens ELSE '${items.last._1}' END)"
+    s"list_transform([$uCol], zlu -> " +
+      s"(CASE $whens ELSE '${items.last._1}' END))[1]"
   }
 
   /** The numeric-valued CASE ladder (ColumnCompiler's foreign-key
@@ -376,9 +404,10 @@ object DuckXxHash {
     */
   def caseLadderLong(uCol: String, items: Seq[(String, Double)]): String = {
     val cums = graft.synth.ColumnCompiler.cumWeights(items)
-    val whens = cums.init.map { case (v, c) => s"WHEN $uCol < $c THEN $v" }
+    val whens = cums.init.map { case (v, c) => s"WHEN zlu < $c THEN $v" }
       .mkString(" ")
-    s"CAST((CASE $whens ELSE ${items.last._1} END) AS BIGINT)"
+    s"CAST(list_transform([$uCol], zlu -> " +
+      s"(CASE $whens ELSE ${items.last._1} END))[1] AS BIGINT)"
   }
 
   /** One full fast-path hash per (alias, saltPath): `xxhash64(id, salt)`
@@ -398,10 +427,10 @@ object DuckXxHash {
       seed: Long = 42L, slices: Int = 0): Chain = {
     // planning cost scales with slices x fields (each branch re-plans
     // every lambda chain), so only fan out when the row count pays for
-    // it: ~10k rows per branch, capped at 32 branches
+    // it: ~5k rows per branch, capped at 32 branches
     val nSlices =
       if (slices > 0) slices
-      else math.max(1, math.min(32, (n / 10000L).toInt))
+      else math.max(1, math.min(32, (n / 5000L).toInt))
     val body = sliced(nSlices, { k =>
       val lo = n * k / nSlices
       val hi = n * (k + 1) / nSlices
