@@ -786,6 +786,37 @@ object SynthQueries {
       },
       Some(ColumnsFastOracle.sql)),
 
+    // the 1M-row THROUGHPUT variant of the g51 schema (the fast path's
+    // whole-stage-codegen rate is the point — this is what the bench
+    // measures; g51 at 20k carries the per-cell bit oracle). The
+    // returned aggregates are exact constants under the pinned seed
+    // (g78 convention — regenerate with `runMain graft.Verify <sf>
+    // <out> g121_wide_fastpath_1m` after any intentional sampler
+    // change), so the driver-gate replay costs ~0 s.
+    QueryDef("g121_wide_fastpath_1m",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{countDistinct, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
+        Synth.dataFrameAuto(s,
+          """[{"name": "i", "class": "id"},
+              {"name": "u", "class": "uuid"},
+              {"name": "ip", "class": "ipv4"},
+              {"name": "n", "class": "int", "min": 0, "max": 1000000},
+              {"name": "d", "class": "date", "start": "2020-01-01", "end": "2024-12-31"},
+              {"name": "st", "class": "state"},
+              {"name": "b", "class": "browser"},
+              {"name": "phone", "class": "join", "separator": "-",
+               "value": {"class": "sequence", "array": [
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 200, "max": 999},
+                 {"class": "int", "min": 1000, "max": 9999}]}}]""", 1000000)
+          .agg(fcount(lit(1)).as("n_rows"), fsum(col("n")).as("sum_n"),
+            fmin(col("d")).as("min_d"), fmax(col("d")).as("max_d"),
+            countDistinct(col("st")).as("n_states"),
+            countDistinct(col("u")).as("n_uuids"),
+            fmin(col("phone")).as("min_phone"))
+      },
+      Some(WideFastpath1mOracle.sql)),
+
     // the Catalyst fast path itself, hash-match-checked: id + int + uuid
     // are pure functions of xxhash64(id, salt), so DuckDB can recompute
     // every cell bit-for-bit (incl. the RFC-4122 bit surgery and hex
@@ -3315,6 +3346,22 @@ object IotFastRollupOracle {
         CAST(100 AS BIGINT) AS n_readings, $t1 AS first_time
       FROM (SELECT *, $hiHex AS h_hi, $loHex AS h_lo FROM ${ch.last})""")
   }
+}
+
+/** DuckDB oracle for g121_wide_fastpath_1m: exact aggregate constants
+  * captured from the pinned (seed 42) 1M-row run — the generation is
+  * bit-deterministic and partitioning-invariant, so these are
+  * reproducible facts (g78/DistHistOracle convention). The per-cell
+  * bitness of the same lowering is proven by g51's full oracle at 20k.
+  */
+object WideFastpath1mOracle {
+  lazy val sql: String =
+    """SELECT CAST(1000000 AS BIGINT) AS n_rows,
+         CAST(499869949637 AS BIGINT) AS sum_n,
+         '2020-01-01' AS min_d, '2024-12-30' AS max_d,
+         CAST(50 AS BIGINT) AS n_states,
+         CAST(1000000 AS BIGINT) AS n_uuids,
+         '200-200-1792' AS min_phone"""
 }
 
 /** DuckDB oracle for g51_columns_fast: every proven ladder fragment of

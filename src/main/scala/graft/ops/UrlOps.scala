@@ -26,10 +26,9 @@ object UrlOps {
   val trackingPrefixes: Seq[String] = Seq("utm_")
   val trackingKeys: Seq[String] = Seq("fbclid", "gclid", "ref")
 
-  /** Multi-label public suffixes the registrable-domain heuristic
-    * recognizes (a representative embedded subset; production would
-    * load the full PSL as a broadcast dimension — the plan shape is
-    * identical).
+  /** Multi-label public suffixes the pre-r9 heuristic recognized; kept
+    * for source compatibility. The real implementation is PSL-backed —
+    * see [[registrableDomain]] and [[graft.runtime.PslData]].
     */
   val multiLabelSuffixes: Seq[String] =
     Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
@@ -69,18 +68,45 @@ object UrlOps {
       concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
-  /** Registrable domain of a host: the last two labels, or three when
-    * the final two form a known multi-label public suffix (`co.uk` et
-    * al). Pure array functions — no UDF.
+  /** Registrable domain of a host under FULL publicsuffix.org
+    * semantics: exception rules win, else the longest matching rule
+    * (normal rules match their own label count; a wildcard rule
+    * `*.base` makes every `<label>.base` a public suffix), else the
+    * implicit default rule `*` (every bare TLD is a public suffix).
+    * The registrable domain is the public suffix plus one label; NULL
+    * when the host IS a public suffix (e.g. `gen.ck`, `github.io`) or
+    * has no extra label.
+    *
+    * Pure array functions + `isin` membership — each rule set compiles
+    * to a single InSet literal (O(1) hash probe per row), so swapping
+    * in the full ~9k-rule PSL changes the closure size, not the plan:
+    * still an UDF-free pure scan stage ([[graft.runtime.PslData]]).
     */
   def registrableDomain(host: Column): Column = {
+    import graft.runtime.PslData
     val labels = split(host, "\\.")
     val n = size(labels)
-    val suffix2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val take = least(when(suffix2.isin(multiLabelSuffixes: _*), lit(3))
-      .otherwise(lit(2)), n)
-    when(n >= 2, array_join(slice(labels, n - take + 1, take), "."))
-      .otherwise(host)
+    def suffix(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    def inSet(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s.toSeq: _*)
+    // exception rules: k matching labels -> public suffix of k-1
+    val excLen = PslData.excByLen.keys.toSeq.sorted.reverse
+      .foldLeft(lit(null).cast("int")) { (acc, k) =>
+        coalesce(acc, when(n >= k &&
+          inSet(suffix(k), PslData.excByLen(k)), lit(k - 1)))
+      }
+    // longest normal/wildcard match: try candidate lengths descending
+    val bestLen = (2 to PslData.maxPsLen).reverse
+      .foldLeft(lit(null).cast("int")) { (acc, k) =>
+        val normalHit = PslData.normalByLen.get(k)
+          .map(s => inSet(suffix(k), s)).getOrElse(lit(false))
+        val wildHit = PslData.wildBaseByLen.get(k - 1)
+          .map(s => inSet(suffix(k - 1), s)).getOrElse(lit(false))
+        coalesce(acc, when(n >= k && (normalHit || wildHit), lit(k)))
+      }
+    val psLen = coalesce(excLen, bestLen, lit(1))
+    when(host.isNotNull && (n > psLen),
+      array_join(slice(labels, -(psLen + lit(1)), psLen + lit(1)), "."))
   }
 
   /** Host canonicalization alone (the key for per-site statistics):

@@ -4036,7 +4036,11 @@ object PipelineQueries {
       val (www, r2) = peel(r1, 2)
       val (sub, r3) = peel(r2, 2)
       val (word, r4) = peel(r3, 50)
-      val (tld, r5) = peel(r4, 4) // .com .org .co.uk .de
+      // r9: widened 4 -> 8 to exercise the PSL-backed registrable
+      // domain — com.cn (ICANN 2nd-level), github.io (private
+      // section), gen.ck (*.ck wildcard), kawasaki.jp (wildcard whose
+      // direct children are themselves public suffixes)
+      val (tld, r5) = peel(r4, 8)
       val (port, r6) = peel(r5, 3) // 0 none, 1 scheme default, 2 :8080
       val (pathN, r7) = peel(r6, 100)
       val (slash, r8) = peel(r7, 2)
@@ -4048,7 +4052,8 @@ object PipelineQueries {
         lit("https"), lit("HTTPS")), (scheme + 1).cast("int"))
       val isHttps = scheme >= 2
       val tldStr = element_at(array(lit(".com"), lit(".org"),
-        lit(".co.uk"), lit(".de")), (tld + 1).cast("int"))
+        lit(".co.uk"), lit(".de"), lit(".com.cn"), lit(".github.io"),
+        lit(".gen.ck"), lit(".kawasaki.jp")), (tld + 1).cast("int"))
       val hostCore = concat(when(sub === 1, lit("cdn.")).otherwise(lit("")),
         lit("site"), word.cast("string"), tldStr)
       val messyHost = concat(when(www === 1, lit("WwW.")).otherwise(lit("")),
@@ -4079,11 +4084,11 @@ object PipelineQueries {
         .cte("u", s"SELECT doc_id, ${pmod("h1out", 1000000000L)} AS u0 FROM c_h1out")
         .cte("picks", """SELECT doc_id,
             u0 % 4 AS s, u0 // 4 % 2 AS www, u0 // 8 % 2 AS sub,
-            u0 // 16 % 50 AS word, u0 // 800 % 4 AS tld,
-            u0 // 3200 % 3 AS port, u0 // 9600 % 100 AS pathn,
-            u0 // 960000 % 2 AS slash, u0 // 1920000 % 2 AS ord,
-            u0 // 3840000 % 2 AS frag, u0 // 7680000 % 10 AS qv,
-            u0 // 76800000 % 10 AS idv
+            u0 // 16 % 50 AS word, u0 // 800 % 8 AS tld,
+            u0 // 6400 % 3 AS port, u0 // 19200 % 100 AS pathn,
+            u0 // 1920000 % 2 AS slash, u0 // 3840000 % 2 AS ord,
+            u0 // 7680000 % 2 AS frag, u0 // 15360000 % 10 AS qv,
+            u0 // 153600000 % 10 AS idv
           FROM u""")
         .cte("parts", """SELECT doc_id,
             CASE s WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
@@ -4092,10 +4097,21 @@ object PipelineQueries {
             (CASE sub WHEN 1 THEN 'cdn.' ELSE '' END) || 'site' ||
               CAST(word AS VARCHAR) ||
               (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                WHEN 2 THEN '.co.uk' ELSE '.de' END) AS host_core,
-            'site' || CAST(word AS VARCHAR) ||
+                WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
+                WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
+                WHEN 6 THEN '.gen.ck' ELSE '.kawasaki.jp' END) AS host_core,
+            -- PSL-expected registrable domain: tld 0..6 strip any cdn.
+            -- (public suffix + 1 label); kawasaki.jp is a wildcard
+            -- block, so siteN.kawasaki.jp is ITSELF a public suffix —
+            -- registrable only when the cdn. label exists
+            CASE WHEN tld = 7 THEN
+              (CASE sub WHEN 1 THEN 'cdn.site' || CAST(word AS VARCHAR)
+                 || '.kawasaki.jp' ELSE NULL END)
+            ELSE 'site' || CAST(word AS VARCHAR) ||
               (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                WHEN 2 THEN '.co.uk' ELSE '.de' END) AS domain,
+                WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
+                WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
+                ELSE '.gen.ck' END) END AS domain,
             CASE www WHEN 1 THEN 'WwW.' ELSE '' END AS wprefix,
             CASE port WHEN 1 THEN (CASE WHEN s >= 2 THEN ':443' ELSE ':80' END)
               WHEN 2 THEN ':8080' ELSE '' END AS port_messy,

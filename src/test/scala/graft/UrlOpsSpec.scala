@@ -43,11 +43,39 @@ class UrlOpsSpec extends AnyFunSuite {
 
   test("registrableDomain handles multi-label suffixes and deep subdomains") {
     val hosts = Seq("a.b.site.co.uk", "site.co.uk", "cdn.site.com",
-      "site.com", "localhost").toDF("h")
+      "site.com").toDF("h")
     val got = hosts.select(UrlOps.registrableDomain(col("h"))).collect()
       .map(_.getString(0)).toSeq
-    assert(got == Seq("site.co.uk", "site.co.uk", "site.com", "site.com",
-      "localhost"))
+    assert(got == Seq("site.co.uk", "site.co.uk", "site.com", "site.com"))
+  }
+
+  private def reg(hosts: String*): Seq[Option[String]] = {
+    val df = hosts.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
+    df.orderBy("i").select(UrlOps.registrableDomain(col("h")))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+  }
+
+  test("registrableDomain implements full PSL semantics") {
+    // normal multi-label rules the old 7-suffix heuristic missed
+    assert(reg("site.com.cn", "a.b.site.com.cn", "shop.co.kr")
+      == Seq(Some("site.com.cn"), Some("site.com.cn"), Some("shop.co.kr")))
+    // private-section suffixes: github.io is a public suffix
+    assert(reg("user.github.io", "deep.user.github.io", "github.io")
+      == Seq(Some("user.github.io"), Some("user.github.io"), None))
+    // wildcard rules: *.ck makes every <label>.ck a public suffix
+    assert(reg("site.gen.ck", "a.site.gen.ck", "gen.ck")
+      == Seq(Some("site.gen.ck"), Some("site.gen.ck"), None))
+    // exception rules: !www.ck carves www.ck back out of *.ck
+    assert(reg("www.ck", "a.www.ck")
+      == Seq(Some("www.ck"), Some("www.ck")))
+    // japanese prefecture-city wildcard + the city exception
+    assert(reg("site.kawasaki.jp", "cdn.site.kawasaki.jp",
+      "city.kawasaki.jp", "ward.city.kawasaki.jp")
+      == Seq(None, Some("cdn.site.kawasaki.jp"),
+        Some("city.kawasaki.jp"), Some("city.kawasaki.jp")))
+    // default rule: a bare TLD or single label is a public suffix
+    assert(reg("localhost", "com", "example.arpa")
+      == Seq(None, None, Some("example.arpa")))
   }
 
   test("utm_ prefix filters any utm param; only whole-key matches drop for the rest") {
