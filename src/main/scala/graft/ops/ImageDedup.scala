@@ -143,6 +143,75 @@ object ImageDedup {
     }
   }
 
+  /** Container format of a binary payload by MAGIC BYTES — a native
+    * expression (binary substring compares), no decode, no UDF. The
+    * point is WebP: a large share of modern crawls, and the JDK's
+    * ImageIO has no WebP reader, so those payloads silently degrade to
+    * null in [[dHash]]/[[Multimodal.decodeFeatures]] — this classifier
+    * makes that a MEASURED per-format rate instead of a silent one.
+    */
+  def imageFormat(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def magic(off: Int, bytes: Array[Byte]) =
+      substring(bin, off + 1, bytes.length) === lit(bytes)
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    when(bin.isNull, "missing")
+      .when(magic(0, Array(0x89.toByte) ++ ascii("PNG")), "png")
+      .when(magic(0, Array(0xff, 0xd8, 0xff).map(_.toByte)), "jpeg")
+      .when(magic(0, ascii("GIF8")), "gif")
+      .when(magic(0, ascii("BM")), "bmp")
+      .when(magic(0, ascii("RIFF")) && magic(8, ascii("WEBP")), "webp")
+      .when(magic(0, ascii("II") ++ Array[Byte](42, 0)) ||
+        magic(0, ascii("MM") ++ Array[Byte](0, 42)), "tiff")
+      .otherwise("other")
+  }
+
+  /** Decode-coverage telemetry: per container format (magic bytes),
+    * how many payloads exist and how many the JVM decode seam can
+    * actually read. One decode scan + a tiny groupBy on a
+    * cardinality-~7 key — runs at corpus scale as a side metric of any
+    * image pass, and is the observability answer to the silent-WebP
+    * gap (VERDICT r8 item 4 / missing #1).
+    */
+  def decodeCoverage(df: DataFrame, binCol: String): DataFrame =
+    dHash(df, binCol)
+      .select(imageFormat(col(binCol)).as("format"),
+        col(s"${binCol}_dhash").isNotNull.as("__dec"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dec"), 1L).otherwise(0L)).as("n_decodable"))
+
+  /** Deterministic mixed-format fixture payload for the coverage rig:
+    * kinds 0-3 are REAL encodes of the [[hashCorpusPng]] image (png /
+    * jpeg / gif / bmp — all JDK-decodable), kind 4 is a well-formed
+    * RIFF/WEBP container the JDK cannot decode, kind 5 is non-image
+    * junk, kind 6 is a missing (null) payload.
+    */
+  def fixturePayload(baseId: Long, kind: Int): Array[Byte] = kind match {
+    case 0 => hashCorpusPng(baseId, 0)
+    case 1 | 2 | 3 =>
+      val fmt = Seq("jpg", "gif", "bmp")(kind - 1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(hashCorpusPng(baseId, 0)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    case 4 =>
+      val body = Array.tabulate(16)(i =>
+        (graft.runtime.Rng.mix(baseId * 16 + i) & 0xff).toByte)
+      "RIFF".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(20 + body.length)
+          .array() ++
+        "WEBPVP8 ".getBytes("US-ASCII") ++ body
+    case 5 =>
+      // leading 0x00 matches no magic, so the junk can never be
+      // misclassified whatever the hash bytes are
+      0.toByte +: Array.tabulate(8)(i =>
+        (graft.runtime.Rng.mix(baseId * 8 + i) & 0xff).toByte)
+    case _ => null
+  }
+
   /** Near-duplicate image pairs within `maxHamming` bits: drop
     * undecodable rows, then the shared pigeonhole banding
     * ([[Dedup.bandedHammingPairs]]) — recall 1.0, candidates from

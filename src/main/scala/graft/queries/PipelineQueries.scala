@@ -4198,7 +4198,52 @@ object PipelineQueries {
     },
   )
 
+  /** Image decode-coverage telemetry ([[graft.ops.ImageDedup
+    * .decodeCoverage]]): per container format (magic bytes), payload
+    * and decodable counts. The rig plants a hash-picked format per doc
+    * (real PNG/JPEG/GIF/BMP encodes, a JDK-undecodable RIFF/WEBP
+    * container, junk, and missing payloads), so the oracle derives
+    * every count from the same XXH64 pick — and the WebP row's
+    * n_decodable = 0 is the measured silent-null rate the op exists to
+    * expose.
+    */
+  val q144_image_coverage = QueryDef(
+    "q144_image_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val rig = docs(s, d).select(col("doc_id").cast("long").as("base_id"),
+        pmod(xxhash64(col("doc_id").cast("long")), lit(7L)).cast("int").as("kind"))
+      val outSchema = StructType(Seq(StructField("base_id", LongType),
+        StructField("img", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val withBytes = rig.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            graft.ops.ImageDedup.fixturePayload(r.getLong(0), r.getInt(1)))
+        }
+      }
+      graft.ops.ImageDedup.decodeCoverage(withBytes, "img")
+    },
+    Some {
+      import DuckXxHash._
+      val ch = chain("s0",
+        s"SELECT doc_id, ${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
+        .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+        .cte("k", s"SELECT ${pmod("h1out", 7L)} AS kind FROM ${"c_h1out"}")
+      ch.render("""SELECT
+          CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+            WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp' WHEN 5 THEN 'other'
+            ELSE 'missing' END AS format,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN kind <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_decodable
+        FROM k GROUP BY 1""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
+    q144_image_coverage,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,

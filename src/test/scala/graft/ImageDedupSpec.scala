@@ -98,4 +98,27 @@ class ImageDedupSpec extends AnyFunSuite {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
   }
+
+  test("imageFormat classifies every fixture kind by magic bytes; decodeCoverage counts decodability") {
+    val rows = (0L until 70L).map(i => (i, ImageDedup.fixturePayload(i, (i % 7).toInt)))
+    val df = rows.toDF("id", "img")
+    val fmts = df.select(col("id"), ImageDedup.imageFormat(col("img")).as("f"))
+      .collect().map(r => (r.getLong(0) % 7, r.getString(1))).distinct.sortBy(_._1)
+    assert(fmts.toSeq == Seq(0L -> "png", 1L -> "jpeg", 2L -> "gif",
+      3L -> "bmp", 4L -> "webp", 5L -> "other", 6L -> "missing"))
+    val cov = ImageDedup.decodeCoverage(df, "img")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov == Map("png" -> (10L, 10L), "jpeg" -> (10L, 10L),
+      "gif" -> (10L, 10L), "bmp" -> (10L, 10L), "webp" -> (10L, 0L),
+      "other" -> (10L, 0L), "missing" -> (10L, 0L)))
+  }
+
+  test("a tiff header classifies as tiff (both byte orders)") {
+    val ii = Array[Byte]('I', 'I', 42, 0, 1, 2, 3, 4)
+    val mm = Array[Byte]('M', 'M', 0, 42, 1, 2, 3, 4)
+    val got = Seq(ii, mm).zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "img")
+      .select(ImageDedup.imageFormat(col("img"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("tiff", "tiff"))
+  }
 }
