@@ -2719,6 +2719,129 @@ object SynthQueries {
           GROUP BY 1, 2""")
       }),
 
+    // Streaming BANDED near-dup dedup (hamming <= 3 in the crawl loop)
+    // with a FULL oracle — closes the r8 gap where the streaming index
+    // only collapsed EXACT dHash matches while batch had
+    // bandedHammingPairs: signatures explode to the same 4 x 16-bit
+    // pigeonhole band keys, BandedFirstSeenProcessor keeps one
+    // (id, sig) survivor per band bucket and verifies full-signature
+    // hamming per arrival, and the per-band emissions merge to the min
+    // matched survivor. The rig plants CONTENT-EDITED duplicate
+    // generations (provable hamming <= editRows via column-0 luma
+    // inversions — NOT the hamming-0 brightness shifts of g119), so the
+    // near-dup path is what executes. The oracle replays every pixel,
+    // every hash bit, every band key, each bucket's min-id survivor,
+    // and the verify-and-merge rule in SQL.
+    QueryDef("g122_stream_banded_dedup",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.functions.{array, coalesce, explode, lit,
+          min => fmin, shiftright, when}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+          StructType}
+        import s.implicits._
+        val maxHamming = 3
+        val nBands = maxHamming + 1
+        val bandBits = 64 / nBands
+        val mask = (1L << bandBits) - 1
+        val ids = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("base_id"))
+        val rig = ids
+          .select(col("base_id"), col("base_id").as("id"),
+            lit(0).as("shift"), lit(0).as("edits"))
+          .unionAll(ids.filter(col("base_id") % 10 === 0)
+            .select(col("base_id"), (col("base_id") + 10000000L).as("id"),
+              lit(0).as("shift"), lit(2).as("edits")))
+          .unionAll(ids.filter(col("base_id") % 20 === 0)
+            .select(col("base_id"), (col("base_id") + 20000000L).as("id"),
+              lit(3).as("shift"), lit(3).as("edits")))
+        val outSchema = StructType(Seq(StructField("id", LongType),
+          StructField("ts", LongType), StructField("png", BinaryType)))
+        implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        val fixture = rig.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(1)
+            Row(id, id * 1000000000L, graft.ops.ImageDedup
+              .hashCorpusPng(r.getLong(0), r.getInt(2), r.getInt(3)))
+          }
+        }
+        val streamDir = java.nio.file.Files.createTempDirectory("g122_imgs")
+        val half = ids.agg(org.apache.spark.sql.functions.max("base_id"))
+          .collect()(0).getLong(0) / 2
+        Seq(
+          "a_low" -> fixture.filter(col("id") <= half),
+          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
+          "c_dups" -> fixture.filter(col("id") >= 10000000L)
+        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        val name = "g122_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val hashed = graft.ops.ImageDedup.dHash(
+          s.readStream.schema(fixture.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString), "png")
+          .select(col("id"), col("ts"), col("png_dhash").as("sig"))
+        // the batch banding, in-stream: one row per (arrival, band),
+        // keyed by the composite band * 2^bandBits + bandKey
+        val banded = hashed.select(col("id"), col("ts"), col("sig"),
+          explode(array((0 until nBands).map(b =>
+            lit(b.toLong * (mask + 1)) +
+              shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+            .as("bkey"))
+          .select(col("bkey"), col("ts"), col("id"), col("sig"))
+          .as[(Long, Long, Long, Long)]
+        val decided = banded
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3, r._4))
+          .transformWithState(
+            new graft.streaming.BandedFirstSeenProcessor(maxHamming),
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
+          .toDF("id", "cand")
+        val q = decided.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+        deleteTree(streamDir)
+        // merge the per-band emissions: min matched survivor, else -1
+        s.table(name).groupBy("id")
+          .agg(coalesce(fmin(when(col("cand") >= 0, col("cand"))), lit(-1L))
+            .as("dup_of"))
+      }),
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = graft.queries.PipelineQueries.dhashOracleChain(
+          """SELECT CAST(doc_id AS BIGINT) AS base_id,
+              CAST(doc_id AS BIGINT) AS id, 0 AS shift, 0 AS edits
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 10000000 AS BIGINT),
+              0, 2
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 20000000 AS BIGINT),
+              3, 3
+            FROM documents WHERE doc_id % 20 = 0""", hasEdits = true)
+          .cte("usig", s"SELECT id, ${unsigned("dhash")} AS us FROM dh")
+          .cte("bands",
+            "SELECT id, us, b.range AS b, " +
+              "(us // (1::HUGEINT << (16 * b.range))) % 65536 AS key " +
+              "FROM usig, range(0, 4) b")
+          .cte("occ", "SELECT b, key, min(id) AS oid FROM bands GROUP BY 1, 2")
+          .cte("occs", "SELECT o.b, o.key, o.oid, u.us AS osig " +
+            "FROM occ o JOIN usig u ON u.id = o.oid")
+          .cte("att",
+            """SELECT r.id, o.oid FROM bands r
+              JOIN occs o ON o.b = r.b AND o.key = r.key
+              WHERE o.oid < r.id AND bit_count(xor(CAST(r.us AS UBIGINT),
+                CAST(o.osig AS UBIGINT))) <= 3""")
+        ch.render(
+          """SELECT u.id, CAST(coalesce(min(a.oid), -1) AS BIGINT) AS dup_of
+            FROM usig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
+      }),
+
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
     // chains) written as Avro container files and read back through the

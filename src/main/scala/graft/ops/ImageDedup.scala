@@ -71,11 +71,23 @@ object ImageDedup {
     * can never clamp at 255 — neighbor order, hence the dHash, is
     * provably preserved for shifted duplicates.
     */
-  def hashCorpusPng(baseId: Long, shift: Int): Array[Byte] = {
+  def hashCorpusPng(baseId: Long, shift: Int): Array[Byte] =
+    hashCorpusPng(baseId, shift, 0)
+
+  /** The fixture with a bounded CONTENT edit on top: the first
+    * `editRows` rows get their column-0 luma inverted (255 - v). A
+    * column-0 cell participates in exactly ONE dHash comparison (it has
+    * no left neighbor), so the edit perturbs at most `editRows` hash
+    * bits — a provable hamming <= editRows near-duplicate of the
+    * unedited image, which is what the banded (hamming <= k) dedup rigs
+    * plant.
+    */
+  def hashCorpusPng(baseId: Long, shift: Int, editRows: Int): Array[Byte] = {
     val nPx = GridW * GridH
     val lumas = Array.tabulate(nPx) { idx =>
-      Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+      val v = Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
         .hashLong(baseId * nPx + idx, 42L), 201L).toInt + shift
+      if (idx % GridW == 0 && idx / GridW < editRows) 255 - v else v
     }
     grayPng(lumas, GridW, GridH)
   }

@@ -3997,14 +3997,23 @@ object PipelineQueries {
     * chain, every comparison bit, the signed-64 signature. Shared by
     * q141 (batch pairs) and g119 (streaming first-seen attribution).
     */
-  private[graft] def dhashOracleChain(rigSql: String): DuckXxHash.Chain = {
+  /** dHash replay over the hashCorpusPng fixture family. `rigSql` must
+    * yield (base_id, id, shift) and MAY yield an `edits` column (the
+    * hashCorpusPng editRows content edit: column-0 lumas of the first
+    * `edits` rows inverted); rigs without edits pass 0.
+    */
+  private[graft] def dhashOracleChain(rigSql: String,
+      hasEdits: Boolean = false): DuckXxHash.Chain = {
     import DuckXxHash._
+    val editsCol = if (hasEdits) "edits" else "0 AS edits"
     val ch = chain("rig", rigSql)
-      .cte("px", "SELECT id, shift, r.range AS idx, " +
+      .cte("px", s"SELECT id, shift, $editsCol, r.range AS idx, " +
         s"${unsigned("base_id * 72 + r.range")} AS v FROM rig, range(0, 72) r")
-      .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
     ch.cte("lum",
-      s"SELECT id, idx, ${pmod("h1out", 201L)} + shift AS lum FROM ${ch.last}")
+      s"SELECT id, idx, CASE WHEN idx % 9 = 0 AND idx // 9 < edits " +
+        s"THEN 255 - (${pmod("h1out", 201L)} + shift) " +
+        s"ELSE ${pmod("h1out", 201L)} + shift END AS lum FROM ${ch.last}")
       .cte("bits",
         """SELECT l.id, CAST((l.idx // 9) * 8 + (l.idx % 9) AS INT) AS pos
           FROM lum l JOIN lum r ON r.id = l.id AND r.idx = l.idx + 1

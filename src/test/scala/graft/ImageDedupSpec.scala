@@ -121,4 +121,17 @@ class ImageDedupSpec extends AnyFunSuite {
       .select(ImageDedup.imageFormat(col("img"))).collect().map(_.getString(0))
     assert(got.toSeq == Seq("tiff", "tiff"))
   }
+
+  test("hashCorpusPng content edits perturb at most editRows hash bits") {
+    for (base <- 0L until 50L; edits <- 1 to 3) {
+      val h0 = ImageDedup.dHashBits(decode(ImageDedup.hashCorpusPng(base, 0)))
+      val h1 = ImageDedup.dHashBits(decode(ImageDedup.hashCorpusPng(base, 0, edits)))
+      val ham = java.lang.Long.bitCount(h0 ^ h1)
+      assert(ham <= edits, s"base=$base edits=$edits hamming=$ham")
+    }
+    // and the edit composes with a brightness shift (the genB rig shape)
+    val a = ImageDedup.dHashBits(decode(ImageDedup.hashCorpusPng(7, 0)))
+    val b = ImageDedup.dHashBits(decode(ImageDedup.hashCorpusPng(7, 3, 3)))
+    assert(java.lang.Long.bitCount(a ^ b) <= 3)
+  }
 }
