@@ -2487,8 +2487,10 @@ object SynthQueries {
           .transformWithState(
             new graft.streaming.CusumProcessor(target, 50000000000L),
             TimeMode.EventTime(), OutputMode.Append(),
-            implicitly[org.apache.spark.sql.Encoder[(String, Long, Long, Long, Long)]])
-          .toDF("event_type", "n", "max_s", "alarm_idx", "alarm_ts")
+            implicitly[org.apache.spark.sql.Encoder[
+              (String, Long, Long, Long, Long, Long, Long, Long)]])
+          .toDF("event_type", "n", "max_s", "alarm_idx", "alarm_ts",
+            "max_sn", "alarm_n_idx", "alarm_n_ts")
         val q = scored.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2518,15 +2520,133 @@ object SynthQueries {
           sc AS (SELECT event_type, tsn, i,
               cum - least(0, min(cum) OVER
                 (PARTITION BY event_type ORDER BY i
-                 ROWS UNBOUNDED PRECEDING)) AS s
+                 ROWS UNBOUNDED PRECEDING)) AS s,
+              greatest(0, max(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) - cum AS sn
             FROM w)
         SELECT event_type, CAST(max(i) AS BIGINT) AS n,
           CAST(max(s) AS BIGINT) AS max_s,
           CAST(coalesce(min(CASE WHEN s > 50000000000 THEN i END), -1)
             AS BIGINT) AS alarm_idx,
           CAST(coalesce(min(CASE WHEN s > 50000000000 THEN tsn END), -1)
-            AS BIGINT) AS alarm_ts
+            AS BIGINT) AS alarm_ts,
+          CAST(max(sn) AS BIGINT) AS max_sn,
+          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN i END), -1)
+            AS BIGINT) AS alarm_n_idx,
+          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN tsn END), -1)
+            AS BIGINT) AS alarm_n_ts
         FROM sc GROUP BY event_type""")),
+
+    // ADAPTIVE-BASELINE two-sided CUSUM: no upstream reference pass —
+    // each key self-estimates its target from its first 200
+    // observations (CusumProcessor refWindow), then scores BOTH sides;
+    // the planted shift here is NEGATIVE (-300 micro-units after the
+    // final third begins), so the rig that executes is the downward
+    // alarm path g118's positive shift never touches. The oracle
+    // replays the per-key integer reference mean (row_number <= 200),
+    // both prefix-sum folds, and both alarm rules exactly. Values are
+    // nonnegative in this feed, so DuckDB's floor-div // equals the
+    // processor's Math.floorDiv on the reference sum.
+    QueryDef("g123_stream_cusum_adaptive",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{expr, lit, max, min, round,
+          timestamp_micros, when}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(min("ts"), max("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val t2 = minNs + 2L * (maxNs - minNs) / 3
+        val streamDir = java.nio.file.Files.createTempDirectory("g123_events")
+        eventThirdFiles(s, d).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        val name = "g123_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val scored = graft.queries.EventTs.toNanos(
+          s.readStream.schema(evRaw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString))
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "1 hour")
+          .select(col("event_type"), col("ts").as("ts_ns"),
+            col("event_id").cast("long").as("eid"),
+            (round(col("value") * 1000000).cast("long") -
+              when(col("ts") > t2, lit(300000000L)).otherwise(lit(0L)))
+              .as("v_micro"))
+          .as[(String, Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.CusumProcessor(0L, 50000000000L,
+              refWindow = 200L),
+            TimeMode.EventTime(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[
+              (String, Long, Long, Long, Long, Long, Long, Long)]])
+          .toDF("event_type", "n", "max_s", "alarm_idx", "alarm_ts",
+            "max_sn", "alarm_n_idx", "alarm_n_ts")
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 4, s"expected >= 4 micro-batches, got $batches")
+        deleteTree(streamDir)
+        val out = s.table(name).filter(col("event_type") =!= "sentinel")
+        val negAlarms = out.filter(col("alarm_n_idx") >= 0).count()
+        require(negAlarms > 0, "the rig must exercise the downward alarm")
+        out
+      }),
+      Some("""WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+            FROM events),
+          e AS (SELECT event_type, epoch_ns(ts) AS tsn, event_id,
+              CAST(round(value * 1000000) AS BIGINT) -
+                CASE WHEN epoch_ns(ts) > mn + 2 * (mx - mn) // 3
+                  THEN 300000000 ELSE 0 END AS v
+            FROM events, mm),
+          w0 AS (SELECT event_type, tsn, v,
+              CAST(row_number() OVER pk AS BIGINT) AS i
+            FROM e
+            WINDOW pk AS (PARTITION BY event_type ORDER BY tsn, event_id)),
+          tg AS (SELECT event_type, CAST(sum(v) // 200 AS BIGINT) AS tgt
+            FROM w0 WHERE i <= 200 GROUP BY event_type),
+          w AS (SELECT w0.event_type, tsn, i,
+              CAST(sum(v - tgt) OVER
+                (PARTITION BY w0.event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM w0 JOIN tg USING (event_type) WHERE i > 200),
+          sc AS (SELECT event_type, tsn, i,
+              cum - least(0, min(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) AS s,
+              greatest(0, max(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) - cum AS sn
+            FROM w),
+          base AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n
+            FROM w0 GROUP BY 1),
+          agg AS (SELECT event_type,
+              CAST(max(s) AS BIGINT) AS max_s,
+              CAST(coalesce(min(CASE WHEN s > 50000000000 THEN i END), -1)
+                AS BIGINT) AS alarm_idx,
+              CAST(coalesce(min(CASE WHEN s > 50000000000 THEN tsn END), -1)
+                AS BIGINT) AS alarm_ts,
+              CAST(max(sn) AS BIGINT) AS max_sn,
+              CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN i END), -1)
+                AS BIGINT) AS alarm_n_idx,
+              CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN tsn END), -1)
+                AS BIGINT) AS alarm_n_ts
+            FROM sc GROUP BY 1)
+        SELECT b.event_type, b.n,
+          coalesce(a.max_s, 0) AS max_s,
+          coalesce(a.alarm_idx, -1) AS alarm_idx,
+          coalesce(a.alarm_ts, -1) AS alarm_ts,
+          coalesce(a.max_sn, 0) AS max_sn,
+          coalesce(a.alarm_n_idx, -1) AS alarm_n_idx,
+          coalesce(a.alarm_n_ts, -1) AS alarm_n_ts
+        FROM base b LEFT JOIN agg a USING (event_type)""")),
 
     // Streaming PERCEPTUAL image dedup — the multimodal decode seam and
     // the streaming dedup index composed, with a FULL oracle: a gray-PNG
