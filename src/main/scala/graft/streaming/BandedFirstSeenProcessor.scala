@@ -46,6 +46,11 @@ class BandedFirstSeenProcessor(maxHamming: Int)
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
   }
 
+  /** MEMORY BOUND: one band-bucket's rows of one micro-batch are
+    * buffered and sorted (see FirstSeenProcessor.handleInputRows for
+    * the full contract) — note the banding explode upstream multiplies
+    * the feed by k+1, but each bucket sees only its own share.
+    */
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
       timers: TimerValues): Iterator[(Long, Long)] = {
     // sort WITHIN the batch; the replay's id-ordered splits guarantee

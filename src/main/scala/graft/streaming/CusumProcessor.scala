@@ -101,6 +101,10 @@ class CusumProcessor(targetMicro: Long, thresholdMicro: Long,
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  /** MEMORY BOUND: one key's rows of one micro-batch are buffered and
+    * sorted (see FirstSeenProcessor.handleInputRows for the full
+    * contract; SkewedKeySpec exercises a 200k-row single-key batch).
+    */
   override def handleInputRows(key: String,
       rows: Iterator[(String, Long, Long, Long)],
       timers: TimerValues)

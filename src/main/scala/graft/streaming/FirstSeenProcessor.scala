@@ -31,6 +31,17 @@ class FirstSeenProcessor
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  /** MEMORY BOUND (the documented buffer contract): `rows.toArray`
+    * materializes ONE key's rows of ONE micro-batch on the executor —
+    * O(hottest key x batch size), never the whole batch or the key's
+    * history. Operators size micro-batches (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) so a hot key's per-batch share fits; a
+    * 200k-row single-key batch is exercised in SkewedKeySpec. The sort
+    * exists only to pin intra-batch order to (ts, id) — feeds that
+    * pre-sort within partitions could stream instead, but Spark gives
+    * no row-order guarantee into handleInputRows, so the buffer is the
+    * portable contract.
+    */
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
       timers: TimerValues): Iterator[(Long, Long, Long)] = {
     // sort WITHIN the batch; the replay's id-ordered splits guarantee
