@@ -1113,11 +1113,33 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
-    // deflate compression-ratio quality signal (rows-only by design —
-    // no SQL deflate exists; determinism and the repetitive-vs-natural
-    // separation are ScalaTest-asserted)
-    q("g90_compress_signal")((s, d) => graft.ops.TextAnalysis.compressionSignals(
-      s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    // deflate compression-ratio quality signal. r9: HASH-MATCH oracled
+    // via the round-trip CRC — the query inflates the stream it just
+    // deflated and CRC-32s the result, and DuckDB recomputes the same
+    // CRC from the raw text bytes (crc32Expr), so the compressed
+    // stream is bound to the exact input content. The deflate LENGTH
+    // is the one remaining irreducible cell (no SQL deflate exists);
+    // its determinism + the repetitive-vs-natural separation stay
+    // ScalaTest-asserted, and it still executes here (crc_rt forces
+    // the full compress+decompress per row).
+    QueryDef("g90_compress_signal",
+      (s, d) => graft.ops.TextAnalysis.compressionSignals(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bytes"), col("crc_rt")),
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = chain("b",
+          "SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes, " +
+            "hex(encode(coalesce(text, ''))) AS hhx FROM documents")
+          .cte("bl", "SELECT doc_id, n_bytes, " +
+            "[((strpos('0123456789ABCDEF', substr(hhx, 2*p-1, 1))-1)*16 + " +
+            "strpos('0123456789ABCDEF', substr(hhx, 2*p, 1))-1) " +
+            "for p in generate_series(1, n_bytes)] AS bl FROM b")
+        ch.render(
+          s"SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+            s"CAST(n_bytes AS BIGINT) AS n_bytes, " +
+            s"CAST(${crc32Expr("bl")} AS BIGINT) AS crc_rt FROM ${ch.last}")
+      }),
 
     // product-quantized ANN (rows-only: float k-means codebook fit, like
     // g49; the ranking math itself is integer-exact and property-tested

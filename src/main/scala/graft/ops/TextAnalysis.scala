@@ -381,19 +381,44 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, false)
+        val inflater = new java.util.zip.Inflater(false)
         val buf = new Array[Byte](8192)
+        val crc = new java.util.zip.CRC32()
         it.map { case (id, text) =>
           val bytes = (if (text == null) "" else text).getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(bytes)
           deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
+          val comp = new java.io.ByteArrayOutputStream()
+          while (!deflater.finished()) {
+            val k = deflater.deflate(buf)
+            comp.write(buf, 0, k)
+          }
+          val n = comp.size().toLong
+          // round-trip CRC: inflate the stream we just wrote and CRC
+          // the result — binds the compressed bytes to the exact input
+          // content, and the SQL oracle recomputes the same CRC-32
+          // from the raw text (DuckXxHash.crc32Expr), so a corrupted
+          // or mismatched deflate stream flips the hash-match. The
+          // deflate LENGTH itself stays the one irreducible cell (no
+          // SQL deflate exists); its determinism and the
+          // repetitive-vs-natural separation are ScalaTest-asserted.
+          inflater.reset()
+          inflater.setInput(comp.toByteArray)
+          crc.reset()
+          while (!inflater.finished()) {
+            val k = inflater.inflate(buf)
+            if (k > 0) crc.update(buf, 0, k)
+            else if (!inflater.finished() && inflater.needsInput())
+              throw new java.util.zip.DataFormatException(
+                "truncated deflate stream")
+          }
           (id, bytes.length.toLong, n,
-            if (bytes.isEmpty) 1000000L else n * 1000000L / bytes.length)
+            if (bytes.isEmpty) 1000000L else n * 1000000L / bytes.length,
+            crc.getValue)
         }
       }
-    out.toDF(idCol, "n_bytes", "n_deflate", "ratio_ppm")
+    out.toDF(idCol, "n_bytes", "n_deflate", "ratio_ppm", "crc_rt")
   }
 
   // --------------------------------------- corpus-level boilerplate removal

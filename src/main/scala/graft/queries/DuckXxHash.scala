@@ -272,6 +272,28 @@ object DuckXxHash {
   def hashStringExpr(pfx: String): String =
     expr(hashStringSteps(pfx))
 
+  /** CRC-32 (the zlib/ISO-HDLC polynomial, reflected 0xEDB88320) over a
+    * byte-list column — the standard byte-at-a-time table fold as one
+    * `list_reduce`: `crc' = (crc >> 8) XOR T[(crc XOR b) & 0xff]`,
+    * seeded and finalized with 0xFFFFFFFF. All values stay below 2^32,
+    * so plain BIGINT xor/shift arithmetic is exact. Matches
+    * `java.util.zip.CRC32` bit-for-bit (CompressionSpec). `blCol` is a
+    * list of byte values 0-255 (the hashStringSteps `<pfx>bl` shape).
+    */
+  def crc32Expr(blCol: String): String = {
+    val table = (0 until 256).map { n =>
+      var c = n.toLong
+      for (_ <- 0 until 8)
+        c = if ((c & 1L) != 0L) 0xEDB88320L ^ (c >>> 1) else c >>> 1
+      c
+    }
+    val t = table.mkString("[", ",", "]")
+    s"xor(list_reduce(list_prepend(4294967295::BIGINT, " +
+      s"list_transform($blCol, zb -> CAST(zb AS BIGINT))), " +
+      s"(zc, zb) -> xor(zc // 256, $t[CAST(xor(zc, zb) % 256 AS INT) + 1])), " +
+      "4294967295)"
+  }
+
   /** The full MinHash draw list for one pre-hash: `[hashInt(j, pre)
     * for j in 0 until numHashes]` as a LIST of signed BIGINTs, with the
     * j-dependent k1 = j*P1 folded to literals — the oracle-side replay

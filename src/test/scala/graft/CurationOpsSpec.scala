@@ -77,6 +77,14 @@ class CurationOpsSpec extends AnyFunSuite {
     val re = TextAnalysis.compressionSignals(df.repartition(7), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(re == got)
+    // the round-trip CRC equals java.util.zip.CRC32 of the raw text —
+    // the g90 oracle recomputes exactly this value in SQL
+    val crcs = TextAnalysis.compressionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    def crcOf(s: String): Long = {
+      val c = new java.util.zip.CRC32(); c.update(s.getBytes("UTF-8")); c.getValue
+    }
+    assert(crcs == Map(1L -> crcOf(rep), 2L -> crcOf(varied), 3L -> crcOf("")))
   }
 
   test("removeBoilerplateChunks: frequent chunks drop, rare survive in order, all-boilerplate docs stay") {
