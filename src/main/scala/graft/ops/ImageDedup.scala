@@ -129,6 +129,27 @@ object ImageDedup {
     bits
   }
 
+  /** Decode a binary payload to a BufferedImage: ImageIO first
+    * (PNG/JPEG/GIF/BMP), then the pure-Scala VP8L decoder for
+    * WebP-lossless payloads ([[WebpLossless]] — r9: the format ImageIO
+    * silently nulls). Null when nothing can read it.
+    */
+  def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    if (bytes == null) return null
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null) return img
+    } catch { case _: Exception => () }
+    WebpLossless.decode(bytes) match {
+      case Some((w, h, px)) =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        img.setRGB(0, 0, w, h, px, 0, w)
+        img
+      case None => null
+    }
+  }
+
   /** Decode + hash a binary image column behind the same typed
     * mapPartitions seam as [[Multimodal.decodeFeatures]]: appends
     * `<binCol>_dhash` (LongType; null when the payload isn't a readable
@@ -146,8 +167,7 @@ object ImageDedup {
         val hash: Any =
           if (bytes == null) null
           else try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            val img = decodeImage(bytes)
             if (img == null) null else Long.box(dHashBits(img))
           } catch { case _: Exception => null }
         Row.fromSeq(r.toSeq :+ hash)
@@ -196,8 +216,12 @@ object ImageDedup {
   /** Deterministic mixed-format fixture payload for the coverage rig:
     * kinds 0-3 are REAL encodes of the [[hashCorpusPng]] image (png /
     * jpeg / gif / bmp — all JDK-decodable), kind 4 is a well-formed
-    * RIFF/WEBP container the JDK cannot decode, kind 5 is non-image
-    * junk, kind 6 is a missing (null) payload.
+    * RIFF/WEBP VP8 (lossy) container nothing here decodes, kind 5 is
+    * non-image junk, kind 6 is a missing (null) payload, and kind 7
+    * (r9) is a REAL WebP-lossless encode of the same fixture image —
+    * decodable through [[WebpLossless]], so the coverage telemetry
+    * measures the lossy-vs-lossless WebP split instead of a blanket
+    * webp-is-null rate.
     */
   def fixturePayload(baseId: Long, kind: Int): Array[Byte] = kind match {
     case 0 => hashCorpusPng(baseId, 0)
@@ -221,6 +245,12 @@ object ImageDedup {
       // misclassified whatever the hash bytes are
       0.toByte +: Array.tabulate(8)(i =>
         (graft.runtime.Rng.mix(baseId * 8 + i) & 0xff).toByte)
+    case 7 =>
+      val nPx = GridW * GridH
+      WebpLossless.encodeGray(Array.tabulate(nPx) { idx =>
+        Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(baseId * nPx + idx, 42L), 201L).toInt
+      }, GridW, GridH)
     case _ => null
   }
 

@@ -1,0 +1,721 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-Scala WebP-lossless (VP8L) codec — the image-format-breadth
+  * answer for crawl corpora: the JDK's ImageIO has no WebP reader, so
+  * WebP payloads (a large share of modern crawls) degraded to null in
+  * every decode seam. This module implements the PUBLIC bitstream
+  * specification (RFC 9649, "WebP Image Format"; the VP8L lossless
+  * format) from scratch:
+  *
+  *  - decoder: RIFF/VP8X/VP8L container walk, LSB-first bit reading,
+  *    canonical prefix codes (DEFLATE conventions — RFC 9649 defines
+  *    them as in RFC 1951, which lets WebpLosslessSpec cross-validate
+  *    the bit-order conventions against java.util.zip's zlib streams),
+  *    simple and code-length-coded prefix codes (incl. the max_symbol
+  *    short form), meta prefix groups, color cache, LZ77 backrefs, and
+  *    the four inverse transforms (predictor / color / subtract-green
+  *    / color-indexing with sub-byte packing).
+  *  - encoder: a spec-clean subset for synthesizer sinks — no
+  *    transforms, optional color cache off, per-channel canonical
+  *    prefix codes emitted through the code-length code, and RLE-style
+  *    LZ77 (distance 1) for runs. The encoder emits ONLY raw distance
+  *    codes (dist + 120), never the 2D neighbor map, so round-trip
+  *    validity does not depend on the one spec table this environment
+  *    cannot cross-check against libwebp (see `distanceMap`).
+  *
+  * Provenance caveat (stated where it matters): everything here is
+  * validated by spec-conformant construction, encoder/decoder
+  * round-trips, hand-built bitstreams, and the zlib convention
+  * cross-check — but no real libwebp-encoded file exists in this
+  * environment, so `distanceMap`'s ORDERING of the 120 near-distance
+  * codes is implemented from the spec's generation rule and documented
+  * as the unverified-against-libwebp surface.
+  */
+object WebpLossless {
+
+  // ------------------------------------------------------------ bit io
+
+  /** LSB-first bit reader (RFC 1951 / RFC 9649 convention): value
+    * fields accumulate low-bit-first; prefix codes are walked one bit
+    * at a time with the FIRST-read bit as the code's MSB.
+    */
+  final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var bit = 0
+    def readBit(): Int = {
+      if (pos >= bytes.length) throw new IllegalArgumentException("eof")
+      val b = (bytes(pos) >> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      b
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+  }
+
+  final class BitWriter {
+    private val buf = ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nb = 0
+    def writeBit(b: Int): Unit = {
+      cur |= (b & 1) << nb
+      nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+    }
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { writeBit((v >> i) & 1); i += 1 }
+    }
+    /** A prefix code: MSB of the code first (the reader's walk order). */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBit((code >> i) & 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      val out = buf.clone()
+      if (nb > 0) out += cur.toByte
+      out.toArray
+    }
+  }
+
+  // ------------------------------------------------- canonical huffman
+
+  /** Canonical prefix code built from code lengths (RFC 1951 rules:
+    * codes assigned in increasing length, ties by symbol order).
+    * `decode` walks bit-by-bit, MSB of the code first. A code with a
+    * SINGLE symbol decodes by consuming zero bits (the VP8L simple-code
+    * degenerate case).
+    */
+  final class Huffman(lengths: Array[Int]) {
+    private val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    private val nonZero = lengths.count(_ > 0)
+    private val single = if (nonZero == 1) lengths.indexWhere(_ > 0) else -1
+    // firstCode(l) = canonical code value of the first symbol at length
+    // l; syms(l) = symbols of length l in order
+    private val firstCode = new Array[Int](maxLen + 2)
+    private val syms = Array.fill(maxLen + 1)(ArrayBuffer[Int]())
+    val codes: Array[(Int, Int)] = { // (code, len) per symbol, len 0 = absent
+      val blCount = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) blCount(l) += 1)
+      var code = 0
+      val next = new Array[Int](maxLen + 1)
+      for (l <- 1 to maxLen) {
+        code = (code + blCount(l - 1)) << 1
+        next(l) = code
+        firstCode(l) = code
+      }
+      val out = new Array[(Int, Int)](lengths.length)
+      for (s <- lengths.indices) {
+        val l = lengths(s)
+        if (l > 0) {
+          out(s) = (next(l), l)
+          next(l) += 1
+          syms(l) += s
+        } else out(s) = (0, 0)
+      }
+      out
+    }
+    def decode(br: BitReader): Int = {
+      if (single >= 0) return single
+      require(nonZero > 0, "decode on an empty prefix code")
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        val off = code - firstCode(len)
+        if (off >= 0 && off < syms(len).length) return syms(len)(off)
+      }
+      throw new IllegalArgumentException("invalid prefix code")
+    }
+  }
+
+  /** Length-limited Huffman code lengths from frequencies: plain
+    * two-queue Huffman, then frequency flattening until the depth
+    * limit holds (fixture-scale inputs never trigger the flattening in
+    * practice; correctness, not optimality, is the contract).
+    */
+  def huffmanLengths(freqs0: Array[Long], limit: Int): Array[Int] = {
+    val n = freqs0.length
+    val used = (0 until n).filter(freqs0(_) > 0)
+    if (used.isEmpty) return new Array[Int](n)
+    if (used.length == 1) {
+      val out = new Array[Int](n); out(used.head) = 1; return out
+    }
+    var freqs = freqs0.clone()
+    var attempt = 0
+    while (attempt < 32) {
+      case class Node(w: Long, depthSyms: List[(Int, Int)])
+      val pq = scala.collection.mutable.PriorityQueue.empty[Node](
+        Ordering.by[Node, Long](_.w).reverse)
+      used.foreach(s => pq.enqueue(Node(freqs(s), List((s, 0)))))
+      while (pq.size > 1) {
+        val a = pq.dequeue(); val b = pq.dequeue()
+        pq.enqueue(Node(a.w + b.w,
+          (a.depthSyms ++ b.depthSyms).map { case (s, d) => (s, d + 1) }))
+      }
+      val ds = pq.dequeue().depthSyms
+      if (ds.forall(_._2 <= limit)) {
+        val out = new Array[Int](n)
+        ds.foreach { case (s, d) => out(s) = d }
+        return out
+      }
+      freqs = freqs.map(f => if (f > 0) 1L + (f >> 2) else 0L)
+      attempt += 1
+    }
+    throw new IllegalStateException("huffman depth limit not reachable")
+  }
+
+  // ------------------------------------------------------ spec tables
+
+  /** Order in which the code-length code's own 3-bit lengths arrive. */
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** The 120 near-distance (dx, dy) codes: every (dx, dy) with
+    * dy in 1..7, dx in -8..7, plus dy = 0 with dx in 1..8, sorted by
+    * squared distance, ties by larger dy first then dx >= 0 before
+    * dx < 0, then |dx| ascending — the spec's published ordering as
+    * best reconstructed here. THE PROVENANCE CAVEAT LIVES HERE: no
+    * libwebp-encoded file exists in this environment to cross-check
+    * the tie order, so files from OTHER encoders that use codes <= 120
+    * rest on this table; our own encoder never emits them (raw
+    * distance codes only), so round-trips are independent of it.
+    */
+  private[ops] val distanceMap: Array[(Int, Int)] = {
+    val cands = (for (dy <- 0 to 7; dx <- -8 to 8
+      if !(dy == 0 && dx <= 0) && !(dy > 0 && dx == 8) && !(dy == 0 && dx > 8))
+      yield (dx, dy)).toArray
+    cands.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, -dy, if (dx >= 0) 0 else 1, math.abs(dx))
+    }.take(120)
+  }
+
+  private def prefixDecode(code: Int, br: BitReader): Int = {
+    if (code < 4) code + 1
+    else {
+      val eb = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << eb
+      offset + br.readBits(eb) + 1
+    }
+  }
+
+  /** (code, extraBits, extraVal) for value v >= 1 (encoder side). */
+  private def prefixEncode(v: Int): (Int, Int, Int) = {
+    val x = v - 1
+    if (x < 4) (x, 0, 0)
+    else {
+      val eb = 31 - Integer.numberOfLeadingZeros(x) - 1
+      val base = x >> eb
+      (2 * eb + base, eb, x - (base << eb))
+    }
+  }
+
+  // ---------------------------------------------------------- decoder
+
+  private final class Group(val green: Huffman, val red: Huffman,
+    val blue: Huffman, val alpha: Huffman, val dist: Huffman)
+
+  private def readPrefixCode(br: BitReader, alphabetSize: Int): Huffman = {
+    val lengths = new Array[Int](alphabetSize)
+    if (br.readBit() == 1) { // simple
+      val numSymbols = br.readBits(1) + 1
+      val first8 = br.readBits(1)
+      val s0 = br.readBits(if (first8 == 1) 8 else 1)
+      lengths(s0) = 1
+      if (numSymbols == 2) {
+        val s1 = br.readBits(8)
+        lengths(s1) = 1
+      }
+      // single-symbol: Huffman handles the zero-bit decode itself
+      new Huffman(lengths)
+    } else {
+      val numCl = 4 + br.readBits(4)
+      val clLengths = new Array[Int](19)
+      for (i <- 0 until numCl) clLengths(ClOrder(i)) = br.readBits(3)
+      val clHuff = new Huffman(clLengths)
+      var maxSymbol =
+        if (br.readBit() == 1) {
+          val lengthNBits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(lengthNBits)
+        } else alphabetSize
+      require(maxSymbol <= alphabetSize, "max_symbol out of range")
+      var symbol = 0
+      var prevLen = 8
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clHuff.decode(br)
+        if (cl < 16) {
+          lengths(symbol) = cl
+          symbol += 1
+          if (cl != 0) prevLen = cl
+        } else if (cl == 16) {
+          val rep = 3 + br.readBits(2)
+          for (_ <- 0 until rep if symbol < alphabetSize) {
+            lengths(symbol) = prevLen; symbol += 1
+          }
+        } else if (cl == 17) {
+          val rep = 3 + br.readBits(3)
+          symbol = math.min(alphabetSize, symbol + rep)
+        } else {
+          val rep = 11 + br.readBits(7)
+          symbol = math.min(alphabetSize, symbol + rep)
+        }
+      }
+      new Huffman(lengths)
+    }
+  }
+
+  /** Decode one image stream (the spec's recursive entry: entropy
+    * images, transform data and the top-level image all share it).
+    * Returns ARGB pixels, row-major.
+    */
+  private def decodeImageStream(br: BitReader, w0: Int, h0: Int,
+      isLevel0: Boolean): Array[Int] = {
+    var w = w0
+    val h = h0
+    // ---- transforms (top level only)
+    var transforms = List.empty[(Int, Array[Int], Int)] // (type, data, bits)
+    var seen = Set.empty[Int]
+    if (isLevel0) {
+      while (br.readBit() == 1) {
+        val t = br.readBits(2)
+        require(!seen(t), s"transform $t repeated")
+        seen += t
+        t match {
+          case 0 | 1 => // predictor / color transform
+            val bits = br.readBits(3) + 2
+            val bw = (w + (1 << bits) - 1) >> bits
+            val bh = (h + (1 << bits) - 1) >> bits
+            val data = decodeImageStream(br, bw, bh, isLevel0 = false)
+            transforms ::= ((t, data, bits))
+          case 2 => // subtract green
+            transforms ::= ((2, Array.empty[Int], 0))
+          case 3 => // color indexing
+            val paletteSize = br.readBits(8) + 1
+            val pal = decodeImageStream(br, paletteSize, 1, isLevel0 = false)
+            // palette entries are delta-coded per channel
+            for (i <- 1 until paletteSize)
+              pal(i) = addPixels(pal(i), pal(i - 1))
+            val widthBits =
+              if (paletteSize <= 2) 3
+              else if (paletteSize <= 4) 2
+              else if (paletteSize <= 16) 1
+              else 0
+            transforms ::= ((3, pal, widthBits))
+            if (widthBits > 0) w = (w + (1 << widthBits) - 1) >> widthBits
+        }
+      }
+    }
+    // ---- color cache
+    val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
+    require(cacheBits <= 11, s"cache bits $cacheBits")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = new Array[Int](math.max(cacheSize, 1))
+    // ---- meta prefix groups
+    var metaBits = 0
+    var meta: Array[Int] = null
+    if (isLevel0 && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      val mw = (w + (1 << metaBits) - 1) >> metaBits
+      val mh = (h + (1 << metaBits) - 1) >> metaBits
+      meta = decodeImageStream(br, mw, mh, isLevel0 = false)
+    }
+    val numGroups =
+      if (meta == null) 1
+      else meta.map(p => ((p >> 8) & 0xffff)).max + 1
+    val groups = Array.fill(numGroups) {
+      new Group(
+        readPrefixCode(br, 256 + 24 + cacheSize),
+        readPrefixCode(br, 256), readPrefixCode(br, 256),
+        readPrefixCode(br, 256), readPrefixCode(br, 40))
+    }
+    // ---- pixel decode
+    val n = w * h
+    val px = new Array[Int](n)
+    def insert(p: Int): Unit =
+      if (cacheBits > 0)
+        cache(((0x1e35a7bd * p) >>> (32 - cacheBits))) = p
+    var i = 0
+    while (i < n) {
+      val g =
+        if (meta == null) groups(0)
+        else {
+          val x = i % w; val y = i / w
+          val mw = (w + (1 << metaBits) - 1) >> metaBits
+          val mp = meta((y >> metaBits) * mw + (x >> metaBits))
+          groups((mp >> 8) & 0xffff)
+        }
+      val s = g.green.decode(br)
+      if (s < 256) {
+        val red = g.red.decode(br)
+        val blue = g.blue.decode(br)
+        val alpha = g.alpha.decode(br)
+        val p = (alpha << 24) | (red << 16) | (s << 8) | blue
+        px(i) = p; insert(p); i += 1
+      } else if (s < 256 + 24) {
+        val length = prefixDecode(s - 256, br)
+        val distCode = prefixDecode(g.dist.decode(br), br)
+        val dist0 =
+          if (distCode > 120) distCode - 120
+          else {
+            val (dx, dy) = distanceMap(distCode - 1)
+            math.max(1, dy * w + dx)
+          }
+        var k = 0
+        while (k < length && i < n) {
+          val p = px(i - dist0)
+          px(i) = p; insert(p); i += 1; k += 1
+        }
+      } else {
+        require(cacheBits > 0, "cache symbol without a cache")
+        px(i) = cache(s - 256 - 24)
+        i += 1
+      }
+    }
+    // ---- inverse transforms, reverse bitstream order
+    var out = px
+    var ow = w
+    transforms.foreach { case (t, data, bits) =>
+      t match {
+        case 3 =>
+          out = inverseColorIndexing(out, ow, h, data, bits, w0)
+          ow = w0
+        case 2 =>
+          out = out.map { p =>
+            val green = (p >> 8) & 0xff
+            val r = ((p >> 16) & 0xff) + green
+            val b = (p & 0xff) + green
+            (p & 0xff00ff00) | ((r & 0xff) << 16) | (b & 0xff)
+          }
+        case 1 => out = inverseColorTransform(out, ow, h, data, bits)
+        case 0 => out = inversePredictor(out, ow, h, data, bits)
+      }
+    }
+    out
+  }
+
+  private def addPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  private def inverseColorIndexing(px: Array[Int], packedW: Int, h: Int,
+      pal: Array[Int], widthBits: Int, realW: Int): Array[Int] = {
+    if (widthBits == 0)
+      return px.map(p => pal(((p >> 8) & 0xff) min (pal.length - 1)))
+    val ppp = 1 << widthBits          // pixels per packed pixel
+    val bpp = 8 >> widthBits          // bits per palette index
+    val mask = (1 << bpp) - 1
+    val out = new Array[Int](realW * h)
+    for (y <- 0 until h; x <- 0 until realW) {
+      val packed = px(y * packedW + (x >> widthBits))
+      val idx = ((packed >> 8) & 0xff) >> (bpp * (x % ppp)) & mask
+      out(y * realW + x) = if (idx < pal.length) pal(idx) else 0
+    }
+    out
+  }
+
+  private def inverseColorTransform(px: Array[Int], w: Int, h: Int,
+      data: Array[Int], bits: Int): Array[Int] = {
+    val bw = (w + (1 << bits) - 1) >> bits
+    val out = new Array[Int](px.length)
+    def delta(t: Byte, c: Byte): Int = (t * c) >> 5
+    for (y <- 0 until h; x <- 0 until w) {
+      val cp = data((y >> bits) * bw + (x >> bits))
+      // ColorTransformElement channel layout (spec): green_to_red in
+      // the BLUE slot, green_to_blue in GREEN, red_to_blue in RED;
+      // all int8, delta = (t * c) >> 5 on signed bytes
+      val g2r = (cp & 0xff).toByte
+      val g2b = ((cp >> 8) & 0xff).toByte
+      val r2b = ((cp >> 16) & 0xff).toByte
+      val p = px(y * w + x)
+      val green = ((p >> 8) & 0xff).toByte
+      var red = (p >> 16) & 0xff
+      var blue = p & 0xff
+      red = (red + delta(g2r, green)) & 0xff
+      blue = (blue + delta(g2b, green)) & 0xff
+      blue = (blue + delta(r2b, red.toByte)) & 0xff
+      out(y * w + x) = (p & 0xff00ff00) | (red << 16) | blue
+    }
+    out
+  }
+
+  private def inversePredictor(px: Array[Int], w: Int, h: Int,
+      data: Array[Int], bits: Int): Array[Int] = {
+    val bw = (w + (1 << bits) - 1) >> bits
+    val out = px.clone()
+    def avg2(a: Int, b: Int): Int = {
+      val aa = (((a >>> 24) + (b >>> 24)) / 2) << 24
+      val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) / 2) << 16
+      val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) / 2) << 8
+      val bb = ((a & 0xff) + (b & 0xff)) / 2
+      aa | rr | gg | bb
+    }
+    def clamp(v: Int): Int = math.max(0, math.min(255, v))
+    def clampAddSubtractFull(a: Int, b: Int, c: Int): Int = {
+      def ch(sh: Int): Int = clamp(((a >> sh) & 0xff) + ((b >> sh) & 0xff) -
+        ((c >> sh) & 0xff))
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    def clampAddSubtractHalf(a: Int, b: Int): Int = {
+      def ch(sh: Int): Int = {
+        val avg = (((a >> sh) & 0xff) + ((b >> sh) & 0xff)) / 2
+        clamp(avg + (avg - ((b >> sh) & 0xff)) / 2)
+      }
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      val pred =
+        if (x == 0 && y == 0) 0xff000000
+        else if (y == 0) out(i - 1)
+        else if (x == 0) out(i - w)
+        else {
+          val mode = (data((y >> bits) * bw + (x >> bits)) >> 8) & 0xff
+          val l = out(i - 1); val t = out(i - w)
+          val tl = out(i - w - 1)
+          val tr = if (x + 1 < w) out(i - w + 1) else out(i - w)
+          mode match {
+            case 0  => 0xff000000
+            case 1  => l
+            case 2  => t
+            case 3  => tr
+            case 4  => tl
+            case 5  => avg2(avg2(l, tr), t)
+            case 6  => avg2(l, tl)
+            case 7  => avg2(l, t)
+            case 8  => avg2(tl, t)
+            case 9  => avg2(t, tr)
+            case 10 => avg2(avg2(l, tl), avg2(t, tr))
+            case 11 => // select: p = L + T - TL per channel (unclamped),
+              // pick whichever of L/T is Manhattan-closer to p
+              def pc(k: Int): Int = ((l >> (8 * k)) & 0xff) +
+                ((t >> (8 * k)) & 0xff) - ((tl >> (8 * k)) & 0xff)
+              def dist(q: Int): Int =
+                (0 to 3).map(k => math.abs(pc(k) - ((q >> (8 * k)) & 0xff))).sum
+              if (dist(l) < dist(t)) l else t
+            case 12 => clampAddSubtractFull(l, t, tl)
+            case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+            case _  => throw new IllegalArgumentException(s"predictor $mode")
+          }
+        }
+      out(i) = addPixels(out(i), pred)
+    }
+    out
+  }
+
+  /** Decode a WebP byte array. Some(width, height, argbPixels) for a
+    * lossless (VP8L) payload this decoder understands; None for lossy
+    * VP8, malformed containers, or any stream feature outside the
+    * implemented spec surface (callers degrade to null — the decode
+    * seam contract).
+    */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try {
+      if (bytes == null || bytes.length < 20) return None
+      def ascii(off: Int, s: String): Boolean =
+        s.indices.forall(i => bytes(off + i) == s(i).toByte)
+      if (!ascii(0, "RIFF") || !ascii(8, "WEBP")) return None
+      // chunk walk: VP8L directly, or inside a VP8X extended container
+      var off = 12
+      var vp8lOff = -1
+      var vp8lLen = -1
+      while (off + 8 <= bytes.length && vp8lOff < 0) {
+        val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
+          ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+        if (ascii(off, "VP8L")) { vp8lOff = off + 8; vp8lLen = size }
+        else off += 8 + size + (size & 1)
+      }
+      if (vp8lOff < 0) return None
+      val payload = bytes.slice(vp8lOff, vp8lOff + vp8lLen)
+      if (payload.isEmpty || payload(0) != 0x2f.toByte) return None
+      val br = new BitReader(payload, 1)
+      val w = br.readBits(14) + 1
+      val h = br.readBits(14) + 1
+      br.readBits(1) // alpha hint
+      if (br.readBits(3) != 0) return None // version must be 0
+      val px = decodeImageStream(br, w, h, isLevel0 = true)
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------------- encoder
+
+  /** Emit one prefix code's lengths through the code-length code (the
+    * general path; falls back to the 1-2 symbol simple form when the
+    * alphabet allows it).
+    */
+  private def writePrefixCode(bw: BitWriter, lengths: Array[Int]): Huffman = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.length <= 2 && used.forall(_ <= 255) && used.nonEmpty) {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(used.length - 1, 1)
+      if (used.head <= 1 && used.length == 1) {
+        bw.writeBits(0, 1) // first symbol in 1 bit
+        bw.writeBits(used.head, 1)
+      } else {
+        bw.writeBits(1, 1)
+        bw.writeBits(used.head, 8)
+      }
+      if (used.length == 2) bw.writeBits(used(1), 8)
+      val norm = new Array[Int](lengths.length)
+      used.foreach(norm(_) = 1)
+      return new Huffman(norm)
+    }
+    bw.writeBits(0, 1) // code-length-coded
+    // CL symbol stream: every length emitted verbatim (0..15); runs of
+    // zeros compressed with 17/18 to keep fixture streams small
+    val clStream = ArrayBuffer[(Int, Int, Int)]() // (clSym, extraBits, extraVal)
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var j = i
+        while (j < lengths.length && lengths(j) == 0) j += 1
+        var run = j - i
+        while (run > 0) {
+          if (run >= 11) {
+            val r = math.min(run, 138); clStream += ((18, 7, r - 11)); run -= r
+          } else if (run >= 3) {
+            val r = math.min(run, 10); clStream += ((17, 3, r - 3)); run -= r
+          } else { clStream += ((0, 0, 0)); run -= 1 }
+        }
+        i = j
+      } else { clStream += ((lengths(i), 0, 0)); i += 1 }
+    }
+    val clFreq = new Array[Long](19)
+    clStream.foreach { case (s, _, _) => clFreq(s) += 1 }
+    val clLengths = huffmanLengths(clFreq, 7)
+    val numCl = math.max(4,
+      ClOrder.lastIndexWhere(clLengths(_) > 0) + 1)
+    bw.writeBits(numCl - 4, 4)
+    for (k <- 0 until numCl) bw.writeBits(clLengths(ClOrder(k)), 3)
+    bw.writeBits(0, 1) // no max_symbol short form
+    val clHuff = new Huffman(clLengths)
+    clStream.foreach { case (s, eb, ev) =>
+      val (code, len) = clHuff.codes(s)
+      bw.writeCode(code, len)
+      if (eb > 0) bw.writeBits(ev, eb)
+    }
+    new Huffman(lengths)
+  }
+
+  /** Test hook: the prefix-code writer, for hand-built spec streams. */
+  private[graft] def writePrefixCodeForTest(bw: BitWriter,
+      lengths: Array[Int]): Huffman = writePrefixCode(bw, lengths)
+
+  /** Encode ARGB pixels as a VP8L stream inside a RIFF/WEBP container.
+    * Spec-clean subset: no transforms, no color cache, one prefix
+    * group, RLE LZ77 (distance 1, raw distance code) for runs of >= 4
+    * identical pixels. Round-trips bit-exactly through [[decode]].
+    */
+  def encode(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && px.length == w * h,
+      s"expected $w x $h = ${w * h} pixels, got ${px.length}")
+    // tokenize: literals + distance-1 runs
+    sealed trait Tok
+    case class Lit(p: Int) extends Tok
+    case class Run(len: Int) extends Tok
+    val toks = ArrayBuffer[Tok]()
+    var i = 0
+    while (i < px.length) {
+      var j = i + 1
+      while (j < px.length && px(j) == px(j - 1) && (j - i) < 4096) j += 1
+      val run = j - i - 1 // pixels equal to the PREVIOUS pixel
+      toks += Lit(px(i))
+      if (run >= 4) { toks += Run(run); i = j }
+      else i += 1
+    }
+    // histograms
+    val gFreq = new Array[Long](256 + 24)
+    val rFreq = new Array[Long](256)
+    val bFreq = new Array[Long](256)
+    val aFreq = new Array[Long](256)
+    val dFreq = new Array[Long](40)
+    toks.foreach {
+      case Lit(p) =>
+        gFreq((p >> 8) & 0xff) += 1
+        rFreq((p >> 16) & 0xff) += 1
+        bFreq(p & 0xff) += 1
+        aFreq((p >>> 24) & 0xff) += 1
+      case Run(len) =>
+        gFreq(256 + prefixEncode(len)._1) += 1
+        dFreq(prefixEncode(1 + 120)._1) += 1
+    }
+    if (dFreq.forall(_ == 0)) dFreq(0) = 1 // the code must still exist
+    val bw = new BitWriter()
+    // container-less VP8L payload first
+    val pw = new BitWriter()
+    pw.writeBits(0x2f, 8)
+    pw.writeBits(w - 1, 14)
+    pw.writeBits(h - 1, 14)
+    pw.writeBits(0, 1) // no alpha hint
+    pw.writeBits(0, 3) // version
+    pw.writeBits(0, 1) // no transforms... (level0: first transform bit)
+    pw.writeBits(0, 1) // no color cache
+    pw.writeBits(0, 1) // no meta prefix
+    val gH = writePrefixCode(pw, huffmanLengths(gFreq, 15))
+    val rH = writePrefixCode(pw, huffmanLengths(rFreq, 15))
+    val bH = writePrefixCode(pw, huffmanLengths(bFreq, 15))
+    val aH = writePrefixCode(pw, huffmanLengths(aFreq, 15))
+    val dH = writePrefixCode(pw, huffmanLengths(dFreq, 15))
+    def put(hf: Huffman, sym: Int): Unit = {
+      val (code, len) = hf.codes(sym)
+      require(len > 0 || hf.codes.count(_._2 > 0) == 1,
+        s"symbol $sym has no code")
+      if (hf.codes.count(_._2 > 0) > 1) pw.writeCode(code, len)
+      // single-symbol codes write zero bits (mirrors the decoder)
+    }
+    toks.foreach {
+      case Lit(p) =>
+        put(gH, (p >> 8) & 0xff)
+        put(rH, (p >> 16) & 0xff)
+        put(bH, p & 0xff)
+        put(aH, (p >>> 24) & 0xff)
+      case Run(len) =>
+        val (lc, leb, lev) = prefixEncode(len)
+        put(gH, 256 + lc)
+        if (leb > 0) pw.writeBits(lev, leb)
+        val (dc, deb, dev) = prefixEncode(1 + 120) // raw distance 1
+        put(dH, dc)
+        if (deb > 0) pw.writeBits(dev, deb)
+    }
+    val payload = pw.toBytes
+    // RIFF wrap
+    val chunkLen = payload.length
+    val riffLen = 4 + 8 + chunkLen + (chunkLen & 1)
+    val out = ArrayBuffer[Byte]()
+    out ++= "RIFF".getBytes("US-ASCII")
+    out ++= le32(riffLen)
+    out ++= "WEBP".getBytes("US-ASCII")
+    out ++= "VP8L".getBytes("US-ASCII")
+    out ++= le32(chunkLen)
+    out ++= payload
+    if ((chunkLen & 1) == 1) out += 0
+    out.toArray
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+
+  /** Gray convenience encoder (the image-sink analog of
+    * [[ImageDedup.grayPng]]): lumas row-major, clamped to [0, 255],
+    * written r=g=b=v with alpha 255.
+    */
+  def encodeGray(lumas: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val px = lumas.map { v0 =>
+      val v = math.max(0, math.min(255, v0))
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+    encode(px, w, h)
+  }
+}

@@ -4222,7 +4222,7 @@ object PipelineQueries {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
       val rig = docs(s, d).select(col("doc_id").cast("long").as("base_id"),
-        pmod(xxhash64(col("doc_id").cast("long")), lit(7L)).cast("int").as("kind"))
+        pmod(xxhash64(col("doc_id").cast("long")), lit(8L)).cast("int").as("kind"))
       val outSchema = StructType(Seq(StructField("base_id", LongType),
         StructField("img", BinaryType)))
       implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -4239,14 +4239,18 @@ object PipelineQueries {
       val ch = chain("s0",
         s"SELECT doc_id, ${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
         .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
-        .cte("k", s"SELECT ${pmod("h1out", 7L)} AS kind FROM ${"c_h1out"}")
+        .cte("k", s"SELECT ${pmod("h1out", 8L)} AS kind FROM ${"c_h1out"}")
+      // kind 4 = lossy VP8 container (format webp, NOT decodable);
+      // kind 7 = VP8L lossless (format webp, decodable via the r9
+      // pure-Scala decoder) — the webp row's n/n_decodable split IS
+      // the lossy-vs-lossless telemetry
       ch.render("""SELECT
           CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-            WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp' WHEN 5 THEN 'other'
-            ELSE 'missing' END AS format,
+            WHEN 3 THEN 'bmp' WHEN 5 THEN 'other' WHEN 6 THEN 'missing'
+            ELSE 'webp' END AS format,
           CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(CASE WHEN kind <= 3 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_decodable
+          CAST(sum(CASE WHEN kind <= 3 OR kind = 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_decodable
         FROM k GROUP BY 1""")
     },
   )

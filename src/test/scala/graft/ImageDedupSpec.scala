@@ -100,17 +100,30 @@ class ImageDedupSpec extends AnyFunSuite {
   }
 
   test("imageFormat classifies every fixture kind by magic bytes; decodeCoverage counts decodability") {
-    val rows = (0L until 70L).map(i => (i, ImageDedup.fixturePayload(i, (i % 7).toInt)))
+    val rows = (0L until 80L).map(i => (i, ImageDedup.fixturePayload(i, (i % 8).toInt)))
     val df = rows.toDF("id", "img")
     val fmts = df.select(col("id"), ImageDedup.imageFormat(col("img")).as("f"))
-      .collect().map(r => (r.getLong(0) % 7, r.getString(1))).distinct.sortBy(_._1)
+      .collect().map(r => (r.getLong(0) % 8, r.getString(1))).distinct.sortBy(_._1)
     assert(fmts.toSeq == Seq(0L -> "png", 1L -> "jpeg", 2L -> "gif",
-      3L -> "bmp", 4L -> "webp", 5L -> "other", 6L -> "missing"))
+      3L -> "bmp", 4L -> "webp", 5L -> "other", 6L -> "missing",
+      7L -> "webp"))
+    // the webp row splits: lossy VP8 containers stay null, VP8L decodes
+    // through the pure-Scala decoder
     val cov = ImageDedup.decodeCoverage(df, "img")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(cov == Map("png" -> (10L, 10L), "jpeg" -> (10L, 10L),
-      "gif" -> (10L, 10L), "bmp" -> (10L, 10L), "webp" -> (10L, 0L),
+      "gif" -> (10L, 10L), "bmp" -> (10L, 10L), "webp" -> (20L, 10L),
       "other" -> (10L, 0L), "missing" -> (10L, 0L)))
+  }
+
+  test("a VP8L webp of the fixture image dHashes identically to its PNG") {
+    for (base <- 0L until 20L) {
+      val png = ImageDedup.fixturePayload(base, 0)
+      val webp = ImageDedup.fixturePayload(base, 7)
+      val hPng = ImageDedup.dHashBits(ImageDedup.decodeImage(png))
+      val hWebp = ImageDedup.dHashBits(ImageDedup.decodeImage(webp))
+      assert(hPng == hWebp, s"base $base")
+    }
   }
 
   test("a tiff header classifies as tiff (both byte orders)") {

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.WebpLossless
+
+class WebpLosslessSpec extends AnyFunSuite {
+
+  private def gray(seed: Long, n: Int, mod: Int = 201): Array[Int] =
+    Array.tabulate(n)(i =>
+      Math.floorMod(graft.runtime.Rng.mix(seed * 10000 + i), mod.toLong).toInt)
+
+  test("zlib cross-check: canonical prefix-code conventions match RFC 1951 as implemented by java.util.zip") {
+    // VP8L uses DEFLATE's canonical-code + bit-packing conventions
+    // (RFC 9649 defines prefix codes per RFC 1951). Decode a real
+    // zlib FIXED-Huffman block with OUR BitReader + Huffman and
+    // compare against the known plaintext: if the bit order or the
+    // canonical assignment were mirrored, this cannot pass.
+    val text = "abcabcabcXYZ".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED, true) // raw deflate, no zlib wrap
+    d.setInput(text); d.finish()
+    val buf = new Array[Byte](256)
+    val k = d.deflate(buf)
+    val stream = buf.take(k)
+    val br = new WebpLossless.BitReader(stream, 0)
+    val bfinal = br.readBit()
+    val btype = br.readBits(2)
+    assert(bfinal == 1)
+    // only proceed when the JDK emitted a fixed-Huffman block (btype 1);
+    // stored/dynamic would test nothing
+    assume(btype == 1, s"JDK chose block type $btype; fixed expected")
+    // RFC 1951 fixed literal/length code lengths
+    val lengths = Array.tabulate(288)(i =>
+      if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8)
+    val huff = new WebpLossless.Huffman(lengths)
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    val distLengths = Array.fill(30)(5)
+    val distHuff = new WebpLossless.Huffman(distLengths)
+    val lenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27,
+      31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+    val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+      3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+    val distBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+      129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+      8193, 12289, 16385, 24577)
+    val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+      7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+    var sym = huff.decode(br)
+    while (sym != 256) {
+      if (sym < 256) out += sym.toByte
+      else {
+        val li = sym - 257
+        val len = lenBase(li) + br.readBits(lenExtra(li))
+        val di = distHuff.decode(br)
+        val dist = distBase(di) + br.readBits(distExtra(di))
+        // overlap-capable copy (dist may be < len)
+        for (_ <- 0 until len) out += out(out.length - dist)
+      }
+      sym = huff.decode(br)
+    }
+    assert(out.toArray.sameElements(text))
+  }
+
+  test("encode/decode round-trips gray pixels bit-exactly (varied and run-heavy)") {
+    for ((seed, w, h) <- Seq((1L, 9, 8), (2L, 33, 17), (3L, 1, 1), (4L, 64, 1))) {
+      val lumas = gray(seed, w * h)
+      val bytes = WebpLossless.encodeGray(lumas, w, h)
+      val Some((dw, dh, px)) = WebpLossless.decode(bytes)
+      assert((dw, dh) == ((w, h)))
+      assert(px.map(p => (p >> 8) & 0xff).sameElements(lumas), s"seed $seed")
+      assert(px.forall(p => (p >>> 24) == 0xff &&
+        ((p >> 16) & 0xff) == ((p >> 8) & 0xff) &&
+        (p & 0xff) == ((p >> 8) & 0xff)))
+    }
+    // run-heavy image: exercises the RLE LZ77 path (raw distance codes)
+    val runs = Array.tabulate(40 * 10)(i => (i / 100) * 37 % 256)
+    val bytes = WebpLossless.decode(WebpLossless.encodeGray(runs, 40, 10))
+    assert(bytes.get._3.map(p => (p >> 8) & 0xff).sameElements(runs))
+  }
+
+  test("encode/decode round-trips full-color ARGB pixels") {
+    val px = Array.tabulate(30 * 7) { i =>
+      val m = graft.runtime.Rng.mix(77L * 1000 + i)
+      (0xff000000 | (m & 0xffffff)).toInt
+    }
+    val Some((w, h, got)) = WebpLossless.decode(WebpLossless.encode(px, 30, 7))
+    assert((w, h) == ((30, 7)) && got.sameElements(px))
+  }
+
+  test("hand-built stream: CL-coded green, simple channels, and a color cache decode per spec") {
+    // 4x1 image: literal(r10 g20 b30 a255), literal(r40 g20 b30 a255),
+    // a color-cache hit, literal again. The cache symbol (>= 280) needs
+    // the CL-coded green path (simple codes carry 8-bit symbols only).
+    val p1 = 0xff0a141e // a=255 r=10 g=20 b=30
+    val cacheIdx = ((0x1e35a7bd * p1) >>> (32 - 4))
+    val bw2 = new WebpLossless.BitWriter()
+    bw2.writeBits(0x2f, 8)
+    bw2.writeBits(3, 14); bw2.writeBits(0, 14)
+    bw2.writeBits(0, 1); bw2.writeBits(0, 3)
+    bw2.writeBits(0, 1)
+    bw2.writeBits(1, 1); bw2.writeBits(4, 4)
+    bw2.writeBits(0, 1)
+    // green: CL-coded lengths: {20 -> 1, 280+cacheIdx -> 1}
+    val gl = new Array[Int](256 + 24 + 16)
+    gl(20) = 1; gl(280 + cacheIdx) = 1
+    val gHuff = writeClCoded(bw2, gl)
+    // red: {10, 40}; blue: {30}; alpha: {255}; dist: {0}
+    val rHuff = writeSimple2(bw2, 10, 40)
+    writeSimple1(bw2, 30)  // blue
+    writeSimple1(bw2, 255) // alpha
+    writeSimple1(bw2, 0)   // distance
+    // pixels: lit(g=20, r=10, b=30, a=255); lit(g=20, r=40, ...); cache
+    // hit of pixel 2's slot... pixel2 overwrote pixel1's? different
+    // hashes unless colliding - use cache idx of PIXEL 2
+    val p2 = 0xff28141e
+    val idx2 = ((0x1e35a7bd * p2) >>> (32 - 4))
+    // green code: symbol 20 then r=10 (codes from our writers)
+    putCode(bw2, gHuff, 20); putCode(bw2, rHuff, 10)
+    putCode(bw2, gHuff, 20); putCode(bw2, rHuff, 40)
+    // cache symbol for p2 only if the green table carried it: we wrote
+    // 280 + cacheIdx (of p1). For the test just reference p1's slot,
+    // and make pixel 3 a cache hit of p1:
+    putCode(bw2, gHuff, 280 + cacheIdx)
+    putCode(bw2, gHuff, 20); putCode(bw2, rHuff, 10)
+    val payload = bw2.toBytes
+    val riff = riffWrap(payload)
+    val Some((w, h, px)) = WebpLossless.decode(riff)
+    assert((w, h) == ((4, 1)))
+    assert(px(0) == p1 && px(1) == p2)
+    assert(px(2) == (if (idx2 == cacheIdx) p2 else p1),
+      "cache hit returns the most recent pixel hashed into that slot")
+    assert(px(3) == p1)
+  }
+
+  // --- tiny helpers for the hand-built stream ---
+  private def writeSimple2(bw: WebpLossless.BitWriter, s0: Int, s1: Int)
+      : WebpLossless.Huffman = {
+    bw.writeBits(1, 1); bw.writeBits(1, 1)
+    bw.writeBits(1, 1); bw.writeBits(s0, 8); bw.writeBits(s1, 8)
+    val l = new Array[Int](256); l(s0) = 1; l(s1) = 1
+    new WebpLossless.Huffman(l)
+  }
+  private def writeSimple1(bw: WebpLossless.BitWriter, s0: Int): Unit = {
+    bw.writeBits(1, 1); bw.writeBits(0, 1)
+    bw.writeBits(1, 1); bw.writeBits(s0, 8)
+  }
+  private def writeClCoded(bw: WebpLossless.BitWriter, lengths: Array[Int])
+      : WebpLossless.Huffman =
+    WebpLossless.writePrefixCodeForTest(bw, lengths)
+  private def putCode(bw: WebpLossless.BitWriter,
+      huff: WebpLossless.Huffman, sym: Int): Unit = {
+    val (code, len) = huff.codes(sym)
+    if (huff.codes.count(_._2 > 0) > 1) bw.writeCode(code, len)
+  }
+  private def riffWrap(payload: Array[Byte]): Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    val n = payload.length
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + n + (n & 1)) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8L".getBytes("US-ASCII") ++
+      le32(n) ++ payload ++ (if ((n & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+  }
+
+  test("subtract-green and color-indexing inverse transforms decode from hand-built streams") {
+    // subtract-green: literal green g, red/blue stored as (c - g) mod 256
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(1, 14); bw.writeBits(0, 14) // 2x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(1, 1); bw.writeBits(2, 2) // transform: subtract green
+    bw.writeBits(0, 1) // no more transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(0, 1) // no meta
+    val gH = writeSimple2(bw, 100, 7)
+    val rH = writeSimple2(bw, (150 - 100) & 0xff, (10 - 7) & 0xff)
+    val bH = writeSimple2(bw, (50 - 100) & 0xff, (200 - 7) & 0xff)
+    writeSimple1(bw, 255); writeSimple1(bw, 0)
+    putCode(bw, gH, 100); putCode(bw, rH, 50); putCode(bw, bH, 206)
+    putCode(bw, gH, 7); putCode(bw, rH, 3); putCode(bw, bH, 193)
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    assert(px(0) == 0xff966432.toInt, f"got ${px(0)}%08x") // a255 r150 g100 b50
+    assert(px(1) == 0xff0a07c8.toInt, f"got ${px(1)}%08x") // a255 r10 g7 b200
+  }
+
+  test("malformed payloads degrade to None, never throw") {
+    assert(WebpLossless.decode(null).isEmpty)
+    assert(WebpLossless.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(WebpLossless.decode("RIFFxxxxWEBPVP8 "
+      .getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)).isEmpty)
+    // truncated valid stream
+    val good = WebpLossless.encodeGray(gray(9L, 72), 9, 8)
+    assert(WebpLossless.decode(good.take(good.length - 6)).isEmpty)
+  }
+}
