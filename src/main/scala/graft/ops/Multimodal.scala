@@ -52,22 +52,26 @@ object Multimodal {
     (width, height, 3, features)
   }
 
-  /** Real image decode through the JDK's ImageIO (PNG/JPEG/GIF/BMP).
-    * Returns None for payloads that aren't a readable image — the caller
-    * falls back to the stub. A magic-byte sniff runs first so arbitrary
-    * binary blobs don't pay ImageIO's reader-discovery cost per row.
+  /** Real image decode: the JDK's ImageIO (PNG/JPEG/GIF/BMP) plus the
+    * pure-Scala VP8L fallback for WebP-lossless (r9 — lossy VP8 and
+    * undecodable WebP still return None). Returns None for payloads
+    * that aren't a readable image — the caller falls back to the stub.
+    * A magic-byte sniff runs first so arbitrary binary blobs don't pay
+    * ImageIO's reader-discovery cost per row.
     */
   private[ops] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    if (bytes == null || bytes.length < 8) return None
+    if (bytes == null || bytes.length < 12) return None
     def b(i: Int): Int = bytes(i) & 0xff
     val looksImage =
       (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // png
         (b(0) == 0xff && b(1) == 0xd8) ||                            // jpeg
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||               // gif
-        (b(0) == 'B' && b(1) == 'M')                                 // bmp
+        (b(0) == 'B' && b(1) == 'M') ||                              // bmp
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') // webp
     if (!looksImage) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = ImageDedup.decodeImage(bytes)
       if (img == null) None
       else {
         val w = img.getWidth
@@ -173,7 +177,7 @@ object Multimodal {
         val resized: Array[Byte] =
           if (bytes == null) null
           else try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = ImageDedup.decodeImage(bytes) // ImageIO, then VP8L
             if (img == null) null
             else {
               val out = new java.awt.image.BufferedImage(width, height,

@@ -191,4 +191,21 @@ class WebpLosslessSpec extends AnyFunSuite {
     val good = WebpLossless.encodeGray(gray(9L, 72), 9, 8)
     assert(WebpLossless.decode(good.take(good.length - 6)).isEmpty)
   }
+
+  test("the multimodal seams accept VP8L payloads: features and resize") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lumas = gray(21L, 36 * 32, 200)
+    val webp = WebpLossless.encodeGray(lumas, 36, 32)
+    val df = Seq((1L, webp)).toDF("id", "img")
+    val feats = graft.ops.Multimodal.decodeFeatures(df, "img")
+      .select(col("img_decoded.width"), col("img_decoded.height")).collect()
+    assert(feats.head.getInt(0) == 36 && feats.head.getInt(1) == 32)
+    val resized = graft.ops.Multimodal.resizeImages(df, "img", 9, 8)
+      .select(col("img_resized")).collect().head.getAs[Array[Byte]](0)
+    assert(resized != null)
+    val img = graft.ops.ImageDedup.decodeImage(resized)
+    assert(img.getWidth == 9 && img.getHeight == 8)
+  }
 }
