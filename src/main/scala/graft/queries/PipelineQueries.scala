@@ -4034,51 +4034,99 @@ object PipelineQueries {
     * picks — so every normalization rule (case, www, port, slash,
     * param filter+sort, fragment) is proven, not just run.
     */
+  /** The hash-derived messy URL of a doc (shared by q142 and the q145
+    * pipeline capstone): random scheme case, `WwW.`/`cdn.` prefixes, 8
+    * TLD cases spanning the PSL rule families, default/non-default
+    * ports, trailing slashes, shuffled tracking params, fragments.
+    */
+  private def messyUrlCol: org.apache.spark.sql.Column = {
+    def peel(c: org.apache.spark.sql.Column, m: Int)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+      ((c % m).cast("long"), (c / lit(m)).cast("long"))
+    val u0 = pmod(xxhash64(col("doc_id")), lit(1000000000L))
+    val (scheme, r1) = peel(u0, 4) // 0 http, 1 HTTP, 2 https, 3 HTTPS
+    val (www, r2) = peel(r1, 2)
+    val (sub, r3) = peel(r2, 2)
+    val (word, r4) = peel(r3, 50)
+    // r9: widened 4 -> 8 to exercise the PSL-backed registrable
+    // domain — com.cn (ICANN 2nd-level), github.io (private
+    // section), gen.ck (*.ck wildcard), kawasaki.jp (wildcard whose
+    // direct children are themselves public suffixes)
+    val (tld, r5) = peel(r4, 8)
+    val (port, r6) = peel(r5, 3) // 0 none, 1 scheme default, 2 :8080
+    val (pathN, r7) = peel(r6, 100)
+    val (slash, r8) = peel(r7, 2)
+    val (ord, r9) = peel(r8, 2)
+    val (frag, r10) = peel(r9, 2)
+    val (qv, r11) = peel(r10, 10)
+    val (idv, _) = peel(r11, 10)
+    val schemeStr = element_at(array(lit("http"), lit("HTTP"),
+      lit("https"), lit("HTTPS")), (scheme + 1).cast("int"))
+    val isHttps = scheme >= 2
+    val tldStr = element_at(array(lit(".com"), lit(".org"),
+      lit(".co.uk"), lit(".de"), lit(".com.cn"), lit(".github.io"),
+      lit(".gen.ck"), lit(".kawasaki.jp")), (tld + 1).cast("int"))
+    val hostCore = concat(when(sub === 1, lit("cdn.")).otherwise(lit("")),
+      lit("site"), word.cast("string"), tldStr)
+    val messyHost = concat(when(www === 1, lit("WwW.")).otherwise(lit("")),
+      hostCore)
+    val portStr = when(port === 1,
+      when(isHttps, lit(":443")).otherwise(lit(":80")))
+      .when(port === 2, lit(":8080")).otherwise(lit(""))
+    val pathStr = concat(lit("/p/"), pathN.cast("string"),
+      when(slash === 1, lit("/")).otherwise(lit("")))
+    val pq = concat(lit("q="), qv.cast("string"))
+    val pid = concat(lit("id="), idv.cast("string"))
+    val qstr = when(ord === 0, concat(pq, lit("&utm_source=track&"), pid))
+      .otherwise(concat(lit("utm_source=track&"), pid, lit("&"), pq))
+    val fragStr = when(frag === 1, lit("#sec")).otherwise(lit(""))
+    concat(schemeStr, lit("://"), messyHost, portStr, pathStr,
+      lit("?"), qstr, fragStr)
+  }
+
+  /** The q142/q145 oracle-side domain expression (expects the `picks`
+    * CTE columns word / tld / sub in scope): the PSL-expected
+    * registrable domain, incl. the kawasaki.jp NULL branch.
+    */
+  private val oracleDomainSql: String =
+    """CASE WHEN tld = 7 THEN
+        (CASE sub WHEN 1 THEN 'cdn.site' || CAST(word AS VARCHAR)
+           || '.kawasaki.jp' ELSE NULL END)
+      ELSE 'site' || CAST(word AS VARCHAR) ||
+        (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+          WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
+          WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
+          ELSE '.gen.ck' END) END"""
+
+  /** The oracle-side hash-picks chain shared by q142/q145 (XXH64 of
+    * doc_id replayed, then the peel fields). `urlPicksChain2` runs the
+    * same picks over an arbitrary (doc_id, text) source CTE named
+    * `crawled` (q145's planted re-crawls).
+    */
+  private def urlPicksChain: DuckXxHash.Chain =
+    urlPicksChain2("SELECT doc_id, text FROM documents")
+
+  private def urlPicksChain2(crawledSql: String): DuckXxHash.Chain = {
+    import DuckXxHash._
+    chain("crawled", crawledSql)
+      .cte("s0",
+        s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM crawled")
+      .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .cte("u", s"SELECT doc_id, ${pmod("h1out", 1000000000L)} AS u0 FROM c_h1out")
+      .cte("picks", """SELECT doc_id,
+          u0 % 4 AS s, u0 // 4 % 2 AS www, u0 // 8 % 2 AS sub,
+          u0 // 16 % 50 AS word, u0 // 800 % 8 AS tld,
+          u0 // 6400 % 3 AS port, u0 // 19200 % 100 AS pathn,
+          u0 // 1920000 % 2 AS slash, u0 // 3840000 % 2 AS ord,
+          u0 // 7680000 % 2 AS frag, u0 // 15360000 % 10 AS qv,
+          u0 // 153600000 % 10 AS idv
+        FROM u""")
+  }
+
   val q142_url_canonical = QueryDef(
     "q142_url_canonical",
     (s, d) => {
-      def peel(c: org.apache.spark.sql.Column, m: Int)
-          : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
-        ((c % m).cast("long"), (c / lit(m)).cast("long"))
-      val u0 = pmod(xxhash64(col("doc_id")), lit(1000000000L))
-      val (scheme, r1) = peel(u0, 4) // 0 http, 1 HTTP, 2 https, 3 HTTPS
-      val (www, r2) = peel(r1, 2)
-      val (sub, r3) = peel(r2, 2)
-      val (word, r4) = peel(r3, 50)
-      // r9: widened 4 -> 8 to exercise the PSL-backed registrable
-      // domain — com.cn (ICANN 2nd-level), github.io (private
-      // section), gen.ck (*.ck wildcard), kawasaki.jp (wildcard whose
-      // direct children are themselves public suffixes)
-      val (tld, r5) = peel(r4, 8)
-      val (port, r6) = peel(r5, 3) // 0 none, 1 scheme default, 2 :8080
-      val (pathN, r7) = peel(r6, 100)
-      val (slash, r8) = peel(r7, 2)
-      val (ord, r9) = peel(r8, 2)
-      val (frag, r10) = peel(r9, 2)
-      val (qv, r11) = peel(r10, 10)
-      val (idv, _) = peel(r11, 10)
-      val schemeStr = element_at(array(lit("http"), lit("HTTP"),
-        lit("https"), lit("HTTPS")), (scheme + 1).cast("int"))
-      val isHttps = scheme >= 2
-      val tldStr = element_at(array(lit(".com"), lit(".org"),
-        lit(".co.uk"), lit(".de"), lit(".com.cn"), lit(".github.io"),
-        lit(".gen.ck"), lit(".kawasaki.jp")), (tld + 1).cast("int"))
-      val hostCore = concat(when(sub === 1, lit("cdn.")).otherwise(lit("")),
-        lit("site"), word.cast("string"), tldStr)
-      val messyHost = concat(when(www === 1, lit("WwW.")).otherwise(lit("")),
-        hostCore)
-      val portStr = when(port === 1,
-        when(isHttps, lit(":443")).otherwise(lit(":80")))
-        .when(port === 2, lit(":8080")).otherwise(lit(""))
-      val pathStr = concat(lit("/p/"), pathN.cast("string"),
-        when(slash === 1, lit("/")).otherwise(lit("")))
-      val pq = concat(lit("q="), qv.cast("string"))
-      val pid = concat(lit("id="), idv.cast("string"))
-      val qstr = when(ord === 0, concat(pq, lit("&utm_source=track&"), pid))
-        .otherwise(concat(lit("utm_source=track&"), pid, lit("&"), pq))
-      val fragStr = when(frag === 1, lit("#sec")).otherwise(lit(""))
-      val url = concat(schemeStr, lit("://"), messyHost, portStr, pathStr,
-        lit("?"), qstr, fragStr)
+      val url = messyUrlCol
       docs(s, d).select(col("doc_id"), url.as("url"))
         .select(col("doc_id"), col("url"),
           graft.ops.UrlOps.canonicalizeUrl(col("url")).as("canon"),
@@ -4086,20 +4134,8 @@ object PipelineQueries {
             graft.ops.UrlOps.canonicalHost(col("url"))).as("domain"))
     },
     Some {
-      import DuckXxHash._
-      val ch = chain("s0",
-        s"SELECT doc_id, ${unsigned("doc_id")} AS v FROM documents")
-        .steps(hashLongSteps("h1", "v", "42::HUGEINT"))
-        .cte("u", s"SELECT doc_id, ${pmod("h1out", 1000000000L)} AS u0 FROM c_h1out")
-        .cte("picks", """SELECT doc_id,
-            u0 % 4 AS s, u0 // 4 % 2 AS www, u0 // 8 % 2 AS sub,
-            u0 // 16 % 50 AS word, u0 // 800 % 8 AS tld,
-            u0 // 6400 % 3 AS port, u0 // 19200 % 100 AS pathn,
-            u0 // 1920000 % 2 AS slash, u0 // 3840000 % 2 AS ord,
-            u0 // 7680000 % 2 AS frag, u0 // 15360000 % 10 AS qv,
-            u0 // 153600000 % 10 AS idv
-          FROM u""")
-        .cte("parts", """SELECT doc_id,
+      val ch = urlPicksChain
+        .cte("parts", s"""SELECT doc_id,
             CASE s WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
               WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme_messy,
             CASE WHEN s >= 2 THEN 'https' ELSE 'http' END AS scheme_canon,
@@ -4113,14 +4149,7 @@ object PipelineQueries {
             -- (public suffix + 1 label); kawasaki.jp is a wildcard
             -- block, so siteN.kawasaki.jp is ITSELF a public suffix —
             -- registrable only when the cdn. label exists
-            CASE WHEN tld = 7 THEN
-              (CASE sub WHEN 1 THEN 'cdn.site' || CAST(word AS VARCHAR)
-                 || '.kawasaki.jp' ELSE NULL END)
-            ELSE 'site' || CAST(word AS VARCHAR) ||
-              (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-                WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
-                WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
-                ELSE '.gen.ck' END) END AS domain,
+            $oracleDomainSql AS domain,
             CASE www WHEN 1 THEN 'WwW.' ELSE '' END AS wprefix,
             CASE port WHEN 1 THEN (CASE WHEN s >= 2 THEN ':443' ELSE ':80' END)
               WHEN 2 THEN ':8080' ELSE '' END AS port_messy,
@@ -4255,8 +4284,85 @@ object PipelineQueries {
     },
   )
 
+  /** The crawl-curation pipeline CAPSTONE: every stage a real crawl
+    * pass runs, composed end-to-end in one plan — messy-URL
+    * canonicalization + PSL registrable domain (q142's operators),
+    * whitespace-normalized exact dedup with keep-first survivors
+    * (q21/q22), token counting and quality scoring on the survivors
+    * (q24/q25), rolled up per domain. The oracle composes the same
+    * stages in SQL, so the hash-match proves the INTEGRATION, not just
+    * the parts: domain attribution (incl. the NULL-registrable
+    * kawasaki.jp branch grouping), survivor selection, and the
+    * survivor-gated aggregates all have to line up at once.
+    *
+    * Scale shape: one scan (URL + fingerprint are pure expressions),
+    * one fingerprint-keyed shuffle for the keep-first window, one
+    * domain-keyed partial-aggregated rollup. No joins, nothing
+    * quadratic; the same plan at 100 TB.
+    */
+  val q145_crawl_pipeline = QueryDef(
+    "q145_crawl_pipeline",
+    (s, d) => {
+      val nTok = length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1
+      val nLetters = length(regexp_replace(col("text"), " ", ""))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      // planted re-crawls: every 3rd document fetched again under a
+      // DIFFERENT id (hence a different URL and possibly a different
+      // domain) — the dedup gate must drop the copy while the domain
+      // rollup still counts its fetch, which is exactly the
+      // crawl-dedup accounting a real pipeline needs
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val crawled = base.unionAll(base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      crawled
+        .select(col("doc_id"), col("text"), messyUrlCol.as("url"))
+        .withColumn("domain", graft.ops.UrlOps.registrableDomain(
+          graft.ops.UrlOps.canonicalHost(col("url"))))
+        .withColumn("fp",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(w))
+        .select(col("domain"), (col("rn") === 1).cast("int").as("surv"),
+          nTok.cast("long").as("n_tokens"),
+          floor(nLetters * 1000.0 / nTok).cast("long").as("q_milli"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("surv").as("n_survivors"),
+          sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
+            .as("sum_tokens"),
+          sum(when(col("surv") === 1, col("q_milli")).otherwise(0L))
+            .as("sum_quality_milli"))
+    },
+    Some {
+      val ch = urlPicksChain2(
+        """SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0""")
+        .cte("dom", s"SELECT doc_id, $oracleDomainSql AS domain FROM picks")
+        .cte("en", """SELECT dom.domain,
+            row_number() OVER (
+              PARTITION BY md5(regexp_replace(lower(d.text), '\s+', ' ', 'g'))
+              ORDER BY d.doc_id) AS rn,
+            CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+              AS BIGINT) AS n_tokens,
+            CAST(floor(length(replace(d.text, ' ', '')) * 1000.0 /
+              (length(d.text) - length(replace(d.text, ' ', '')) + 1))
+              AS BIGINT) AS q_milli
+          FROM crawled d JOIN dom ON dom.doc_id = d.doc_id""")
+      ch.render("""SELECT domain,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_survivors,
+          CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+            AS sum_tokens,
+          CAST(sum(CASE WHEN rn = 1 THEN q_milli ELSE 0 END) AS BIGINT)
+            AS sum_quality_milli
+        FROM en GROUP BY 1""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q144_image_coverage,
+    q144_image_coverage, q145_crawl_pipeline,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,
