@@ -161,6 +161,146 @@ class WebpLosslessSpec extends AnyFunSuite {
       le32(n) ++ payload ++ (if ((n & 1) == 1) Array(0.toByte) else Array.empty[Byte])
   }
 
+  test("near-distance (2D) LZ77 codes: dist code 1 copies the pixel directly above") {
+    // 6x2 gray image: row 0 literal, row 1 one backref of length 6 with
+    // dist CODE 1 -> distanceMap(0) = (0,1) -> distance = width. Pins
+    // the first entry of the 2D table and the <=120 decode path (our
+    // encoder never emits these; real encoders always do).
+    val w = 6
+    val row0 = Array(10, 40, 10, 70, 40, 90)
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(w - 1, 14); bw.writeBits(1, 14) // 6x2
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(0, 1) // no meta
+    // green alphabet: literals {10,40,70,90} + length symbol 256+4
+    // (length 6: x=5, eb=1, base=2 -> code 4, extra bit 1)
+    // five symbols: length 2 would violate Kraft (max 4 codes), use 3
+    val gl = new Array[Int](256 + 24)
+    Seq(10, 40, 70, 90).foreach(gl(_) = 3); gl(256 + 4) = 3
+    val gH = writeClCoded(bw, gl)
+    val rl = new Array[Int](256); Seq(10, 40, 70, 90).foreach(rl(_) = 2)
+    val rH = writeClCoded(bw, rl)
+    val bl = new Array[Int](256); Seq(10, 40, 70, 90).foreach(bl(_) = 2)
+    val bH = writeClCoded(bw, bl)
+    writeSimple1(bw, 255) // alpha
+    writeSimple1(bw, 0)   // distance: only symbol 0 -> dist code VALUE 1
+    row0.foreach { v =>
+      putCode(bw, gH, v); putCode(bw, rH, v); putCode(bw, bH, v)
+    }
+    putCode(bw, gH, 256 + 4) // length code 4
+    bw.writeBits(1, 1)       // extra bit -> length = 6
+    // distance symbol: single-symbol code, zero bits
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    val grays = px.map(p => (p >> 8) & 0xff)
+    assert(grays.take(6).sameElements(row0))
+    assert(grays.drop(6).sameElements(row0), "row 1 must copy row 0")
+  }
+
+  test("predictor transform: mode 1 (Left) residuals reconstruct from a hand-built stream") {
+    // 4x1 image, predictor blocks of 4 px (size_bits=2) -> one 1x1
+    // predictor sub-image with mode 1. Pixel (0,0) predicts 0xff000000
+    // (spec corner rule); x>0 on row 0 predicts L REGARDLESS of mode,
+    // which for a 1-row image makes mode 1 exact: residual = p - L.
+    val targets = Seq(0xff141414, 0xff284650, 0xff0a0a0a, 0xffc8b4a0)
+      .map(_.toInt)
+    def sub(a: Int, b: Int): Int = { // per-channel (a - b) mod 256
+      def ch(sh: Int) = (((a >> sh) & 0xff) - ((b >> sh) & 0xff)) & 0xff
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    val preds = 0xff000000 +: targets.init
+    val residuals = targets.zip(preds).map { case (t, p) => sub(t, p) }
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(3, 14); bw.writeBits(0, 14) // 4x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(1, 1); bw.writeBits(0, 2) // transform: predictor
+    bw.writeBits(0, 3) // size_bits - 2 = 0 -> 4-px blocks
+    // predictor sub-image (1x1, entropy-coded): mode in the GREEN slot
+    bw.writeBits(0, 1) // sub-image: no cache
+    writeSimple1(bw, 1) // green = mode 1
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // red, blue
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // alpha, distance
+    bw.writeBits(0, 1) // main: no more transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(0, 1) // no meta
+    def lens(xs: Seq[Int], size: Int): Array[Int] = {
+      val a = new Array[Int](size); xs.distinct.foreach(a(_) = 2)
+      if (xs.distinct.length == 1) a(xs.head) = 1
+      a
+    }
+    val gs = residuals.map(p => (p >> 8) & 0xff)
+    val rs = residuals.map(p => (p >> 16) & 0xff)
+    val bs = residuals.map(p => p & 0xff)
+    val as = residuals.map(p => (p >>> 24) & 0xff)
+    val gH = writeClCoded(bw, lens(gs, 280))
+    val rH = writeClCoded(bw, lens(rs, 256))
+    val bH = writeClCoded(bw, lens(bs, 256))
+    val aH = writeClCoded(bw, lens(as, 256))
+    writeSimple1(bw, 0) // distance
+    residuals.foreach { p =>
+      putCode(bw, gH, (p >> 8) & 0xff); putCode(bw, rH, (p >> 16) & 0xff)
+      putCode(bw, bH, p & 0xff); putCode(bw, aH, (p >>> 24) & 0xff)
+    }
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    assert(px.toSeq == targets,
+      px.map(p => f"$p%08x").mkString(",") + " vs " +
+        targets.map(p => f"$p%08x").mkString(","))
+  }
+
+  test("color-indexing transform: a 4-entry palette with 2-bit packing decodes") {
+    // 4x1 image, palette of 4 ARGB colors -> widthBits=2, packed width
+    // 1: the single coded pixel's GREEN byte carries four 2-bit
+    // indices. Palette entries arrive DELTA-coded per channel.
+    val pal = Seq(0xff102030, 0xff405060, 0xff708090, 0xffa0b0c0).map(_.toInt)
+    val idx = Seq(2, 0, 3, 1)
+    def sub(a: Int, b: Int): Int = {
+      def ch(sh: Int) = (((a >> sh) & 0xff) - ((b >> sh) & 0xff)) & 0xff
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    val deltas = pal.head +: pal.sliding(2).map { case Seq(a, b) => sub(b, a) }.toSeq
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(3, 14); bw.writeBits(0, 14) // 4x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(1, 1); bw.writeBits(3, 2) // transform: color indexing
+    bw.writeBits(3, 8) // palette size - 1
+    // palette sub-image (4x1 of delta pixels)
+    bw.writeBits(0, 1) // no cache
+    def lens(xs: Seq[Int], size: Int): Array[Int] = {
+      val a = new Array[Int](size); xs.distinct.foreach(a(_) = 2)
+      if (xs.distinct.length == 1) a(xs.head) = 1
+      a
+    }
+    val pg = deltas.map(p => (p >> 8) & 0xff)
+    val pr = deltas.map(p => (p >> 16) & 0xff)
+    val pb = deltas.map(p => p & 0xff)
+    val pa = deltas.map(p => (p >>> 24) & 0xff)
+    val pgH = writeClCoded(bw, lens(pg, 280))
+    val prH = writeClCoded(bw, lens(pr, 256))
+    val pbH = writeClCoded(bw, lens(pb, 256))
+    val paH = writeClCoded(bw, lens(pa, 256))
+    writeSimple1(bw, 0)
+    deltas.foreach { p =>
+      putCode(bw, pgH, (p >> 8) & 0xff); putCode(bw, prH, (p >> 16) & 0xff)
+      putCode(bw, pbH, p & 0xff); putCode(bw, paH, (p >>> 24) & 0xff)
+    }
+    bw.writeBits(0, 1) // main: no more transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(0, 1) // no meta
+    val packed = idx(0) | (idx(1) << 2) | (idx(2) << 4) | (idx(3) << 6)
+    val gH = writeClCoded(bw, { val a = new Array[Int](280); a(packed) = 1; a })
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // red, blue
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // alpha, distance
+    putCode(bw, gH, packed)
+    val Some((w, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    assert(w == 4)
+    assert(px.toSeq == idx.map(pal),
+      px.map(p => f"$p%08x").mkString(","))
+  }
+
   test("subtract-green and color-indexing inverse transforms decode from hand-built streams") {
     // subtract-green: literal green g, red/blue stored as (c - g) mod 256
     val bw = new WebpLossless.BitWriter()
