@@ -301,6 +301,76 @@ class WebpLosslessSpec extends AnyFunSuite {
       px.map(p => f"$p%08x").mkString(","))
   }
 
+  test("color transform inverse: per-block g2r/g2b/r2b deltas reconstruct") {
+    // 2x1 image, one color-transform block (size_bits=2): element
+    // green_to_red=16 in the BLUE slot, green_to_blue=-32 (224) in
+    // GREEN, red_to_blue=8 in RED; delta = (int8(t) * int8(c)) >> 5
+    val g2r = 16; val g2b = 224; val r2b = 8
+    def d(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    val targets = Seq((100, 60, 40), (200, 130, 250)) // (r, g, b)
+    val stored = targets.map { case (r, g, b) =>
+      val sr = (r - d(g2r, g)) & 0xff
+      val sb0 = (b - d(r2b, r)) & 0xff // inverse applies r2b AFTER red
+      val sb = (sb0 - d(g2b, g)) & 0xff
+      (sr, g, sb)
+    }
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(1, 14); bw.writeBits(0, 14) // 2x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(1, 1); bw.writeBits(1, 2) // transform: color
+    bw.writeBits(0, 3) // size_bits - 2 = 0 -> 4-px blocks -> 1x1 sub
+    bw.writeBits(0, 1) // sub: no cache
+    writeSimple1(bw, g2b) // green slot = green_to_blue
+    writeSimple1(bw, r2b) // red slot = red_to_blue
+    writeSimple1(bw, g2r) // blue slot = green_to_red
+    writeSimple1(bw, 0); writeSimple1(bw, 0)
+    bw.writeBits(0, 1) // main: no more transforms
+    bw.writeBits(0, 1); bw.writeBits(0, 1) // no cache, no meta
+    val gH = writeSimple2(bw, stored(0)._2, stored(1)._2)
+    val rH = writeSimple2(bw, stored(0)._1, stored(1)._1)
+    val bH = writeSimple2(bw, stored(0)._3, stored(1)._3)
+    writeSimple1(bw, 255); writeSimple1(bw, 0)
+    stored.foreach { case (sr, g, sb) =>
+      putCode(bw, gH, g); putCode(bw, rH, sr); putCode(bw, bH, sb)
+    }
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    val got = px.map(p => ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+    assert(got.toSeq == targets, got.mkString(","))
+  }
+
+  test("meta prefix groups: two groups select different codes per block") {
+    // 4x1 image, meta blocks of 2 px (huffman_bits=1... readBits(3)+2
+    // -> write 0 for 4-px? need 2-px blocks: bits=1 is impossible
+    // (min 2); use bits=2 -> one block -> degenerate. Instead 8x1 with
+    // bits=2: blocks of 4 px -> 2x1 entropy image, groups 0 and 1.
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(7, 14); bw.writeBits(0, 14) // 8x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(1, 1) // USE meta prefix
+    bw.writeBits(0, 3) // huffman_bits - 2 = 0 -> 4-px blocks
+    // entropy image (2x1): group index in (red<<8 | green)
+    bw.writeBits(0, 1) // entropy image: no cache
+    val egH = writeSimple2(bw, 0, 1) // green carries group 0 / 1
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // red, blue
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // alpha, dist
+    putCode(bw, egH, 0) // block 0 -> group 0
+    putCode(bw, egH, 1) // block 1 -> group 1
+    // group 0: all-channel single symbols -> gray 50
+    writeSimple1(bw, 50); writeSimple1(bw, 50); writeSimple1(bw, 50)
+    writeSimple1(bw, 255); writeSimple1(bw, 0)
+    // group 1: gray 200
+    writeSimple1(bw, 200); writeSimple1(bw, 200); writeSimple1(bw, 200)
+    writeSimple1(bw, 255); writeSimple1(bw, 0)
+    // pixel data: all codes are single-symbol -> ZERO data bits
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    val grays = px.map(p => (p >> 8) & 0xff).toSeq
+    assert(grays == Seq(50, 50, 50, 50, 200, 200, 200, 200), grays)
+  }
+
   test("subtract-green and color-indexing inverse transforms decode from hand-built streams") {
     // subtract-green: literal green g, red/blue stored as (c - g) mod 256
     val bw = new WebpLossless.BitWriter()
