@@ -1132,9 +1132,7 @@ object SynthQueries {
           "SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes, " +
             "hex(encode(coalesce(text, ''))) AS hhx FROM documents")
           .cte("bl", "SELECT doc_id, n_bytes, " +
-            "[((strpos('0123456789ABCDEF', substr(hhx, 2*p-1, 1))-1)*16 + " +
-            "strpos('0123456789ABCDEF', substr(hhx, 2*p, 1))-1) " +
-            "for p in generate_series(1, n_bytes)] AS bl FROM b")
+            s"${byteListSql("hhx", "n_bytes")} AS bl FROM b")
         ch.render(
           s"SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
             s"CAST(n_bytes AS BIGINT) AS n_bytes, " +

@@ -341,14 +341,14 @@ object WebpLossless {
     def insert(p: Int): Unit =
       if (cacheBits > 0)
         cache(((0x1e35a7bd * p) >>> (32 - cacheBits))) = p
+    val metaW = if (meta == null) 0 else (w + (1 << metaBits) - 1) >> metaBits
     var i = 0
     while (i < n) {
       val g =
         if (meta == null) groups(0)
         else {
           val x = i % w; val y = i / w
-          val mw = (w + (1 << metaBits) - 1) >> metaBits
-          val mp = meta((y >> metaBits) * mw + (x >> metaBits))
+          val mp = meta((y >> metaBits) * metaW + (x >> metaBits))
           groups((mp >> 8) & 0xffff)
         }
       val s = g.green.decode(br)
@@ -466,10 +466,11 @@ object WebpLossless {
         ((c >> sh) & 0xff))
       (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
     }
+    // a is ALREADY avg2(L, T); per channel clamp(a + (a - b) / 2)
     def clampAddSubtractHalf(a: Int, b: Int): Int = {
       def ch(sh: Int): Int = {
-        val avg = (((a >> sh) & 0xff) + ((b >> sh) & 0xff)) / 2
-        clamp(avg + (avg - ((b >> sh) & 0xff)) / 2)
+        val c = (a >> sh) & 0xff
+        clamp(c + (c - ((b >> sh) & 0xff)) / 2)
       }
       (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
     }
@@ -483,7 +484,10 @@ object WebpLossless {
           val mode = (data((y >> bits) * bw + (x >> bits)) >> 8) & 0xff
           val l = out(i - 1); val t = out(i - w)
           val tl = out(i - w - 1)
-          val tr = if (x + 1 < w) out(i - w + 1) else out(i - w)
+          // TR at the rightmost column is the leftmost pixel of the
+          // SAME row (spec rule; in contiguous memory out(i-w+1) IS
+          // that pixel at x = w-1, so no branch is needed)
+          val tr = out(i - w + 1)
           mode match {
             case 0  => 0xff000000
             case 1  => l
@@ -532,6 +536,10 @@ object WebpLossless {
       while (off + 8 <= bytes.length && vp8lOff < 0) {
         val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
           ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+        // adversarial/corrupt sizes: a negative size would make the
+        // step a no-op (or go backwards) and spin this walk forever —
+        // the decode seam sees arbitrary crawl bytes, so hard-reject
+        if (size < 0) return None
         if (ascii(off, "VP8L")) { vp8lOff = off + 8; vp8lLen = size }
         else off += 8 + size + (size & 1)
       }

@@ -154,8 +154,7 @@ object DuckXxHash {
     val seed = 42L
     val hx = s"${pfx}bl"
     val ln = s"${pfx}ln"
-    val blStep = s"${pfx}bl" ->
-      s"[${byteAt(s"${pfx}hx", "p")} for p in generate_series(1, $ln)]"
+    val blStep = s"${pfx}bl" -> byteListSql(s"${pfx}hx", ln)
     val init = Seq(
       (BigInt(seed) + P1 + P2).mod(BigInt(1) << 64),
       (BigInt(seed) + P2).mod(BigInt(1) << 64),
@@ -265,12 +264,17 @@ object DuckXxHash {
     BigInt(graft.runtime.Rng.mix2(seed, path.hashCode.toLong)) &
       ((BigInt(1) << 64) - 1)
 
-  /** Expression-form XXH64 over VARCHAR (see hashStringSteps for the
-    * algorithm and validation story): requires `<pfx>hx` / `<pfx>ln`
-    * columns in scope, yields the unsigned hash.
+  // NOTE deliberately NO hashStringExpr: the nested-lambda form of the
+  // string hash planned in ~13 s per query (depth x bytes blowup) —
+  // hashStringSteps must stay in per-step chain form.
+
+  /** The byte-list-from-hex prep shared by hashStringSteps' `<pfx>bl`
+    * step and the CRC-32 oracles: ONE copy of the hex-parse convention
+    * (a second copy drifting silently would desynchronize the oracles
+    * built on it). `hxCol` = hex(encode(s)), `lnCol` = octet length.
     */
-  def hashStringExpr(pfx: String): String =
-    expr(hashStringSteps(pfx))
+  def byteListSql(hxCol: String, lnCol: String): String =
+    s"[${byteAt(hxCol, "p")} for p in generate_series(1, $lnCol)]"
 
   /** CRC-32 (the zlib/ISO-HDLC polynomial, reflected 0xEDB88320) over a
     * byte-list column — the standard byte-at-a-time table fold as one
@@ -312,10 +316,6 @@ object DuckXxHash {
       s"list_transform([${k1s.map(k => s"$k::HUGEINT").mkString(",")}], " +
       s"mqk1 -> ${expr(tail)}))[1]"
   }
-
-  /** Expression-form SplitMix64 finalizer. */
-  def mixExpr(pfx: String, v: String): String =
-    expr(mixSteps(pfx, v))
 
   /** N UNION ALL branches, each `SELECT <select> FROM <from> WHERE
     * <slicePred k>` — the DuckDB-1.0 parallelism idiom: branches are

@@ -250,6 +250,72 @@ class WebpLosslessSpec extends AnyFunSuite {
         targets.map(p => f"$p%08x").mkString(","))
   }
 
+  test("predictor modes 13 (ClampAddSubtractHalf) and 3 (top-right edge rule) reconstruct") {
+    // 2x2 image, one predictor block (size_bits=2 covers it) — run the
+    // same stream twice with modes 13 and 3. Border rules pin row 0 to
+    // L and column 0 to T, so only pixel (1,1) exercises the mode.
+    def build(mode: Int, residual11: Int, fixed: Seq[Int]): Array[Int] = {
+      val bw = new WebpLossless.BitWriter()
+      bw.writeBits(0x2f, 8)
+      bw.writeBits(1, 14); bw.writeBits(1, 14) // 2x2
+      bw.writeBits(0, 1); bw.writeBits(0, 3)
+      bw.writeBits(1, 1); bw.writeBits(0, 2) // predictor transform
+      bw.writeBits(0, 3) // 4-px blocks -> 1x1 sub-image
+      bw.writeBits(0, 1) // sub: no cache
+      writeSimple1(bw, mode)
+      writeSimple1(bw, 0); writeSimple1(bw, 0)
+      writeSimple1(bw, 0); writeSimple1(bw, 0)
+      bw.writeBits(0, 1); bw.writeBits(0, 1); bw.writeBits(0, 1)
+      val residuals = fixed :+ residual11
+      def lens(xs: Seq[Int], size: Int): Array[Int] = {
+        val a = new Array[Int](size)
+        val d = xs.distinct
+        d.foreach(a(_) = if (d.length == 1) 1 else 3)
+        a
+      }
+      val gH = writeClCoded(bw, lens(residuals.map(p => (p >> 8) & 0xff), 280))
+      val rH = writeClCoded(bw, lens(residuals.map(p => (p >> 16) & 0xff), 256))
+      val bH = writeClCoded(bw, lens(residuals.map(p => p & 0xff), 256))
+      val aH = writeClCoded(bw, lens(residuals.map(p => (p >>> 24) & 0xff), 256))
+      writeSimple1(bw, 0)
+      residuals.foreach { p =>
+        putCode(bw, gH, (p >> 8) & 0xff); putCode(bw, rH, (p >> 16) & 0xff)
+        putCode(bw, bH, p & 0xff); putCode(bw, aH, (p >>> 24) & 0xff)
+      }
+      WebpLossless.decode(riffWrap(bw.toBytes)).get._3
+    }
+    def sub(a: Int, b: Int): Int = {
+      def ch(sh: Int) = (((a >> sh) & 0xff) - ((b >> sh) & 0xff)) & 0xff
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    // fix the first three pixels: (0,0)=100 gray, (1,0)=200, (0,1)=60
+    val p00 = 0xff646464; val p10 = 0xffc8c8c8; val p01 = 0xff3c3c3c
+    val fixed = Seq(sub(p00, 0xff000000), sub(p10, p00), sub(p01, p00))
+    // mode 13: pred(1,1) = clamp(c + (c - TL)/2) with c = avg2(L, T)
+    // L=p01(60), T=p10(200) -> c=130; TL=p00(100) -> 130+(30)/2=145
+    // (alpha: c=255, (255-255)/2=0 -> 255)
+    val px13 = build(13, sub(0xff919191, 0xff919191), fixed) // residual 0
+    assert(((px13(3) >> 8) & 0xff) == 145,
+      f"mode13 gray ${ (px13(3) >> 8) & 0xff }%d want 145 (the spec " +
+        "rule clamp(avg2 + (avg2 - TL)/2), NOT a second averaging)")
+    // mode 3 (TR): pixel (1,1) is the rightmost column -> TR must be
+    // the LEFTMOST pixel of the same row = p01 (gray 60), not T
+    val px3 = build(3, 0, fixed)
+    assert(((px3(3) >> 8) & 0xff) == 60,
+      f"mode3 gray ${ (px3(3) >> 8) & 0xff }%d want 60 (TR at the right " +
+        "edge is the same row's first pixel)")
+  }
+
+  test("a corrupt RIFF chunk with a negative size returns None instead of spinning") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    val bytes = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WEBP".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(-8) ++ // step would be 0
+      Array.fill(32)(0.toByte)
+    assert(WebpLossless.decode(bytes).isEmpty)
+  }
+
   test("color-indexing transform: a 4-entry palette with 2-bit packing decodes") {
     // 4x1 image, palette of 4 ARGB colors -> widthBits=2, packed width
     // 1: the single coded pixel's GREEN byte carries four 2-bit
