@@ -233,13 +233,17 @@ object ImageDedup {
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     case 4 =>
+      def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
       val body = Array.tabulate(16)(i =>
         (graft.runtime.Rng.mix(baseId * 16 + i) & 0xff).toByte)
-      "RIFF".getBytes("US-ASCII") ++
-        java.nio.ByteBuffer.allocate(4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(20 + body.length)
-          .array() ++
-        "WEBPVP8 ".getBytes("US-ASCII") ++ body
+      // a WELL-FORMED container: the VP8 chunk carries its 4-byte LE
+      // size field, and the RIFF size covers WEBP + the full chunk —
+      // so the chunk walk terminates deterministically instead of
+      // reading hash bytes as a size
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + body.length) ++
+        "WEBP".getBytes("US-ASCII") ++
+        "VP8 ".getBytes("US-ASCII") ++ le32(body.length) ++ body
     case 5 =>
       // leading 0x00 matches no magic, so the junk can never be
       // misclassified whatever the hash bytes are

@@ -25,13 +25,12 @@ import scala.collection.mutable.ArrayBuffer
   *    validity does not depend on the one spec table this environment
   *    cannot cross-check against libwebp (see `distanceMap`).
   *
-  * Provenance caveat (stated where it matters): everything here is
-  * validated by spec-conformant construction, encoder/decoder
-  * round-trips, hand-built bitstreams, and the zlib convention
-  * cross-check — but no real libwebp-encoded file exists in this
-  * environment, so `distanceMap`'s ORDERING of the 120 near-distance
-  * codes is implemented from the spec's generation rule and documented
-  * as the unverified-against-libwebp surface.
+  * Provenance: everything here is validated by spec-conformant
+  * construction, encoder/decoder round-trips, hand-built bitstreams,
+  * and the zlib convention cross-check. The 120-entry near-distance
+  * table is embedded verbatim from the published spec (RFC 9649) and
+  * cross-checked in tests against an independent reconstruction from
+  * the spec's neighborhood-ordering rule (see `distanceMap`).
   */
 object WebpLossless {
 
@@ -177,23 +176,45 @@ object WebpLossless {
   private val ClOrder =
     Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
-  /** The 120 near-distance (dx, dy) codes: every (dx, dy) with
-    * dy in 1..7, dx in -8..7, plus dy = 0 with dx in 1..8, sorted by
-    * squared distance, ties by larger dy first then dx >= 0 before
-    * dx < 0, then |dx| ascending — the spec's published ordering as
-    * best reconstructed here. THE PROVENANCE CAVEAT LIVES HERE: no
-    * libwebp-encoded file exists in this environment to cross-check
-    * the tie order, so files from OTHER encoders that use codes <= 120
-    * rest on this table; our own encoder never emits them (raw
-    * distance codes only), so round-trips are independent of it.
+  /** The 120 near-distance codes, embedded verbatim from the published
+    * spec table (RFC 9649 §4.2.2 "Decoding of Distances"): each byte
+    * packs yoffset in the high nibble and xoffset as `8 - (b & 0xf)`
+    * (a 4-bit field, so dx spans -7..8 — note NOT -8..7). Decoded
+    * below to (dx, dy) pairs. `distanceMapRule` regenerates the same
+    * table from the spec's neighborhood-ordering rule (dy 1..7 x
+    * dx -7..8 plus dy 0 x dx 1..8, sorted by squared distance, ties
+    * by larger dy, then dx >= 0 before dx < 0, then |dx|); the two are
+    * asserted equal in WebpLosslessSpec, so the embedded data and the
+    * generation rule cross-check each other. Our own encoder never
+    * emits these codes (raw distance codes only), so round-trips are
+    * independent of this table either way.
     */
-  private[ops] val distanceMap: Array[(Int, Int)] = {
-    val cands = (for (dy <- 0 to 7; dx <- -8 to 8
-      if !(dy == 0 && dx <= 0) && !(dy > 0 && dx == 8) && !(dy == 0 && dx > 8))
-      yield (dx, dy)).toArray
-    cands.sortBy { case (dx, dy) =>
+  private val CodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+    0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+    0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+    0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+    0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+    0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+    0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+    0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+    0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  private[graft] val distanceMap: Array[(Int, Int)] =
+    CodeToPlane.map(b => (8 - (b & 0xf), b >> 4))
+
+  /** The generation-rule reconstruction of [[distanceMap]]; test hook
+    * only — the decoder reads the embedded spec table above.
+    */
+  private[graft] def distanceMapRule: Array[(Int, Int)] = {
+    val cands = (for (dy <- 1 to 7; dx <- -7 to 8) yield (dx, dy)) ++
+      (for (dx <- 1 to 8) yield (dx, 0))
+    cands.toArray.sortBy { case (dx, dy) =>
       (dx * dx + dy * dy, -dy, if (dx >= 0) 0 else 1, math.abs(dx))
-    }.take(120)
+    }
   }
 
   private def prefixDecode(code: Int, br: BitReader): Int = {
@@ -410,8 +431,13 @@ object WebpLossless {
 
   private def inverseColorIndexing(px: Array[Int], packedW: Int, h: Int,
       pal: Array[Int], widthBits: Int, realW: Int): Array[Int] = {
+    // out-of-range palette indices map to 0 (libwebp zero-fills the
+    // expanded palette) — same rule as the packed path below
     if (widthBits == 0)
-      return px.map(p => pal(((p >> 8) & 0xff) min (pal.length - 1)))
+      return px.map { p =>
+        val idx = (p >> 8) & 0xff
+        if (idx < pal.length) pal(idx) else 0
+      }
     val ppp = 1 << widthBits          // pixels per packed pixel
     val bpp = 8 >> widthBits          // bits per palette index
     val mask = (1 << bpp) - 1
@@ -608,9 +634,15 @@ object WebpLossless {
     for (k <- 0 until numCl) bw.writeBits(clLengths(ClOrder(k)), 3)
     bw.writeBits(0, 1) // no max_symbol short form
     val clHuff = new Huffman(clLengths)
+    // single-symbol CL codes decode by consuming ZERO bits (the
+    // Huffman degenerate case) — emitting the 1-bit code here would
+    // desync the stream, so mirror the decoder and write nothing
+    val clSingle = clLengths.count(_ > 0) == 1
     clStream.foreach { case (s, eb, ev) =>
-      val (code, len) = clHuff.codes(s)
-      bw.writeCode(code, len)
+      if (!clSingle) {
+        val (code, len) = clHuff.codes(s)
+        bw.writeCode(code, len)
+      }
       if (eb > 0) bw.writeBits(ev, eb)
     }
     new Huffman(lengths)

@@ -458,6 +458,47 @@ class WebpLosslessSpec extends AnyFunSuite {
     assert(px(1) == 0xff0a07c8.toInt, f"got ${px(1)}%08x") // a255 r10 g7 b200
   }
 
+  test("the embedded 120-entry near-distance table matches the spec's generation rule") {
+    // the decoder reads the spec's published byte table; the rule
+    // (dy 1..7 x dx -7..8 plus dy 0 x dx 1..8, sorted by squared
+    // distance with the documented tie order) must regenerate it
+    // exactly — each validates the other
+    val table = WebpLossless.distanceMap
+    val rule = WebpLossless.distanceMapRule
+    assert(table.length == 120 && table.distinct.length == 120)
+    assert(table.sameElements(rule),
+      table.zip(rule).zipWithIndex.collect {
+        case ((a, b), i) if a != b => s"$i: table=$a rule=$b"
+      }.mkString(", "))
+    // dx must span -7..8 (the on-wire field is 8 - (b & 0xf), 4 bits)
+    assert(table.map(_._1).min == -7 && table.map(_._1).max == 8)
+    // spot-pin the first few entries against the published table
+    assert(table.take(4).toSeq == Seq((0, 1), (1, 0), (1, 1), (-1, 1)))
+  }
+
+  test("single-symbol code-length code round-trips (writer must emit zero CL bits)") {
+    // red channel: all 256 lengths = 8 -> the CL stream is 256 copies
+    // of symbol 8, so the CL code has ONE used symbol and the decoder
+    // consumes zero bits per CL entry. A writer that emits one bit per
+    // entry desyncs everything after it.
+    val bw = new WebpLossless.BitWriter()
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(1, 14); bw.writeBits(0, 14) // 2x1
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no cache
+    bw.writeBits(0, 1) // no meta
+    val gH = writeSimple2(bw, 20, 30)
+    val rH = writeClCoded(bw, Array.fill(256)(8)) // single CL symbol
+    val bH = writeSimple2(bw, 40, 50)
+    writeSimple1(bw, 255); writeSimple1(bw, 0)
+    putCode(bw, gH, 20); putCode(bw, rH, 17); putCode(bw, bH, 40)
+    putCode(bw, gH, 30); putCode(bw, rH, 250); putCode(bw, bH, 50)
+    val Some((_, _, px)) = WebpLossless.decode(riffWrap(bw.toBytes))
+    assert(px(0) == 0xff111428.toInt, f"got ${px(0)}%08x") // r17 g20 b40
+    assert(px(1) == 0xfffa1e32.toInt, f"got ${px(1)}%08x") // r250 g30 b50
+  }
+
   test("malformed payloads degrade to None, never throw") {
     assert(WebpLossless.decode(null).isEmpty)
     assert(WebpLossless.decode(Array[Byte](1, 2, 3)).isEmpty)
