@@ -207,6 +207,55 @@ object SynthQueries {
       }
     }: _*)
 
+  /** Constant-aggregate content pin (VERDICT r9 item 1, the g121/g78
+    * convention generalized to arbitrary schemas): reduce a
+    * deterministic result to (n_rows, content_digest) where the digest
+    * is the order-independent sum of per-row xxhash64 over the
+    * checker-safe JSON encoding of every column — full content
+    * pinning, replayed against the captured constant in
+    * [[graft.queries.PinOracles]] at ~0 s oracle cost. The generator
+    * still materializes every row (the aggregate consumes it), so the
+    * bench measures the same work as the raw-rows form did.
+    */
+  private def pinAgg(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount, lit, pmod,
+      struct, sum => fsum, xxhash64}
+    val safe = checkerSafe(df)
+    safe.agg(
+      fcount(lit(1)).as("n_rows"),
+      fsum(pmod(xxhash64(to_json(struct(safe.columns.toSeq.map(col): _*))),
+        lit(1000000007L))).as("content_digest"))
+  }
+
+  /** The ANN-family pin: (n_rows, n_queries, pair_digest) over the
+    * integer (qid, rnk, neighbor) serving triples — the semantic
+    * output — deliberately EXCLUDING the float score cell, so the pin
+    * is immune to last-ulp drift while still fixing exactly which
+    * neighbors each query returned and in what order. The k-means/PQ
+    * fits behind these queries are driver-side sequential over a
+    * deterministically ordered sample, and the full-suite parity tools
+    * prove the triples partitioning-invariant.
+    */
+  private def annPin(res: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount, countDistinct,
+      lit, pmod, sum => fsum, xxhash64}
+    res.agg(
+      fcount(lit(1)).as("n_rows"),
+      countDistinct(col("qid")).as("n_queries"),
+      fsum(pmod(xxhash64(col("qid").cast("long"), col("rnk").cast("long"),
+        col("neighbor").cast("long")), lit(1000000007L))).as("pair_digest"))
+  }
+
+  private def pinDef(name: String)(fn: (SparkSession, String) => DataFrame)
+      : QueryDef =
+    QueryDef(name, (s, d) => pinAgg(fn(s, d)),
+      graft.queries.PinOracles.sql.get(name))
+
+  private def annPinDef(name: String)(fn: (SparkSession, String) => DataFrame)
+      : QueryDef =
+    QueryDef(name, (s, d) => annPin(fn(s, d)),
+      graft.queries.PinOracles.sql.get(name))
+
   /** ANN disk indexes, built ONCE per (query, corpus) in this JVM and
     * reused by later invocations. Build (k-means fits + partitioned
     * index write) and serve (probe the index) are different operations
@@ -256,30 +305,33 @@ object SynthQueries {
 
   def defs: Seq[QueryDef] = Seq(
     // pinned to the interpreter path as the baseline for g53 (the canned
-    // CannedSources.iotData routes through dataFrameAuto = fast path)
-    q("g30_synth_iot")((s, _) => Synth.dataFrame(s, CannedSources.iotSchemaJson, 1000)),
+    // CannedSources.iotData routes through dataFrameAuto = fast path).
+    // r10: every g3x demo below now ships a captured content-digest pin
+    // (pinDef/PinOracles) instead of a rows-only check.
+    pinDef("g30_synth_iot")((s, _) =>
+      Synth.dataFrame(s, CannedSources.iotSchemaJson, 1000)),
     // the PhoneNumber canned source now rides the fast path, so every
     // digit reproduces from the hash chain — a real oracle, not rows-only
     QueryDef("g31_synth_phone",
       (s, _) => CannedSources.phoneNumber(s, 20000, Some(497)),
       Some(PhoneOracle.sql(20000, 497))),
-    q("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
-    q("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
-    q("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
+    pinDef("g32_synth_textmessage")((s, _) => CannedSources.textMessage(s, 20000)),
+    pinDef("g33_synth_commuter")((s, _) => CannedSources.commuterData(s, 20, Some("10001"))),
+    pinDef("g34_synth_dns_flat")((s, _) => Synth.dataFrame(s,
       """[{"class": "dns", "flat": true, "meanQueries": 50}]""", 1000)),
-    q("g35_synth_cpoc")((s, _) => checkerSafe(Synth.dataFrame(s,
+    pinDef("g35_synth_cpoc")((s, _) => Synth.dataFrame(s,
       """[{"name": "user", "class": "id"},
-          {"name": "history", "class": "common-point-of-compromise"}]""", 2000))),
-    q("g36_synth_changer")((s, _) => checkerSafe(Synth.dataFrame(s,
+          {"name": "history", "class": "common-point-of-compromise"}]""", 2000)),
+    pinDef("g36_synth_changer")((s, _) => Synth.dataFrame(s,
       """[{"name": "cust", "class": "id"},
           {"name": "track", "class": "changer", "count": 8, "rate": "1/d", "values": [
             {"name": "state", "class": "state"},
-            {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000))),
-    q("g37_synth_vehicle")((s, _) => checkerSafe(Synth.dataFrame(s,
+            {"name": "score", "class": "int", "min": 300, "max": 850}]}]""", 2000)),
+    pinDef("g37_synth_vehicle")((s, _) => Synth.dataFrame(s,
       """[{"name": "v", "class": "vehicle"},
           {"name": "vin", "class": "vin", "verbose": true},
-          {"name": "imei", "class": "imei", "unique": true}]""", 20000))),
-    q("g38_synth_identity")((s, _) => Synth.dataFrame(s,
+          {"name": "imei", "class": "imei", "unique": true}]""", 20000)),
+    pinDef("g38_synth_identity")((s, _) => Synth.dataFrame(s,
       """[{"name": "name", "class": "name", "type": "first_last"},
           {"name": "email", "class": "email-name"},
           {"name": "address", "class": "address"},
@@ -289,7 +341,7 @@ object SynthQueries {
           {"name": "language", "class": "language"},
           {"name": "os", "class": "os"},
           {"name": "word", "class": "word"}]""", 20000)),
-    q("g39_synth_header")((s, _) => Synth.dataFrame(s,
+    pinDef("g39_synth_header")((s, _) => Synth.dataFrame(s,
       """[{"name": "h", "class": "header"},
           {"name": "hm", "class": "header", "type": "mal1"}]""", 10000)),
     // r7: the measures demo now returns EXACT bucket histograms of every
@@ -1072,7 +1124,11 @@ object SynthQueries {
           "vec_id", "embedding", threshold = 0.98)
       },
       Some(EmbedNearDupOracle.sql)),
-    q("g49_ann_ivf")((s, d) => {
+    // r10: the float-fit ANN family (g49/g67/g86/g89/g91/g107) ships
+    // captured (qid, rnk, neighbor)-digest pins — annPin/PinOracles —
+    // facts of the sf0.01 gate corpus, so the driver gate hash-checks
+    // the serving triples instead of recording no_oracle rows.
+    annPinDef("g49_ann_ivf")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val centroids = cachedFit(s"g49|$d") {
         graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
@@ -1084,10 +1140,9 @@ object SynthQueries {
     // the disk-backed IVF index: corpus written partitioned by cluster
     // id, probes read back through parquet partition pruning (only the
     // probed directories are listed) — the storage-layout form of g49's
-    // runtime probe filter. Rows-only like g49 (recall < 1); the
-    // disk==memory equivalence and the PartitionFilters plan shape are
-    // pinned in OpsSpec.
-    q("g67_ann_ivf_disk")((s, d) => {
+    // runtime probe filter. The disk==memory equivalence and the
+    // PartitionFilters plan shape are pinned in OpsSpec.
+    annPinDef("g67_ann_ivf_disk")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val dir = cachedIndexDir("g67_ivf", d) { dir =>
         val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
@@ -1097,12 +1152,12 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
-    // quantized IVF disk index (rows-only: k-means fit; the quantized
-    // scoring kernel itself is bit-oracled by q68, the partition-pruned
-    // scan shape by the g67 family's plan test): probed directories are
-    // the only ones opened AND hold int8 codes — a fraction of a
-    // fraction of the bytes at 100 TB
-    q("g86_ann_ivf_quant")((s, d) => {
+    // quantized IVF disk index (the quantized scoring kernel itself is
+    // bit-oracled by q68, the partition-pruned scan shape by the g67
+    // family's plan test): probed directories are the only ones opened
+    // AND hold int8 codes — a fraction of a fraction of the bytes at
+    // 100 TB
+    annPinDef("g86_ann_ivf_quant")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val dir = cachedIndexDir("g86_ivfq", d) { dir =>
         val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
@@ -1139,12 +1194,11 @@ object SynthQueries {
             s"CAST(${crc32Expr("bl")} AS BIGINT) AS crc_rt FROM ${ch.last}")
       }),
 
-    // product-quantized ANN (rows-only: float k-means codebook fit, like
-    // g49; the ranking math itself is integer-exact and property-tested
-    // in ScaleOpsSpec): 8 six-bit codes replace 64 floats — ~40× less
-    // candidate memory traffic than float brute force, scored by m
-    // table lookups per candidate
-    q("g89_ann_pq")((s, d) => {
+    // product-quantized ANN (the ranking math itself is integer-exact
+    // and property-tested in ScaleOpsSpec): 8 six-bit codes replace 64
+    // floats — ~40× less candidate memory traffic than float brute
+    // force, scored by m table lookups per candidate
+    annPinDef("g89_ann_pq")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val cbs = cachedFit(s"g89|$d") {
         graft.ops.Pq.fitCodebooks(vecs, "embedding", m = 8, k = 64)
@@ -1154,12 +1208,12 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cbs, 10)
     }),
 
-    // IVF-PQ disk index (rows-only like g49/g89: float k-means fits):
-    // all three 100 TB ANN levers stacked — probed directories are the
-    // only ones opened, rows inside are ~40x-compressed PQ codes, and
-    // serving is table-lookup ADC. Scores proven identical to the g89
-    // kernel and the pruning proven in the plan by ScaleOpsSpec.
-    q("g91_ann_ivfpq")((s, d) => {
+    // IVF-PQ disk index: all three 100 TB ANN levers stacked — probed
+    // directories are the only ones opened, rows inside are
+    // ~40x-compressed PQ codes, and serving is table-lookup ADC. Scores
+    // proven identical to the g89 kernel and the pruning proven in the
+    // plan by ScaleOpsSpec.
+    annPinDef("g91_ann_ivfpq")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val dir = cachedIndexDir("g91_ivfpq", d) { dir =>
         val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
@@ -1170,11 +1224,11 @@ object SynthQueries {
         vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10, nProbe = 4)
     }),
 
-    // residual IVF-PQ (rows-only like g91: float k-means fits): the
-    // faiss-proper encoding — codes quantize the residual to the coarse
-    // centroid, serving adds the per-probe integer bias to the same ADC
-    // lookups. A/B superiority over raw encoding pinned in ScaleOpsSpec.
-    q("g107_ann_residual_pq")((s, d) => {
+    // residual IVF-PQ: the faiss-proper encoding — codes quantize the
+    // residual to the coarse centroid, serving adds the per-probe
+    // integer bias to the same ADC lookups. A/B superiority over raw
+    // encoding pinned in ScaleOpsSpec.
+    annPinDef("g107_ann_residual_pq")((s, d) => {
       val vecs = s.read.parquet(s"$d/embeddings.parquet")
       val dir = cachedIndexDir("g107_rpq", d) { dir =>
         val centroids = graft.ops.Similarity.fitCentroids(vecs, "embedding", 16)
@@ -1314,16 +1368,20 @@ object SynthQueries {
     // application): one corpus pass builds the bounded word-frequency
     // table, then the merge loop runs in memory over those counts with
     // an incremental pair index (see BpeTrainer scaladoc). No SQL
-    // engine replays an iterative argmax-and-rewrite loop — rows-only
-    // by design; the learned list is pinned against an independent
+    // engine replays an iterative argmax-and-rewrite loop, but the
+    // learned table is integer-deterministic, so r10 pins the whole
+    // 10-row output as captured VALUES (sf0.01 corpus fact —
+    // PinOracles); the list is ALSO pinned against an independent
     // reference implementation (and proven partitioning-invariant) in
     // OpsSpec.
-    q("g94_bpe_merges")((s, d) => {
-      import s.implicits._
-      graft.ops.BpeTrainer.learnMerges(
-        s.read.parquet(s"$d/documents.parquet"), "text", nMerges = 10)
-        .toDF("rank", "left", "right", "pair_count")
-    }),
+    QueryDef("g94_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.BpeTrainer.learnMerges(
+          s.read.parquet(s"$d/documents.parquet"), "text", nMerges = 10)
+          .toDF("rank", "left", "right", "pair_count")
+      },
+      graft.queries.PinOracles.sql.get("g94_bpe_merges")),
 
     // Structured Streaming made driver-visible: the events table replayed
     // through a bounded file stream into a watermarked tumbling-window
