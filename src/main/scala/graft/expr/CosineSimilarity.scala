@@ -198,6 +198,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("psl_domain"),
+      new ExpressionInfo(classOf[PslDomain].getName, "psl_domain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"psl_domain takes 1 argument, got ${children.length}")
+        PslDomain(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (children: Seq[Expression]) => {

@@ -77,12 +77,27 @@ object UrlOps {
     * when the host IS a public suffix (e.g. `gen.ck`, `github.io`) or
     * has no extra label.
     *
-    * Pure array functions + `isin` membership — each rule set compiles
-    * to a single InSet literal (O(1) hash probe per row), so swapping
-    * in the full ~9k-rule PSL changes the closure size, not the plan:
-    * still an UDF-free pure scan stage ([[graft.runtime.PslData]]).
+    * r10, with the full ~10k-rule PSL bundled: the default path is the
+    * native codegen'd [[graft.expr.PslDomain]] expression probing
+    * JVM-static rule sets — ONE plan node, no rule literals in the
+    * expression tree or the task binary (the r9 column composition
+    * carried each rule as an InSet literal, which at 10k rules cost
+    * ~350 ms of analyzer walk per plan and ~1.1 MB per task binary).
+    * The pure-column InSet form below remains the fallback for
+    * sessions without GraftExtensions; UrlOpsSpec pins both paths to
+    * identical output.
     */
   def registrableDomain(host: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("psl_domain"))
+      org.apache.spark.sql.functions.call_function("psl_domain", host)
+    else registrableDomainColumns(host)
+  }
+
+  /** The no-extensions fallback: full PSL semantics in pure array
+    * functions + `isin` membership (each rule set an InSet literal).
+    */
+  private[graft] def registrableDomainColumns(host: Column): Column = {
     import graft.runtime.PslData
     val labels = split(host, "\\.")
     val n = size(labels)

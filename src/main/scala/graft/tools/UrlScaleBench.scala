@@ -20,6 +20,7 @@ object UrlScaleBench {
     val scales = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.expr.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,6 +47,32 @@ object UrlScaleBench {
           lit("?utm_source=x&b="), (u0 % 10).cast("string"),
           lit("&a="), (u0 % 7).cast("string"), lit("#f")).as("url"))
         .repartition(cpus.toInt)
+    }
+
+    // r10: planning-time probe for both PSL lookup paths — the native
+    // psl_domain expression (one plan node, static rule sets) vs the
+    // column/InSet fallback that carries all ~10k rules as expression
+    // literals. Timed on a 1-row frame so no execution cost leaks in;
+    // min of 5 fresh plans after a discarded warmup (the first plan in
+    // a JVM pays Catalyst classloading, not PSL size).
+    locally {
+      val one = spark.range(0, 1).select(
+        concat(lit("https://a.b.site"), col("id").cast("string"),
+          lit(".co.uk/p?x=1")).as("url"))
+      def planOnce(dom: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+          : Double = {
+        val t0 = System.nanoTime()
+        one.select(dom(graft.ops.UrlOps.canonicalHost(col("url"))).as("d"))
+          .queryExecution.executedPlan // force analyze+optimize+plan
+        (System.nanoTime() - t0) / 1e3
+      }
+      def minOf5(dom: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+          : Double = { planOnce(dom); (1 to 5).map(_ => planOnce(dom)).min }
+      val tNative = minOf5(graft.ops.UrlOps.registrableDomain)
+      val tFallback = minOf5(graft.ops.UrlOps.registrableDomainColumns)
+      println(f"""{"tool":"UrlScaleBench","plan_native_us":$tNative%.0f,""" +
+        f""""plan_fallback_us":$tFallback%.0f,""" +
+        s""""psl_rules":${graft.runtime.PslData.rules.size}}""")
     }
 
     for (m <- scales) {

@@ -78,6 +78,54 @@ class UrlOpsSpec extends AnyFunSuite {
       == Seq(None, None, Some("example.arpa")))
   }
 
+  test("the bundled full PSL covers rules absent from the r9 subset") {
+    // ICANN rules the subset never listed: co.bw now resolves as a
+    // 2-label public suffix instead of falling to the default rule
+    assert(reg("site.co.bw", "a.site.co.bw", "co.bw")
+      == Seq(Some("site.co.bw"), Some("site.co.bw"), None))
+    // private-section rules beyond the subset's hosting shortlist
+    assert(reg("team.bitbucket.io", "bitbucket.io")
+      == Seq(Some("team.bitbucket.io"), None))
+    // 3-label wildcard base: *.compute.amazonaws.com makes each
+    // region directory a public suffix of FOUR labels
+    assert(reg("eu-west-1.compute.amazonaws.com",
+      "vm.eu-west-1.compute.amazonaws.com",
+      "x.vm.eu-west-1.compute.amazonaws.com")
+      == Seq(None, Some("vm.eu-west-1.compute.amazonaws.com"),
+        Some("vm.eu-west-1.compute.amazonaws.com")))
+    // IDN rules match in punycode form (crawl hostnames arrive
+    // xn---encoded): 公司.cn == xn--55qx5d.cn
+    assert(reg("site.xn--55qx5d.cn", "xn--55qx5d.cn")
+      == Seq(Some("site.xn--55qx5d.cn"), None))
+    // sanity on the parse itself: full list loaded, all rule families
+    import graft.runtime.PslData
+    assert(PslData.rules.size > 9000, s"only ${PslData.rules.size} rules")
+    assert(PslData.normalByLen(1).contains("com"))
+    assert(PslData.excByLen(3).contains("city.kawasaki.jp"))
+    assert(PslData.wildBaseByLen(3).contains("compute.amazonaws.com"))
+  }
+
+  test("the native psl_domain expression and the column fallback agree on every rule family") {
+    val hosts = Seq("site.com", "a.b.site.co.uk", "site.co.uk",
+      "site.com.cn", "user.github.io", "github.io", "site.gen.ck",
+      "gen.ck", "www.ck", "site.kawasaki.jp", "cdn.site.kawasaki.jp",
+      "city.kawasaki.jp", "ward.city.kawasaki.jp", "site.co.bw",
+      "team.bitbucket.io", "vm.eu-west-1.compute.amazonaws.com",
+      "site.xn--55qx5d.cn", "localhost", "com", "example.arpa", "")
+    val df = hosts.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
+      .orderBy("i")
+    val native = df.select(UrlOps.registrableDomain(col("h"))).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    val cols = df.select(UrlOps.registrableDomainColumns(col("h"))).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(native == cols, hosts.zip(native.zip(cols)).filter {
+      case (_, (a, b)) => a != b
+    }.mkString(", "))
+    // and the session under test really does route through the native
+    // expression (extensions registered by the fixture)
+    assert(spark.catalog.functionExists("psl_domain"))
+  }
+
   test("utm_ prefix filters any utm param; only whole-key matches drop for the rest") {
     assert(canon("http://x.com/p?utm_campaign=c&utm_id=7&refresh=1&ref=drop")
       == Seq(Some("http://x.com/p?refresh=1")))
