@@ -205,13 +205,34 @@ object ImageDedup {
     * image pass, and is the observability answer to the silent-WebP
     * gap (VERDICT r8 item 4 / missing #1).
     */
-  def decodeCoverage(df: DataFrame, binCol: String): DataFrame =
-    dHash(df, binCol)
+  def decodeCoverage(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val hashed = dHash(df, binCol)
+    // r10 dims-known probe: a decodable payload has dims by definition;
+    // for the rest, a well-formed WebP container/frame header carries
+    // dimensions WITHOUT any pixel decode (VP8 keyframe header, VP8L
+    // signature, VP8X canvas) — the lossy-WebP share reports real dims
+    // even though its pixels stay undecodable here
+    val outSchema = StructType(hashed.schema.fields :+
+      StructField("__dims", BooleanType, nullable = false))
+    val binIdx = hashed.schema.fieldIndex(binCol)
+    val hashIdx = hashed.schema.fieldIndex(s"${binCol}_dhash")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    hashed.mapPartitions { rows =>
+      rows.map { r =>
+        val dims = !r.isNullAt(hashIdx) ||
+          WebpLossless.headerDimensions(r.getAs[Array[Byte]](binIdx)).isDefined
+        Row.fromSeq(r.toSeq :+ dims)
+      }
+    }
       .select(imageFormat(col(binCol)).as("format"),
-        col(s"${binCol}_dhash").isNotNull.as("__dec"))
+        col(s"${binCol}_dhash").isNotNull.as("__dec"), col("__dims"))
       .groupBy("format")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("__dec"), 1L).otherwise(0L)).as("n_decodable"))
+        sum(when(col("__dec"), 1L).otherwise(0L)).as("n_decodable"),
+        sum(when(col("__dims"), 1L).otherwise(0L)).as("n_dims_known"))
+  }
 
   /** Deterministic mixed-format fixture payload for the coverage rig:
     * kinds 0-3 are REAL encodes of the [[hashCorpusPng]] image (png /
@@ -235,12 +256,21 @@ object ImageDedup {
     case 4 =>
       def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
-      val body = Array.tabulate(16)(i =>
+      // a WELL-FORMED lossy container: the VP8 chunk opens with a REAL
+      // RFC 6386 keyframe header (frame tag with keyframe bit 0, the
+      // 0x9d012a sync code, 14-bit dims derived from baseId), so the
+      // r10 headerDimensions path reads true dimensions while the
+      // pixel data remains junk nothing here decodes
+      val w = 16 + Math.floorMod(graft.runtime.Rng.mix(baseId * 3 + 1), 1024L).toInt
+      val h = 16 + Math.floorMod(graft.runtime.Rng.mix(baseId * 3 + 2), 1024L).toInt
+      val header = Array[Byte](
+        0x10.toByte, 0, 0, // frame tag: keyframe (bit0=0), version 0
+        0x9d.toByte, 0x01.toByte, 0x2a.toByte, // sync code
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+      val junk = Array.tabulate(16)(i =>
         (graft.runtime.Rng.mix(baseId * 16 + i) & 0xff).toByte)
-      // a WELL-FORMED container: the VP8 chunk carries its 4-byte LE
-      // size field, and the RIFF size covers WEBP + the full chunk —
-      // so the chunk walk terminates deterministically instead of
-      // reading hash bytes as a size
+      val body = header ++ junk
       "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + body.length) ++
         "WEBP".getBytes("US-ASCII") ++
         "VP8 ".getBytes("US-ASCII") ++ le32(body.length) ++ body

@@ -131,8 +131,22 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val safe = if (bytes == null) Array.emptyByteArray else bytes
-        val (w, h, c, f) = decodeImage(safe).getOrElse(decodeStub(safe))
-        Row.fromSeq(r.toSeq :+ Row(w, h, c, f.toSeq))
+        val decoded = decodeImage(safe) match {
+          case Some((w, h, c, f)) => Row(w, h, c, f.toSeq)
+          case None =>
+            // r10: lossy WebP (and any other well-formed WebP outside
+            // the VP8L pixel decoder) still yields REAL dimensions from
+            // the container/frame header — dims filled, channels and
+            // features null, so downstream sees honest partial
+            // metadata instead of the stub's fake
+            WebpLossless.headerDimensions(safe) match {
+              case Some((w, h)) => Row(w, h, null, null)
+              case None =>
+                val (w, h, c, f) = decodeStub(safe)
+                Row(w, h, c, f.toSeq)
+            }
+        }
+        Row.fromSeq(r.toSeq :+ decoded)
       }
     }
   }

@@ -549,36 +549,80 @@ object WebpLossless {
     * implemented spec surface (callers degrade to null — the decode
     * seam contract).
     */
+  /** First chunk with `fourcc` in a RIFF/WEBP container:
+    * (payloadOffset, payloadLen). None for malformed containers or a
+    * missing chunk; a negative chunk size hard-rejects (the walk would
+    * spin or go backwards on arbitrary crawl bytes otherwise).
+    */
+  private def findChunk(bytes: Array[Byte], fourcc: String): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 20) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WEBP")) return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
+        ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+      if (size < 0) return None
+      if (ascii(off, fourcc)) return Some((off + 8, size))
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
   def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     try {
-      if (bytes == null || bytes.length < 20) return None
-      def ascii(off: Int, s: String): Boolean =
-        s.indices.forall(i => bytes(off + i) == s(i).toByte)
-      if (!ascii(0, "RIFF") || !ascii(8, "WEBP")) return None
-      // chunk walk: VP8L directly, or inside a VP8X extended container
-      var off = 12
-      var vp8lOff = -1
-      var vp8lLen = -1
-      while (off + 8 <= bytes.length && vp8lOff < 0) {
-        val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
-          ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
-        // adversarial/corrupt sizes: a negative size would make the
-        // step a no-op (or go backwards) and spin this walk forever —
-        // the decode seam sees arbitrary crawl bytes, so hard-reject
-        if (size < 0) return None
-        if (ascii(off, "VP8L")) { vp8lOff = off + 8; vp8lLen = size }
-        else off += 8 + size + (size & 1)
+      findChunk(bytes, "VP8L").flatMap { case (vp8lOff, vp8lLen) =>
+        val payload = bytes.slice(vp8lOff, vp8lOff + vp8lLen)
+        if (payload.isEmpty || payload(0) != 0x2f.toByte) None
+        else {
+          val br = new BitReader(payload, 1)
+          val w = br.readBits(14) + 1
+          val h = br.readBits(14) + 1
+          br.readBits(1) // alpha hint
+          if (br.readBits(3) != 0) None // version must be 0
+          else Some((w, h, decodeImageStream(br, w, h, isLevel0 = true)))
+        }
       }
-      if (vp8lOff < 0) return None
-      val payload = bytes.slice(vp8lOff, vp8lOff + vp8lLen)
-      if (payload.isEmpty || payload(0) != 0x2f.toByte) return None
-      val br = new BitReader(payload, 1)
-      val w = br.readBits(14) + 1
-      val h = br.readBits(14) + 1
-      br.readBits(1) // alpha hint
-      if (br.readBits(3) != 0) return None // version must be 0
-      val px = decodeImageStream(br, w, h, isLevel0 = true)
-      Some((w, h, px))
+    } catch { case _: Exception => None }
+  }
+
+  /** Width/height of a WebP payload WITHOUT pixel decode, covering the
+    * LOSSY majority share: a VP8L chunk's 14-bit signature dims, a
+    * lossy `VP8 ` chunk's keyframe header (RFC 6386 §9.1: 3-byte frame
+    * tag with keyframe bit 0, the 0x9d012a sync code, then 14-bit
+    * width/height), or the VP8X extended header's 24-bit canvas size
+    * as the fallback. No pixel decoder exists here for lossy VP8, but
+    * dimensions alone make the multimodal feature columns non-null for
+    * every well-formed WebP (VERDICT r9 item 3).
+    */
+  def headerDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    try {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      findChunk(bytes, "VP8L").flatMap { case (off, len) =>
+        if (len < 5 || off + 5 > bytes.length || bytes(off) != 0x2f.toByte) None
+        else {
+          val br = new BitReader(bytes.slice(off, off + 5), 1)
+          Some((br.readBits(14) + 1, br.readBits(14) + 1))
+        }
+      }.orElse(findChunk(bytes, "VP8 ").flatMap { case (off, len) =>
+        if (len < 10 || off + 10 > bytes.length) None
+        else {
+          val keyframe = (u8(off) & 1) == 0
+          val sync = u8(off + 3) == 0x9d && u8(off + 4) == 0x01 &&
+            u8(off + 5) == 0x2a
+          val w = (u8(off + 6) | (u8(off + 7) << 8)) & 0x3fff
+          val h = (u8(off + 8) | (u8(off + 9) << 8)) & 0x3fff
+          if (keyframe && sync && w > 0 && h > 0) Some((w, h)) else None
+        }
+      }).orElse(findChunk(bytes, "VP8X").flatMap { case (off, len) =>
+        if (len < 10 || off + 10 > bytes.length) None
+        else {
+          val w = 1 + (u8(off + 4) | (u8(off + 5) << 8) | (u8(off + 6) << 16))
+          val h = 1 + (u8(off + 7) | (u8(off + 8) << 8) | (u8(off + 9) << 16))
+          Some((w, h))
+        }
+      })
     } catch { case _: Exception => None }
   }
 

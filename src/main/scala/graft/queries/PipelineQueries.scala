@@ -4269,17 +4269,21 @@ object PipelineQueries {
         s"SELECT doc_id, ${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
         .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
         .cte("k", s"SELECT ${pmod("h1out", 8L)} AS kind FROM ${"c_h1out"}")
-      // kind 4 = lossy VP8 container (format webp, NOT decodable);
+      // kind 4 = lossy VP8 container (format webp, NOT decodable, but
+      // r10: its keyframe header yields real DIMENSIONS);
       // kind 7 = VP8L lossless (format webp, decodable via the r9
       // pure-Scala decoder) — the webp row's n/n_decodable split IS
-      // the lossy-vs-lossless telemetry
+      // the lossy-vs-lossless telemetry, and n_dims_known > n_decodable
+      // exactly by the lossy share
       ch.render("""SELECT
           CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
             WHEN 3 THEN 'bmp' WHEN 5 THEN 'other' WHEN 6 THEN 'missing'
             ELSE 'webp' END AS format,
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CASE WHEN kind <= 3 OR kind = 7 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_decodable
+            AS BIGINT) AS n_decodable,
+          CAST(sum(CASE WHEN kind <= 4 OR kind = 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dims_known
         FROM k GROUP BY 1""")
     },
   )

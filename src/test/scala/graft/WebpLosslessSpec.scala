@@ -499,6 +499,69 @@ class WebpLosslessSpec extends AnyFunSuite {
     assert(px(1) == 0xfffa1e32.toInt, f"got ${px(1)}%08x") // r250 g30 b50
   }
 
+  test("headerDimensions reads dims from VP8L, lossy VP8, and VP8X headers without decode") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    // VP8L: a real encode's signature dims
+    val vp8l = WebpLossless.encodeGray(gray(5L, 33 * 17), 33, 17)
+    assert(WebpLossless.headerDimensions(vp8l).contains((33, 17)))
+    // lossy VP8: RFC 6386 keyframe header (frame tag + sync + 14-bit dims)
+    def vp8Body(w: Int, h: Int, tag0: Int = 0x10, sync: Boolean = true)
+        : Array[Byte] =
+      Array[Byte](tag0.toByte, 0, 0,
+        (if (sync) 0x9d else 0x9c).toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte) ++
+        Array.fill(6)(0x55.toByte)
+    def wrap(fourcc: String, body: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + body.length) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        le32(body.length) ++ body
+    assert(WebpLossless.headerDimensions(wrap("VP8 ", vp8Body(640, 480)))
+      .contains((640, 480)))
+    // 14-bit dims use both bytes
+    assert(WebpLossless.headerDimensions(wrap("VP8 ", vp8Body(1920, 1080)))
+      .contains((1920, 1080)))
+    // non-keyframe (tag bit 0 set) and bad sync code both reject
+    assert(WebpLossless.headerDimensions(
+      wrap("VP8 ", vp8Body(640, 480, tag0 = 0x11))).isEmpty)
+    assert(WebpLossless.headerDimensions(
+      wrap("VP8 ", vp8Body(640, 480, sync = false))).isEmpty)
+    // VP8X canvas fallback: 24-bit minus-one fields after 4 flag bytes
+    val vp8x = Array[Byte](0, 0, 0, 0,
+      (299 & 0xff).toByte, ((299 >> 8) & 0xff).toByte, 0,
+      (149 & 0xff).toByte, ((149 >> 8) & 0xff).toByte, 0)
+    assert(WebpLossless.headerDimensions(wrap("VP8X", vp8x))
+      .contains((300, 150)))
+    // junk / null / negative chunk size all None
+    assert(WebpLossless.headerDimensions(null).isEmpty)
+    assert(WebpLossless.headerDimensions(Array[Byte](1, 2, 3)).isEmpty)
+    assert(WebpLossless.headerDimensions(
+      "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+        "WEBP".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+        le32(-8) ++ Array.fill(32)(0.toByte)).isEmpty)
+    // the fixture rig's lossy payload reports dims but never decodes
+    val lossy = graft.ops.ImageDedup.fixturePayload(7L, 4)
+    assert(WebpLossless.decode(lossy).isEmpty)
+    assert(WebpLossless.headerDimensions(lossy).isDefined)
+  }
+
+  test("decodeFeatures fills real dims with null features for lossy WebP") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lossy = graft.ops.ImageDedup.fixturePayload(11L, 4)
+    val expected = graft.ops.WebpLossless.headerDimensions(lossy).get
+    val df = Seq((1L, lossy)).toDF("id", "img")
+    val row = graft.ops.Multimodal.decodeFeatures(df, "img")
+      .select(col("img_decoded.width"), col("img_decoded.height"),
+        col("img_decoded.channels"), col("img_decoded.features"))
+      .collect().head
+    assert((row.getInt(0), row.getInt(1)) == expected)
+    assert(row.isNullAt(2) && row.isNullAt(3),
+      "channels/features must be null for a dims-only decode")
+  }
+
   test("malformed payloads degrade to None, never throw") {
     assert(WebpLossless.decode(null).isEmpty)
     assert(WebpLossless.decode(Array[Byte](1, 2, 3)).isEmpty)
