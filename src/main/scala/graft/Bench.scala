@@ -76,6 +76,13 @@ object Bench {
       // rep is bounded insurance: a transient window can't own the
       // headline number, a genuinely slow query just confirms itself.
       if (!failed && times.nonEmpty && times.min > 20.0 && times.size < reps + 1) rep()
+      // disagreeing reps (max/min > 1.5x) mean at least one rep sat in a
+      // transient window — r9's q98 recorded 4.4 s driver-side vs 1.8 s
+      // local on UNTOUCHED code because both of its back-to-back reps
+      // landed in one. One tie-breaker rep converges the min toward the
+      // true time; agreeing reps (the common case) never pay it.
+      if (!failed && times.size >= 2 && times.max / times.min > 1.5 &&
+        times.size < reps + 2) rep()
       // errored queries get NO timing entry — a broken query must not
       // look like a fast green one
       if (failed) None else Some(name -> times.min)
