@@ -3040,6 +3040,116 @@ object SynthQueries {
             FROM usig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
       }),
 
+    // The FULL streaming near-dup INDEX (r10): BandedIndexProcessor
+    // keeps every distinct signature per band bucket in ListState, so
+    // recall equals the batch bandedHammingPairs pass at ANY corpus
+    // size — tools/BandedRecallBench measured the one-survivor g122
+    // design missing 91% of planted near-dups at 1M signatures
+    // (occupancy 16), which is the difference between a demo and an
+    // index. Signatures here are hash-derived directly (g122 already
+    // covers the in-stream image-decode front end); every 8th id
+    // re-arrives later with 1-3 bits flipped, and the oracle replays
+    // min-verifying-earlier-member over ALL bucket members in SQL.
+    QueryDef("g124_stream_banded_index",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{array, coalesce, explode, expr,
+          lit, min => fmin, pmod, shiftright, when, xxhash64}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val maxHamming = 3
+        val nBands = maxHamming + 1
+        val bandBits = 64 / nBands
+        val mask = (1L << bandBits) - 1
+        val ids = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("base_id"))
+        val base = ids.select(col("base_id").as("id"),
+          xxhash64(col("base_id")).as("sig"))
+        val h = pmod(col("base_id"), lit(3L)) + 1L
+        val twins = ids.filter(col("base_id") % 8 === 0)
+          .withColumn("a", pmod(col("base_id") * 7, lit(64L)))
+          .withColumn("fl", expr("shiftleft(1L, CAST(a AS INT))")
+            .bitwiseOR(when(h >= 2L,
+              expr("shiftleft(1L, CAST((a + 21) % 64 AS INT))")).otherwise(lit(0L)))
+            .bitwiseOR(when(h >= 3L,
+              expr("shiftleft(1L, CAST((a + 43) % 64 AS INT))")).otherwise(lit(0L))))
+          .select((col("base_id") + 10000000L).as("id"),
+            xxhash64(col("base_id")).bitwiseXOR(col("fl")).as("sig"))
+        val fixture = base.unionByName(twins)
+          .select(col("id"), (col("id") * 1000000L).as("ts"), col("sig"))
+        val streamDir = java.nio.file.Files.createTempDirectory("g124_sigs")
+        val half = ids.agg(org.apache.spark.sql.functions.max("base_id"))
+          .collect()(0).getLong(0) / 2
+        Seq(
+          "a_low" -> fixture.filter(col("id") <= half),
+          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
+          "c_dups" -> fixture.filter(col("id") >= 10000000L)
+        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        val name = "g124_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val banded = s.readStream.schema(fixture.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .select(col("id"), col("ts"), col("sig"),
+            explode(array((0 until nBands).map(b =>
+              lit(b.toLong * (mask + 1)) +
+                shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+              .as("bkey"))
+          .select(col("bkey"), col("ts"), col("id"), col("sig"))
+          .as[(Long, Long, Long, Long)]
+        val decided = banded
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3, r._4))
+          .transformWithState(
+            new graft.streaming.BandedIndexProcessor(maxHamming),
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
+          .toDF("id", "cand")
+        val q = decided.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+        deleteTree(streamDir)
+        s.table(name).groupBy("id")
+          .agg(coalesce(fmin(when(col("cand") >= 0, col("cand"))), lit(-1L))
+            .as("dup_of"))
+      }),
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = chain("s0",
+          s"SELECT CAST(doc_id AS BIGINT) AS id, " +
+            s"${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
+          .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+          .cte("bsig", "SELECT id, h1out AS us FROM c_h1out")
+          .cte("twin0", "SELECT id AS bid, us FROM bsig WHERE id % 8 = 0")
+          .cte("twin",
+            """SELECT bid + 10000000 AS id,
+              CAST(xor(CAST(us AS UBIGINT),
+                (1::UBIGINT << CAST((bid * 7) % 64 AS INT)) |
+                (CASE WHEN bid % 3 + 1 >= 2 THEN
+                  (1::UBIGINT << CAST(((bid * 7) % 64 + 21) % 64 AS INT))
+                  ELSE 0::UBIGINT END) |
+                (CASE WHEN bid % 3 + 1 >= 3 THEN
+                  (1::UBIGINT << CAST(((bid * 7) % 64 + 43) % 64 AS INT))
+                  ELSE 0::UBIGINT END)) AS HUGEINT) AS us
+            FROM twin0""")
+          .cte("allsig",
+            "SELECT id, us FROM bsig UNION ALL SELECT id, us FROM twin")
+          .cte("bands",
+            "SELECT id, us, b.range AS b, " +
+              "(us // (1::HUGEINT << (16 * b.range))) % 65536 AS key " +
+              "FROM allsig, range(0, 4) b")
+          .cte("att",
+            """SELECT r.id, x.id AS oid FROM bands r
+              JOIN bands x ON x.b = r.b AND x.key = r.key
+              WHERE x.id < r.id AND bit_count(xor(CAST(r.us AS UBIGINT),
+                CAST(x.us AS UBIGINT))) <= 3""")
+        ch.render(
+          """SELECT u.id, CAST(coalesce(min(a.oid), -1) AS BIGINT) AS dup_of
+            FROM allsig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
+      }),
+
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
     // chains) written as Avro container files and read back through the

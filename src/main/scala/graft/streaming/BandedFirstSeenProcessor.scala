@@ -24,11 +24,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * `maxHamming` shares a band by pigeonhole, so it is found whenever
   * the earlier member IS its bucket's survivor. A row that loses a
   * bucket race to an unrelated signature (a band-key collision) does
-  * not register there, so a LATER near-dup of that row can miss —
-  * bounded by the collision rate of 64/(k+1)-bit keys (~2^-16 per band
-  * at k = 3). The batch pass stays the exactness backstop; the g122
-  * oracle replays this exact semantics (bucket survivor = min id per
-  * band key), not idealized recall.
+  * not register there, so a LATER near-dup of that row can miss. The
+  * per-unrelated-row collision rate is 2^-(64/(k+1)) per band, which
+  * means the MISS RATE GROWS WITH BUCKET OCCUPANCY n/2^16 — measured
+  * by tools/BandedRecallBench (r10, planted near-dups at hamming 1-3
+  * over random signatures): miss 4% at 16k signatures (occupancy
+  * 0.25), 20% at 64k (1.0), 64% at 256k (4), 91% at 1M (16). This
+  * processor is therefore the O(bucket-count)-state SAMPLE dedup —
+  * right when a bounded state footprint matters more than recall.
+  * When recall must match the batch pass at any corpus size, use
+  * [[BandedIndexProcessor]] (every distinct signature kept per bucket,
+  * state linear in distinct signatures, recall 1.0 — the g124 query).
+  * The batch pass stays the exactness backstop; the g122 oracle
+  * replays this processor's exact semantics (bucket survivor = min id
+  * per band key), not idealized recall.
   *
   * Input rows (ts, id, sig) grouped by composite band key; output
   * (id, candidateSurvivorId | -1), one row per (arrival, band).
