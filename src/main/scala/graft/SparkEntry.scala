@@ -246,6 +246,48 @@ object SynthQueries {
         col("neighbor").cast("long")), lit(1000000007L))).as("pair_digest"))
   }
 
+  /** The g118 CUSUM oracle, shared verbatim by g125's restart leg: the
+    * two-incarnation run must produce the SAME per-key report as the
+    * single run, which is exactly the associative-resumability claim.
+    */
+  private val cusumOracleSql: String =
+    """WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+            FROM events),
+          tg AS (SELECT CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+              // count(*) AS BIGINT) AS tgt
+            FROM events, mm WHERE epoch_ns(ts) <= (mn + mx) // 2),
+          e AS (SELECT event_type, epoch_ns(ts) AS tsn, event_id,
+              CAST(round(value * 1000000) AS BIGINT) +
+                CASE WHEN epoch_ns(ts) > mn + 2 * (mx - mn) // 3
+                  THEN 300000000 ELSE 0 END AS v
+            FROM events, mm),
+          w AS (SELECT event_type, tsn,
+              CAST(row_number() OVER pk AS BIGINT) AS i,
+              CAST(sum(v - tgt) OVER
+                (pk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM e, tg
+            WINDOW pk AS (PARTITION BY event_type ORDER BY tsn, event_id)),
+          sc AS (SELECT event_type, tsn, i,
+              cum - least(0, min(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) AS s,
+              greatest(0, max(cum) OVER
+                (PARTITION BY event_type ORDER BY i
+                 ROWS UNBOUNDED PRECEDING)) - cum AS sn
+            FROM w)
+        SELECT event_type, CAST(max(i) AS BIGINT) AS n,
+          CAST(max(s) AS BIGINT) AS max_s,
+          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN i END), -1)
+            AS BIGINT) AS alarm_idx,
+          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN tsn END), -1)
+            AS BIGINT) AS alarm_ts,
+          CAST(max(sn) AS BIGINT) AS max_sn,
+          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN i END), -1)
+            AS BIGINT) AS alarm_n_idx,
+          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN tsn END), -1)
+            AS BIGINT) AS alarm_n_ts
+        FROM sc GROUP BY event_type"""
+
   private def pinDef(name: String)(fn: (SparkSession, String) => DataFrame)
       : QueryDef =
     QueryDef(name, (s, d) => pinAgg(fn(s, d)),
@@ -2579,42 +2621,95 @@ object SynthQueries {
         deleteTree(streamDir)
         s.table(name).filter(col("event_type") =!= "sentinel")
       }),
-      Some("""WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
-            FROM events),
-          tg AS (SELECT CAST(sum(CAST(round(value * 1000000) AS BIGINT))
-              // count(*) AS BIGINT) AS tgt
-            FROM events, mm WHERE epoch_ns(ts) <= (mn + mx) // 2),
-          e AS (SELECT event_type, epoch_ns(ts) AS tsn, event_id,
-              CAST(round(value * 1000000) AS BIGINT) +
-                CASE WHEN epoch_ns(ts) > mn + 2 * (mx - mn) // 3
-                  THEN 300000000 ELSE 0 END AS v
-            FROM events, mm),
-          w AS (SELECT event_type, tsn,
-              CAST(row_number() OVER pk AS BIGINT) AS i,
-              CAST(sum(v - tgt) OVER
-                (pk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-            FROM e, tg
-            WINDOW pk AS (PARTITION BY event_type ORDER BY tsn, event_id)),
-          sc AS (SELECT event_type, tsn, i,
-              cum - least(0, min(cum) OVER
-                (PARTITION BY event_type ORDER BY i
-                 ROWS UNBOUNDED PRECEDING)) AS s,
-              greatest(0, max(cum) OVER
-                (PARTITION BY event_type ORDER BY i
-                 ROWS UNBOUNDED PRECEDING)) - cum AS sn
-            FROM w)
-        SELECT event_type, CAST(max(i) AS BIGINT) AS n,
-          CAST(max(s) AS BIGINT) AS max_s,
-          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN i END), -1)
-            AS BIGINT) AS alarm_idx,
-          CAST(coalesce(min(CASE WHEN s > 50000000000 THEN tsn END), -1)
-            AS BIGINT) AS alarm_ts,
-          CAST(max(sn) AS BIGINT) AS max_sn,
-          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN i END), -1)
-            AS BIGINT) AS alarm_n_idx,
-          CAST(coalesce(min(CASE WHEN sn > 50000000000 THEN tsn END), -1)
-            AS BIGINT) AS alarm_n_ts
-        FROM sc GROUP BY event_type""")),
+      Some(cusumOracleSql)),
+
+    // CHECKPOINT-RESTART leg for the CUSUM family (VERDICT r9 item 6):
+    // the g118 rig run as TWO query incarnations over one RocksDB
+    // checkpoint — phase 1 ingests time-thirds 0-1 and stops cleanly
+    // (no-data batches disabled so the deploy stop doesn't fire the
+    // go-quiet flush early — the g116 pattern), phase 2 is a NEW query
+    // resuming from the checkpoint on the final third + sentinel. It
+    // must (a) resume, not reprocess — phase 2's input row count equals
+    // exactly the new files' rows — and (b) hash-match the SAME oracle
+    // as the single-incarnation g118, which proves the CusumState fold
+    // (prefix sum + running min/max) is associative-resumable across a
+    // REAL query restart, not just CusumSpec's batch-split unit test.
+    QueryDef("g125_stream_cusum_restart",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{expr, lit, min => fmin,
+          max => fmax, round, sum, timestamp_micros, when}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evRaw = s.read.parquet(s"$d/events.parquet")
+        val ev = graft.queries.EventTs.toNanos(evRaw)
+        val Array(minNs, maxNs) = ev.agg(fmin("ts"), fmax("ts")).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val midNs = (minNs + maxNs) / 2
+        val t2 = minNs + 2L * (maxNs - minNs) / 3
+        val target = ev.filter(col("ts") <= midNs)
+          .agg(sum(round(col("value") * 1000000).cast("long")).as("sv"),
+            org.apache.spark.sql.functions.count(lit(1)).as("nv"))
+          .select(expr("sv div nv")).collect()(0).getLong(0)
+        val streamDir = java.nio.file.Files.createTempDirectory("g125_events")
+        val ckptDir = java.nio.file.Files.createTempDirectory("g125_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g125_out").toString
+        val files = eventThirdFiles(s, d)
+        def runIncarnation(): Long = {
+          val scored = graft.queries.EventTs.toNanos(
+            s.readStream.schema(evRaw.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(streamDir.toString))
+            .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_time", "1 hour")
+            .select(col("event_type"), col("ts").as("ts_ns"),
+              col("event_id").cast("long").as("eid"),
+              (round(col("value") * 1000000).cast("long") +
+                when(col("ts") > t2, lit(300000000L)).otherwise(lit(0L)))
+                .as("v_micro"))
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.CusumProcessor(target, 50000000000L),
+              TimeMode.EventTime(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[
+                (String, Long, Long, Long, Long, Long, Long, Long)]])
+            .toDF("event_type", "n", "max_s", "alarm_idx", "alarm_ts",
+              "max_sn", "alarm_n_idx", "alarm_n_ts")
+          val q = scored.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val oldNoData = s.conf.get(noDataKey)
+        files.take(2).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        s.conf.set(noDataKey, "false")
+        val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
+        require(rows1 > 0L, "phase 1 processed no rows")
+        val tailRows = files(2)._2.count() + 1L
+        files.drop(2).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        val rows2 = runIncarnation()
+        require(rows2 == tailRows,
+          s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
+            s"expected exactly the new files' $tailRows")
+        val res = s.read.parquet(outDir)
+          .filter(col("event_type") =!= "sentinel")
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(streamDir, java.nio.file.Paths.get(ckptDir),
+          java.nio.file.Paths.get(outDir)).foreach(deleteTree)
+        out
+      }),
+      Some(cusumOracleSql)),
 
     // ADAPTIVE-BASELINE two-sided CUSUM: no upstream reference pass —
     // each key self-estimates its target from its first 200
