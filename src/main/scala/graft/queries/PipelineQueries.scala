@@ -4304,13 +4304,41 @@ object PipelineQueries {
     * domain-keyed partial-aggregated rollup. No joins, nothing
     * quadratic; the same plan at 100 TB.
     */
+  /** The q145 pipeline body over an arbitrary (doc_id, text) crawl
+    * frame — shared by the q145 QueryDef and tools/CrawlScaleBench's
+    * 1x/10x curve (VERDICT r9 item 7): messy-URL canonicalize + PSL
+    * domain, whitespace-normalized keep-first dedup, survivor-gated
+    * token/quality, per-domain rollup. One scan, one fingerprint-keyed
+    * shuffle, one domain-keyed rollup — no joins.
+    */
+  def crawlPipeline(crawled: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nTok = length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1
+    val nLetters = length(regexp_replace(col("text"), " ", ""))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    crawled
+      .select(col("doc_id"), col("text"), messyUrlCol.as("url"))
+      .withColumn("domain", graft.ops.UrlOps.registrableDomain(
+        graft.ops.UrlOps.canonicalHost(col("url"))))
+      .withColumn("fp",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("domain"), (col("rn") === 1).cast("int").as("surv"),
+        nTok.cast("long").as("n_tokens"),
+        floor(nLetters * 1000.0 / nTok).cast("long").as("q_milli"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("surv").as("n_survivors"),
+        sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
+          .as("sum_tokens"),
+        sum(when(col("surv") === 1, col("q_milli")).otherwise(0L))
+          .as("sum_quality_milli"))
+  }
+
   val q145_crawl_pipeline = QueryDef(
     "q145_crawl_pipeline",
     (s, d) => {
-      val nTok = length(col("text")) -
-        length(regexp_replace(col("text"), " ", "")) + 1
-      val nLetters = length(regexp_replace(col("text"), " ", ""))
-      val w = Window.partitionBy("fp").orderBy("doc_id")
       // planted re-crawls: every 3rd document fetched again under a
       // DIFFERENT id (hence a different URL and possibly a different
       // domain) — the dedup gate must drop the copy while the domain
@@ -4319,23 +4347,7 @@ object PipelineQueries {
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val crawled = base.unionAll(base.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      crawled
-        .select(col("doc_id"), col("text"), messyUrlCol.as("url"))
-        .withColumn("domain", graft.ops.UrlOps.registrableDomain(
-          graft.ops.UrlOps.canonicalHost(col("url"))))
-        .withColumn("fp",
-          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-        .withColumn("rn", row_number().over(w))
-        .select(col("domain"), (col("rn") === 1).cast("int").as("surv"),
-          nTok.cast("long").as("n_tokens"),
-          floor(nLetters * 1000.0 / nTok).cast("long").as("q_milli"))
-        .groupBy("domain")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("surv").as("n_survivors"),
-          sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
-            .as("sum_tokens"),
-          sum(when(col("surv") === 1, col("q_milli")).otherwise(0L))
-            .as("sum_quality_milli"))
+      crawlPipeline(crawled)
     },
     Some {
       val ch = urlPicksChain2(
