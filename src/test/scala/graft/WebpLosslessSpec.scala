@@ -458,6 +458,17 @@ class WebpLosslessSpec extends AnyFunSuite {
     assert(px(1) == 0xff0a07c8.toInt, f"got ${px(1)}%08x") // a255 r10 g7 b200
   }
 
+  test("encoder round-trips a uniform-histogram image (single-symbol code-length code)") {
+    // every gray value 0..255 exactly once -> each channel's 256
+    // lengths are all 8 -> the code-length code has ONE used symbol,
+    // the degenerate case the r10 writer fix covers on the REAL
+    // encoder path (not just the hand-built test hook)
+    val lumas = Array.tabulate(256)(identity)
+    val Some((w, h, px)) = WebpLossless.decode(WebpLossless.encodeGray(lumas, 16, 16))
+    assert((w, h) == ((16, 16)))
+    assert(px.map(p => (p >> 8) & 0xff).sameElements(lumas))
+  }
+
   test("the embedded 120-entry near-distance table matches the spec's generation rule") {
     // the decoder reads the spec's published byte table; the rule
     // (dy 1..7 x dx -7..8 plus dy 0 x dx 1..8, sorted by squared
