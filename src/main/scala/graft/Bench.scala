@@ -80,9 +80,11 @@ object Bench {
       // transient window — r9's q98 recorded 4.4 s driver-side vs 1.8 s
       // local on UNTOUCHED code because both of its back-to-back reps
       // landed in one. One tie-breaker rep converges the min toward the
-      // true time; agreeing reps (the common case) never pay it.
-      if (!failed && times.size >= 2 && times.max / times.min > 1.5 &&
-        times.size < reps + 2) rep()
+      // true time; agreeing reps (the common case) never pay it, and a
+      // query that already earned an extra rep above doesn't pay twice
+      // (the >20 s guard's rep IS the tie-breaker in that case).
+      if (!failed && times.size >= 2 && times.size <= reps &&
+        times.max / times.min > 1.5) rep()
       // errored queries get NO timing entry — a broken query must not
       // look like a fast green one
       if (failed) None else Some(name -> times.min)

@@ -145,31 +145,20 @@ object SynthQueries {
   }
 
   /** Materialize one split file into `streamDir` as a single parquet
-    * part named `sub.parquet` (one file = one maxFilesPerTrigger batch).
+    * part named `sub.parquet` (one file = one maxFilesPerTrigger
+    * batch). Delegates to the shared [[graft.streaming.StreamFiles]]
+    * (also used by the specs and scale benches — one copy of the
+    * staging/cleanup dance).
     */
   private def writeStreamFile(df: DataFrame, streamDir: java.nio.file.Path,
-      sub: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$sub")
-    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = SparkEntry.firstParquet(tmp)
-    java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
-    deleteTree(tmp) // the _SUCCESS/.crc staging leftovers
-  }
+      sub: String): Unit =
+    graft.streaming.StreamFiles.writeOne(df, streamDir, sub)
 
-  /** Recursive delete, best-effort (the replays create tmp trees per
-    * run and the parity tools run the whole suite repeatedly in one
-    * process — unbounded leftovers would grow /tmp by a RocksDB
-    * checkpoint tree per invocation).
+  /** Recursive delete, best-effort — see
+    * [[graft.streaming.StreamFiles.deleteTree]].
     */
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    if (Files.exists(root)) {
-      val all = Files.walk(root)
-      try all.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-      finally all.close()
-    }
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    graft.streaming.StreamFiles.deleteTree(root)
 
   /** The per-user event-type count stream over a split directory: file
     * source (one file per trigger) -> watermarked event time ->
@@ -3074,11 +3063,10 @@ object SynthQueries {
             .parquet(streamDir.toString), "png")
           .select(col("id"), col("ts"), col("png_dhash").as("sig"))
         // the batch banding, in-stream: one row per (arrival, band),
-        // keyed by the composite band * 2^bandBits + bandKey
+        // keyed by the composite layout (Dedup.streamBandKeys — the
+        // ONE definition the oracles, benches and specs share)
         val banded = hashed.select(col("id"), col("ts"), col("sig"),
-          explode(array((0 until nBands).map(b =>
-            lit(b.toLong * (mask + 1)) +
-              shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
             .as("bkey"))
           .select(col("bkey"), col("ts"), col("id"), col("sig"))
           .as[(Long, Long, Long, Long)]
@@ -3184,9 +3172,7 @@ object SynthQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString)
           .select(col("id"), col("ts"), col("sig"),
-            explode(array((0 until nBands).map(b =>
-              lit(b.toLong * (mask + 1)) +
-                shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+            explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
               .as("bkey"))
           .select(col("bkey"), col("ts"), col("id"), col("sig"))
           .as[(Long, Long, Long, Long)]

@@ -1,7 +1,7 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,12 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ops.UrlOps]] as the no-extensions fallback, semantics
   * identical (UrlOpsSpec pins both paths).
   */
-case class PslDomain(child: Expression) extends UnaryExpression {
+case class PslDomain(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"psl_domain requires a STRING argument, got ${child.dataType.catalogString}")
+  // implicit casts (NullType, castable inputs) keep this path
+  // analysis-equivalent to the column fallback, which inherits split()'s
+  // implicit cast — the two lowerings must accept the same queries
+  // (narrowed result type: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "psl_domain"

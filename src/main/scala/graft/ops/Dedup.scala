@@ -404,6 +404,25 @@ object Dedup {
     * equi-join (exact signature match). Output: (a, b, hamming) with
     * a < b in `idCol`'s ordering.
     */
+  /** The composite STREAMING band-key array: one element per band,
+    * `band * 2^bandBits + the band's 64/(maxHamming+1)-bit key` — the
+    * grouping-key layout shared by the streaming banded processors
+    * (g122 first-seen, g124 index), their DuckDB oracles, the
+    * recall/scale benches, and BandedIndexSpec. ONE definition on
+    * purpose: the layout is load-bearing for oracle parity, so a
+    * drifted copy would surface only as an opaque gate hash failure.
+    */
+  def streamBandKeys(sig: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"streaming banding takes maxHamming in [1, 7], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).map(b =>
+      lit(b.toLong * (mask + 1)) +
+        shiftright(sig, b * bandBits).bitwiseAND(lit(mask))): _*)
+  }
+
   def bandedHammingPairs(sig0: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,

@@ -88,8 +88,16 @@ object UrlOps {
     * identical output.
     */
   def registrableDomain(host: Column): Column = {
-    val active = org.apache.spark.sql.SparkSession.active
-    if (active.catalog.functionExists("psl_domain"))
+    // ambient-session probe, non-throwing: with no active/default
+    // session (pure column construction, the r9 contract) or without
+    // GraftExtensions registered, fall back to the column composition.
+    // The probe binds to the construction-time session — the same
+    // trade every functionExists-gated native lowering in ops/ makes.
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .exists(s => try s.catalog.functionExists("psl_domain")
+        catch { case _: Exception => false })
+    if (native)
       org.apache.spark.sql.functions.call_function("psl_domain", host)
     else registrableDomainColumns(host)
   }

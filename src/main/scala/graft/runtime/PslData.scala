@@ -33,15 +33,28 @@ object PslData {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
       finally in.close()
-    raw.flatMap { rule =>
+    var idnDropped = 0
+    val out = raw.flatMap { rule =>
       val (flag, body) =
         if (rule.startsWith("!")) ("!", rule.drop(1))
         else if (rule.startsWith("*.")) ("*.", rule.drop(2))
         else ("", rule)
       val ascii =
-        try java.net.IDN.toASCII(body) catch { case _: Exception => body }
+        try java.net.IDN.toASCII(body)
+        catch { case _: Exception =>
+          // IDNA2003 can reject rules IDNA2008 allows: keep the unicode
+          // spelling but COUNT the missing punycode alias — a silent
+          // drop would make xn-- hosts under that suffix fall to the
+          // default rule with no signal
+          if (body.exists(_ > 127)) idnDropped += 1
+          body
+        }
       if (ascii == body) Seq(rule) else Seq(rule, flag + ascii)
     }
+    if (idnDropped > 0)
+      System.err.println(s"[graft] PslData: $idnDropped IDN rule(s) have " +
+        "no punycode alias (java.net.IDN/IDNA2003 rejected the conversion)")
+    out
   }
 
   /** Normal rules grouped by label count (k labels -> public suffix of

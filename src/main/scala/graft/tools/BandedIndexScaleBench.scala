@@ -47,22 +47,15 @@ object BandedIndexScaleBench {
         (col("id") * 1000L).as("ts"), xxhash64(lit("sig"), col("id")).as("sig"))
       val streamDir = java.nio.file.Files.createTempDirectory(s"bisb_$n")
       Seq("a", "b", "c").zipWithIndex.foreach { case (sub, i) =>
-        val slice = all.filter(col("id") % 3 === i)
-        val tmp = java.nio.file.Files.createTempDirectory(s"bisb_$sub")
-        slice.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val ls = java.nio.file.Files.list(tmp)
-        val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst.get
-          finally ls.close()
-        java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
+        graft.streaming.StreamFiles.writeOne(
+          all.filter(col("id") % 3 === i), streamDir, sub)
       }
       val name = s"bisb_sink_$n"
       val t0 = System.nanoTime()
       val q = spark.readStream.schema(all.schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
         .select(col("id"), col("ts"), col("sig"),
-          explode(array((0 until nBands).map(b =>
-            lit(b.toLong * (mask + 1)) +
-              shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
             .as("bkey"))
         .select(col("bkey"), col("ts"), col("id"), col("sig"))
         .as[(Long, Long, Long, Long)]
@@ -90,10 +83,7 @@ object BandedIndexScaleBench {
         f""""state_entries":${(maxHamming + 1) * n},""" +
         f""""wall_s":$wall%.2f,"arrivals_per_s":${n / wall}%.0f}""")
       // clean the split dir (checkpoints are temp-dir scoped already)
-      val walk = java.nio.file.Files.walk(streamDir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
+      graft.streaming.StreamFiles.deleteTree(streamDir)
     }
     spark.stop()
   }

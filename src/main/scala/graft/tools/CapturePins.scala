@@ -45,7 +45,15 @@ object CapturePins {
   }
 
   private def escape(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** A DuckDB constant query reproducing `df`'s rows verbatim. */
   def renderSql(df: DataFrame): String = {

@@ -46,16 +46,10 @@ class BandedIndexSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // stream the same rows through the processor in id order (2 files)
     val streamDir = java.nio.file.Files.createTempDirectory("bidx_spec")
-    def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"bidx_$sub")
-      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val ls = java.nio.file.Files.list(tmp)
-      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst.get
-        finally ls.close()
-      java.nio.file.Files.move(part, streamDir.resolve(s"$sub.parquet"))
-    }
-    writeOne(all.filter(col("id") < n), "a_base")
-    writeOne(all.filter(col("id") >= n), "b_twins")
+    graft.streaming.StreamFiles.writeOne(
+      all.filter(col("id") < n), streamDir, "a_base")
+    graft.streaming.StreamFiles.writeOne(
+      all.filter(col("id") >= n), streamDir, "b_twins")
     val name = "bidx_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // transformWithState needs the RocksDB provider (multiple column
     // families); scope it to this query and restore after
@@ -66,9 +60,7 @@ class BandedIndexSpec extends AnyFunSuite {
     val banded = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
       .select(col("id"), col("ts"), col("sig"),
-        explode(array((0 until nBands).map(b =>
-          lit(b.toLong * (mask + 1)) +
-            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
           .as("bkey"))
       .select(col("bkey"), col("ts"), col("id"), col("sig"))
       .as[(Long, Long, Long, Long)]
