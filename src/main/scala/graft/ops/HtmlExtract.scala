@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → visible-text extraction — step ZERO of a crawl-curation
+  * pipeline (before quality scoring, token counting, or dedup ever
+  * see a document): strip comments, script/style payloads and tags,
+  * decode the common entities, and collapse whitespace, as pure
+  * codegen'd regexp/replace Column expressions (scan stage, no UDF,
+  * no shuffle — the 100 TB shape is "free alongside the first read").
+  *
+  * This is the deterministic tag-stripping extractor (the C4 recipe),
+  * NOT a DOM parser: malformed markup degrades gracefully — a `<`
+  * swallows to the NEXT `>` wherever one exists, and a trailing
+  * unclosed `<...` (no closer anywhere) stays literal text rather
+  * than deleting the rest of the document. Both are the right failure
+  * modes for crawl bytes. Every pattern is chosen to mean the
+  * same thing in Java regex (Spark) and RE2 (DuckDB) — lazy
+  * quantifiers, (?is) inline flags, explicit whitespace classes
+  * (NOT \s: Java's includes \x0B, RE2's does not) — so the whole
+  * extraction replays byte-identically in the oracle.
+  */
+object HtmlExtract {
+
+  /** Visible text: comments, then script/style blocks (lazy spans,
+    * case-insensitive, dot-matches-newline), then every remaining tag,
+    * each replaced by a space so adjacent words never fuse; then the
+    * five ubiquitous entities plus numeric &#39; (apostrophe), with
+    * `&amp;` decoded LAST so `&amp;lt;` yields the literal `&lt;`
+    * rather than double-decoding; then whitespace collapsed and
+    * trimmed.
+    */
+  def extractText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Extraction + the density stats a curation gate filters on:
+    * `n_links` (anchor openings), `n_tags` (all tags), `html_len` /
+    * `text_len`, and `density_ppm` = visible-text share of the raw
+    * bytes — the classic boilerplate-page signal (near-zero density =
+    * navigation shell). All integers; one scan.
+    */
+  def extractStats(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
+    val text = extractText(html)
+    df.select(col(idCol), text.as("text"),
+      (size(split(html, "(?i)<a[ \\t\\n>]")) - 1).cast("long").as("n_links"),
+      (size(split(html, "(?s)<[^>]*>")) - 1).cast("long").as("n_tags"),
+      length(html).cast("long").as("html_len"),
+      length(text).cast("long").as("text_len"))
+      .withColumn("density_ppm",
+        // integer `div`, not `/`: Spark's / is double division, and a
+        // double-floored quotient is one ulp away from a hash mismatch
+        when(col("html_len") > 0,
+          expr("text_len * 1000000 div html_len")).otherwise(0L))
+  }
+}

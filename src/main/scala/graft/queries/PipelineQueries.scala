@@ -4377,8 +4377,77 @@ object PipelineQueries {
     },
   )
 
+  /** HTML → visible-text extraction (ops/HtmlExtract, r10): step ZERO
+    * of crawl curation, with a FULL oracle. The fixture wraps each
+    * document's text in a deterministic messy page — title/h1, a style
+    * block, a script block whose body contains '<' '>' AND a fake
+    * </p> inside a comment, an HTML comment, an entity gauntlet
+    * (incl. the &amp;lt; double-decode trap), and doc_id%4 anchor
+    * links — and the oracle rebuilds the SAME page in SQL and runs
+    * the SAME regex pipeline (every pattern chosen to mean the same
+    * thing in Java regex and RE2), so extracted text, link/tag counts
+    * and the density ppm must match byte-for-byte.
+    */
+  val q146_html_extract = QueryDef(
+    "q146_html_extract",
+    (s, d) => {
+      val links = concat((0 until 3).map(k =>
+        when(pmod(col("doc_id"), lit(4L)) > k,
+          lit(s"""<a href="/l$k">link $k</a>""")).otherwise(lit(""))): _*)
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did, lit("</title>"),
+        lit("<style type=\"text/css\">body { color: #000; }</style>"),
+        lit("<script>var n = 1 < 2; // <p>fake</p>\n</script>"),
+        lit("</head><body><!-- header\ncomment --><h1>Doc "), did,
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+        links, lit("</body></html>"))
+      graft.ops.HtmlExtract.extractStats(
+        docs(s, d).select(col("doc_id"), html.as("html")), "doc_id", "html")
+    },
+    Some {
+      val links = (0 until 3).map(k =>
+        s"(CASE WHEN doc_id % 4 > $k THEN '<a href=\"/l$k\">link $k</a>' " +
+          "ELSE '' END)").mkString(" || ")
+      // NOTE the doubled '' for SQL apostrophes in the entity gauntlet
+      val htmlExpr =
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>" +
+          "<style type=\"text/css\">body { color: #000; }</style>" +
+          "<script>var n = 1 < 2; // <p>fake</p>' || chr(10) || '</script>" +
+          "</head><body><!-- header' || chr(10) || 'comment --><h1>Doc ' || " +
+          "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || " +
+          "'</p><p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>' || " +
+          links + " || '</body></html>'"
+      s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+        x AS (SELECT doc_id, html,
+            regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS s1 FROM h),
+        x2 AS (SELECT *, regexp_replace(s1,
+            '<script[^>]*>.*?</script>', ' ', 'gis') AS s2 FROM x),
+        x3 AS (SELECT *, regexp_replace(s2,
+            '<style[^>]*>.*?</style>', ' ', 'gis') AS s3 FROM x2),
+        x4 AS (SELECT *, regexp_replace(s3, '<[^>]*>', ' ', 'gs') AS s4 FROM x3),
+        x5 AS (SELECT *, replace(replace(replace(replace(replace(replace(
+            s4, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s5 FROM x4),
+        t AS (SELECT doc_id, html,
+            trim(regexp_replace(s5, '[ \t\n\r\f]+', ' ', 'g')) AS text FROM x5)
+      SELECT doc_id, text,
+        CAST(len(regexp_extract_all(html, '<a[ \t\n>]', 0, 'i')) AS BIGINT)
+          AS n_links,
+        CAST(len(regexp_extract_all(html, '<[^>]*>', 0, 's')) AS BIGINT)
+          AS n_tags,
+        CAST(length(html) AS BIGINT) AS html_len,
+        CAST(length(text) AS BIGINT) AS text_len,
+        CAST(CASE WHEN length(html) > 0
+          THEN length(text) * 1000000 // length(html) ELSE 0 END AS BIGINT)
+          AS density_ppm
+      FROM t"""
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q144_image_coverage, q145_crawl_pipeline,
+    q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,

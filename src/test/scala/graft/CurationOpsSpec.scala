@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Contamination, Quantiles, TextAnalysis}
+import graft.ops.{Contamination, HtmlExtract, Quantiles, TextAnalysis}
 
 /** Curation-operator tests: repetition signals, benchmark
   * decontamination, PII scrubbing, and exact per-key quantiles —
@@ -11,6 +11,38 @@ import graft.ops.{Contamination, Quantiles, TextAnalysis}
 class CurationOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
   import spark.implicits._
+
+  test("HtmlExtract: tags, script/style spans, comments, entities, and malformed markup") {
+    def ext(html: String): String = Seq((1L, html)).toDF("id", "h")
+      .select(HtmlExtract.extractText(col("h"))).collect().head.getString(0)
+    // plain structure: tags become separators, whitespace collapses
+    assert(ext("<html><body><h1>A</h1>\n\n<p>b   c</p></body></html>") == "A b c")
+    // script/style bodies vanish entirely, even containing < > and fake
+    // closers inside comments; lazy span stops at the FIRST real closer
+    assert(ext("a<script>if (1<2) { /* </p> */ }</script>b<style>p{x:1}</style>c")
+      == "a b c")
+    assert(ext("a<SCRIPT TYPE='x'>y</SCRIPT>b") == "a b", "case-insensitive")
+    // comments vanish, multi-line included
+    assert(ext("a<!-- x\ny --><!---->b") == "a b")
+    // entity gauntlet: &amp; decodes LAST so &amp;lt; is a literal &lt;
+    assert(ext("&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      == "&lt; <b> \"q\" 's' end")
+    // malformed: a < swallows to the NEXT > wherever one exists; a
+    // trailing unclosed <... (no closer at all) stays literal text
+    // instead of deleting the rest of the document; never throws
+    assert(ext("a <b unclosed") == "a <b unclosed")
+    assert(ext("a < b > c") == "a c", "a bare < opens a tag span")
+    assert(ext("") == "")
+    // stats: links, tags, density
+    val row = HtmlExtract.extractStats(
+      Seq((1L, "<html><a href=x>l</a><a\nhref=y>m</a><p>text</p></html>"))
+        .toDF("id", "h"), "id", "h").collect().head
+    assert(row.getAs[Long]("n_links") == 2)
+    assert(row.getAs[Long]("n_tags") == 8)
+    assert(row.getAs[String]("text") == "l m text")
+    assert(row.getAs[Long]("density_ppm") ==
+      8L * 1000000L / row.getAs[Long]("html_len"))
+  }
 
   test("repetitionSignals: degenerate repetition maxes the bigram share, unique text minimizes it") {
     val df = Seq(
