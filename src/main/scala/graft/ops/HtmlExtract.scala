@@ -45,6 +45,33 @@ object HtmlExtract {
     trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
   }
 
+  /** The head-metadata signals a crawler acts on BEFORE content ever
+    * matters: the `<title>` text, whether a robots meta tag declares
+    * `noindex` (the page must be dropped from the corpus regardless of
+    * quality), and the `<link rel="canonical">` target (the dedup key
+    * the SITE declares, stronger than URL canonicalization when
+    * present). Pure regexp_extract scan — same Java/RE2-portable
+    * pattern discipline as [[extractText]]; empty string when absent
+    * (regexp_extract's no-match value in both engines).
+    */
+  def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
+    // attribute ORDER is free in real markup (content= may precede
+    // name=, href= may precede rel=), so detection is two-step: grab
+    // the whole tag matched on its identifying attribute, then probe
+    // the tag's text for the other attribute — never one combined
+    // regex that hard-codes an order
+    val robotsTag = regexp_extract(html,
+      "(?is)<meta[^>]*name[ \\t]*=[ \\t]*[\"']robots[\"'][^>]*>", 0)
+    val canonTag = regexp_extract(html,
+      "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']canonical[\"'][^>]*>", 0)
+    df.select(col(idCol),
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
+      (instr(lower(robotsTag), "noindex") > 0).cast("int").as("noindex"),
+      regexp_extract(canonTag,
+        "(?is)href[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']", 1).as("canonical"))
+  }
+
   /** Extraction + the density stats a curation gate filters on:
     * `n_links` (anchor openings), `n_tags` (all tags), `html_len` /
     * `text_len`, and `density_ppm` = visible-text share of the raw

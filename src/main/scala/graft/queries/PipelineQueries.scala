@@ -4446,8 +4446,56 @@ object PipelineQueries {
     },
   )
 
+  /** Head-metadata crawler signals (ops/HtmlExtract.metaSignals):
+    * title, robots-noindex, declared canonical URL — the decisions a
+    * crawler takes before content matters. The fixture plants a
+    * noindex meta tag on every 5th doc (mixed attribute order and
+    * quoting) and a canonical link on every 3rd; the oracle rebuilds
+    * the same head and replays the same extracts in RE2.
+    */
+  val q147_html_meta = QueryDef(
+    "q147_html_meta",
+    (s, d) => {
+      val did = col("doc_id").cast("string")
+      val robots = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("<META content='nofollow, noindex' Name='robots' />"))
+        .otherwise(lit("<meta name=\"keywords\" content=\"noindex-decoy\">"))
+      val canon = when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("<link href=\"https://site/c/"), did,
+          lit("\" rel=\"canonical\">"))).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title> Doc "), did, lit(" </title>"), robots, canon,
+        lit("</head><body><p>body</p></body></html>"))
+      graft.ops.HtmlExtract.metaSignals(
+        docs(s, d).select(col("doc_id"), html.as("html")), "doc_id", "html")
+    },
+    Some {
+      """WITH h AS (SELECT doc_id,
+          '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+          ' </title>' ||
+          (CASE WHEN doc_id % 5 = 0
+            THEN '<META content=''nofollow, noindex'' Name=''robots'' />'
+            ELSE '<meta name="keywords" content="noindex-decoy">' END) ||
+          (CASE WHEN doc_id % 3 = 0
+            THEN '<link href="https://site/c/' || CAST(doc_id AS VARCHAR) ||
+              '" rel="canonical">' ELSE '' END) ||
+          '</head><body><p>body</p></body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+        regexp_extract(html, '<title[^>]*>(.*?)</title>', 1, 'is') AS title,
+        CAST(CASE WHEN lower(regexp_extract(html,
+            '<meta[^>]*name[ \t]*=[ \t]*["'']robots["''][^>]*>', 0, 'is'))
+          LIKE '%noindex%' THEN 1 ELSE 0 END AS INT) AS noindex,
+        regexp_extract(regexp_extract(html,
+            '<link[^>]*rel[ \t]*=[ \t]*["'']canonical["''][^>]*>', 0, 'is'),
+          'href[ \t]*=[ \t]*["'']([^"'']*)["'']', 1, 'is') AS canonical
+      FROM h"""
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
+    q147_html_meta,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,

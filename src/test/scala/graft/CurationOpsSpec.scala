@@ -44,6 +44,29 @@ class CurationOpsSpec extends AnyFunSuite {
       8L * 1000000L / row.getAs[Long]("html_len"))
   }
 
+  test("HtmlExtract.metaSignals: attribute order, quoting, case, and absent tags") {
+    def sig(html: String): (String, Int, String) = {
+      val r = HtmlExtract.metaSignals(
+        Seq((1L, html)).toDF("id", "h"), "id", "h").collect().head
+      (r.getString(1), r.getInt(2), r.getString(3))
+    }
+    // canonical case
+    assert(sig("<head><title>T</title>" +
+      "<meta name=\"robots\" content=\"noindex\">" +
+      "<link rel=\"canonical\" href=\"https://x/y\"></head>")
+      == (("T", 1, "https://x/y")))
+    // reversed attribute order, single quotes, mixed case
+    assert(sig("<META content='NOINDEX, nofollow' Name='robots'/>" +
+      "<LINK HREF='https://a/b' REL='canonical'>")
+      == (("", 1, "https://a/b")))
+    // a robots tag WITHOUT noindex, and a decoy keywords meta with it
+    assert(sig("<meta name='robots' content='index, follow'>" +
+      "<meta name='keywords' content='noindex decoy'>") == (("", 0, "")))
+    // nothing present: empty strings, zero flag, never null/throw
+    assert(sig("<p>plain</p>") == (("", 0, "")))
+    assert(sig("") == (("", 0, "")))
+  }
+
   test("repetitionSignals: degenerate repetition maxes the bigram share, unique text minimizes it") {
     val df = Seq(
       (1L, "spam spam spam spam"),     // 4 tokens, 1 distinct, top bigram "spam spam" x3
