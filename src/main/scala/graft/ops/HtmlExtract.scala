@@ -54,22 +54,37 @@ object HtmlExtract {
     * pattern discipline as [[extractText]]; empty string when absent
     * (regexp_extract's no-match value in both engines).
     */
-  def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    val html = col(htmlCol)
-    // attribute ORDER is free in real markup (content= may precede
-    // name=, href= may precede rel=), so detection is two-step: grab
-    // the whole tag matched on its identifying attribute, then probe
-    // the tag's text for the other attribute — never one combined
-    // regex that hard-codes an order
+  /** The `<title>` text (first title element, lazy span). */
+  def titleOf(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  /** 1 when a robots meta tag declares noindex. Attribute ORDER is
+    * free in real markup (content= may precede name=), so detection is
+    * two-step: grab the whole tag matched on its identifying
+    * attribute, then probe the tag's text — never one combined regex
+    * that hard-codes an order.
+    */
+  def noindexOf(html: Column): Column = {
     val robotsTag = regexp_extract(html,
       "(?is)<meta[^>]*name[ \\t]*=[ \\t]*[\"']robots[\"'][^>]*>", 0)
+    (instr(lower(robotsTag), "noindex") > 0).cast("int")
+  }
+
+  /** The `<link rel="canonical">` href, '' when absent (same two-step
+    * order-independent matching as [[noindexOf]]).
+    */
+  def canonicalOf(html: Column): Column = {
     val canonTag = regexp_extract(html,
       "(?is)<link[^>]*rel[ \\t]*=[ \\t]*[\"']canonical[\"'][^>]*>", 0)
+    regexp_extract(canonTag, "(?is)href[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']", 1)
+  }
+
+  def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
     df.select(col(idCol),
-      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
-      (instr(lower(robotsTag), "noindex") > 0).cast("int").as("noindex"),
-      regexp_extract(canonTag,
-        "(?is)href[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']", 1).as("canonical"))
+      titleOf(html).as("title"),
+      noindexOf(html).as("noindex"),
+      canonicalOf(html).as("canonical"))
   }
 
   /** Extraction + the density stats a curation gate filters on:

@@ -4493,9 +4493,140 @@ object PipelineQueries {
     },
   )
 
+  /** The HTML-IN crawl capstone (r10) — q145's text-in pipeline with
+    * the page layer composed on top, every stage from this round's
+    * additions working together in ONE plan:
+    *
+    *   messy URL (q142) + messy PAGE (title / robots-noindex on every
+    *   5th fetch / site-declared canonical on every 3rd page, planted
+    *   re-crawls under new ids carrying the SAME canonical) →
+    *   HtmlExtract.extractText + metaSignals → noindex gate → dedup
+    *   key = site canonical when declared, else the canonicalized URL
+    *   → keep-first survivor per key among indexable fetches → PSL
+    *   domain rollup (pages / indexable / survivors / survivor
+    *   tokens).
+    *
+    * Scale shape: one scan (URL, page build, extraction and meta are
+    * all pure expressions), ONE key shuffle for the survivor window,
+    * one rollup. The oracle rebuilds the identical page and URL in
+    * SQL, replays the tag-strip extraction (the script/style/entity
+    * stages are byte-level no-ops on this page and are proven
+    * engine-equal by q146/q147), and composes the same gates — so the
+    * hash-match proves the INTEGRATION of extraction, meta gating,
+    * canonical dedup, URL canonicalization and domain attribution at
+    * once.
+    */
+  val q148_extract_pipeline = QueryDef(
+    "q148_extract_pipeline",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val crawled = base.unionAll(base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val did = col("doc_id").cast("string")
+      val bid = pmod(col("doc_id"), lit(1000000L))
+      val robots = when(pmod(col("doc_id"), lit(5L)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit(""))
+      val canonLink = when(pmod(bid, lit(3L)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://canon.site/c/"),
+          bid.cast("string"), lit("\">"))).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Doc "), did, lit("</title>"), robots,
+        canonLink, lit("</head><body><!-- hdr --><p>"), col("text"),
+        lit("</p></body></html>"))
+      val paged = crawled.select(col("doc_id"), messyUrlCol.as("url"),
+        html.as("html"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.HtmlExtract.extractText(col("html")).as("body_text"),
+          graft.ops.HtmlExtract.noindexOf(col("html")).as("noindex"),
+          graft.ops.HtmlExtract.canonicalOf(col("html")).as("canonical"))
+        .withColumn("dedup_key",
+          when(col("canonical") =!= "", concat(lit("c:"), col("canonical")))
+            .otherwise(concat(lit("u:"),
+              graft.ops.UrlOps.canonicalizeUrl(col("url")))))
+        .withColumn("domain", graft.ops.UrlOps.registrableDomain(
+          graft.ops.UrlOps.canonicalHost(col("url"))))
+        .withColumn("n_tokens", (length(col("body_text")) -
+          length(regexp_replace(col("body_text"), " ", "")) + 1).cast("long"))
+      val w = Window.partitionBy("dedup_key")
+        .orderBy(col("noindex"), col("doc_id"))
+      paged.withColumn("rn", row_number().over(w))
+        .withColumn("surv",
+          (col("noindex") === 0 && col("rn") === 1).cast("int"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(lit(1) - col("noindex")).as("n_indexable"),
+          sum("surv").as("n_survivors"),
+          sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
+            .as("sum_tokens"))
+    },
+    Some {
+      val ch = urlPicksChain2(
+        """SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0""")
+        .cte("parts", s"""SELECT doc_id,
+            CASE WHEN s >= 2 THEN 'https' ELSE 'http' END AS scheme_canon,
+            (CASE sub WHEN 1 THEN 'cdn.' ELSE '' END) || 'site' ||
+              CAST(word AS VARCHAR) ||
+              (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
+                WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
+                WHEN 6 THEN '.gen.ck' ELSE '.kawasaki.jp' END) AS host_core,
+            $oracleDomainSql AS domain,
+            CASE port WHEN 2 THEN ':8080' ELSE '' END AS port_canon,
+            '/p/' || CAST(pathn AS VARCHAR) AS path_canon,
+            'q=' || CAST(qv AS VARCHAR) AS pq,
+            'id=' || CAST(idv AS VARCHAR) AS pid
+          FROM picks""")
+        .cte("page", """SELECT c.doc_id, c.text, p.domain,
+            p.scheme_canon || '://' || p.host_core || p.port_canon ||
+              p.path_canon || '?' || p.pid || '&' || p.pq AS canon_url,
+            '<html><head><title>Doc ' || CAST(c.doc_id AS VARCHAR) ||
+              '</title>' ||
+              (CASE WHEN c.doc_id % 5 = 0
+                THEN '<meta name="robots" content="noindex">' ELSE '' END) ||
+              (CASE WHEN c.doc_id % 1000000 % 3 = 0
+                THEN '<link rel="canonical" href="https://canon.site/c/' ||
+                  CAST(c.doc_id % 1000000 AS VARCHAR) || '">' ELSE '' END) ||
+              '</head><body><!-- hdr --><p>' || c.text ||
+              '</p></body></html>' AS html
+          FROM crawled c JOIN parts p ON p.doc_id = c.doc_id""")
+        // the tag-strip extraction replay; the script/style/entity
+        // stages of HtmlExtract are byte-level no-ops on this page
+        // (q146/q147 prove the full pipeline engine-equal)
+        .cte("ex", """SELECT *,
+            trim(regexp_replace(regexp_replace(regexp_replace(html,
+              '<!--.*?-->', ' ', 'gs'), '<[^>]*>', ' ', 'gs'),
+              '[ \t\n\r\f]+', ' ', 'g')) AS body_text
+          FROM page""")
+        .cte("gated", """SELECT doc_id, domain,
+            CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+              AS noindex,
+            CASE WHEN doc_id % 1000000 % 3 = 0
+              THEN 'c:https://canon.site/c/' ||
+                CAST(doc_id % 1000000 AS VARCHAR)
+              ELSE 'u:' || canon_url END AS dedup_key,
+            CAST(length(body_text) -
+              length(replace(body_text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+          FROM ex""")
+        .cte("ranked", """SELECT *,
+            row_number() OVER (PARTITION BY dedup_key
+              ORDER BY noindex, doc_id) AS rn
+          FROM gated""")
+      ch.render("""SELECT domain,
+          CAST(count(*) AS BIGINT) AS n_pages,
+          CAST(sum(1 - noindex) AS BIGINT) AS n_indexable,
+          CAST(sum(CASE WHEN noindex = 0 AND rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors,
+          CAST(sum(CASE WHEN noindex = 0 AND rn = 1 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS sum_tokens
+        FROM ranked GROUP BY 1""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
-    q147_html_meta,
+    q147_html_meta, q148_extract_pipeline,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,
