@@ -277,6 +277,46 @@ object SynthQueries {
             AS BIGINT) AS alarm_n_ts
         FROM sc GROUP BY event_type"""
 
+  /** The g124/g126 oracle, shared verbatim: min verifying earlier
+    * member over ALL band-bucket members (the XXH64-signature twin rig
+    * replayed in SQL) — a RESTARTED index (g126) must attribute
+    * identically to the uninterrupted run (g124).
+    */
+  private[graft] val bandedIndexOracle: Option[String] = Some {
+    import graft.queries.DuckXxHash._
+    val ch = chain("s0",
+      s"SELECT CAST(doc_id AS BIGINT) AS id, " +
+        s"${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
+      .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .cte("bsig", "SELECT id, h1out AS us FROM c_h1out")
+      .cte("twin0", "SELECT id AS bid, us FROM bsig WHERE id % 8 = 0")
+      .cte("twin",
+        """SELECT bid + 10000000 AS id,
+          CAST(xor(CAST(us AS UBIGINT),
+            (1::UBIGINT << CAST((bid * 7) % 64 AS INT)) |
+            (CASE WHEN bid % 3 + 1 >= 2 THEN
+              (1::UBIGINT << CAST(((bid * 7) % 64 + 21) % 64 AS INT))
+              ELSE 0::UBIGINT END) |
+            (CASE WHEN bid % 3 + 1 >= 3 THEN
+              (1::UBIGINT << CAST(((bid * 7) % 64 + 43) % 64 AS INT))
+              ELSE 0::UBIGINT END)) AS HUGEINT) AS us
+        FROM twin0""")
+      .cte("allsig",
+        "SELECT id, us FROM bsig UNION ALL SELECT id, us FROM twin")
+      .cte("bands",
+        "SELECT id, us, b.range AS b, " +
+          "(us // (1::HUGEINT << (16 * b.range))) % 65536 AS key " +
+          "FROM allsig, range(0, 4) b")
+      .cte("att",
+        """SELECT r.id, x.id AS oid FROM bands r
+          JOIN bands x ON x.b = r.b AND x.key = r.key
+          WHERE x.id < r.id AND bit_count(xor(CAST(r.us AS UBIGINT),
+            CAST(x.us AS UBIGINT))) <= 3""")
+    ch.render(
+      """SELECT u.id, CAST(coalesce(min(a.oid), -1) AS BIGINT) AS dup_of
+        FROM allsig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
+  }
+
   private def pinDef(name: String)(fn: (SparkSession, String) => DataFrame)
       : QueryDef =
     QueryDef(name, (s, d) => pinAgg(fn(s, d)),
@@ -3196,40 +3236,98 @@ object SynthQueries {
           .agg(coalesce(fmin(when(col("cand") >= 0, col("cand"))), lit(-1L))
             .as("dup_of"))
       }),
-      Some {
-        import graft.queries.DuckXxHash._
-        val ch = chain("s0",
-          s"SELECT CAST(doc_id AS BIGINT) AS id, " +
-            s"${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
-          .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
-          .cte("bsig", "SELECT id, h1out AS us FROM c_h1out")
-          .cte("twin0", "SELECT id AS bid, us FROM bsig WHERE id % 8 = 0")
-          .cte("twin",
-            """SELECT bid + 10000000 AS id,
-              CAST(xor(CAST(us AS UBIGINT),
-                (1::UBIGINT << CAST((bid * 7) % 64 AS INT)) |
-                (CASE WHEN bid % 3 + 1 >= 2 THEN
-                  (1::UBIGINT << CAST(((bid * 7) % 64 + 21) % 64 AS INT))
-                  ELSE 0::UBIGINT END) |
-                (CASE WHEN bid % 3 + 1 >= 3 THEN
-                  (1::UBIGINT << CAST(((bid * 7) % 64 + 43) % 64 AS INT))
-                  ELSE 0::UBIGINT END)) AS HUGEINT) AS us
-            FROM twin0""")
-          .cte("allsig",
-            "SELECT id, us FROM bsig UNION ALL SELECT id, us FROM twin")
-          .cte("bands",
-            "SELECT id, us, b.range AS b, " +
-              "(us // (1::HUGEINT << (16 * b.range))) % 65536 AS key " +
-              "FROM allsig, range(0, 4) b")
-          .cte("att",
-            """SELECT r.id, x.id AS oid FROM bands r
-              JOIN bands x ON x.b = r.b AND x.key = r.key
-              WHERE x.id < r.id AND bit_count(xor(CAST(r.us AS UBIGINT),
-                CAST(x.us AS UBIGINT))) <= 3""")
-        ch.render(
-          """SELECT u.id, CAST(coalesce(min(a.oid), -1) AS BIGINT) AS dup_of
-            FROM allsig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
+      SynthQueries.bandedIndexOracle),
+
+    // CHECKPOINT-RESTART leg for the streaming near-dup INDEX: the
+    // g124 rig as TWO query incarnations over one RocksDB checkpoint —
+    // phase 1 indexes the base corpus (two id-ordered files) and stops
+    // cleanly, phase 2 is a NEW query resuming from the checkpoint on
+    // the twins file. It must (a) resume, not reprocess (phase 2 reads
+    // exactly the twins' rows) and (b) hash-match the SAME oracle as
+    // the uninterrupted g124 — proving the per-bucket ListState (every
+    // distinct signature's first (id, sig)) reloads intact, so the
+    // restarted index attributes every twin to the same survivor. No
+    // watermark/sentinel machinery: the processor runs TimeMode.None
+    // and emits per arrival.
+    QueryDef("g126_stream_index_restart",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{coalesce, explode, expr, lit,
+          min => fmin, pmod, when, xxhash64}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val maxHamming = 3
+        val ids = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("base_id"))
+        val base = ids.select(col("base_id").as("id"),
+          xxhash64(col("base_id")).as("sig"))
+        val h = pmod(col("base_id"), lit(3L)) + 1L
+        val twins = ids.filter(col("base_id") % 8 === 0)
+          .withColumn("a", pmod(col("base_id") * 7, lit(64L)))
+          .withColumn("fl", expr("shiftleft(1L, CAST(a AS INT))")
+            .bitwiseOR(when(h >= 2L,
+              expr("shiftleft(1L, CAST((a + 21) % 64 AS INT))")).otherwise(lit(0L)))
+            .bitwiseOR(when(h >= 3L,
+              expr("shiftleft(1L, CAST((a + 43) % 64 AS INT))")).otherwise(lit(0L))))
+          .select((col("base_id") + 10000000L).as("id"),
+            xxhash64(col("base_id")).bitwiseXOR(col("fl")).as("sig"))
+        val fixture = base.unionByName(twins)
+          .select(col("id"), (col("id") * 1000000L).as("ts"), col("sig"))
+        val streamDir = java.nio.file.Files.createTempDirectory("g126_sigs")
+        val ckptDir = java.nio.file.Files.createTempDirectory("g126_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g126_out").toString
+        val half = ids.agg(org.apache.spark.sql.functions.max("base_id"))
+          .collect()(0).getLong(0) / 2
+        def runIncarnation(): Long = {
+          val banded = s.readStream.schema(fixture.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString)
+            .select(col("id"), col("ts"), col("sig"),
+              explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
+                .as("bkey"))
+            .select(col("bkey"), col("ts"), col("id"), col("sig"))
+            .as[(Long, Long, Long, Long)]
+          val q = banded.groupByKey(_._1)
+            .mapValues(r => (r._2, r._3, r._4))
+            .transformWithState(
+              new graft.streaming.BandedIndexProcessor(maxHamming),
+              TimeMode.None(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
+            .toDF("id", "cand")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        // phase 1: the base corpus only (two id-ordered files)
+        Seq("a_low" -> fixture.filter(col("id") <= half),
+          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L))
+          .foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        val rows1 = runIncarnation()
+        require(rows1 > 0L, "phase 1 processed no rows")
+        // phase 2: the twins land; a NEW query resumes from the checkpoint
+        val twinRows = fixture.filter(col("id") >= 10000000L).count()
+        writeStreamFile(fixture.filter(col("id") >= 10000000L), streamDir,
+          "c_dups")
+        val rows2 = runIncarnation()
+        require(rows2 == twinRows,
+          s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
+            s"expected exactly the twins' $twinRows")
+        val res = s.read.parquet(outDir).groupBy("id")
+          .agg(coalesce(fmin(when(col("cand") >= 0, col("cand"))), lit(-1L))
+            .as("dup_of"))
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(streamDir, java.nio.file.Paths.get(ckptDir),
+          java.nio.file.Paths.get(outDir)).foreach(deleteTree)
+        out
       }),
+      // the SAME oracle as g124: a restarted index must attribute
+      // identically to the uninterrupted run
+      SynthQueries.bandedIndexOracle),
 
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64
