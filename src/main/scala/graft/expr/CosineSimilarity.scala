@@ -206,6 +206,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"robots_allowed(rules, agent, path) takes 3 arguments, got ${children.length}")
+        RobotsAllowed(children(0), children(1), children(2))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (children: Seq[Expression]) => {

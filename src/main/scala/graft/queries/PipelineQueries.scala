@@ -4624,9 +4624,60 @@ object PipelineQueries {
     },
   )
 
+  /** robots.txt crawl-permission gate (expr/RobotsAllowed, RFC 9309):
+    * the decision BEFORE a fetch ever happens. The fixture plants four
+    * per-site robots bodies — a `*` group with a longest-match
+    * allow-overrides-disallow pair ($-anchored wildcard), a
+    * specific-agent group that SHADOWS the open `*` group's
+    * disallow-all (the RFC's group-selection rule), a non-matching
+    * group, and an empty file — against three path families, and the
+    * oracle states every branch analytically (the picks chain replays
+    * the path number; the matrix is small and exact).
+    */
+  val q149_robots_gate = QueryDef(
+    "q149_robots_gate",
+    (s, d) => {
+      val u0 = pmod(xxhash64(col("doc_id").cast("long")), lit(1000000000L))
+      val pathn = (u0 / 19200L % 100L).cast("long") // messyUrlCol's pathN
+      val kind = pmod(col("doc_id"), lit(4L))
+      val variant = pmod(col("doc_id"), lit(3L))
+      val rules = when(kind === 0, lit(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok*$\n"))
+        .when(kind === 1, lit(
+          "# specific group shadows the open one\n" +
+            "User-agent: graftbot\nDisallow: /p/1*\n\n" +
+            "User-agent: *\nDisallow: /\n"))
+        .when(kind === 2, lit("User-agent: otherbot\nDisallow: /\n"))
+        .otherwise(lit(""))
+      val path = when(variant === 0, concat(lit("/p/"), pathn.cast("string")))
+        .when(variant === 1, concat(lit("/private/x"), pathn.cast("string")))
+        .otherwise(concat(lit("/private/ok"), pathn.cast("string")))
+      docs(s, d).select(col("doc_id"),
+        call_function("robots_allowed", rules, lit("GraftBot/1.0"), path)
+          .cast("int").as("allowed"))
+    },
+    Some {
+      val ch = urlPicksChain
+      ch.render("""SELECT doc_id,
+          CAST(CASE doc_id % 4
+            WHEN 0 THEN
+              -- * group: /p/* untouched; /private/x* disallowed by the
+              -- 9-octet prefix; /private/ok* re-allowed by the LONGER
+              -- (13-octet) $-anchored allow rule
+              (CASE doc_id % 3 WHEN 1 THEN 0 ELSE 1 END)
+            WHEN 1 THEN
+              -- graftbot group shadows the * disallow-all: only
+              -- /p/1* paths (pathn = 1 or 10..19) are disallowed
+              (CASE WHEN doc_id % 3 = 0 AND
+                 (pathn = 1 OR (pathn BETWEEN 10 AND 19)) THEN 0 ELSE 1 END)
+            ELSE 1 END AS INT) AS allowed
+        FROM picks""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
-    q147_html_meta, q148_extract_pipeline,
+    q147_html_meta, q148_extract_pipeline, q149_robots_gate,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
     q139_drift_summary, q140_changepoint, q141_image_dhash,
     q142_url_canonical, q143_late_interaction,

@@ -126,6 +126,54 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(spark.catalog.functionExists("psl_domain"))
   }
 
+  test("robots_allowed implements RFC 9309: groups, longest-match, wildcards, ties") {
+    import graft.expr.RobotsAllowed.{allowed, patternMatches}
+    val txt =
+      """# example file
+        |User-agent: googlebot
+        |Disallow: /nogoogle/
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/open*$
+        |Disallow: /tmp*
+        |""".stripMargin
+    // the * group applies to an unlisted agent
+    assert(allowed(txt, "GraftBot/1.0", "/index.html"))
+    assert(!allowed(txt, "GraftBot/1.0", "/private/x"))
+    assert(allowed(txt, "GraftBot/1.0", "/private/open-door"))
+    assert(!allowed(txt, "GraftBot/1.0", "/tmp/file"))
+    // the specific group SHADOWS the * group entirely
+    assert(!allowed(txt, "Googlebot/2.1", "/nogoogle/a"))
+    assert(allowed(txt, "Googlebot/2.1", "/private/x"),
+      "a selected specific group must hide the * group's rules")
+    // longest-match precedence and the allow-on-tie rule
+    val tie = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    assert(allowed(tie, "x", "/page"), "equal lengths tie to allow")
+    val longer = "User-agent: *\nAllow: /page\nDisallow: /page/sub\n"
+    assert(!allowed(longer, "x", "/page/sub/x"))
+    assert(allowed(longer, "x", "/page/other"))
+    // multiple user-agent lines share one rule block; groups merge
+    val multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert(!allowed(multi, "b", "/x1") && allowed(multi, "c", "/x1"))
+    // empty-value Disallow means allow-all; empty file means allow-all
+    assert(allowed("User-agent: *\nDisallow:\n", "x", "/anything"))
+    assert(allowed("", "x", "/anything"))
+    // pattern matcher edges
+    assert(patternMatches("/a*c$", "/abc"))
+    assert(!patternMatches("/a*c$", "/abcd"))
+    assert(patternMatches("/a*b*c", "/a-b-c-d"))
+    assert(!patternMatches("/a*b*c", "/a-c-b"))
+    assert(patternMatches("/fish*$", "/fishheads"))
+    assert(!patternMatches("/fish$", "/fishheads"))
+    assert(patternMatches("/fish$", "/fish"))
+    // the SQL face: null robots yields null (unknown, not permission)
+    val r = Seq((1L, null.asInstanceOf[String], "/p")).toDF("id", "rules", "path")
+      .select(call_function("robots_allowed", col("rules"),
+        lit("x"), col("path"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("utm_ prefix filters any utm param; only whole-key matches drop for the rest") {
     assert(canon("http://x.com/p?utm_campaign=c&utm_id=7&refresh=1&ref=drop")
       == Seq(Some("http://x.com/p?refresh=1")))
