@@ -109,14 +109,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // family totals (r11, VERDICT r10 item 2): streaming rigs are
+    // wall-heavy by design (checkpoint restarts, state stores) and their
+    // count grows round over round — a single total made batch-family
+    // regressions invisible and batch per-query numbers look noisy
+    // (q99's phantom 1.8x in r10 was pure suite contention). The batch
+    // family is the comparable round-over-round number; the streaming
+    // family pays its own fixed costs under its own budget.
+    val batchTotal = batchResults.map(_._2).sum
+    val streamTotal = streamResults.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // compact summary LAST so any tail-window truncation of the long line
     // above still leaves the total and the queries that matter most
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"summary","total_s":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest}""")
+      s"""{"metric":"summary","total_s":${fmt(total)},"batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"n_batch":${batchResults.size},"n_streaming":${streamResults.size},"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest}""")
     spark.stop()
   }
 }

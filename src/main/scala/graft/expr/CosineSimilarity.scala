@@ -206,6 +206,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("html_unescape"),
+      new ExpressionInfo(classOf[HtmlUnescape].getName, "html_unescape"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"html_unescape takes 1 argument, got ${children.length}")
+        HtmlUnescape(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
       (children: Seq[Expression]) => {

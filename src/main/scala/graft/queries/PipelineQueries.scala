@@ -4402,6 +4402,12 @@ object PipelineQueries {
         lit("</head><body><!-- header\ncomment --><h1>Doc "), did,
         lit("</h1><p>"), col("text"),
         lit("</p><p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+        // r11 gauntlet (VERDICT r10 item 3): named Latin-1/punctuation,
+        // numeric decimal AND hex (mixed case), plus the malformed tail
+        // that must stay literal — unknown name, bad hex digits, bare
+        // `&#`, out-of-range codepoint, naked `&`
+        lit("<p>caf&eacute; &#233;t&#xE9; A&mdash;B &#x27;x&#X27; " +
+          "2&frac12; w&hellip; bad: &fake; &#xZZ; &# &#1114112; & end</p>"),
         links, lit("</body></html>"))
       graft.ops.HtmlExtract.extractStats(
         docs(s, d).select(col("doc_id"), html.as("html")), "doc_id", "html")
@@ -4418,6 +4424,8 @@ object PipelineQueries {
           "</head><body><!-- header' || chr(10) || 'comment --><h1>Doc ' || " +
           "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || " +
           "'</p><p>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>' || " +
+          "'<p>caf&eacute; &#233;t&#xE9; A&mdash;B &#x27;x&#X27; " +
+          "2&frac12; w&hellip; bad: &fake; &#xZZ; &# &#1114112; & end</p>' || " +
           links + " || '</body></html>'"
       s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
         x AS (SELECT doc_id, html,
@@ -4427,9 +4435,15 @@ object PipelineQueries {
         x3 AS (SELECT *, regexp_replace(s2,
             '<style[^>]*>.*?</style>', ' ', 'gis') AS s3 FROM x2),
         x4 AS (SELECT *, regexp_replace(s3, '<[^>]*>', ' ', 'gs') AS s4 FROM x3),
+        x5a AS (SELECT *,
+            replace(replace(replace(replace(replace(replace(replace(replace(
+            s4, '&eacute;', chr(233)), '&#233;', chr(233)),
+            '&#xE9;', chr(233)), '&mdash;', chr(8212)), '&#x27;', ''''),
+            '&#X27;', ''''), '&frac12;', chr(189)),
+            '&hellip;', chr(8230)) AS s4b FROM x4),
         x5 AS (SELECT *, replace(replace(replace(replace(replace(replace(
-            s4, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-            '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s5 FROM x4),
+            s4b, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s5 FROM x5a),
         t AS (SELECT doc_id, html,
             trim(regexp_replace(s5, '[ \t\n\r\f]+', ' ', 'g')) AS text FROM x5)
       SELECT doc_id, text,

@@ -44,6 +44,43 @@ class CurationOpsSpec extends AnyFunSuite {
       8L * 1000000L / row.getAs[Long]("html_len"))
   }
 
+  test("HtmlUnescape: numeric dec/hex, named table, single-pass, malformed stays literal") {
+    import graft.expr.HtmlUnescape
+    import org.apache.spark.unsafe.types.UTF8String
+    // static decode = the interpreted path; the DataFrame run below is
+    // the codegen path — both must agree
+    def dec(s: String): String = HtmlUnescape.decode(UTF8String.fromString(s)).toString
+    assert(dec("caf&eacute;") == "café")
+    assert(dec("&#233; &#xE9; &#XE9;") == "é é é")
+    assert(dec("A&mdash;B&hellip;") == "A—B…")
+    assert(dec("&#x27;x&#X27; &#39;") == "'x' '")
+    assert(dec("&nbsp;") == " ", "nbsp decodes to real U+00A0")
+    // single-pass: scanning resumes AFTER a decoded reference — the
+    // output of &amp; is never re-decoded
+    assert(dec("&amp;lt;") == "&lt;")
+    assert(dec("&amp;amp;") == "&amp;")
+    // supplementary plane (surrogate pair on the JVM side)
+    assert(dec("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    // malformed tail stays byte-identical: unknown name, bad digits,
+    // bare &#, missing semicolon, out-of-range, surrogate, NUL, naked &
+    for (bad <- Seq("&fake;", "&#xZZ;", "&#", "&#;", "&eacute", "&#39",
+        "&#1114112;", "&#x110000;", "&#xD800;", "&#0;", "a & b", "&", "&;"))
+      assert(dec(bad) == bad, s"expected literal passthrough for '$bad'")
+    // fast path: no '&' returns the input untouched
+    assert(dec("plain text") == "plain text")
+    // codegen parity: same cases through a DataFrame plan
+    val cases = Seq("caf&eacute;", "&#233; &#xE9;", "&amp;lt;", "&fake;",
+      "&#x1F600;", "&#1114112;", "2&frac12; &le; 3", "")
+    val viaPlan = cases.toDF("s").select(
+      org.apache.spark.sql.graftbridge.PlanBridge.column(
+        HtmlUnescape(org.apache.spark.sql.graftbridge.PlanBridge.expression(col("s")))))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaPlan == cases.map(dec))
+    // SQL registration face
+    assert(spark.sql("SELECT html_unescape('caf&eacute; &#x27;')")
+      .collect().head.getString(0) == "café '")
+  }
+
   test("HtmlExtract.metaSignals: attribute order, quoting, case, and absent tags") {
     def sig(html: String): (String, Int, String) = {
       val r = HtmlExtract.metaSignals(
