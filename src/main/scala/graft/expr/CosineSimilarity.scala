@@ -325,6 +325,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the bounded-heap topk_agg plan when provably equivalent (see
     // plans/TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // keep-first dedup: row_number()=1 windows become min_by aggregates
+    // (plans/KeepFirstRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.KeepFirstRewrite)
     // bounded edit distance: levenshtein(a,b) <= k gains a length
     // prefilter + the banded 3-arg DP (plans/EditDistanceRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistanceRewrite)

@@ -4308,32 +4308,57 @@ object PipelineQueries {
     * frame — shared by the q145 QueryDef and tools/CrawlScaleBench's
     * 1x/10x curve (VERDICT r9 item 7): messy-URL canonicalize + PSL
     * domain, whitespace-normalized keep-first dedup, survivor-gated
-    * token/quality, per-domain rollup. One scan, one fingerprint-keyed
-    * shuffle, one domain-keyed rollup — no joins.
+    * token/quality, per-domain rollup.
+    *
+    * r11 plan shape (VERDICT r10 "what's wrong" #3): the keep-first
+    * survivor used to be a `row_number() OVER (PARTITION BY fp)`
+    * window — a full shuffle of every fetch plus a whole-partition
+    * sort. It is now a two-level map-side-combinable aggregation: a
+    * (fp, domain) grouped pass picks each pair's `min_by` survivor
+    * candidate (duplicate classes collapse BEFORE the exchange, so the
+    * shuffle carries distinct pairs, not the corpus, and a viral
+    * duplicate can't skew a reducer), then a tiny per-fp aggregate
+    * picks the global survivor and rolls it up per domain. The
+    * per-domain fetch count branch groups STRAIGHT on domain — column
+    * pruning strips it to the URL column alone (no fingerprint md5, no
+    * text read), a near-free combinable side count. The branches join
+    * null-safely (the NULL-registrable kawasaki.jp branch groups under
+    * NULL). Net: the corpus pays one combinable shuffle and zero row
+    * sorts; the window's sort AND its full-corpus exchange are gone.
     */
   def crawlPipeline(crawled: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val nTok = length(col("text")) -
       length(regexp_replace(col("text"), " ", "")) + 1
     val nLetters = length(regexp_replace(col("text"), " ", ""))
-    val w = Window.partitionBy("fp").orderBy("doc_id")
-    crawled
+    val enriched = crawled
       .select(col("doc_id"), col("text"), messyUrlCol.as("url"))
       .withColumn("domain", graft.ops.UrlOps.registrableDomain(
         graft.ops.UrlOps.canonicalHost(col("url"))))
       .withColumn("fp",
         md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("rn", row_number().over(w))
-      .select(col("domain"), (col("rn") === 1).cast("int").as("surv"),
+      .select(col("doc_id"), col("domain"), col("fp"),
         nTok.cast("long").as("n_tokens"),
         floor(nLetters * 1000.0 / nTok).cast("long").as("q_milli"))
-      .groupBy("domain")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("surv").as("n_survivors"),
-        sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
-          .as("sum_tokens"),
-        sum(when(col("surv") === 1, col("q_milli")).otherwise(0L))
+    // the one corpus-sized (combinable) shuffle; doc_id is unique, so
+    // every min/min_by below is deterministic
+    val perPair = enriched.groupBy("fp", "domain").agg(
+      min_by(struct(col("n_tokens"), col("q_milli")), col("doc_id")).as("cand"),
+      min(col("doc_id")).as("mid"))
+    val fetches = enriched.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    val survivors = perPair.groupBy("fp")
+      .agg(min_by(struct(col("domain"), col("cand")), col("mid")).as("s"))
+      .groupBy(col("s").getField("domain").as("domain"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("s").getField("cand").getField("n_tokens")).as("sum_tokens"),
+        sum(col("s").getField("cand").getField("q_milli"))
           .as("sum_quality_milli"))
+    fetches.join(survivors,
+        fetches("domain") <=> survivors("domain"), "left")
+      .select(fetches("domain").as("domain"), col("n_docs"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
+        coalesce(col("sum_quality_milli"), lit(0L)).as("sum_quality_milli"))
   }
 
   val q145_crawl_pipeline = QueryDef(
@@ -4561,17 +4586,35 @@ object PipelineQueries {
           graft.ops.UrlOps.canonicalHost(col("url"))))
         .withColumn("n_tokens", (length(col("body_text")) -
           length(regexp_replace(col("body_text"), " ", "")) + 1).cast("long"))
-      val w = Window.partitionBy("dedup_key")
-        .orderBy(col("noindex"), col("doc_id"))
-      paged.withColumn("rn", row_number().over(w))
-        .withColumn("surv",
-          (col("noindex") === 0 && col("rn") === 1).cast("int"))
-        .groupBy("domain")
+      // r11: the keep-first survivor (rank 1 of ORDER BY noindex,
+      // doc_id — indexable fetches outrank noindexed ones) is a
+      // two-level min_by aggregation instead of a ranked window, the
+      // crawlPipeline plan shape: one combinable (dedup_key, domain)
+      // shuffle for the survivor pick (no row sort, dup classes
+      // collapse map-side), plus a near-free domain-grouped side count
+      // that pruning strips down to url+noindex. A key whose every
+      // fetch is noindexed has NO survivor (its winner carries
+      // noindex=1 and is filtered), exactly the old
+      // `noindex = 0 AND rn = 1` flag.
+      val perKey = paged.groupBy("dedup_key", "domain").agg(
+        min_by(struct(col("noindex"), col("n_tokens")),
+          struct(col("noindex"), col("doc_id"))).as("cand"),
+        min(struct(col("noindex"), col("doc_id"))).as("mkey"))
+      val fetches = paged.groupBy("domain")
         .agg(count(lit(1)).as("n_pages"),
-          sum(lit(1) - col("noindex")).as("n_indexable"),
-          sum("surv").as("n_survivors"),
-          sum(when(col("surv") === 1, col("n_tokens")).otherwise(0L))
-            .as("sum_tokens"))
+          sum(lit(1) - col("noindex")).as("n_indexable"))
+      val survivors = perKey.groupBy("dedup_key")
+        .agg(min_by(struct(col("domain"), col("cand")), col("mkey")).as("s"))
+        .filter(col("s").getField("cand").getField("noindex") === 0)
+        .groupBy(col("s").getField("domain").as("domain"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("s").getField("cand").getField("n_tokens")).as("sum_tokens"))
+      fetches.join(survivors,
+          fetches("domain") <=> survivors("domain"), "left")
+        .select(fetches("domain").as("domain"), col("n_pages"),
+          col("n_indexable"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
     },
     Some {
       val ch = urlPicksChain2(

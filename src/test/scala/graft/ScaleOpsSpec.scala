@@ -309,6 +309,82 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(nullable.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("KeepFirstRewrite: rn=1 dedup window becomes a min_by aggregate, results identical; guards hold") {
+    // duplicate classes with payload columns (one nullable) — the
+    // Dedup.exact shape: keep the lowest id per class, carry everything
+    val rows = (0L until 5000L).map(i =>
+      (s"fp${i % 97}", i, s"payload$i", if (i % 13 == 0) null else s"x$i"))
+    val df = rows.toDF("fp", "id", "p", "np")
+    df.createOrReplaceTempView("__kf_src")
+    val out = spark.sql("""SELECT fp, id, p, np FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM __kf_src) WHERE rn = 1""")
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("min_by"), optimized)
+    assert(!optimized.contains("Window"), optimized)
+    // the scale contract: partial (map-side) min_by BEFORE the exchange
+    // — the shuffle carries one candidate per key per task, not the
+    // corpus; no post-shuffle whole-partition row sort like the window
+    val physical = out.queryExecution.executedPlan.toString
+    val iPartial = physical.indexOf("partial_min_by")
+    val iExchange = physical.indexOf("Exchange")
+    assert(iPartial >= 0 && iExchange >= 0 && iExchange < iPartial,
+      s"expected map-side partial_min_by below the exchange:\n$physical")
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getString(3))).toSet
+    val expected = rows.groupBy(_._1).map(_._2.minBy(_._2)).toSet
+    assert(got == expected)
+    // the rank column itself survives as constant 1 when selected
+    val withRn = spark.sql("""SELECT fp, id, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM __kf_src) WHERE rn = 1""")
+    assert(!withRn.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(withRn.collect().forall(_.getInt(2) == 1))
+    // Dedup.exact rides the rewrite end-to-end (window-free plan, same
+    // survivors as the reference grouping)
+    val dd = graft.ops.Dedup.exact(
+      rows.map { case (fp, i, p, _) => (i, s"text ${i % 97}") }.toDF("id", "text"),
+      "text", "id")
+    assert(!dd.queryExecution.optimizedPlan.toString.contains("Window"),
+      dd.queryExecution.optimizedPlan.toString)
+    assert(dd.count() == 97)
+    // guards: rank >= 2, a nullable sort column, or descending order
+    // must all keep their window
+    val k2 = spark.sql("""SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM __kf_src) WHERE rn <= 2""")
+    assert(k2.queryExecution.optimizedPlan.toString.contains("Window"))
+    val nullOrd = spark.sql("""SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY np) AS rn
+        FROM __kf_src) WHERE rn = 1""")
+    assert(nullOrd.queryExecution.optimizedPlan.toString.contains("Window"))
+    val desc = spark.sql("""SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id DESC) AS rn
+        FROM __kf_src) WHERE rn = 1""")
+    assert(desc.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
+  test("crawlPipeline plan: no survivor window — combinable pair aggregate, pruned side count") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.queries.PipelineQueries.crawlPipeline(base)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), optimized)
+    assert(optimized.contains("min_by"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    // map-side combine: the survivor candidate collapses BEFORE its
+    // exchange (partial_min_by below, merge/final above)
+    assert(physical.contains("partial_min_by"), physical.take(4000))
+    // the fetch-count branch is pruned to the URL column alone — the
+    // fingerprint md5 must appear in exactly one branch's projection
+    assert("md5".r.findAllIn(physical).size <= 2, physical.take(4000))
+    // sanity: survivors never exceed fetches, and totals add up
+    val rows = df.collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nSurv = rows.map(_.getAs[Long]("n_survivors")).sum
+    assert(nDocs == base.count() && nSurv >= 1 && nSurv <= nDocs)
+  }
+
   test("quantile_sketch rejects wrong-typed arguments at analysis time") {
     Seq(("a", "b")).toDF("g", "s").createOrReplaceTempView("__qs_typecheck")
     val err = intercept[org.apache.spark.sql.AnalysisException] {
