@@ -4732,7 +4732,248 @@ object PipelineQueries {
     },
   )
 
+  /** Deterministic WARC fixture (r11, VERDICT r10 item 1): the
+    * documents table written as a real web-archive directory, built
+    * once per (JVM, sf). Eight `part-*.warc.gz` segments (gzip member
+    * per record, the Common Crawl layout) carry one HTTP `response`
+    * record per document — messy target URI (the q142 generator),
+    * deterministic WARC-Date/record-id, status 200 with an
+    * entity-bearing HTML body, every 7th doc a 404 text/plain — plus a
+    * `request` record for every 5th doc (absolute-form GET). A ninth
+    * UNCOMPRESSED `info.warc` holds eight warcinfo records, so the
+    * gate exercises both framings. Every byte derives from (doc_id,
+    * text), so a DuckDB oracle reconstructs all fields and payload
+    * digests exactly. Local-filesystem fixture generation only (the
+    * reader itself is path-agnostic).
+    */
+  private object WarcFixture {
+    import graft.sources.WarcIo
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val Epoch: Long = java.time.Instant.parse("2025-01-01T00:00:00Z").getEpochSecond
+
+    def uuidOf(seed: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      s"urn:uuid:${h.substring(0, 8)}-${h.substring(8, 12)}-" +
+        s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20)}"
+    }
+    def dateOf(id: Long): String =
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        java.time.Instant.ofEpochSecond(Epoch + id))
+    def body200(id: Long, text: String): String =
+      s"<html><head><title>Doc $id</title></head><body><!-- hdr --><p>" +
+        s"$text</p><p>caf&eacute; A&mdash;B</p></body></html>"
+    def body404(id: Long): String = s"not found: $id"
+
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("warc_fixture").toString
+        val rows = docs(s, sfDir)
+          .select(col("doc_id"), col("text"), messyUrlCol.as("url"))
+          .repartition(8, pmod(col("doc_id"), lit(8L)))
+        rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fos = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach { r =>
+              val (id, text, url) = (r.getLong(0), r.getString(1), r.getString(2))
+              val ascii = java.nio.charset.StandardCharsets.US_ASCII
+              val (status, reason, ct, body) =
+                if (id % 7 == 0) (404, "Not Found", "text/plain", body404(id))
+                else (200, "OK", "text/html; charset=utf-8", body200(id, text))
+              val http = (s"HTTP/1.1 $status $reason\r\nServer: graft\r\n" +
+                s"Content-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n" +
+                body).getBytes(ascii)
+              WarcIo.writeRecordGzip(fos, "response", uuidOf(s"r:$id"),
+                dateOf(id), url, "application/http;msgtype=response", http)
+              if (id % 5 == 0) {
+                val req = (s"GET $url HTTP/1.1\r\nUser-Agent: graftbot/1.0\r\n" +
+                  "Accept: text/html\r\n\r\n").getBytes(ascii)
+                WarcIo.writeRecordGzip(fos, "request", uuidOf(s"q:$id"),
+                  dateOf(id), url, "application/http;msgtype=request", req)
+              }
+            } finally fos.close()
+          }
+        }
+        val fos = new java.io.FileOutputStream(s"$out/info.warc")
+        try (0 until 8).foreach { p =>
+          val block = (s"software: graft\r\nformat: WARC File Format 1.0\r\n" +
+            s"partition: $p\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          WarcIo.writeRecord(fos, "warcinfo", uuidOf(s"w:$p"),
+            "2025-01-01T00:00:00Z", null, "application/warc-fields", block)
+        } finally fos.close()
+        System.err.println(s"[graft] warc fixture for $sfDir -> $out")
+        out
+      })
+  }
+
+  /** The oracle-side dashed-uuid record id (md5 of the same seed). */
+  private def oracleUuidSql(seedExpr: String): String =
+    s"'urn:uuid:' || substr(md5($seedExpr), 1, 8) || '-' || " +
+      s"substr(md5($seedExpr), 9, 4) || '-' || substr(md5($seedExpr), 13, 4) " +
+      s"|| '-' || substr(md5($seedExpr), 17, 4) || '-' || substr(md5($seedExpr), 21, 12)"
+
+  /** The oracle-side messy URL string (the q142 construction over the
+    * `parts` CTE columns).
+    */
+  private val oracleMessyUrlSql: String =
+    """scheme_messy || '://' || wprefix || host_core || port_messy ||
+      path_canon || slash_sfx || '?' ||
+      (CASE ord WHEN 0 THEN pq || '&utm_source=track&' || pid
+        ELSE 'utm_source=track&' || pid || '&' || pq END) || frag_sfx"""
+
+  /** The full q142-style `parts` CTE (messy URL pieces + PSL domain)
+    * appended to a picks chain — shared by the two WARC oracles.
+    */
+  private def warcPartsCte(ch: DuckXxHash.Chain): DuckXxHash.Chain =
+    ch.cte("parts", s"""SELECT doc_id,
+        CASE s WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+          WHEN 2 THEN 'https' ELSE 'HTTPS' END AS scheme_messy,
+        (CASE sub WHEN 1 THEN 'cdn.' ELSE '' END) || 'site' ||
+          CAST(word AS VARCHAR) ||
+          (CASE tld WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+            WHEN 2 THEN '.co.uk' WHEN 3 THEN '.de'
+            WHEN 4 THEN '.com.cn' WHEN 5 THEN '.github.io'
+            WHEN 6 THEN '.gen.ck' ELSE '.kawasaki.jp' END) AS host_core,
+        $oracleDomainSql AS domain,
+        CASE www WHEN 1 THEN 'WwW.' ELSE '' END AS wprefix,
+        CASE port WHEN 1 THEN (CASE WHEN s >= 2 THEN ':443' ELSE ':80' END)
+          WHEN 2 THEN ':8080' ELSE '' END AS port_messy,
+        '/p/' || CAST(pathn AS VARCHAR) AS path_canon,
+        CASE slash WHEN 1 THEN '/' ELSE '' END AS slash_sfx,
+        'q=' || CAST(qv AS VARCHAR) AS pq,
+        'id=' || CAST(idv AS VARCHAR) AS pid,
+        ord, CASE frag WHEN 1 THEN '#sec' ELSE '' END AS frag_sfx
+      FROM picks""")
+
+  /** WARC read with a FULL field-and-payload oracle: every header
+    * field the [[graft.sources.WarcDataSource]] reader parses (id,
+    * type, uri, date, block type, HTTP status + content-type) plus the
+    * payload digest and length, for all three record kinds — response
+    * bodies (HTTP split), raw request blocks, warcinfo fields — across
+    * BOTH framings (per-record gzip members and plain). The oracle
+    * rebuilds every record's bytes from (doc_id, text) and hashes the
+    * same payloads, so a single mis-framed, truncated, or mis-split
+    * record breaks the hash.
+    */
+  val q150_warc_read = QueryDef(
+    "q150_warc_read",
+    (s, d) => {
+      val dir = WarcFixture.dir(s, d)
+      s.read.format("warc").load(dir)
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("http_status"),
+          col("http_content_type"), col("payload_len"),
+          md5(col("payload")).as("payload_md5"))
+    },
+    Some {
+      val ch = warcPartsCte(urlPicksChain)
+      val crlf = "chr(13) || chr(10)"
+      val body = """CASE WHEN c.doc_id % 7 = 0 THEN 'not found: ' || CAST(c.doc_id AS VARCHAR)
+          ELSE '<html><head><title>Doc ' || CAST(c.doc_id AS VARCHAR) ||
+            '</title></head><body><!-- hdr --><p>' || c.text ||
+            '</p><p>caf&eacute; A&mdash;B</p></body></html>' END"""
+      val dateSql = "strftime(TIMESTAMP '2025-01-01 00:00:00' + " +
+        "to_seconds(CAST(c.doc_id AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ')"
+      ch.render(s"""
+        SELECT ${oracleUuidSql("'r:' || CAST(c.doc_id AS VARCHAR)")} AS record_id,
+          'response' AS warc_type,
+          $oracleMessyUrlSql AS target_uri,
+          $dateSql AS warc_date,
+          'application/http;msgtype=response' AS content_type,
+          CAST(CASE WHEN c.doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+            AS http_status,
+          CASE WHEN c.doc_id % 7 = 0 THEN 'text/plain'
+            ELSE 'text/html; charset=utf-8' END AS http_content_type,
+          CAST(length($body) AS BIGINT) AS payload_len,
+          md5($body) AS payload_md5
+        FROM crawled c JOIN parts ON parts.doc_id = c.doc_id
+        UNION ALL
+        SELECT ${oracleUuidSql("'q:' || CAST(c.doc_id AS VARCHAR)")},
+          'request',
+          $oracleMessyUrlSql,
+          $dateSql,
+          'application/http;msgtype=request',
+          CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+          CAST(length('GET ' || $oracleMessyUrlSql || ' HTTP/1.1' || $crlf ||
+            'User-Agent: graftbot/1.0' || $crlf || 'Accept: text/html' ||
+            $crlf || $crlf) AS BIGINT),
+          md5('GET ' || $oracleMessyUrlSql || ' HTTP/1.1' || $crlf ||
+            'User-Agent: graftbot/1.0' || $crlf || 'Accept: text/html' ||
+            $crlf || $crlf)
+        FROM crawled c JOIN parts ON parts.doc_id = c.doc_id
+        WHERE c.doc_id % 5 = 0
+        UNION ALL
+        SELECT ${oracleUuidSql("'w:' || CAST(p AS VARCHAR)")},
+          'warcinfo', CAST(NULL AS VARCHAR), '2025-01-01T00:00:00Z',
+          'application/warc-fields', CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+          CAST(length('software: graft' || $crlf ||
+            'format: WARC File Format 1.0' || $crlf ||
+            'partition: ' || CAST(p AS VARCHAR) || $crlf) AS BIGINT),
+          md5('software: graft' || $crlf || 'format: WARC File Format 1.0' ||
+            $crlf || 'partition: ' || CAST(p AS VARCHAR) || $crlf)
+        FROM generate_series(0, 7) AS ti(p)""")
+    },
+  )
+
+  /** The WARC-IN crawl capstone (VERDICT r10 item 1 "done" criterion):
+    * archive bytes to curation rollup in ONE plan — the V2 source's
+    * pushed `warc_type = 'response'` filter at the record framer, the
+    * HTTP status gate, HtmlExtract.extractText over the response body
+    * (entity decode included), token counting, and the PSL domain
+    * rollup of q145, with 404 fetches counted but contributing no
+    * tokens. The oracle composes the stage results analytically on the
+    * reconstructed pages (the regex pipeline itself is proven
+    * engine-equal by q146/q147).
+    */
+  val q151_warc_pipeline = QueryDef(
+    "q151_warc_pipeline",
+    (s, d) => {
+      val dir = WarcFixture.dir(s, d)
+      val pages = s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("url"), col("http_status"),
+          col("payload").cast("string").as("html"))
+      val text = graft.ops.HtmlExtract.extractText(col("html"))
+      val nTok = length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1
+      pages
+        .select(graft.ops.UrlOps.registrableDomain(
+            graft.ops.UrlOps.canonicalHost(col("url"))).as("domain"),
+          col("http_status"), text.as("text"))
+        .select(col("domain"), col("http_status"),
+          when(col("http_status") === 200, nTok.cast("long"))
+            .otherwise(0L).as("n_tokens"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_responses"),
+          sum((col("http_status") === 200).cast("long")).as("n_ok"),
+          sum("n_tokens").as("sum_tokens"))
+    },
+    Some {
+      val ch = warcPartsCte(urlPicksChain)
+      // extracted text of the 200-page is analytically 'Doc N TEXT café
+      // A—B' (title text survives tag-strip; the comment dies; the two
+      // entity references decode) — q146 proves the extraction
+      // machinery byte-equal, this oracle composes its known result
+      ch.render("""
+        SELECT domain,
+          CAST(count(*) AS BIGINT) AS n_responses,
+          CAST(sum(CASE WHEN c.doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_ok,
+          CAST(sum(CASE WHEN c.doc_id % 7 = 0 THEN 0 ELSE
+            (SELECT length(t) - length(replace(t, ' ', '')) + 1 FROM (SELECT
+              'Doc ' || CAST(c.doc_id AS VARCHAR) || ' ' || c.text || ' caf' ||
+              chr(233) || ' A' || chr(8212) || 'B' AS t) s)
+            END) AS BIGINT) AS sum_tokens
+        FROM crawled c JOIN parts ON parts.doc_id = c.doc_id
+        GROUP BY 1""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
+    q150_warc_read, q151_warc_pipeline,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
     q136_balanced_shards, q137_source_drift, q138_length_drift,
