@@ -1401,6 +1401,35 @@ object SynthQueries {
       },
       Some(HashIvfOracle.sql)),
 
+    // index DELETE + COMPACTION with a full oracle (r11, VERDICT r10
+    // item 7): tombstone a fifth of the corpus
+    // (deleteFromHashIvfIndex — an append, no shard rewrite), serve
+    // through the tombstone anti-join, then compact (tombstones become
+    // physical, one file per cluster) and serve the compacted copy.
+    // BOTH legs must hash-match the same replay over the shrunk corpus
+    // — a row that survived deletion, resurfaced after compaction, or
+    // vanished wrongly breaks one leg's hash.
+    QueryDef("g127_ann_index_delete",
+      (s, d) => {
+        val vecs = s.read.parquet(s"$d/embeddings.parquet")
+        val dir = cachedIndexDir("g127_hivf_del", d) { dir =>
+          graft.ops.Quantization.writeHashIvfIndex(
+            vecs, "vec_id", "embedding", dir, 8)
+          graft.ops.Quantization.deleteFromHashIvfIndex(dir,
+            vecs.filter(col("vec_id") % 5 === 1).select("vec_id"))
+        }
+        val dir2 = cachedIndexDir("g127_hivf_cmp", d) { d2 =>
+          graft.ops.Quantization.compactHashIvfIndex(s, dir, d2)
+        }
+        val queries = vecs.filter(col("vec_id") % 50 === 0)
+        def serve(p: String) = graft.ops.Quantization.hashIvfTopKFromIndex(
+          p, queries, "vec_id", "embedding", 10, numClusters = 8, nProbe = 2)
+        serve(dir).withColumn("leg", org.apache.spark.sql.functions.lit("tomb"))
+          .unionByName(serve(dir2).withColumn("leg",
+            org.apache.spark.sql.functions.lit("compact")))
+      },
+      Some(HashIvfOracle.sqlDeleted)),
+
     // the string-XXH64 primitive itself, hash-match-checked: Spark's
     // xxhash64 over VARCHAR replayed in DuckDB by the full canonical
     // algorithm (DuckXxHash.hashStringSteps — 4-lane stripes, tail
@@ -4467,13 +4496,28 @@ object TxFanoutOracle {
   * scoring, ranking — replayed in DuckDB as exact integers.
   */
 object HashIvfOracle {
-  def sql: String = {
+  def sql: String = sqlWhere("")
+
+  /** g127's oracle: the same full replay over the corpus MINUS the
+    * tombstoned ids, each expected row emitted once per serving leg
+    * (pre-compaction tombstone anti-join == post-compaction physical
+    * removal). Query ids (vec_id % 50 = 0) are never tombstoned
+    * (% 5 = 1 excludes them), so the probe set is unchanged.
+    */
+  def sqlDeleted: String = {
+    val inner = sqlWhere("WHERE vec_id % 5 <> 1")
+    s"""SELECT l.leg, q.* FROM ($inner) q CROSS JOIN
+      (SELECT 'tomb' AS leg UNION ALL SELECT 'compact' AS leg) l"""
+  }
+
+  private def sqlWhere(corpusWhere: String): String = {
         import graft.queries.DuckXxHash._
         val k = 8
         val nProbe = 2
         val ch = chain("e",
           "SELECT vec_id, [CAST(round(x * 1000000) AS BIGINT) " +
-            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings")
+            "for x in CAST(embedding AS DOUBLE[])] AS vq FROM embeddings " +
+            corpusWhere)
           .cte("comp",
             "SELECT vec_id, unnest(generate_series(1, len(vq))) AS i, " +
               "unnest(vq) AS x FROM e")
@@ -4496,7 +4540,8 @@ object HashIvfOracle {
             "SELECT vec_id, CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 " +
               "THEN [0.0 for x in v] " +
               "ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS v " +
-              "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+              "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+              s"FROM embeddings $corpusWhere)")
           .cte("mm", "SELECT vec_id, v, list_max([abs(x) for x in v]) AS m FROM un")
           .cte("z",
             "SELECT vec_id, [CASE WHEN m = 0 THEN 0 " +

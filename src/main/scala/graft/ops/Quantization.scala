@@ -277,11 +277,40 @@ object Quantization {
     */
   def compactHashIvfIndex(spark: SparkSession, path: String,
       destPath: String): Unit = {
-    spark.read.parquet(s"$path/vectors")
-      .repartition(col("cluster"))
+    val base = spark.read.parquet(s"$path/vectors")
+    // compaction is ALSO when tombstones become physical: the compacted
+    // copy carries no tombstone directory and no deleted row — the
+    // delete/compact lifecycle of an LSM index at directory granularity
+    val kept = tombstonesOf(spark, path) match {
+      case Some(tomb) => base.join(broadcast(tomb),
+        tomb.columns.toSeq, "left_anti")
+      case None => base
+    }
+    kept.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$destPath/vectors")
   }
+
+  /** Delete rows from a [[writeHashIvfIndex]] index WITHOUT rewriting
+    * its shards: `ids` (one column, named like the index's id column)
+    * append to a tombstone set that serving anti-joins and the next
+    * [[compactHashIvfIndex]] applies physically — the standard
+    * LSM/lakehouse delete shape. At crawl cadence deletes are takedown
+    * and re-crawl-superseded rows: a tiny fraction between compactions,
+    * so the serve-side anti-join is a broadcast; an operator who lets
+    * tombstones grow corpus-sized has skipped compaction, and the fix
+    * is to run it, not a bigger join.
+    */
+  def deleteFromHashIvfIndex(path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstones take one id column, got ${ids.columns.mkString(",")}")
+    ids.write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The index's live tombstone set, None when nothing was deleted. */
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$path/tombstones").distinct())
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Serve from a [[writeHashIvfIndex]] index: probe the nProbe best
     * pseudo-centroids per query (exact integer ranking,
@@ -309,8 +338,16 @@ object Quantization {
     // BOUNDED collect: at most min(numClusters, |queries|·nProbe) ids —
     // driver-side so the isin() lands in PartitionFilters
     val probed = qq.select("probe").distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexPath/vectors")
+    val base = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+    // deleted rows stay invisible between compactions: broadcast
+    // anti-join against the tombstone set ([[deleteFromHashIvfIndex]])
+    val live = tombstonesOf(spark, indexPath) match {
+      case Some(tomb) => base.join(broadcast(tomb),
+        tomb.columns.toSeq, "left_anti")
+      case None => base
+    }
+    val corpus = live
       .select(col(idCol).as("id"), col("codes"), col("scale_micro"), col("cluster"))
     rankQuantized(corpus.join(qq,
       col("cluster") === col("probe") && col("id") =!= col("qid")), k)

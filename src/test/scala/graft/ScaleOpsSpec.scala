@@ -534,6 +534,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected 1 file per cluster, got ${parquetCount(compactDir)} for $clusters clusters")
     assert(parquetCount(compactDir) < before, "compaction did not reduce file count")
     assert(serve(compactDir) == serve(unionDir), "compacted index diverged")
+
+    // delete lifecycle: tombstoned ids vanish from serving immediately
+    // (anti-join) and physically after compaction; a rebuilt index on
+    // the shrunk corpus serves identically to both
+    val delIds = df.filter(col("vec_id") % 5 === 1).select("vec_id")
+    Quantization.deleteFromHashIvfIndex(appDir, delIds)
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("hivf_reb").toString
+    Quantization.writeHashIvfIndex(
+      df.filter(col("vec_id") % 5 =!= 1), "vec_id", "embedding", rebuiltDir, 8)
+    val afterDelete = serve(appDir)
+    assert(afterDelete == serve(rebuiltDir),
+      "tombstone anti-join diverged from a rebuild on the shrunk corpus")
+    assert(afterDelete.forall(_._3 % 5 != 1), "a deleted id was served")
+    val compact2 = java.nio.file.Files.createTempDirectory("hivf_cmp2").toString
+    Quantization.compactHashIvfIndex(spark, appDir, compact2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(compact2, "tombstones")),
+      "compaction must not carry tombstones forward")
+    assert(serve(compact2) == afterDelete, "post-compaction serving diverged")
   }
 
   test("jl projection: bit-exact vs local XXH64 replay, planted near-pairs stay near") {
