@@ -317,6 +317,52 @@ object SynthQueries {
         FROM allsig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
   }
 
+  /** The g128 oracle: the g124 replay with each arrival's DATA-carried
+    * ordinal (base docs at ord = id, twins at maxId + 1 + 2·(bid % 256))
+    * and the bounded-window predicate `x.ord >= r.ord - 500` — pairs
+    * separated beyond the window must attribute to -1, the boundary
+    * pair (separation exactly 500 at sf0.01) must still match.
+    */
+  private[graft] val bandedWindowOracle: Option[String] = Some {
+    import graft.queries.DuckXxHash._
+    val ch = chain("s0",
+      s"SELECT CAST(doc_id AS BIGINT) AS id, " +
+        s"${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
+      .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+      .cte("bsig", "SELECT id, h1out AS us FROM c_h1out")
+      .cte("mx", "SELECT max(id) AS m FROM bsig")
+      .cte("twin0", "SELECT id AS bid, us FROM bsig WHERE id % 8 = 0")
+      .cte("twin",
+        """SELECT bid + 10000000 AS id,
+          (SELECT m FROM mx) + 1 + 2 * (bid % 256) AS ord,
+          CAST(xor(CAST(us AS UBIGINT),
+            (1::UBIGINT << CAST((bid * 7) % 64 AS INT)) |
+            (CASE WHEN bid % 3 + 1 >= 2 THEN
+              (1::UBIGINT << CAST(((bid * 7) % 64 + 21) % 64 AS INT))
+              ELSE 0::UBIGINT END) |
+            (CASE WHEN bid % 3 + 1 >= 3 THEN
+              (1::UBIGINT << CAST(((bid * 7) % 64 + 43) % 64 AS INT))
+              ELSE 0::UBIGINT END)) AS HUGEINT) AS us
+        FROM twin0""")
+      .cte("allsig",
+        "SELECT id, id AS ord, us FROM bsig " +
+          "UNION ALL SELECT id, ord, us FROM twin")
+      .cte("bands",
+        "SELECT id, ord, us, b.range AS b, " +
+          "(us // (1::HUGEINT << (16 * b.range))) % 65536 AS key " +
+          "FROM allsig, range(0, 4) b")
+      .cte("att",
+        """SELECT r.id, x.id AS oid FROM bands r
+          JOIN bands x ON x.b = r.b AND x.key = r.key
+          WHERE (x.ord < r.ord OR (x.ord = r.ord AND x.id < r.id))
+            AND x.ord >= r.ord - 500
+            AND bit_count(xor(CAST(r.us AS UBIGINT),
+              CAST(x.us AS UBIGINT))) <= 3""")
+    ch.render(
+      """SELECT u.id, CAST(coalesce(min(a.oid), -1) AS BIGINT) AS dup_of
+        FROM allsig u LEFT JOIN att a ON a.id = u.id GROUP BY 1""")
+  }
+
   private def pinDef(name: String)(fn: (SparkSession, String) => DataFrame)
       : QueryDef =
     QueryDef(name, (s, d) => pinAgg(fn(s, d)),
@@ -3357,6 +3403,83 @@ object SynthQueries {
       // the SAME oracle as g124: a restarted index must attribute
       // identically to the uninterrupted run
       SynthQueries.bandedIndexOracle),
+
+    // BOUNDED-WINDOW near-dup index (r11, VERDICT r10 item 6 — the
+    // eviction story): the g124 twin rig through
+    // BandedWindowIndexProcessor with windowOrd = 500 over
+    // DATA-carried ordinals (base docs at ord = id, twins at
+    // maxId + 1 + 2·(bid % 256), so twin-pair separations straddle the
+    // window — including one pair at EXACTLY the boundary). A
+    // wall-clock TTL could never be oracled (output would depend on
+    // scheduling); the event-ordinal window replays exactly: the
+    // oracle is the g124 replay plus the window predicate, so both
+    // planted expiry (pairs beyond 500 attribute to -1) and boundary
+    // inclusion are hash-checked. State is bounded by one window of
+    // arrivals per bucket; physical eviction runs when the twins batch
+    // raises the cutoff past the early base ordinals.
+    QueryDef("g128_stream_index_window",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{coalesce, explode, expr, lit,
+          min => fmin, pmod, when, xxhash64, max => fmax}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val maxHamming = 3
+        val windowOrd = 500L
+        val ids = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("base_id"))
+        val maxId = ids.agg(fmax("base_id")).collect()(0).getLong(0)
+        val base = ids.select(col("base_id").as("id"),
+          col("base_id").as("ord"), xxhash64(col("base_id")).as("sig"))
+        val h = pmod(col("base_id"), lit(3L)) + 1L
+        val twins = ids.filter(col("base_id") % 8 === 0)
+          .withColumn("a", pmod(col("base_id") * 7, lit(64L)))
+          .withColumn("fl", expr("shiftleft(1L, CAST(a AS INT))")
+            .bitwiseOR(when(h >= 2L,
+              expr("shiftleft(1L, CAST((a + 21) % 64 AS INT))")).otherwise(lit(0L)))
+            .bitwiseOR(when(h >= 3L,
+              expr("shiftleft(1L, CAST((a + 43) % 64 AS INT))")).otherwise(lit(0L))))
+          .select((col("base_id") + 10000000L).as("id"),
+            (lit(maxId + 1L) + pmod(col("base_id"), lit(256L)) * 2L).as("ord"),
+            xxhash64(col("base_id")).bitwiseXOR(col("fl")).as("sig"))
+        val fixture = base.unionByName(twins)
+          .select(col("id"), col("ord"), col("sig"))
+        val streamDir = java.nio.file.Files.createTempDirectory("g128_sigs")
+        val half = maxId / 2
+        Seq(
+          "a_low" -> fixture.filter(col("id") <= half),
+          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
+          "c_dups" -> fixture.filter(col("id") >= 10000000L)
+        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        val name = "g128_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val banded = s.readStream.schema(fixture.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .select(col("id"), col("ord"), col("sig"),
+            explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
+              .as("bkey"))
+          .select(col("bkey"), col("ord"), col("id"), col("sig"))
+          .as[(Long, Long, Long, Long)]
+        val decided = banded
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3, r._4))
+          .transformWithState(
+            new graft.streaming.BandedWindowIndexProcessor(maxHamming, windowOrd),
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
+          .toDF("id", "cand")
+        val q = decided.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+        deleteTree(streamDir)
+        s.table(name).groupBy("id")
+          .agg(coalesce(fmin(when(col("cand") >= 0, col("cand"))), lit(-1L))
+            .as("dup_of"))
+      }),
+      SynthQueries.bandedWindowOracle),
 
     // Avro record-writer breadth with a FULL bit oracle: fast-path
     // columns whose ladders are already hash-proven (g56/g58 XXH64

@@ -90,6 +90,97 @@ class BandedIndexSpec extends AnyFunSuite {
     assert(want.values.count(_ >= 0) > 500)
   }
 
+  test("BandedWindowIndexProcessor: window-exact attribution, independent of batch layout") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val maxHamming = 3
+    val n = 2000L
+    val w = 1200L // ordinal window
+    // squeezed-entropy sigs (occupancy > 1) + twins at varying ordinal
+    // separations, some inside and some beyond the window
+    val base = spark.range(0, n).select(col("id"), col("id").as("ord"),
+      (xxhash64(col("id")).bitwiseAND(lit(0x01ff01ff01ff01ffL))).as("sig"))
+    val twins = spark.range(0, n).filter(col("id") % 5 === 0)
+      .withColumn("a", pmod(col("id") * 11, lit(64L)))
+      .withColumn("fl", expr("shiftleft(1L, CAST(a AS INT))"))
+      .select((col("id") + n).as("id"),
+        (lit(n) + pmod(col("id"), lit(400L)) * 3L).as("ord"),
+        (xxhash64(col("id")).bitwiseAND(lit(0x01ff01ff01ff01ffL)))
+          .bitwiseXOR(col("fl")).as("sig"))
+    val all = base.unionByName(twins).select(col("id"), col("ord"), col("sig"))
+    val rows = all.collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // brute-force windowed ground truth
+    def bandKeys(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (b.toLong << 16) | ((sig >>> (16 * b)) & 0xffffL))
+    val want = rows.map { case (ord, id, sig) =>
+      val ks = bandKeys(sig).toSet
+      var best = -1L
+      rows.foreach { case (o2, i2, s2) =>
+        if ((o2 < ord || (o2 == ord && i2 < id)) && o2 >= ord - w &&
+          java.lang.Long.bitCount(sig ^ s2) <= maxHamming &&
+          bandKeys(s2).exists(ks.contains) && (best < 0 || i2 < best)) best = i2
+      }
+      id -> best
+    }.toMap
+    assert(want.values.count(_ >= 0) > 50, "rig must plant matches")
+    assert(twins.count() > want.keys.count(k => k >= n && want(k) >= 0),
+      "rig must plant expiries (some twins beyond the window)")
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def run(splits: Seq[(String, Long, Long)]): Map[Long, Long] = {
+      val streamDir = java.nio.file.Files.createTempDirectory("bwidx_spec")
+      splits.foreach { case (sub, lo, hi) =>
+        graft.streaming.StreamFiles.writeOne(
+          all.filter(col("ord") >= lo && col("ord") < hi), streamDir, sub)
+      }
+      val name = "bwidx_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val banded = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .select(col("id"), col("ord"), col("sig"),
+          explode(graft.ops.Dedup.streamBandKeys(col("sig"), maxHamming))
+            .as("bkey"))
+        .select(col("bkey"), col("ord"), col("id"), col("sig"))
+        .as[(Long, Long, Long, Long)]
+      val q = banded.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3, r._4))
+        .transformWithState(
+          new graft.streaming.BandedWindowIndexProcessor(maxHamming, w),
+          TimeMode.None(), OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long)]])
+        .toDF("id", "cand")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(name).groupBy("id")
+        .agg(coalesce(min(when(col("cand") >= 0, col("cand"))), lit(-1L))
+          .as("dup_of"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.dropTempView(name)
+      graft.streaming.StreamFiles.deleteTree(streamDir)
+      got
+    }
+    try {
+      // two batches vs five: ordinal-monotone layouts must agree with
+      // the ground truth AND each other (batch-boundary independence)
+      val big = n + 1300L
+      val got2 = run(Seq(("a", 0L, n), ("b", n, big)))
+      val got5 = run(Seq(("a", 0L, 500L), ("b", 500L, 1200L),
+        ("c", 1200L, n), ("d", n, n + 600L), ("e", n + 600L, big)))
+      assert(got2.size == want.size)
+      val diffs = want.collect { case (k, v) if got2(k) != v => (k, v, got2(k)) }
+      assert(diffs.isEmpty, s"${diffs.size} mismatches, e.g. ${diffs.take(5)}")
+      assert(got5 == got2, "output depended on batch layout")
+    } finally {
+      oldProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("PinOracles registry and CapturePins stay in lockstep") {
     // every pinned name has a captured oracle and is a registered query
     val pinned = graft.tools.CapturePins.pinned.toSet
