@@ -223,6 +223,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("robots_crawl_delay"),
+      new ExpressionInfo(classOf[RobotsCrawlDelay].getName, "robots_crawl_delay"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"robots_crawl_delay(rules, agent) takes 2 arguments, got ${children.length}")
+        RobotsCrawlDelay(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (children: Seq[Expression]) => {

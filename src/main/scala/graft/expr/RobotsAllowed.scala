@@ -26,6 +26,44 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ⇒ allowed (the protocol's default-open stance); null inputs ⇒
   *    null (unknown robots ≠ permission decision).
   */
+/** `robots_crawl_delay(rulesText, agent)` — the selected group's
+  * crawl-delay in seconds (the de-facto politeness extension), as a
+  * nullable DOUBLE: null when the group declares none, the value is
+  * unparsable, or an input is null. Shares [[RobotsAllowed]]'s group
+  * selection exactly (same agent matching, same merge, same §2.5 parse
+  * cap), so the delay can never come from a different group than the
+  * allow decision.
+  */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override protected def nullSafeEval(rules: Any, agent: Any): Any = {
+    val d = RobotsAllowed.crawlDelay(rules.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString)
+    if (d == null) null else d.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("delay")
+    nullSafeCodeGen(ctx, ev, (r, a) => s"""
+      java.lang.Double $boxed = graft.expr.RobotsAllowed.crawlDelay(
+        $r.toString(), $a.toString());
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsCrawlDelay =
+    copy(left = newLeft, right = newRight)
+}
+
 case class RobotsAllowed(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression with ImplicitCastInputTypes {
 
@@ -52,8 +90,37 @@ case class RobotsAllowed(first: Expression, second: Expression,
 
 object RobotsAllowed {
 
-  /** Static entry shared by the interpreted and generated paths. */
-  def allowed(rulesText: String, agent: String, path: String): Boolean = {
+  /** RFC 9309 §2.5: a parser must process at least 500 KiB and may
+    * ignore the rest. We honor exactly the lines FULLY CONTAINED in the
+    * first 500 KiB (a rule straddling the cap is dropped, never
+    * half-parsed) — deterministic, and the safe failure mode for a
+    * hostile multi-megabyte robots.txt: directives beyond the cap
+    * silently vanish toward the protocol's default-open stance rather
+    * than blowing up executor memory/CPU on every fetch row.
+    */
+  private[graft] val ParseCap: Int = 500 * 1024
+
+  private def capped(rulesText: String): String =
+    if (rulesText.length <= ParseCap) rulesText
+    else {
+      // last newline INSIDE the first ParseCap chars (index ParseCap-1
+      // is the cap's final char) — the partial trailing line drops
+      val cut = rulesText.lastIndexOf('\n', ParseCap - 1)
+      if (cut < 0) "" else rulesText.substring(0, cut)
+    }
+
+  /** The merged rule group selected for `agent` (longest user-agent
+    * token match, `*` fallback, same-specificity groups merge) plus its
+    * crawl-delay: the common de-facto extension — not part of RFC 9309,
+    * group-scoped like allow/disallow in every crawler that honors it.
+    * When merged groups disagree, the LARGEST delay wins (the polite
+    * reading). Null when absent or unparsable.
+    */
+  private[graft] final class Group(
+      val rules: Seq[(Boolean, String)],
+      val crawlDelay: java.lang.Double)
+
+  private[graft] def selectGroup(rulesText: String, agent: String): Group = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // parse line-oriented: groups start at user-agent lines; a
     // user-agent line directly following another extends the same
@@ -61,6 +128,8 @@ object RobotsAllowed {
     var bestAgentLen = -1 // longest matching user-agent token; * = 0
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
     val pending = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var selectedDelay: java.lang.Double = null
+    var pendingDelay: java.lang.Double = null
     var groupAgentLen = -1 // best matching agent token of the OPEN group
     var inHeader = false
     def closeGroup(): Unit = {
@@ -68,13 +137,18 @@ object RobotsAllowed {
         bestAgentLen = groupAgentLen
         selected.clear()
         selected ++= pending
+        selectedDelay = pendingDelay
       } else if (groupAgentLen >= 0 && groupAgentLen == bestAgentLen) {
         selected ++= pending // same-specificity groups merge
+        if (pendingDelay != null &&
+          (selectedDelay == null || pendingDelay > selectedDelay))
+          selectedDelay = pendingDelay
       }
       pending.clear()
+      pendingDelay = null
       groupAgentLen = -1
     }
-    rulesText.split("\n", -1).foreach { raw =>
+    capped(rulesText).split("\n", -1).foreach { raw =>
       // strip comments and whitespace
       val noComment = {
         val h = raw.indexOf('#')
@@ -100,12 +174,23 @@ object RobotsAllowed {
               inHeader = false
               if (groupAgentLen >= 0)
                 pending += ((key == "allow", value))
-            case _ => inHeader = false // sitemap / crawl-delay / unknown
+            case "crawl-delay" =>
+              inHeader = false
+              if (groupAgentLen >= 0)
+                try { pendingDelay = java.lang.Double.valueOf(value) }
+                catch { case _: NumberFormatException => () }
+            case _ => inHeader = false // sitemap / unknown
           }
         }
       }
     }
     closeGroup()
+    new Group(selected.toSeq, selectedDelay)
+  }
+
+  /** Static entry shared by the interpreted and generated paths. */
+  def allowed(rulesText: String, agent: String, path: String): Boolean = {
+    val selected = selectGroup(rulesText, agent).rules
     // longest-match rule wins; ties prefer allow; empty disallow = allow-all
     var bestLen = -1
     var bestAllow = true
@@ -124,6 +209,10 @@ object RobotsAllowed {
     }
     if (bestLen < 0) true else bestAllow
   }
+
+  /** The selected group's crawl-delay in seconds; null when absent. */
+  def crawlDelay(rulesText: String, agent: String): java.lang.Double =
+    selectGroup(rulesText, agent).crawlDelay
 
   /** RFC 9309 path pattern: prefix match with `*` (any run) and a
     * trailing `$` (end anchor). Greedy-with-backtracking over the `*`

@@ -140,4 +140,20 @@ object UrlOps {
     when(rawHost.startsWith("www."),
       rawHost.substr(lit(5), length(rawHost) - 4)).otherwise(rawHost)
   }
+
+  /** Sitemap URLs declared in a robots.txt body, as an array (r11).
+    * Sitemap lines are UNGROUPED per the sitemaps.org protocol —
+    * they apply to every crawler regardless of user-agent groups, so
+    * this is a pure regexp extract, not group selection: line-anchored,
+    * case-insensitive, comment tails stripped, values trimmed. Java
+    * regex and RE2 agree on every construct used, so an oracle replays
+    * it (q152).
+    */
+  def robotsSitemaps(rules: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(rules,
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]*)"), lit(1)),
+        v => trim(v)),
+      v => v =!= "")
 }

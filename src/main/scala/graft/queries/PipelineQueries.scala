@@ -4972,8 +4972,69 @@ object PipelineQueries {
     },
   )
 
+  /** robots.txt beyond the allow decision (r11, VERDICT r10 item 8):
+    * the RFC 9309 §2.5 parse cap (rules beyond 500 KiB are ignored — a
+    * planted oversize robots.txt hides a disallow-all behind ~572 KiB
+    * of padding, and ONLY a capped parser emits allowed = 1), group
+    * shadowing of the crawl-delay politeness extension (the graftbot
+    * group's 2.5 s wins over the * group's 10 s), and ungrouped
+    * sitemap extraction (mixed-case keys, applies regardless of
+    * agent). Every expectation is analytic per doc_id branch — an
+    * uncapped parser, a group-blind delay, or a grouped sitemap read
+    * each breaks a different column's hash.
+    */
+  val q152_robots_meta = QueryDef(
+    "q152_robots_meta",
+    (s, d) => {
+      val variant = pmod(col("doc_id"), lit(4L))
+      val oversize = pmod(col("doc_id"), lit(64L)) === 2
+      val k0 = lit("User-agent: graftbot\nCrawl-delay: 2.5\n" +
+        "Disallow: /private/\n\n" +
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n" +
+        "Sitemap: https://s/a.xml\n")
+      val k1 = lit("User-agent: *\nDisallow:\n# none\n" +
+        "Sitemap: https://s/1.xml\nsitemap: https://s/2.xml\n")
+      val k2small = lit("User-agent: *\nDisallow: /x\nCrawl-delay: 1\n")
+      // 13 chars x 45000 = 585 000 > the 512 000-char cap: the
+      // disallow-all, delay and nothing-else lines land BEYOND it
+      val k2big = concat(lit("User-agent: *\nDisallow: /x\n"),
+        repeat(lit("# 0123456789\n"), 45000),
+        lit("Disallow: /\nCrawl-delay: 9\nSitemap: https://s/late.xml\n"))
+      val rules = when(variant === 0, k0)
+        .when(variant === 1, k1)
+        .when(variant === 2, when(oversize, k2big).otherwise(k2small))
+        .otherwise(lit(""))
+      val agent = lit("GraftBot/1.0")
+      docs(s, d).select(col("doc_id"),
+        call_function("robots_allowed", rules, agent, lit("/private/x"))
+          .cast("int").as("allowed_p"),
+        call_function("robots_allowed", rules, agent, lit("/x/q"))
+          .cast("int").as("allowed_x"),
+        coalesce(floor(call_function("robots_crawl_delay", rules, agent)
+          * 1000).cast("long"), lit(-1L)).as("crawl_delay_milli"),
+        size(graft.ops.UrlOps.robotsSitemaps(rules)).cast("long")
+          .as("n_sitemaps"),
+        concat_ws("|", graft.ops.UrlOps.robotsSitemaps(rules)).as("sitemaps"))
+    },
+    Some("""SELECT doc_id,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS INT) AS allowed_p,
+        CAST(CASE doc_id % 4 WHEN 2 THEN 0 ELSE 1 END AS INT) AS allowed_x,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 2500
+          WHEN 2 THEN (CASE WHEN doc_id % 64 = 2 THEN -1 ELSE 1000 END)
+          ELSE -1 END AS BIGINT) AS crawl_delay_milli,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+          WHEN 2 THEN (CASE WHEN doc_id % 64 = 2 THEN 1 ELSE 0 END)
+          ELSE 0 END AS BIGINT) AS n_sitemaps,
+        CASE doc_id % 4 WHEN 0 THEN 'https://s/a.xml'
+          WHEN 1 THEN 'https://s/1.xml|https://s/2.xml'
+          WHEN 2 THEN (CASE WHEN doc_id % 64 = 2
+            THEN 'https://s/late.xml' ELSE '' END)
+          ELSE '' END AS sitemaps
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q150_warc_read, q151_warc_pipeline,
+    q150_warc_read, q151_warc_pipeline, q152_robots_meta,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
     q136_balanced_shards, q137_source_drift, q138_length_drift,

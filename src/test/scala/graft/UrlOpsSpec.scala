@@ -174,6 +174,43 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("robots parse cap, crawl-delay group selection, sitemap extraction") {
+    import graft.expr.RobotsAllowed.{allowed, crawlDelay, ParseCap}
+    // cap boundary: a disallow line ENDING exactly at the cap is
+    // honored; push it one byte past and it vanishes (RFC 9309 §2.5 —
+    // content beyond 500 KiB may be ignored; we honor exactly the
+    // lines fully inside it)
+    val head = "User-agent: *\n"
+    val rule = "Disallow: /y\n"
+    def padded(slack: Int): String = {
+      val padLen = ParseCap - head.length - rule.length - slack
+      head + ("#" * (padLen - 1) + "\n") + rule
+    }
+    assert(!allowed(padded(0), "bot", "/y/z"), "rule ending AT the cap must hold")
+    assert(allowed(padded(-1), "bot", "/y/z"), "rule past the cap must be ignored")
+    // a monster single line (no newline inside the cap) parses as empty
+    assert(allowed("#" * (ParseCap + 10) + "\nDisallow: /\n", "bot", "/p"))
+    // crawl-delay rides group selection: specific group shadows *
+    val rules = "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /p/\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(crawlDelay(rules, "GraftBot/1.0") == 2.5)
+    assert(crawlDelay(rules, "otherbot") == 10.0)
+    assert(crawlDelay("User-agent: *\nDisallow: /\n", "x") == null)
+    assert(crawlDelay("User-agent: *\nCrawl-delay: soon\n", "x") == null,
+      "unparsable delay is null, not a crash")
+    // merged same-specificity groups keep the LARGEST (politest) delay
+    val merged = "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(crawlDelay(merged, "x") == 7.0)
+    // sitemaps: ungrouped, mixed case, comments stripped, blanks dropped
+    val sm = Seq((1L,
+      "User-agent: a\nSitemap: https://s/1.xml # main\n" +
+        "sitemap:https://s/2.xml\nSITEMAP:   \nDisallow: /\n"))
+      .toDF("id", "rules")
+      .select(graft.ops.UrlOps.robotsSitemaps(col("rules")))
+      .collect().head.getSeq[String](0)
+    assert(sm == Seq("https://s/1.xml", "https://s/2.xml"))
+  }
+
   test("utm_ prefix filters any utm param; only whole-key matches drop for the rest") {
     assert(canon("http://x.com/p?utm_campaign=c&utm_id=7&refresh=1&ref=drop")
       == Seq(Some("http://x.com/p?refresh=1")))
