@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Vp8
+
+class Vp8Spec extends AnyFunSuite {
+
+  test("bool coder round-trip: random bit/prob streams survive encode->decode") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val n = 500 + rnd.nextInt(2000)
+      val probs = Array.fill(n)(1 + rnd.nextInt(254))
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val enc = new Vp8.BoolEncoder
+      var i = 0
+      while (i < n) { enc.bool(probs(i), bits(i)); i += 1 }
+      val bytes = enc.finish()
+      val dec = new Vp8.BoolDecoder(bytes, 0, bytes.length)
+      i = 0
+      while (i < n) {
+        assert(dec.bool(probs(i)) == bits(i), s"trial $trial bit $i")
+        i += 1
+      }
+    }
+  }
+
+  test("idct/iwht: DC-only blocks produce the spec's flat outputs") {
+    val in = new Array[Int](16)
+    val out = new Array[Int](16)
+    in(0) = 100
+    Vp8.idct4x4(in, out)
+    assert(out.forall(_ == (100 + 4) >> 3))
+    in(0) = 77
+    Vp8.iwht4x4(in, out)
+    assert(out.forall(_ == (77 + 3) >> 3))
+  }
+
+  test("encoder->decoder round-trip: per-MB DC levels reconstruct the expected flat blocks") {
+    // 3x2 MBs, distinct levels incl. zero and negatives
+    val w = 48; val h = 32
+    val levels = Array(3, -2, 0, 7, 1, -5)
+    val qi = 20
+    val payload = Vp8.encodeDcKeyframe(w, h, levels, qi)
+    val frame = Vp8.decodeKeyframe(payload).getOrElse(fail("decode failed"))
+    assert(frame.width == w && frame.height == h)
+    // expected: first MB predicts DC=128 (no neighbors), residual flat
+    // delta = ((iwht of L*q2Dc) + 4) >> 3 applied to every luma pixel.
+    // Later MBs predict from reconstructed neighbors, so just assert
+    // flatness per MB and the exact value of MB (0,0).
+    val q2Dc = {
+      // y2 dc dequant = DcQ[qi] * 2 (no deltas in this encoder)
+      graft.ops.Vp8Tables.DcQ(qi) * 2
+    }
+    def delta(lvl: Int): Int = (((lvl * q2Dc + 3) >> 3) + 4) >> 3
+    val mb00 = 128 + delta(3)
+    assert(frame.yAt(0, 0) == mb00, s"got ${frame.yAt(0, 0)} want $mb00")
+    for (mbY <- 0 until 2; mbX <- 0 until 3) {
+      val v0 = frame.yAt(mbX * 16, mbY * 16)
+      for (r <- 0 until 16; c <- 0 until 16)
+        assert(frame.yAt(mbX * 16 + c, mbY * 16 + r) == v0,
+          s"MB($mbX,$mbY) not flat at ($c,$r)")
+    }
+    // chroma: all-zero residual, DC prediction -> 128 everywhere
+    assert(frame.uAt(0, 0) == 128 && frame.vAt(7, 7) == 128)
+    // determinism
+    val again = Vp8.encodeDcKeyframe(w, h, levels, qi)
+    assert(java.util.Arrays.equals(payload, again))
+  }
+
+  test("container wrap: headerDimensions and decode agree through the RIFF layer") {
+    val payload = Vp8.encodeDcKeyframe(32, 16, Array(2, 4), 10)
+    val webp = Vp8.wrapWebp(payload)
+    assert(graft.ops.WebpLossless.headerDimensions(webp).contains((32, 16)))
+  }
+
+  test("libwebp parity: baked real-encoder fixtures decode to bit-identical YUV planes") {
+    // Fixtures: deterministic images encoded by the system libwebp
+    // (WebPEncodeRGB) at qualities 5..95, sizes 20x20..256x64, with
+    // segmentation, B_PRED and loop-filter levels up to 63 in-stream.
+    // Expected digests are md5 over libwebp's OWN WebPDecodeYUV output
+    // (visible-region Y,U,V prefixed with LE32 w,h) — recorded by
+    // tools/Vp8ParityDump + the dev harness, where all 16 generated
+    // cases matched exactly; these six are the regression pins.
+    val expected = Seq(
+      "vp8_parity_case2" -> "9dc796b392206b933944e492a0bb915a", // 48x48 q50
+      "vp8_parity_case5" -> "7983a07b27b152b5bceb793ec0f5a480", // 33x17 q75
+      "vp8_parity_case8" -> "fb815801c8a669b679e8dd37e464bc34", // 20x20 q95
+      "vp8_stress_case1" -> "09cbb40f2fe5e7fce22188135dea9649", // 96x96 q5
+      "vp8_stress_case2" -> "eb756ec1b26e45e57afd73e886c4b2c7", // 96x96 q100
+      "vp8_stress_case4" -> "b1f79b84c256a30124966fd4bf42a9f5") // 17x255 q85
+    for ((name, want) <- expected) {
+      val in = getClass.getResourceAsStream(s"/graft/vp8/$name.webp")
+      assert(in != null, s"missing fixture $name")
+      val bytes = in.readAllBytes(); in.close()
+      val payload = graft.tools.Vp8ParityDump.vp8Chunk(bytes)
+        .getOrElse(fail(s"$name: no VP8 chunk"))
+      val fr = Vp8.decodeKeyframe(payload).getOrElse(fail(s"$name: decode failed"))
+      val w = fr.width; val h = fr.height
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      le32(w); le32(h)
+      (0 until h).foreach(r => out.write(fr.y, r * fr.yStride, w))
+      (0 until ch).foreach(r => out.write(fr.u, r * fr.uvStride, cw))
+      (0 until ch).foreach(r => out.write(fr.v, r * fr.uvStride, cw))
+      val got = java.security.MessageDigest.getInstance("MD5")
+        .digest(out.toByteArray).map(b => f"$b%02x").mkString
+      assert(got == want, s"$name: YUV digest mismatch")
+    }
+  }
+
+  test("malformed payloads return None, never throw") {
+    assert(Vp8.decodeKeyframe(Array[Byte]()) == None)
+    assert(Vp8.decodeKeyframe(Array.fill(8)(0x55.toByte)) == None)
+    val good = Vp8.encodeDcKeyframe(32, 16, Array(2, 4), 10)
+    // truncations must not throw
+    for (cut <- Seq(5, 10, 12, good.length / 2))
+      Vp8.decodeKeyframe(java.util.Arrays.copyOf(good, cut))
+    // interframe bit set -> None
+    val inter = good.clone(); inter(0) = (inter(0) | 1).toByte
+    assert(Vp8.decodeKeyframe(inter) == None)
+  }
+}
