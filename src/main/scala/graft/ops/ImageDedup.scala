@@ -146,7 +146,29 @@ object ImageDedup {
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
         img.setRGB(0, 0, w, h, px, 0, w)
         img
-      case None => null
+      case None =>
+        // r11: lossy WebP (VP8 keyframe) decodes too — rendered as the
+        // LUMA plane (r=g=b=Y): every perceptual feature downstream is
+        // luma-based (dHash compares integer lumas), so chroma
+        // upsampling would add a conversion convention without adding
+        // signal. The decode itself is bit-exact vs libwebp (Vp8Spec).
+        Vp8.vp8Chunk(bytes).flatMap(Vp8.decodeKeyframe) match {
+          case Some(fr) =>
+            val img = new BufferedImage(fr.width, fr.height,
+              BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < fr.height) {
+              var x = 0
+              while (x < fr.width) {
+                val v = fr.yAt(x, y)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          case None => null
+        }
     }
   }
 
@@ -254,26 +276,14 @@ object ImageDedup {
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     case 4 =>
-      def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
-      // a WELL-FORMED lossy container: the VP8 chunk opens with a REAL
-      // RFC 6386 keyframe header (frame tag with keyframe bit 0, the
-      // 0x9d012a sync code, 14-bit dims derived from baseId), so the
-      // r10 headerDimensions path reads true dimensions while the
-      // pixel data remains junk nothing here decodes
-      val w = 16 + Math.floorMod(graft.runtime.Rng.mix(baseId * 3 + 1), 1024L).toInt
-      val h = 16 + Math.floorMod(graft.runtime.Rng.mix(baseId * 3 + 2), 1024L).toInt
-      val header = Array[Byte](
-        0x10.toByte, 0, 0, // frame tag: keyframe (bit0=0), version 0
-        0x9d.toByte, 0x01.toByte, 0x2a.toByte, // sync code
-        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
-        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
-      val junk = Array.tabulate(16)(i =>
-        (graft.runtime.Rng.mix(baseId * 16 + i) & 0xff).toByte)
-      val body = header ++ junk
-      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + body.length) ++
-        "WEBP".getBytes("US-ASCII") ++
-        "VP8 ".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      // r11: a REAL lossy-WebP payload — the [[Vp8]] DC-mode encoder
+      // over a 9x8 macroblock grid (144x128) whose per-MB Y2 levels
+      // come from the XXH64 chain DuckDB replays, so the decoded
+      // lossy PIXELS themselves are oracle-checkable (q153's 2D
+      // DC-prediction recurrence). Replaces the r10 headers-only
+      // container: kind 4 now counts in n_decodable, not just
+      // n_dims_known.
+      Vp8.wrapWebp(vp8Fixture(baseId))
     case 5 =>
       // leading 0x00 matches no magic, so the junk can never be
       // misclassified whatever the hash bytes are
@@ -286,6 +296,20 @@ object ImageDedup {
           .hashLong(baseId * nPx + idx, 42L), 201L).toInt
       }, GridW, GridH)
     case _ => null
+  }
+
+  /** The kind-4 VP8 fixture body: DC-mode keyframe, 144x128 (9x8 MBs —
+    * one MB per dHash grid cell), quantizer index 20, per-MB levels in
+    * [-4, 4] from the replayable XXH64 chain. Shared by
+    * [[fixturePayload]] and the q153 pixel-pin query so the oracle and
+    * the coverage rig see identical bytes.
+    */
+  def vp8Fixture(baseId: Long): Array[Byte] = {
+    val levels = Array.tabulate(72) { mb =>
+      Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(baseId * 72 + mb, 42L), 9L).toInt - 4
+    }
+    Vp8.encodeDcKeyframe(144, 128, levels, 20)
   }
 
   /** Near-duplicate image pairs within `maxHamming` bits: drop

@@ -1242,6 +1242,24 @@ object Vp8 {
     }
   }
 
+  /** The "VP8 " chunk payload of a RIFF/WEBP container, None when the
+    * container is malformed or lossless-only.
+    */
+  def vp8Chunk(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 20) return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, "US-ASCII")
+      val len = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
+        ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+      if (tag == "VP8 ")
+        return Some(java.util.Arrays.copyOfRange(bytes, off + 8,
+          math.min(off + 8 + len, bytes.length)))
+      off += 8 + len + (len & 1)
+    }
+    None
+  }
+
   /** Wrap a VP8 payload in a RIFF/WEBP container. */
   def wrapWebp(vp8: Array[Byte]): Array[Byte] = {
     def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)

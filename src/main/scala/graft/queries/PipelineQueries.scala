@@ -4269,18 +4269,18 @@ object PipelineQueries {
         s"SELECT doc_id, ${unsigned("CAST(doc_id AS BIGINT)")} AS v FROM documents")
         .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
         .cte("k", s"SELECT ${pmod("h1out", 8L)} AS kind FROM ${"c_h1out"}")
-      // kind 4 = lossy VP8 container (format webp, NOT decodable, but
-      // r10: its keyframe header yields real DIMENSIONS);
-      // kind 7 = VP8L lossless (format webp, decodable via the r9
-      // pure-Scala decoder) — the webp row's n/n_decodable split IS
-      // the lossy-vs-lossless telemetry, and n_dims_known > n_decodable
-      // exactly by the lossy share
+      // kind 4 = lossy VP8 (r11: a REAL DC-mode keyframe the pure-Scala
+      // Vp8 decoder reads — now in n_decodable, closing the r10 gap
+      // where only its DIMENSIONS parsed);
+      // kind 7 = VP8L lossless (decodable via the r9 pure-Scala
+      // decoder) — the webp row now decodes in BOTH profiles, and
+      // n_dims_known == n_decodable everywhere
       ch.render("""SELECT
           CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
             WHEN 3 THEN 'bmp' WHEN 5 THEN 'other' WHEN 6 THEN 'missing'
             ELSE 'webp' END AS format,
           CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(CASE WHEN kind <= 3 OR kind = 7 THEN 1 ELSE 0 END)
+          CAST(sum(CASE WHEN kind <= 4 OR kind = 7 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_decodable,
           CAST(sum(CASE WHEN kind <= 4 OR kind = 7 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dims_known
@@ -5033,8 +5033,103 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** Decoded LOSSY-WebP pixels with a FULL oracle (r11, VERDICT r10
+    * item 4's "done" criterion): every document's kind-4 fixture — a
+    * REAL VP8 DC-mode keyframe ([[graft.ops.ImageDedup.vp8Fixture]]:
+    * 9x8 macroblocks, per-MB quantized levels from the XXH64 chain) —
+    * runs through the PUBLIC decode path (fixture bytes →
+    * ImageDedup.decodeImage → pure-Scala [[graft.ops.Vp8]] keyframe
+    * decoder) and emits each macroblock's luma. The oracle re-derives
+    * the exact pixels analytically: the level chain, the spec's Y2
+    * dequant (DcQ[20]·2 = 42) and the two >>3 rounding stages, then
+    * the 2D DC-prediction recurrence (128 at the origin, left/above
+    * propagation, (vA+vL+1)>>1 in the interior) as a recursive CTE in
+    * raster order. A single wrong token, dequant factor, prediction
+    * average, or rounding constant shifts a luma and breaks the hash.
+    * (The decoder's general-stream correctness — B_PRED, segmentation,
+    * loop filter — is pinned bit-exactly against libwebp in Vp8Spec;
+    * this query pins the in-GATE integration.)
+    */
+  val q153_vp8_pixels = QueryDef(
+    "q153_vp8_pixels",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rig = docs(s, d).select(col("doc_id").cast("long").as("base_id"))
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("c", LongType), StructField("r", LongType),
+        StructField("luma", LongType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      rig.mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val img = graft.ops.ImageDedup.decodeImage(
+            graft.ops.ImageDedup.fixturePayload(id, 4))
+          (0 until 8).iterator.flatMap { r =>
+            (0 until 9).iterator.map { c =>
+              Row(id, c.toLong, r.toLong,
+                (img.getRGB(c * 16, r * 16) & 0xff).toLong)
+            }
+          }
+        }
+      }
+    },
+    Some {
+      import DuckXxHash._
+      // per-cell quantized level -> pixel delta (q2Dc = DcQ[20]*2 = 42;
+      // both >>3 stages are floor shifts, matched by // on DuckDB)
+      val ch = chain("ids",
+        "SELECT CAST(doc_id AS BIGINT) AS doc FROM documents")
+        .cte("cells",
+          s"SELECT doc, ti.range AS idx, " +
+            s"${unsigned("doc * 72 + ti.range")} AS v " +
+            "FROM ids, range(0, 72) ti")
+        .stepsExpr(hashLongSteps("h1", "v", "42::HUGEINT"))
+      // >>3 is a FLOOR shift; DuckDB's // truncates toward zero, so
+      // floor-divide explicitly: (x - pmod(x, 8)) / 8
+      def floorDiv8(x: String): String =
+        s"(($x) - (((($x) % 8) + 8) % 8)) // 8"
+      val dlSql = ch.render(
+        s"SELECT doc, idx, ${floorDiv8(s"(${pmod("h1out", 9L)} - 4) * 42 + 3")} AS d0 " +
+          s"FROM ${ch.last}")
+      s"""WITH RECURSIVE dl AS (
+          SELECT doc, idx,
+            ((d0 + 4) - (((d0 + 4) % 8 + 8) % 8)) // 8 AS dlt FROM ($dlSql)
+        ),
+        st AS (
+          SELECT doc, CAST(-1 AS BIGINT) AS idx,
+            CAST([] AS BIGINT[]) AS prev, CAST([] AS BIGINT[]) AS cur,
+            CAST(NULL AS BIGINT) AS v
+          FROM (SELECT DISTINCT doc FROM dl)
+          UNION ALL
+          SELECT doc, ni, np, list_append(nc, vv) AS cur, vv AS v
+          FROM (
+            SELECT doc, ni, np, nc,
+              CAST(least(255, greatest(0, pred + dlt)) AS BIGINT) AS vv
+            FROM (
+              SELECT s2.doc, s2.ni, s2.np, s2.nc, d.dlt,
+                CASE WHEN s2.ni = 0 THEN 128
+                     WHEN s2.ni < 9 THEN s2.nc[s2.ni]
+                     WHEN s2.ni % 9 = 0 THEN s2.np[1]
+                     ELSE (s2.np[(s2.ni % 9) + 1] + s2.nc[s2.ni % 9] + 1) // 2
+                END AS pred
+              FROM (
+                SELECT s.doc, s.idx + 1 AS ni,
+                  CASE WHEN (s.idx + 1) % 9 = 0 AND s.idx + 1 > 0
+                       THEN s.cur ELSE s.prev END AS np,
+                  CASE WHEN (s.idx + 1) % 9 = 0 AND s.idx + 1 > 0
+                       THEN CAST([] AS BIGINT[]) ELSE s.cur END AS nc
+                FROM st s WHERE s.idx < 71) s2
+              JOIN dl d ON d.doc = s2.doc AND d.idx = s2.ni) p) q
+        )
+        SELECT doc AS doc_id, CAST(idx % 9 AS BIGINT) AS c,
+          CAST(idx // 9 AS BIGINT) AS r, v AS luma
+        FROM st WHERE idx >= 0"""
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q150_warc_read, q151_warc_pipeline, q152_robots_meta,
+    q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
     q136_balanced_shards, q137_source_drift, q138_length_drift,

@@ -17,7 +17,7 @@ object Vp8ParityDump {
     var ok = 0
     files.foreach { f =>
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      val payload = vp8Chunk(bytes).getOrElse {
+      val payload = graft.ops.Vp8.vp8Chunk(bytes).getOrElse {
         System.err.println(s"${f.getName}: no VP8 chunk"); return
       }
       graft.ops.Vp8.decodeKeyframe(payload) match {
@@ -46,18 +46,4 @@ object Vp8ParityDump {
     println(s"[vp8parity] dumped $ok/${files.length}")
   }
 
-  private[graft] def vp8Chunk(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (bytes.length < 20) return None
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val tag = new String(bytes, off, 4, "US-ASCII")
-      val len = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
-        ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
-      if (tag == "VP8 ")
-        return Some(java.util.Arrays.copyOfRange(bytes, off + 8,
-          math.min(off + 8 + len, bytes.length)))
-      off += 8 + len + (len & 1)
-    }
-    None
-  }
 }

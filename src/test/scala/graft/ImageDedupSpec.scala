@@ -107,13 +107,51 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(fmts.toSeq == Seq(0L -> "png", 1L -> "jpeg", 2L -> "gif",
       3L -> "bmp", 4L -> "webp", 5L -> "other", 6L -> "missing",
       7L -> "webp"))
-    // the webp row splits: lossy VP8 containers stay null, VP8L decodes
-    // through the pure-Scala decoder
+    // r11: the webp row decodes in BOTH profiles — kind 4 is a real
+    // lossy VP8 keyframe through ops/Vp8, kind 7 VP8L lossless
     val cov = ImageDedup.decodeCoverage(df, "img")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(cov == Map("png" -> (10L, 10L), "jpeg" -> (10L, 10L),
-      "gif" -> (10L, 10L), "bmp" -> (10L, 10L), "webp" -> (20L, 10L),
+      "gif" -> (10L, 10L), "bmp" -> (10L, 10L), "webp" -> (20L, 20L),
       "other" -> (10L, 0L), "missing" -> (10L, 0L)))
+  }
+
+  test("lossy-VP8 dHash equals the analytic DC-recurrence hash (one MB per grid cell)") {
+    // the kind-4 fixture is 144x128 = 9x8 flat macroblocks, one per
+    // dHash grid cell, so the bilinear shrink samples inside flat
+    // regions and the 64-bit hash is computable from the per-MB DC
+    // recurrence alone — the same analytics q153's oracle replays
+    def analyticGrid(baseId: Long): Array[Array[Int]] = {
+      val q2Dc = graft.ops.Vp8Tables.DcQ(20) * 2
+      def delta(mb: Int): Int = {
+        val l = Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(baseId * 72 + mb, 42L), 9L).toInt - 4
+        (((l * q2Dc + 3) >> 3) + 4) >> 3
+      }
+      val g = Array.ofDim[Int](8, 9)
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val pred =
+          if (r == 0 && c == 0) 128
+          else if (r == 0) g(0)(c - 1)
+          else if (c == 0) g(r - 1)(0)
+          else (g(r - 1)(c) + g(r)(c - 1) + 1) >> 1
+        g(r)(c) = math.max(0, math.min(255, pred + delta(r * 9 + c)))
+      }
+      g
+    }
+    for (id <- 0L until 12L) {
+      val img = ImageDedup.decodeImage(ImageDedup.fixturePayload(id, 4))
+      assert(img != null && img.getWidth == 144 && img.getHeight == 128)
+      val g = analyticGrid(id)
+      // per-MB flatness and exact values through the PUBLIC decode path
+      for (r <- 0 until 8; c <- 0 until 9)
+        assert((img.getRGB(c * 16 + 7, r * 16 + 9) & 0xff) == g(r)(c),
+          s"id=$id mb($c,$r)")
+      var want = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (g(r)(c + 1) > g(r)(c)) want |= 1L << (r * 8 + c)
+      assert(ImageDedup.dHashBits(img) == want, s"id=$id dhash")
+    }
   }
 
   test("a VP8L webp of the fixture image dHashes identically to its PNG") {

@@ -93,7 +93,7 @@ class Vp8Spec extends AnyFunSuite {
       val in = getClass.getResourceAsStream(s"/graft/vp8/$name.webp")
       assert(in != null, s"missing fixture $name")
       val bytes = in.readAllBytes(); in.close()
-      val payload = graft.tools.Vp8ParityDump.vp8Chunk(bytes)
+      val payload = Vp8.vp8Chunk(bytes)
         .getOrElse(fail(s"$name: no VP8 chunk"))
       val fr = Vp8.decodeKeyframe(payload).getOrElse(fail(s"$name: decode failed"))
       val w = fr.width; val h = fr.height

@@ -557,20 +557,23 @@ class WebpLosslessSpec extends AnyFunSuite {
     assert(WebpLossless.headerDimensions(lossy).isDefined)
   }
 
-  test("decodeFeatures fills real dims with null features for lossy WebP") {
+  test("decodeFeatures fills real dims AND real features for lossy WebP (r11: Vp8 decodes)") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val lossy = graft.ops.ImageDedup.fixturePayload(11L, 4)
     val expected = graft.ops.WebpLossless.headerDimensions(lossy).get
+    assert(expected == ((144, 128)))
     val df = Seq((1L, lossy)).toDF("id", "img")
     val row = graft.ops.Multimodal.decodeFeatures(df, "img")
       .select(col("img_decoded.width"), col("img_decoded.height"),
         col("img_decoded.channels"), col("img_decoded.features"))
       .collect().head
     assert((row.getInt(0), row.getInt(1)) == expected)
-    assert(row.isNullAt(2) && row.isNullAt(3),
-      "channels/features must be null for a dims-only decode")
+    // r10 this was a dims-only decode (null features); the r11 pure-
+    // Scala VP8 keyframe decoder closes the gap: full pixel features
+    assert(!row.isNullAt(2) && !row.isNullAt(3),
+      "lossy WebP must decode to real features now")
   }
 
   test("malformed payloads degrade to None, never throw") {
