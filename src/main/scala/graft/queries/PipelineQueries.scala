@@ -4775,7 +4775,13 @@ object PipelineQueries {
         rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val fos = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            val fos = new WarcIo.CountingOutputStream(
+              new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"))
+            val cdx = new java.lang.StringBuilder()
+            def mark(f: => Unit): Unit = {
+              val off = fos.count; f
+              cdx.append(off).append('\t').append(fos.count - off).append('\n')
+            }
             try it.foreach { r =>
               val (id, text, url) = (r.getLong(0), r.getString(1), r.getString(2))
               val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -4785,15 +4791,22 @@ object PipelineQueries {
               val http = (s"HTTP/1.1 $status $reason\r\nServer: graft\r\n" +
                 s"Content-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n" +
                 body).getBytes(ascii)
-              WarcIo.writeRecordGzip(fos, "response", uuidOf(s"r:$id"),
-                dateOf(id), url, "application/http;msgtype=response", http)
+              mark(WarcIo.writeRecordGzip(fos, "response", uuidOf(s"r:$id"),
+                dateOf(id), url, "application/http;msgtype=response", http))
               if (id % 5 == 0) {
                 val req = (s"GET $url HTTP/1.1\r\nUser-Agent: graftbot/1.0\r\n" +
                   "Accept: text/html\r\n\r\n").getBytes(ascii)
-                WarcIo.writeRecordGzip(fos, "request", uuidOf(s"q:$id"),
-                  dateOf(id), url, "application/http;msgtype=request", req)
+                mark(WarcIo.writeRecordGzip(fos, "request", uuidOf(s"q:$id"),
+                  dateOf(id), url, "application/http;msgtype=request", req))
               }
             } finally fos.close()
+            // CDX sidecar: the record-boundary seam that makes the gz
+            // member stream SPLITTABLE (q150/q151 read with a small
+            // cdxTargetBytes, so the gate exercises range scans)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$out/part-$pid.warc.gz.cdx"),
+              cdx.toString)
+            ()
           }
         }
         val fos = new java.io.FileOutputStream(s"$out/info.warc")
@@ -4862,7 +4875,10 @@ object PipelineQueries {
     "q150_warc_read",
     (s, d) => {
       val dir = WarcFixture.dir(s, d)
-      s.read.format("warc").load(dir)
+      // 16 KiB CDX splits: every segment fans out into many range
+      // scans, so the hash-match also proves no record is lost or
+      // duplicated at a split boundary
+      s.read.format("warc").option("cdxTargetBytes", "16384").load(dir)
         .select(col("record_id"), col("warc_type"), col("target_uri"),
           col("warc_date"), col("content_type"), col("http_status"),
           col("http_content_type"), col("payload_len"),
@@ -4932,7 +4948,8 @@ object PipelineQueries {
     "q151_warc_pipeline",
     (s, d) => {
       val dir = WarcFixture.dir(s, d)
-      val pages = s.read.format("warc").load(dir)
+      val pages = s.read.format("warc")
+        .option("cdxTargetBytes", "16384").load(dir)
         .filter(col("warc_type") === "response")
         .select(col("target_uri").as("url"), col("http_status"),
           col("payload").cast("string").as("html"))

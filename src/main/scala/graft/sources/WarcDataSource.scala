@@ -52,11 +52,48 @@ final class WarcDataSource extends TableProvider
     val path = opts.get("path")
     require(path != null,
       "warc source requires a path: spark.read.format(\"warc\").load(dir)")
-    new WarcTable(path)
+    val target = Option(opts.get("cdxTargetBytes")).map(_.toLong)
+      .getOrElse(WarcDataSource.TargetSplitBytes)
+    new WarcTable(path, target)
   }
 }
 
 object WarcDataSource {
+  /** CDX split target: ~64 MB of compressed bytes per task — small
+    * enough to parallelize a 1 GB segment 16-way, large enough that
+    * per-task open/seek cost stays noise.
+    */
+  val TargetSplitBytes: Long = 64L * 1024 * 1024
+
+  /** Ascending record offsets from `<file>.cdx` (graft's minimal CDX:
+    * `offset<TAB>length` per record; comment lines ignored). None when
+    * no sidecar exists.
+    */
+  def cdxOffsets(file: String): Option[Array[Long]] = {
+    val cdx = java.nio.file.Paths.get(file + ".cdx")
+    if (!java.nio.file.Files.exists(cdx)) return None
+    val offs = scala.io.Source.fromFile(cdx.toFile)
+    try Some(offs.getLines().filterNot(_.startsWith("#"))
+      .map(_.split("\t")(0).toLong).toArray.sorted)
+    finally offs.close()
+  }
+
+  /** Reads at most `limit` bytes from `in`. */
+  final class BoundedInputStream(in: java.io.InputStream, limit: Long)
+      extends java.io.InputStream {
+    private var left = limit
+    override def read(): Int =
+      if (left <= 0) -1
+      else { val b = in.read(); if (b >= 0) left -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val k = in.read(buf, off, math.min(len.toLong, left).toInt)
+      if (k > 0) left -= k
+      k
+    }
+    override def close(): Unit = in.close()
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("record_id", StringType),
     StructField("warc_type", StringType),
@@ -91,16 +128,17 @@ object WarcDataSource {
   }
 }
 
-final class WarcTable(path: String) extends Table with SupportsRead {
+final class WarcTable(path: String, targetBytes: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"warc($path)"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path, targetBytes)
 }
 
-final class WarcScanBuilder(path: String) extends ScanBuilder
+final class WarcScanBuilder(path: String, targetBytes: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
   private var typeFilter: Option[String] = None
@@ -119,37 +157,88 @@ final class WarcScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, typeFilter)
+  override def build(): Scan = new WarcScan(path, required, typeFilter, targetBytes)
 }
 
-final case class WarcInputPartition(file: String) extends InputPartition
+/** One scan task: the byte range [start, end) of `file` — the whole
+  * file when no CDX sidecar exists, else a run of whole gzip members /
+  * records cut at CDX offsets.
+  */
+final case class WarcInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class WarcScan(path: String, required: StructType,
-    typeFilter: Option[String]) extends Scan with Batch {
+    typeFilter: Option[String], targetBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"WarcScan($path, cols=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=$t").getOrElse("") + ")"
 
+  /** A gzip member stream alone is unsplittable, but the web-archive
+    * convention pairs every .warc.gz with a CDX index whose record
+    * offsets ARE the seam: each record is its own member, so any
+    * offset from the index is a valid read start. When `<file>.cdx`
+    * exists (graft's minimal form: one `offset<TAB>length` line per
+    * record, ascending), the file splits into ~[[WarcDataSource.TargetSplitBytes]]
+    * ranges cut at record boundaries — intra-FILE parallelism on top
+    * of the per-file kind, the same recipe web-scale WARC readers use.
+    * No sidecar → one partition for the whole file.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    WarcDataSource.listFiles(path)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+    WarcDataSource.listFiles(path).flatMap { f =>
+      WarcDataSource.cdxOffsets(f) match {
+        case Some(offs) if offs.nonEmpty =>
+          val size = new java.io.File(f).length()
+          val cuts = ArrayOfCuts.build(offs, size, targetBytes)
+          cuts.map { case (s, e) => WarcInputPartition(f, s, e): InputPartition }
+        case _ =>
+          Seq(WarcInputPartition(f, 0L, Long.MaxValue): InputPartition)
+      }
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter)
+}
+
+/** Greedy record-boundary splitter: walk the ascending offsets and cut
+  * a new range whenever the current one passes `target` bytes.
+  */
+private[sources] object ArrayOfCuts {
+  def build(offsets: Array[Long], fileSize: Long, target: Long): Seq[(Long, Long)] = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var start = 0L
+    var i = 1
+    while (i < offsets.length) {
+      if (offsets(i) - start >= target) { cuts += ((start, offsets(i))); start = offsets(i) }
+      i += 1
+    }
+    cuts += ((start, fileSize))
+    cuts.toSeq
+  }
 }
 
 final class WarcReaderFactory(required: StructType, typeFilter: Option[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[WarcInputPartition].file
+    val p = partition.asInstanceOf[WarcInputPartition]
+    val file = p.file
     new PartitionReader[InternalRow] {
       private val in = new java.io.FileInputStream(file)
+      // range scan: seek to the split start and read exactly the
+      // split's bytes — CDX cuts sit on record/member boundaries, so
+      // the range is a self-contained WARC stream
+      if (p.start > 0) {
+        var left = p.start
+        while (left > 0) { val k = in.skip(left); require(k > 0); left -= k }
+      }
+      private val bounded: java.io.InputStream =
+        if (p.end == Long.MaxValue) in
+        else new WarcDataSource.BoundedInputStream(in, p.end - p.start)
       private val wantPayload =
         required.fieldNames.contains("payload")
-      private val base = WarcIo.records(in, file.endsWith(".gz"), wantPayload)
+      private val base = WarcIo.records(bounded, file.endsWith(".gz"), wantPayload)
       private val it = typeFilter match {
         case Some(t) => base.filter(_.warcType == t)
         case None    => base

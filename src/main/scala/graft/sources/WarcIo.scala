@@ -80,6 +80,19 @@ object WarcIo {
     gz.finish()
   }
 
+  /** Byte-counting passthrough: the writer side of CDX sidecars (the
+    * caller snapshots `count` before each record to learn its offset).
+    */
+  final class CountingOutputStream(out: OutputStream) extends OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
+
   // ------------------------------------------------------------- parsing
 
   /** Records of a WARC stream. `gzipped = true` wraps a multi-member

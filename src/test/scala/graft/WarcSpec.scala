@@ -119,4 +119,34 @@ class WarcSpec extends AnyFunSuite {
     // one partition per file
     assert(df.rdd.getNumPartitions == 2)
   }
+
+  test("CDX sidecar splits a gz-member file into range scans; record set identical") {
+    val dir = java.nio.file.Files.createTempDirectory("warccdx").toString
+    val fos = new WarcIo.CountingOutputStream(
+      new FileOutputStream(s"$dir/seg.warc.gz"))
+    val cdx = new java.lang.StringBuilder()
+    for (i <- 0 until 40) {
+      val off = fos.count
+      WarcIo.writeRecordGzip(fos, "response", s"urn:uuid:r$i",
+        "2025-01-01T00:00:01Z", s"http://a.com/$i",
+        "application/http;msgtype=response",
+        http(200, "OK", "text/html", s"body $i " + ("x" * 200)))
+      cdx.append(off).append('\t').append(fos.count - off).append('\n')
+    }
+    fos.close()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/seg.warc.gz.cdx"), cdx.toString)
+    val whole = spark.read.format("warc").load(dir)
+    // default 64 MB target: one split for this tiny file
+    assert(whole.rdd.getNumPartitions == 1)
+    val split = spark.read.format("warc")
+      .option("cdxTargetBytes", "600").load(dir)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected many range scans, got ${split.rdd.getNumPartitions}")
+    def recs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("record_id"), col("payload_len")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(recs(split) == recs(whole) && recs(whole).size == 40,
+      "split read must see exactly the whole-file record set")
+  }
 }
