@@ -5149,7 +5149,49 @@ object PipelineQueries {
     },
   )
 
+  /** Exact substring dedup (Lee et al. 2022 ExactSubstr): every token
+    * span of >= 8 tokens occurring more than once in the corpus is
+    * removed from ALL its occurrences, at any alignment — the step
+    * tile-based q62 cannot see (an off-by-one-token copy crosses tile
+    * boundaries). Oracle replays the whole thing relationally: stride-1
+    * 8-gram census on md5, coverage as a range join of token positions
+    * to duplicate starts, maximal runs via lag, kept text re-joined in
+    * token order.
+    */
+  val q154_exact_substr = QueryDef(
+    "q154_exact_substr",
+    (s, d) => graft.ops.ExactSubstrDedup.report(docs(s, d), "doc_id", "text", 8),
+    Some("""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+               FROM documents),
+      t AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+            FROM d),
+      g AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS fp FROM t),
+      c AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+      s AS (SELECT doc_id, i FROM g JOIN c USING (fp)),
+      p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM d),
+      cov AS (SELECT DISTINCT p.doc_id, p.j
+              FROM p JOIN s ON p.doc_id = s.doc_id
+                          AND p.j BETWEEN s.i AND s.i + 7),
+      covw AS (SELECT doc_id, j,
+                 lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS pj
+               FROM cov),
+      st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN pj IS NULL OR j - pj > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans
+             FROM covw GROUP BY doc_id),
+      kept AS (SELECT p.doc_id, string_agg(p.ws[p.j], ' ' ORDER BY p.j) AS kept
+               FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.j = cov.j
+               WHERE cov.j IS NULL GROUP BY p.doc_id)
+      SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+        coalesce(st.n_dropped, 0) AS n_dropped,
+        coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+        md5(coalesce(k.kept, '')) AS clean_md5
+      FROM d LEFT JOIN st USING (doc_id) LEFT JOIN kept k USING (doc_id)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
+    q154_exact_substr,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
