@@ -5190,8 +5190,113 @@ object PipelineQueries {
       FROM d LEFT JOIN st USING (doc_id) LEFT JOIN kept k USING (doc_id)"""),
   )
 
+  /** Shared fixture for the WARC WRITE path (q155/q156): documents
+    * written once per (JVM, sfDir) through the `warc` DSv2 sink —
+    * responses (200/404, one-in-ten without an HTTP content-type) plus
+    * every-9th a non-HTTP `metadata` record, so both block framings
+    * round-trip. Everything derives from doc_id/text; the date is a
+    * constant (q150 already oracles per-record dates).
+    */
+  private object WarcSinkFixture {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val UriPrefix = "https://w"
+    def uriCol: org.apache.spark.sql.Column =
+      concat(lit(UriPrefix), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit(".example.com/d/"), col("doc_id").cast("string"))
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("warc_sink").toString
+        val isMeta = col("doc_id") % 9 === 0
+        val metaJson = concat(lit("{\"k\":"), col("doc_id").cast("string"), lit("}"))
+        docs(s, sfDir).select(
+            concat(lit("urn:graft:"), col("doc_id").cast("string")).as("record_id"),
+            when(isMeta, lit("metadata")).otherwise(lit("response")).as("warc_type"),
+            uriCol.as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            when(isMeta, lit("application/json"))
+              .otherwise(lit("application/http;msgtype=response")).as("content_type"),
+            when(isMeta, lit(null).cast("int"))
+              .when(col("doc_id") % 7 === 0, lit(404))
+              .otherwise(lit(200)).as("http_status"),
+            when(isMeta || col("doc_id") % 10 === 0, lit(null).cast("string"))
+              .otherwise(lit("text/html; charset=utf-8")).as("http_content_type"),
+            when(isMeta, metaJson).otherwise(col("text")).cast("binary").as("payload"))
+          .repartition(4, pmod(col("doc_id"), lit(4L)))
+          .write.format("warc").mode("append").option("path", out).save()
+        System.err.println(s"[graft] warc sink fixture for $sfDir -> $out")
+        out
+      })
+    /** The oracle-side reconstruction of every written field. */
+    def oracleSelect(whereSql: String): String =
+      s"""SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+        CASE WHEN doc_id % 9 = 0 THEN 'metadata' ELSE 'response' END AS warc_type,
+        'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+          CAST(doc_id AS VARCHAR) AS target_uri,
+        '2026-01-01T00:00:00Z' AS warc_date,
+        CASE WHEN doc_id % 9 = 0 THEN 'application/json'
+             ELSE 'application/http;msgtype=response' END AS content_type,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status,
+        CASE WHEN doc_id % 9 = 0 OR doc_id % 10 = 0 THEN NULL
+             ELSE 'text/html; charset=utf-8' END AS http_content_type,
+        md5(CASE WHEN doc_id % 9 = 0
+              THEN '{"k":' || CAST(doc_id AS VARCHAR) || '}' ELSE text END)
+          AS payload_md5,
+        CAST(strlen(CASE WHEN doc_id % 9 = 0
+              THEN '{"k":' || CAST(doc_id AS VARCHAR) || '}' ELSE text END)
+          AS BIGINT) AS payload_len
+      FROM documents $whereSql"""
+  }
+
+  /** WARC SINK round-trip: documents written through the `warc` DSv2
+    * WRITE path (record-per-gzip-member segments + CDX sidecars, the
+    * ShardSink commit protocol) and read back through the `warc` READ
+    * path — every header field, the HTTP head synthesis/split inverse
+    * pair, payload digests and exact byte lengths reconstructed from
+    * the source table. A single framing, head-synthesis, or
+    * member-boundary bug breaks the hash.
+    */
+  val q155_warc_sink = QueryDef(
+    "q155_warc_sink",
+    (s, d) => {
+      val dir = WarcSinkFixture.dir(s, d)
+      s.read.format("warc").load(dir)
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("http_status"),
+          col("http_content_type"), md5(col("payload")).as("payload_md5"),
+          col("payload_len"))
+    },
+    Some(WarcSinkFixture.oracleSelect("")),
+  )
+
+  /** CDX point lookup: 1-in-20 urls resolved to (segment, offset,
+    * length) through the sink's CDX sidecars (a distributed text read
+    * of the sidecars only — no archive bytes touched during planning),
+    * then fetched with bounded seeks, each record its own gzip member.
+    * The wanted side broadcasts; fetch repartitions by segment and
+    * seeks monotonically. Oracle = the same records reconstructed from
+    * the source table.
+    */
+  val q156_cdx_lookup = QueryDef(
+    "q156_cdx_lookup",
+    (s, d) => {
+      val dir = WarcSinkFixture.dir(s, d)
+      val cdx = graft.sources.WarcRandomAccess.cdx(s, dir)
+      val wanted = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(WarcSinkFixture.uriCol.as("target_uri"))
+      val hits = cdx.join(broadcast(wanted), "target_uri")
+        .select("segment", "offset", "length")
+      graft.sources.WarcRandomAccess.fetch(hits)
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("http_status"),
+          col("http_content_type"), md5(col("payload")).as("payload_md5"),
+          col("payload_len"))
+    },
+    Some(WarcSinkFixture.oracleSelect("WHERE doc_id % 20 = 0")),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q154_exact_substr,
+    q154_exact_substr, q155_warc_sink, q156_cdx_lookup,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

@@ -46,6 +46,10 @@ final class WarcDataSource extends TableProvider
   override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
+  // write path: the incoming DataFrame's schema arrives via getTable
+  // (columns are looked up by NAME in the sink, so projection order is
+  // free); read path: inferSchema above supplies the fixed schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
@@ -54,7 +58,7 @@ final class WarcDataSource extends TableProvider
       "warc source requires a path: spark.read.format(\"warc\").load(dir)")
     val target = Option(opts.get("cdxTargetBytes")).map(_.toLong)
       .getOrElse(WarcDataSource.TargetSplitBytes)
-    new WarcTable(path, target)
+    new WarcTable(path, target, schema)
   }
 }
 
@@ -128,14 +132,23 @@ object WarcDataSource {
   }
 }
 
-final class WarcTable(path: String, targetBytes: Long)
-    extends Table with SupportsRead {
+final class WarcTable(path: String, targetBytes: Long,
+    tableSchema: StructType = WarcDataSource.Schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc($path)"
-  override def schema(): StructType = WarcDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path, targetBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val gz = Option(info.options.get("compression")).forall(_ != "none")
+    new WarcWriteBuilder(path, info.schema(), gz)
+  }
 }
 
 final class WarcScanBuilder(path: String, targetBytes: Long) extends ScanBuilder
