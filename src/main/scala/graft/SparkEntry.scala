@@ -3417,6 +3417,38 @@ object SynthQueries {
     // inclusion are hash-checked. State is bounded by one window of
     // arrivals per bucket; physical eviction runs when the twins batch
     // raises the cutoff past the early base ordinals.
+    // Streaming WARC ingestion: the crawl-loop front door. The sink
+    // fixture's 4 segments arrive one per micro-batch (filesPerBatch=1
+    // over the WarcMicroBatchStream's file-count offsets), statuses
+    // gate in-stream, and the memory sink accumulates exactly the
+    // batch read's rows — the oracle is the same source-table
+    // reconstruction q155 uses, restricted to 200-status responses.
+    // Batch-layout independence and the mutated-prefix failure mode
+    // are spec-pinned (WarcStreamSpec).
+    QueryDef("g129_stream_warc_ingest",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.md5
+        val warcDir = graft.queries.PipelineQueries.WarcSinkFixture.dir(s, d)
+        val name = "g129_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.format("warc")
+          .option("filesPerBatch", "1")
+          .load(warcDir)
+          .filter(col("http_status") === 200)
+          .select(col("record_id"), col("target_uri"),
+            md5(col("payload")).as("payload_md5"), col("payload_len"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+          'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+            CAST(doc_id AS VARCHAR) AS target_uri,
+          md5(text) AS payload_md5,
+          CAST(strlen(text) AS BIGINT) AS payload_len
+        FROM documents WHERE doc_id % 9 <> 0 AND doc_id % 7 <> 0""")),
+
     QueryDef("g128_stream_index_window",
       (s, d) => streamScoped(s)(withRocksDb(s) {
         import org.apache.spark.sql.functions.{coalesce, explode, expr, lit,

@@ -5197,7 +5197,7 @@ object PipelineQueries {
     * round-trip. Everything derives from doc_id/text; the date is a
     * constant (q150 already oracles per-record dates).
     */
-  private object WarcSinkFixture {
+  private[graft] object WarcSinkFixture {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val UriPrefix = "https://w"
     def uriCol: org.apache.spark.sql.Column =

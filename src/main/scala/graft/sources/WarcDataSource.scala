@@ -140,9 +140,12 @@ final class WarcTable(path: String, targetBytes: Long,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, targetBytes)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fpb = Option(options.get("filesPerBatch")).map(_.toInt).getOrElse(1)
+    new WarcScanBuilder(path, targetBytes, fpb)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -151,7 +154,8 @@ final class WarcTable(path: String, targetBytes: Long,
   }
 }
 
-final class WarcScanBuilder(path: String, targetBytes: Long) extends ScanBuilder
+final class WarcScanBuilder(path: String, targetBytes: Long,
+    filesPerBatch: Int = 1) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
   private var typeFilter: Option[String] = None
@@ -170,7 +174,8 @@ final class WarcScanBuilder(path: String, targetBytes: Long) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, typeFilter, targetBytes)
+  override def build(): Scan =
+    new WarcScan(path, required, typeFilter, targetBytes, filesPerBatch)
 }
 
 /** One scan task: the byte range [start, end) of `file` — the whole
@@ -181,9 +186,13 @@ final case class WarcInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 final class WarcScan(path: String, required: StructType,
-    typeFilter: Option[String], targetBytes: Long) extends Scan with Batch {
+    typeFilter: Option[String], targetBytes: Long,
+    filesPerBatch: Int = 1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, typeFilter, targetBytes, filesPerBatch)
   override def description(): String =
     s"WarcScan($path, cols=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=$t").getOrElse("") + ")"
@@ -290,4 +299,103 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String])
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** Streaming offset: the count of ingested segment files plus the
+  * name of the last one — the name pins the prefix, so a mutation of
+  * already-committed history (a late file sorting into the ingested
+  * range) is DETECTED and fails loudly instead of silently skewing
+  * which files replay after a restart.
+  */
+final case class WarcFilesOffset(n: Long, last: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"$n\t$last"
+}
+
+/** Micro-batch WARC ingestion: the crawl-loop shape where segment
+  * files land in a directory as the crawler rolls them, and the
+  * pipeline (extract -> gate -> dedup index) consumes them
+  * incrementally. Offsets are positions in the SORTED file list —
+  * exact, checkpoint-resumable, timing-independent — advancing at most
+  * `filesPerBatch` files per trigger. The archive convention this
+  * relies on (and validates): segments are immutable once published
+  * and new names sort after old ones (crawlers stamp monotonic names).
+  * Each batch's partitions reuse the batch scan's CDX-cut planning, so
+  * intra-file parallelism survives streaming.
+  */
+final class WarcMicroBatchStream(path: String, required: StructType,
+    typeFilter: Option[String], targetBytes: Long, filesPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  require(filesPerBatch >= 1, s"filesPerBatch must be >= 1: $filesPerBatch")
+  private var latest = 0L
+
+  /** Sorted segment list; an empty/missing dir is just "nothing yet". */
+  private def current(): Vector[String] =
+    try WarcDataSource.listFiles(path).toVector
+    catch { case _: IllegalArgumentException => Vector.empty }
+
+  private def offsetAt(fs: Vector[String], n: Long): WarcFilesOffset =
+    WarcFilesOffset(n, if (n == 0) "" else fs((n - 1).toInt))
+
+  /** The committed-prefix check: the file at index n-1 must still be
+    * the one the offset named.
+    */
+  private def validate(fs: Vector[String], o: WarcFilesOffset): Unit = {
+    if (o.n > 0) {
+      require(fs.length >= o.n && fs((o.n - 1).toInt) == o.last,
+        s"WARC segment list mutated under the stream: offset ${o.n} expected " +
+          s"'${o.last}' at position ${o.n - 1}; a new segment must sort after " +
+          "every ingested one")
+    }
+  }
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    WarcFilesOffset(0L, "")
+
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val fs = current()
+    validate(fs, offsetAt(fs, math.min(latest, fs.length.toLong)))
+    latest = math.min(fs.length.toLong, latest + filesPerBatch)
+    offsetAt(fs, latest)
+  }
+
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val i = json.indexOf('\t')
+    require(i >= 0, s"malformed warc offset: '$json'")
+    val n = json.substring(0, i).toLong
+    latest = math.max(latest, n)
+    WarcFilesOffset(n, json.substring(i + 1))
+  }
+
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcFilesOffset]
+    val e = end.asInstanceOf[WarcFilesOffset]
+    if (e.n <= s.n) return Array.empty
+    val fs = current()
+    validate(fs, s)
+    validate(fs, e)
+    fs.slice(s.n.toInt, e.n.toInt).flatMap { f =>
+      WarcDataSource.cdxOffsets(f) match {
+        case Some(offs) if offs.nonEmpty =>
+          val size = new java.io.File(f).length()
+          ArrayOfCuts.build(offs, size, targetBytes)
+            .map { case (a, b) => WarcInputPartition(f, a, b): InputPartition }
+        case _ =>
+          Seq(WarcInputPartition(f, 0L, Long.MaxValue): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, typeFilter)
 }
