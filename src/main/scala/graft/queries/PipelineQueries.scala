@@ -5295,8 +5295,46 @@ object PipelineQueries {
     Some(WarcSinkFixture.oracleSelect("WHERE doc_id % 20 = 0")),
   )
 
+  /** Crawl frontier schedule: per-host best-first fetch slots spaced
+    * by the host's crawl delay, per-host queue capped at 5. The
+    * ranking runs as the bounded-heap topk_agg (TopKRewrite fires on
+    * Frontier.schedule's window — FrontierSpec pins the plan), so a
+    * hot host never concentrates its whole candidate set on one
+    * reducer. Scores/delays derive from doc_id so the oracle replays
+    * the window, cap, and slot arithmetic relationally.
+    */
+  val q157_frontier_schedule = QueryDef(
+    "q157_frontier_schedule",
+    (s, d) => {
+      val cand = docs(s, d).select(
+        col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(37L)).cast("string"),
+          lit(".example.com")).as("host"),
+        ((col("doc_id") * lit(2654435761L)) % 997).cast("double").as("score"))
+      val delays = cand.select(col("host"),
+        (pmod(pmod(col("doc_id"), lit(37L)), lit(4L)) + 1).as("crawl_delay_s"))
+        .distinct()
+      graft.ops.Frontier.schedule(cand, "doc_id", "host", "score", delays, 5)
+        .select(col("doc_id"), col("host"), col("rank"), col("fetch_at_s"),
+          concat(lit("https://"), col("host"), lit("/d/"),
+            col("doc_id").cast("string")).as("url"))
+    },
+    Some("""WITH c AS (SELECT doc_id,
+          'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+          CAST((doc_id * 2654435761) % 997 AS DOUBLE) AS score
+        FROM documents),
+      r AS (SELECT doc_id, host,
+          row_number() OVER (PARTITION BY host ORDER BY score DESC, doc_id)
+            AS rank
+        FROM c)
+      SELECT doc_id, host, CAST(rank AS BIGINT) AS rank,
+        CAST((rank - 1) * ((doc_id % 37) % 4 + 1) AS BIGINT) AS fetch_at_s,
+        'https://' || host || '/d/' || CAST(doc_id AS VARCHAR) AS url
+      FROM r WHERE rank <= 5"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
-    q154_exact_substr, q155_warc_sink, q156_cdx_lookup,
+    q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
