@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-curve experiment for exact substring dedup (q154): grow the
+  * corpus m× — each replica under its own doc_id range with every 4th
+  * document PLANTED as a cross-replica duplicate (same text, shifted
+  * by a per-replica prefix so the duplicate run starts at a different
+  * token offset — the unaligned case only stride-1 grams catch) — and
+  * measure the full report end to end. The plan is one scan-side gram
+  * hash (O(n·L) CPU, embarrassingly parallel), one 16-byte-keyed
+  * census + join, one per-doc aggregate; per-doc cost must stay flat
+  * as the corpus grows.
+  *
+  * Usage: runMain graft.tools.ExactSubstrScaleBench [sfDir] [scales]
+  * (defaults: /root/testdata/sf0.1 and 1,10). One JSON line per
+  * scale; paste into COVERAGE.md.
+  */
+object ExactSubstrScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.expr.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    def corpus(m: Int) = (0 until m).map { r =>
+      val shifted =
+        if (r == 0) base.select(col("doc_id"), col("text"))
+        else base.select((col("doc_id") + r * 2000000L).as("doc_id"),
+          // unaligned cross-replica duplicate: a replica-specific prefix
+          // shifts every shared run off its original token offset
+          when(col("doc_id") % 4 === 0,
+            concat(lit(s"replica $r prefix "), col("text")))
+            .otherwise(concat(lit(s"unique $r "), col("doc_id").cast("string"),
+              lit(" "), col("text"), lit(s" tail $r"))).as("text"))
+      shifted
+    }.reduce(_ unionAll _)
+
+    for (m <- scales) {
+      val c = corpus(m).persist()
+      val n = c.count() // materialize input OUTSIDE the timing
+      def rep(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val out = graft.ops.ExactSubstrDedup.report(c, "doc_id", "text", 8)
+        val dropped = out.agg(sum("n_dropped")).collect()(0).getLong(0)
+        ((System.nanoTime() - t0) / 1e9, dropped)
+      }
+      rep()
+      val (t1, dropped) = rep()
+      val (t2, _) = rep()
+      val t = math.min(t1, t2)
+      c.unpersist()
+      println(f"""{"tool":"ExactSubstrScaleBench","scale":$m,"docs":$n,""" +
+        f""""dropped_tokens":$dropped,"wall_s":$t%.2f,"docs_per_s":${n / t}%.0f}""")
+    }
+    spark.stop()
+  }
+}
