@@ -5333,8 +5333,69 @@ object PipelineQueries {
       FROM r WHERE rank <= 5"""),
   )
 
+  /** WET derivation capstone: raw crawl archive in, extracted-text
+    * archive out — the Common-Crawl-shaped "conversion record" product
+    * a training-data team actually consumes. One flow: the q150
+    * fixture read through the V2 source (pushed type filter), 200-gate,
+    * HtmlExtract over the response bodies (entity decode included),
+    * each page re-written as a `conversion` record through the `warc`
+    * SINK (manifest commit), then read back via the MANIFEST (never
+    * the directory listing — the strict exactly-once read path). The
+    * oracle composes q146's proven extraction result analytically and
+    * reconstructs every header field, the payload digest, and the
+    * exact UTF-8 byte length.
+    */
+  val q158_wet_roundtrip = QueryDef(
+    "q158_wet_roundtrip",
+    (s, d) => {
+      val src = WarcFixture.dir(s, d)
+      val wetDir = java.nio.file.Files.createTempDirectory("wet_out").toString
+      val pages = s.read.format("warc").load(src)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("record_id"), col("target_uri"), col("warc_date"),
+          col("payload").cast("string").as("html"))
+      pages.select(
+          concat(lit("urn:wet:"), col("record_id")).as("record_id"),
+          lit("conversion").as("warc_type"),
+          col("target_uri"), col("warc_date"),
+          lit("text/plain").as("content_type"),
+          lit(null).cast("int").as("http_status"),
+          lit(null).cast("string").as("http_content_type"),
+          graft.ops.HtmlExtract.extractText(col("html")).cast("binary")
+            .as("payload"))
+        .write.format("warc").mode("append").option("path", wetDir).save()
+      s.read.format("warc").option("manifestOnly", "true").load(wetDir)
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("http_status"),
+          col("http_content_type"), md5(col("payload")).as("payload_md5"),
+          col("payload_len"))
+    },
+    Some {
+      val ch = warcPartsCte(urlPicksChain)
+      val dateSql = "strftime(TIMESTAMP '2025-01-01 00:00:00' + " +
+        "to_seconds(CAST(c.doc_id AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ')"
+      // the 200-page's extracted text is analytically known (q146/q151)
+      val wetText = "'Doc ' || CAST(c.doc_id AS VARCHAR) || ' ' || c.text || " +
+        "' caf' || chr(233) || ' A' || chr(8212) || 'B'"
+      ch.render(s"""
+        SELECT 'urn:wet:' ||
+            ${oracleUuidSql("'r:' || CAST(c.doc_id AS VARCHAR)")} AS record_id,
+          'conversion' AS warc_type,
+          $oracleMessyUrlSql AS target_uri,
+          $dateSql AS warc_date,
+          'text/plain' AS content_type,
+          CAST(NULL AS INT) AS http_status,
+          CAST(NULL AS VARCHAR) AS http_content_type,
+          md5($wetText) AS payload_md5,
+          CAST(strlen($wetText) AS BIGINT) AS payload_len
+        FROM crawled c JOIN parts ON parts.doc_id = c.doc_id
+        WHERE c.doc_id % 7 <> 0""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
+    q158_wet_roundtrip,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

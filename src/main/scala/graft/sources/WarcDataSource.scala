@@ -109,6 +109,23 @@ object WarcDataSource {
     StructField("payload", BinaryType),
     StructField("payload_len", LongType)))
 
+  /** Segment files named by `_MANIFEST.json` (the [[WarcSink]] commit
+    * protocol's atomic publish point), in manifest = APPEND order. A
+    * manifest-driven read never observes a partial commit, and — since
+    * manifest order is generation order — never depends on how segment
+    * NAMES sort, unlike the directory-listing path.
+    */
+  def manifestFiles(path: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(
+      if (path.startsWith("file:")) new java.net.URI(path).getPath else path)
+    val m = dir.resolve("_MANIFEST.json")
+    require(java.nio.file.Files.exists(m),
+      s"manifest read requested but no _MANIFEST.json under $path")
+    val txt = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+    """"segment":"([^"]+)"""".r.findAllMatchIn(txt)
+      .map(mm => dir.resolve(mm.group(1)).toString).toVector
+  }
+
   /** WARC segment files under `path` (or `path` itself), sorted for a
     * deterministic partition order.
     */
@@ -144,7 +161,8 @@ final class WarcTable(path: String, targetBytes: Long,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val fpb = Option(options.get("filesPerBatch")).map(_.toInt).getOrElse(1)
-    new WarcScanBuilder(path, targetBytes, fpb)
+    val manifest = Option(options.get("manifestOnly")).exists(_.toBoolean)
+    new WarcScanBuilder(path, targetBytes, fpb, manifest)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -155,7 +173,7 @@ final class WarcTable(path: String, targetBytes: Long,
 }
 
 final class WarcScanBuilder(path: String, targetBytes: Long,
-    filesPerBatch: Int = 1) extends ScanBuilder
+    filesPerBatch: Int = 1, manifestOnly: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
   private var typeFilter: Option[String] = None
@@ -175,7 +193,8 @@ final class WarcScanBuilder(path: String, targetBytes: Long,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new WarcScan(path, required, typeFilter, targetBytes, filesPerBatch)
+    new WarcScan(path, required, typeFilter, targetBytes, filesPerBatch,
+      manifestOnly)
 }
 
 /** One scan task: the byte range [start, end) of `file` — the whole
@@ -187,12 +206,13 @@ final case class WarcInputPartition(file: String, start: Long, end: Long)
 
 final class WarcScan(path: String, required: StructType,
     typeFilter: Option[String], targetBytes: Long,
-    filesPerBatch: Int = 1) extends Scan with Batch {
+    filesPerBatch: Int = 1, manifestOnly: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required, typeFilter, targetBytes, filesPerBatch)
+    new WarcMicroBatchStream(path, required, typeFilter, targetBytes,
+      filesPerBatch, manifestOnly)
   override def description(): String =
     s"WarcScan($path, cols=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=$t").getOrElse("") + ")"
@@ -208,7 +228,8 @@ final class WarcScan(path: String, required: StructType,
     * No sidecar → one partition for the whole file.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    WarcDataSource.listFiles(path).flatMap { f =>
+    (if (manifestOnly) WarcDataSource.manifestFiles(path)
+     else WarcDataSource.listFiles(path)).flatMap { f =>
       WarcDataSource.cdxOffsets(f) match {
         case Some(offs) if offs.nonEmpty =>
           val size = new java.io.File(f).length()
@@ -324,15 +345,25 @@ final case class WarcFilesOffset(n: Long, last: String)
   * intra-file parallelism survives streaming.
   */
 final class WarcMicroBatchStream(path: String, required: StructType,
-    typeFilter: Option[String], targetBytes: Long, filesPerBatch: Int)
+    typeFilter: Option[String], targetBytes: Long, filesPerBatch: Int,
+    manifestOnly: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   require(filesPerBatch >= 1, s"filesPerBatch must be >= 1: $filesPerBatch")
   private var latest = 0L
 
-  /** Sorted segment list; an empty/missing dir is just "nothing yet". */
+  /** Segment list; an empty/missing dir is just "nothing yet".
+    * Directory mode sorts by NAME (new segments must sort after
+    * ingested ones); manifest mode uses APPEND order, so generation
+    * names are free to sort anywhere — the prefix is stable because
+    * the sink only ever appends manifest entries.
+    */
   private def current(): Vector[String] =
-    try WarcDataSource.listFiles(path).toVector
-    catch { case _: IllegalArgumentException => Vector.empty }
+    if (manifestOnly)
+      try WarcDataSource.manifestFiles(path).toVector
+      catch { case _: IllegalArgumentException => Vector.empty }
+    else
+      try WarcDataSource.listFiles(path).toVector
+      catch { case _: IllegalArgumentException => Vector.empty }
 
   private def offsetAt(fs: Vector[String], n: Long): WarcFilesOffset =
     WarcFilesOffset(n, if (n == 0) "" else fs((n - 1).toInt))

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{WarcDataSource, WarcRandomAccess}
+import graft.sources.{WarcDataSource, WarcIo, WarcRandomAccess}
 
 class WarcSinkSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionFixture.spark
@@ -104,6 +104,51 @@ class WarcSinkSpec extends AnyFunSuite {
     assert(WarcDataSource.listFiles(dir).forall(f =>
       f.endsWith(".warc") && !f.endsWith(".warc.gz")))
     assert(spark.read.format("warc").load(dir).count() == 12)
+  }
+
+  test("manifestOnly read sees exactly the committed segments, not strays") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsink7").toString
+    mkRecords(20).repartition(2)
+      .write.format("warc").mode("append").option("path", dir).save()
+    // a stray unmanifested segment (e.g. a crashed foreign writer)
+    val fos = new java.io.FileOutputStream(s"$dir/stray.warc")
+    try WarcIo.writeRecord(fos, "resource", "urn:t:stray",
+      "2026-02-01T00:00:00Z", null, "text/plain", "stray".getBytes("UTF-8"))
+    finally fos.close()
+    assert(spark.read.format("warc").load(dir).count() == 21) // listing sees it
+    val strict = spark.read.format("warc").option("manifestOnly", "true").load(dir)
+    assert(strict.count() == 20) // manifest does not
+    // a second append generation lands in the manifest
+    mkRecords(5).repartition(1)
+      .write.format("warc").mode("append").option("path", dir).save()
+    assert(spark.read.format("warc").option("manifestOnly", "true").load(dir)
+      .count() == 25)
+  }
+
+  test("manifest-mode streaming ingests appended generations in manifest order") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsink8").toString
+    mkRecords(12).repartition(2)
+      .write.format("warc").mode("append").option("path", dir).save()
+    val name = "warc_stream_man_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = spark.readStream.format("warc")
+      .option("manifestOnly", "true").option("filesPerBatch", "1")
+      .load(dir).select("record_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 12)
+      // generation prefixes are random uuids — the new segment may sort
+      // ANYWHERE by name; manifest append order makes that irrelevant
+      mkRecords(30)
+        .filter(col("record_id").isin((25 until 30).map(i => s"urn:t:$i"): _*))
+        .repartition(1)
+        .write.format("warc").mode("append").option("path", dir).save()
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 17)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 
   test("missing required column fails loudly at write time") {
