@@ -5393,9 +5393,84 @@ object PipelineQueries {
     },
   )
 
+  /** MP4/ISO-BMFF container metadata (the video-modality gate signal):
+    * per-doc fixture streams exercise v0/v1 boxes, 64-bit largesize,
+    * unknown-box skipping, and truncation (every 7th doc parses to an
+    * honest null). Every parsed field — floor-division duration,
+    * track inventory, codec fourccs, 16.16 display dims, audio shape —
+    * reconstructs analytically from doc_id. Byte-level layout is
+    * independently pinned in Mp4Spec (hand-computed offsets).
+    */
+  val q159_mp4_meta = QueryDef(
+    "q159_mp4_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("v", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val rates = Array(8000, 16000, 44100)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ts = (1000L * ((id % 3) + 1)).toInt
+          val dur = 90000L + id * 7
+          val audio = graft.ops.Mp4.Track("soun", 48000, dur, "mp4a",
+            channels = ((id % 3) + 1).toInt, sampleRate = rates((id % 3).toInt))
+          val tracks =
+            if (id % 2 == 0)
+              Seq(graft.ops.Mp4.Track("vide", 30000, dur, "avc1",
+                width = (320 + (id % 16) * 16).toInt,
+                height = (240 + (id % 8) * 16).toInt), audio)
+            else Seq(audio)
+          val full = graft.ops.Mp4.build(ts, dur, tracks,
+            version1 = id % 5 == 0, largeMoov = id % 11 == 0,
+            freeBox = id % 3 == 0)
+          Row(id, if (id % 7 == 0) full.take(40) else full)
+        }
+      }
+      graft.ops.Mp4.videoMeta(withBytes, "v")
+        .select(col("doc_id"), col("v_mp4.duration_ms").as("duration_ms"),
+          col("v_mp4.timescale").as("timescale"),
+          col("v_mp4.n_tracks").as("n_tracks"),
+          col("v_mp4.n_video").as("n_video"),
+          col("v_mp4.n_audio").as("n_audio"),
+          col("v_mp4.video_codec").as("video_codec"),
+          col("v_mp4.width").as("width"), col("v_mp4.height").as("height"),
+          col("v_mp4.audio_codec").as("audio_codec"),
+          col("v_mp4.audio_channels").as("audio_channels"),
+          col("v_mp4.audio_rate").as("audio_rate"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+          CAST((90000 + doc_id * 7) * 1000 // (1000 * ((doc_id % 3) + 1))
+            AS BIGINT) END AS duration_ms,
+        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+          CAST(1000 * ((doc_id % 3) + 1) AS BIGINT) END AS timescale,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+          WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+          WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_video,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 1 END AS INT) AS n_audio,
+        CASE WHEN doc_id % 7 = 0 OR doc_id % 2 = 1 THEN NULL
+          ELSE 'avc1' END AS video_codec,
+        CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 2 = 1 THEN NULL
+          ELSE 320 + (doc_id % 16) * 16 END AS INT) AS width,
+        CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 2 = 1 THEN NULL
+          ELSE 240 + (doc_id % 8) * 16 END AS INT) AS height,
+        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+          ELSE (doc_id % 3) + 1 END AS INT) AS audio_channels,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+          WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000
+          ELSE 44100 END AS INT) AS audio_rate
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
-    q158_wet_roundtrip,
+    q158_wet_roundtrip, q159_mp4_meta,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
