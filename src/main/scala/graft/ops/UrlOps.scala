@@ -156,4 +156,36 @@ object UrlOps {
           lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]*)"), lit(1)),
         v => trim(v)),
       v => v =!= "")
+
+  /** Sitemap XML (the sitemaps.org protocol — where robotsSitemaps'
+    * URLs POINT): "index" for a <sitemapindex> (entries are child
+    * sitemap files), "urlset" for a leaf page list, null otherwise.
+    */
+  def sitemapKind(xml: Column): Column =
+    when(xml.contains("<sitemapindex"), lit("index"))
+      .when(xml.contains("<urlset"), lit("urlset"))
+      .otherwise(lit(null).cast("string"))
+
+  /** One struct per <url>/<sitemap> entry: (loc, lastmod, priority_ppm)
+    * — priority as exact parts-per-million (decimal arithmetic, no
+    * doubles, per the repo's oracle convention). XML comments are
+    * stripped FIRST (a commented-out entry must not crawl — the same
+    * trap HtmlExtract pins for HTML). Pure codegen'd regexp Columns;
+    * every construct (inline (?is), non-greedy, alternation) behaves
+    * identically in Java regex and RE2, so an oracle can replay it.
+    */
+  def sitemapEntries(xml: Column): Column = {
+    val clean = regexp_replace(coalesce(xml, lit("")),
+      "(?s)<!--.*?-->", "")
+    transform(
+      regexp_extract_all(clean,
+        lit("(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1)),
+      b => struct(
+        trim(regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1)).as("loc"),
+        nullif(trim(regexp_extract(b, "(?is)<lastmod>(.*?)</lastmod>", 1)),
+          lit("")).as("lastmod"),
+        (nullif(trim(regexp_extract(b, "(?is)<priority>(.*?)</priority>", 1)),
+          lit("")).cast("decimal(8,6)") * 1000000)
+          .cast("long").as("priority_ppm")))
+  }
 }

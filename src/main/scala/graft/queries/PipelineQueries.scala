@@ -5468,9 +5468,82 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** Sitemap XML parsing — the file robotsSitemaps' URLs point at,
+    * completing the crawl-loop trio robots → sitemap → frontier.
+    * Per-doc fixtures: every 6th doc a <sitemapindex> (2 child
+    * sitemaps), the rest <urlset>s with 1-4 entries carrying optional
+    * lastmod/priority; each file plants a COMMENTED-OUT entry that
+    * must not crawl. priority surfaces as exact parts-per-million via
+    * decimal arithmetic (no doubles cross the oracle). Everything —
+    * kind, entry fan-out, loc text, lastmod presence, ppm — is
+    * analytic in (doc_id, idx).
+    */
+  val q160_sitemap_parse = QueryDef(
+    "q160_sitemap_parse",
+    (s, d) => {
+      val did = col("doc_id")
+      val n = pmod(did, lit(4L)) + 1
+      val urlEntries = transform(sequence(lit(0L), n - 1), i =>
+        concat(lit("\n  <url>\n    <loc> https://s"),
+          pmod(did, lit(9L)).cast("string"), lit(".example.com/page/"),
+          did.cast("string"), lit("/"), i.cast("string"), lit(" </loc>"),
+          when((did + i) % 3 === 0,
+            concat(lit("\n    <lastmod>2026-0"),
+              (pmod(i, lit(9L)) + 1).cast("string"), lit("-01</lastmod>")))
+            .otherwise(lit("")),
+          when((did + i) % 2 === 0,
+            concat(lit("\n    <priority>0."),
+              (pmod(i, lit(9L)) + 1).cast("string"), lit("</priority>")))
+            .otherwise(lit("")),
+          lit("\n  </url>")))
+      val idxEntries = transform(sequence(lit(0L), lit(1L)), i =>
+        concat(lit("\n  <sitemap>\n    <loc>https://s"),
+          pmod(did, lit(9L)).cast("string"), lit(".example.com/sitemap-"),
+          i.cast("string"), lit(".xml</loc>\n  </sitemap>")))
+      val trap = lit("\n<!-- <url><loc>https://fake.example.com/no</loc>" +
+        "</url><sitemap><loc>https://fake.example.com/no.xml</loc>" +
+        "</sitemap> -->")
+      val xml = when(did % 6 === 0,
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>"), trap,
+          array_join(idxEntries, ""), lit("\n</sitemapindex>")))
+        .otherwise(
+          concat(lit("<?xml version=\"1.0\"?>\n<urlset>"), trap,
+            array_join(urlEntries, ""), lit("\n</urlset>")))
+      docs(s, d).select(did,
+          graft.ops.UrlOps.sitemapKind(xml).as("kind"),
+          graft.ops.UrlOps.sitemapEntries(xml).as("__es"))
+        .select(col("doc_id"), col("kind"),
+          posexplode(col("__es")).as(Seq("idx", "e")))
+        .select(col("doc_id"), col("kind"), col("idx").cast("long").as("idx"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.priority_ppm").as("priority_ppm"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, 'urlset' AS kind, i AS idx,
+          'https://s' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/page/'
+            || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS loc,
+          CASE WHEN (doc_id + i) % 3 = 0 THEN
+            '2026-0' || CAST((i % 9) + 1 AS VARCHAR) || '-01' END AS lastmod,
+          CASE WHEN (doc_id + i) % 2 = 0 THEN
+            CAST(((i % 9) + 1) * 100000 AS BIGINT) END AS priority_ppm
+        FROM documents, LATERAL (SELECT unnest(generate_series(0,
+          doc_id % 4)) AS i) t
+        WHERE doc_id % 6 <> 0),
+      x AS (
+        SELECT doc_id, 'index' AS kind, i AS idx,
+          'https://s' || CAST(doc_id % 9 AS VARCHAR) ||
+            '.example.com/sitemap-' || CAST(i AS VARCHAR) || '.xml' AS loc,
+          CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS BIGINT) AS priority_ppm
+        FROM documents, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) t
+        WHERE doc_id % 6 = 0)
+      SELECT doc_id, kind, CAST(idx AS BIGINT) AS idx, loc, lastmod,
+        priority_ppm
+      FROM (SELECT * FROM u UNION ALL SELECT * FROM x)"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
-    q158_wet_roundtrip, q159_mp4_meta,
+    q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

@@ -215,4 +215,39 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("http://x.com/p?utm_campaign=c&utm_id=7&refresh=1&ref=drop")
       == Seq(Some("http://x.com/p?refresh=1")))
   }
+
+  test("sitemap entries: comment trap, optional fields, exact ppm, kind detection") {
+    import graft.ops.UrlOps
+    def parse(xml: String): Seq[(String, String, Any)] =
+      Seq((1L, xml)).toDF("id", "xml")
+        .select(explode(UrlOps.sitemapEntries(col("xml"))).as("e"))
+        .select("e.loc", "e.lastmod", "e.priority_ppm")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    val xml = """<?xml version="1.0"?>
+      <urlset>
+        <!-- <url><loc>https://no.example.com/commented</loc></url> -->
+        <url><loc>  https://a.example.com/1 </loc>
+          <lastmod>2026-05-01</lastmod><priority>0.55</priority></url>
+        <url><loc>https://a.example.com/2</loc></url>
+      </urlset>"""
+    assert(parse(xml) == Seq(
+      ("https://a.example.com/1", "2026-05-01", 550000L),
+      ("https://a.example.com/2", null, null)))
+    // non-greedy blocks: entries never merge across </url><url> seams
+    val two = "<urlset><url><loc>https://x/1</loc></url>" +
+      "<url><loc>https://x/2</loc></url></urlset>"
+    assert(parse(two).map(_._1) == Seq("https://x/1", "https://x/2"))
+    // sitemapindex children + kind
+    val idx = "<sitemapindex><sitemap><loc>https://x/s1.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    assert(parse(idx).map(_._1) == Seq("https://x/s1.xml"))
+    val kinds = Seq((1L, idx), (2L, two), (3L, "plain text"))
+      .toDF("id", "xml")
+      .select(col("id"), UrlOps.sitemapKind(col("xml")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds == Map(1L -> "index", 2L -> "urlset", 3L -> null))
+    // null/empty input yields no entries, not a crash
+    assert(parse("") == Seq.empty)
+  }
 }
