@@ -84,6 +84,40 @@ object HtmlExtract {
     regexp_extract(canonTag, "(?is)href[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']", 1)
   }
 
+  /** The hrefs of a page's anchor tags, in document order — the crawl
+    * DISCOVERY signal (fetch → extract links → resolve → frontier).
+    * Comments and script bodies are stripped first (a commented-out or
+    * script-embedded link must not crawl), then each `<a ...>` tag is
+    * probed for href in its three attribute quotings — double, single,
+    * unquoted — order-independently (attributes may precede href).
+    * `&amp;` decodes (the reference HTML serializers actually emit in
+    * query strings); full entity decode is upstream's call via
+    * HtmlUnescape. Empty hrefs drop — a self-reference is never a new
+    * crawl candidate. Same Java/RE2-portable pattern discipline as
+    * [[extractText]].
+    */
+  def extractLinks(html: Column): Column = {
+    val noComments = regexp_replace(coalesce(html, lit("")),
+      "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val tags = regexp_extract_all(noScript,
+      lit("(?is)<a[ \\t\\n\\r\\f][^>]*>"), lit(0))
+    filter(
+      transform(tags, t =>
+        replace(
+          coalesce(
+            nullif(regexp_extract(t,
+              "(?is)[ \\t\\n\\r\\f]href[ \\t]*=[ \\t]*\"([^\"]*)\"", 1), lit("")),
+            nullif(regexp_extract(t,
+              "(?is)[ \\t\\n\\r\\f]href[ \\t]*=[ \\t]*'([^']*)'", 1), lit("")),
+            nullif(regexp_extract(t,
+              "(?is)[ \\t\\n\\r\\f]href[ \\t]*=[ \\t]*([^ \\t\\n\\r\\f>\"']+)", 1),
+              lit(""))),
+          lit("&amp;"), lit("&"))),
+      v => v.isNotNull)
+  }
+
   def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol),

@@ -157,6 +157,62 @@ object UrlOps {
         v => trim(v)),
       v => v =!= "")
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path string, as pure
+    * array-fold Columns. A trailing bare "." / ".." segment gets a
+    * slash appended first so the fold's trailing empty segment yields
+    * the RFC's trailing slash ("/a/b/.." → "/a/"). The ".." pop keeps
+    * the leading root marker (split's leading "" on absolute paths),
+    * matching the RFC's silent-discard above root.
+    */
+  private def removeDotSegments(p: Column): Column = {
+    val p2 = when(p.rlike("(^|/)\\.\\.?$"), concat(p, lit("/"))).otherwise(p)
+    val folded = aggregate(split(p2, "/"), array().cast("array<string>"),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    array_join(folded, "/")
+  }
+
+  /** RFC 3986 §5 reference resolution — the step between
+    * [[graft.ops.HtmlExtract.extractLinks]] and the frontier: a page's
+    * raw hrefs (absolute, protocol-relative, root-relative, query-only,
+    * fragment-only, or path-relative with dot segments) become
+    * absolute crawl candidates against the page's own URL. The base
+    * must be an absolute hierarchical URL (every fetched page's is); a
+    * ref with its own scheme (mailto:, javascript:, https:) passes
+    * through for the caller's scheme gate. Validated against the RFC's
+    * own §5.4 reference-example vectors (UrlOpsSpec), normal AND
+    * abnormal.
+    */
+  def resolveUrl(base: Column, ref0: Column): Column = {
+    val ref = coalesce(ref0, lit(""))
+    val b = coalesce(base, lit(""))
+    val scheme = regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val authority = regexp_extract(b, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val bpath = regexp_extract(b,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val root = concat(scheme, lit("://"), authority)
+    val baseNoFrag = regexp_replace(b, "#.*", "")
+    val dir = when(bpath === "", lit("/"))
+      .otherwise(regexp_replace(bpath, "[^/]*$", ""))
+    // the ref's path part folds through dot-removal; its ?query#frag
+    // tail rides along untouched
+    val refPath = regexp_extract(ref, "^([^?#]*)", 1)
+    val refTail = substring(ref, length(refPath) + 1, lit(Int.MaxValue))
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref === "", baseNoFrag)
+      .when(ref.startsWith("#"), concat(baseNoFrag, ref))
+      .when(ref.startsWith("?"),
+        concat(root, when(bpath === "", lit("/")).otherwise(bpath), ref))
+      .when(ref.startsWith("/"),
+        concat(root, removeDotSegments(refPath), refTail))
+      .otherwise(
+        concat(root, removeDotSegments(concat(dir, refPath)), refTail))
+  }
+
   /** Sitemap XML (the sitemaps.org protocol — where robotsSitemaps'
     * URLs POINT): "index" for a <sitemapindex> (entries are child
     * sitemap files), "urlset" for a leaf page list, null otherwise.

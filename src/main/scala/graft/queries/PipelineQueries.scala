@@ -5541,9 +5541,82 @@ object PipelineQueries {
       FROM (SELECT * FROM u UNION ALL SELECT * FROM x)"""),
   )
 
+  /** Link extraction + RFC 3986 resolution — crawl DISCOVERY (fetch →
+    * extract links → resolve → frontier). Per-doc HTML plants all
+    * three href quotings (attribute order varied), a protocol-relative
+    * ref, root-relative with query, path-relative, query-only with
+    * `&amp;`, fragment-only, plus commented-out and script-embedded
+    * trap links that must not crawl. Every href, its resolved absolute
+    * form, and the crawl host are analytic in (doc_id, idx); the
+    * resolver itself is pinned against the RFC's §5.4 vectors in
+    * UrlOpsSpec (dot-segment cases live there — java regex == RE2
+    * replay is not needed for them because the oracle here never
+    * parses, it reconstructs).
+    */
+  val q161_link_graph = QueryDef(
+    "q161_link_graph",
+    (s, d) => {
+      val did = col("doc_id")
+      def n(m: Long) = pmod(did, lit(m)).cast("string")
+      val ds = did.cast("string")
+      val base = concat(lit("https://h"), n(7), lit(".example.com/a"), n(5),
+        lit("/page"), ds, lit(".html"))
+      val html = concat(
+        lit("<html><body><!-- <a href=\"/trap\">x</a> -->" +
+          "<script>var x='<a href=\"/strap\">y</a>';</script>\n<a href=\"https://ext"),
+        n(3), lit(".example.com/x"), ds,
+        lit("\">e</a>\n<a class=\"c"), n(2),
+        lit("\" href='//cdn"), n(4),
+        lit(".example.com/lib.js'>c</a>\n<a href=/root/"), ds,
+        lit("?z=1>r</a>\n<a href=\"sub/page"), ds,
+        lit(".html\">s</a>\n<a href=\"?q="), ds,
+        lit("&amp;r=2\">q</a>\n<a href=\"#sec\">f</a></body></html>"))
+      docs(s, d).select(did, base.as("__base"),
+          graft.ops.HtmlExtract.extractLinks(html).as("__ls"))
+        .select(col("doc_id"), col("__base"),
+          posexplode(col("__ls")).as(Seq("idx", "href")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("href"),
+          graft.ops.UrlOps.resolveUrl(col("__base"), col("href"))
+            .as("resolved"))
+        .withColumn("host", graft.ops.UrlOps.canonicalHost(col("resolved")))
+    },
+    Some("""WITH l AS (SELECT doc_id, unnest(generate_series(0, 5)) AS idx
+               FROM documents),
+      p AS (SELECT doc_id, idx,
+              CAST(doc_id AS VARCHAR) AS ds,
+              CAST(doc_id % 7 AS VARCHAR) AS h7,
+              CAST(doc_id % 5 AS VARCHAR) AS a5,
+              CAST(doc_id % 4 AS VARCHAR) AS c4,
+              CAST(doc_id % 3 AS VARCHAR) AS e3
+            FROM l)
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        CASE idx
+          WHEN 0 THEN 'https://ext' || e3 || '.example.com/x' || ds
+          WHEN 1 THEN '//cdn' || c4 || '.example.com/lib.js'
+          WHEN 2 THEN '/root/' || ds || '?z=1'
+          WHEN 3 THEN 'sub/page' || ds || '.html'
+          WHEN 4 THEN '?q=' || ds || '&r=2'
+          ELSE '#sec' END AS href,
+        CASE idx
+          WHEN 0 THEN 'https://ext' || e3 || '.example.com/x' || ds
+          WHEN 1 THEN 'https://cdn' || c4 || '.example.com/lib.js'
+          WHEN 2 THEN 'https://h' || h7 || '.example.com/root/' || ds || '?z=1'
+          WHEN 3 THEN 'https://h' || h7 || '.example.com/a' || a5 ||
+            '/sub/page' || ds || '.html'
+          WHEN 4 THEN 'https://h' || h7 || '.example.com/a' || a5 ||
+            '/page' || ds || '.html?q=' || ds || '&r=2'
+          ELSE 'https://h' || h7 || '.example.com/a' || a5 ||
+            '/page' || ds || '.html#sec' END AS resolved,
+        CASE idx
+          WHEN 0 THEN 'ext' || e3 || '.example.com'
+          WHEN 1 THEN 'cdn' || c4 || '.example.com'
+          ELSE 'h' || h7 || '.example.com' END AS host
+      FROM p"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
-    q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse,
+    q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

@@ -250,4 +250,70 @@ class UrlOpsSpec extends AnyFunSuite {
     // null/empty input yields no entries, not a crash
     assert(parse("") == Seq.empty)
   }
+
+  test("resolveUrl matches every RFC 3986 section 5.4 reference vector") {
+    import graft.ops.UrlOps
+    val base = "http://a/b/c/d;p?q"
+    // the RFC's own normal + abnormal examples (strict parser)
+    val vectors = Seq(
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      "http:g" -> "http:g")
+    val got = vectors.map(_._1).toDF("ref")
+      .select(col("ref"), UrlOps.resolveUrl(lit(base), col("ref")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((ref, want) <- vectors)
+      assert(got(ref) == want, s"ref='$ref'")
+  }
+
+  test("extractLinks: quotings, attribute order, comment/script traps, &amp;") {
+    import graft.ops.{HtmlExtract, UrlOps}
+    def links(html: String): Seq[String] =
+      Seq((1L, html)).toDF("id", "html")
+        .select(HtmlExtract.extractLinks(col("html")).as("ls"))
+        .collect().head.getSeq[String](0)
+    val html = """<html><body>
+      <a href="/dq">double</a>
+      <a class="x" href='/sq'>attr before, single</a>
+      <a href=/uq>unquoted</a>
+      <a href="?q=1&amp;r=2">amp decodes</a>
+      <!-- <a href="/commented">no</a> -->
+      <script>var a = '<a href="/scripted">no</a>';</script>
+      <a name="anchor-only">no href</a>
+      <a href="">empty href drops (a self-reference is never a new crawl)</a>
+      </body></html>"""
+    assert(links(html) == Seq("/dq", "/sq", "/uq", "?q=1&r=2"))
+    // resolution composes: every extracted href becomes absolute
+    val resolved = Seq((1L, html)).toDF("id", "html")
+      .select(explode(HtmlExtract.extractLinks(col("html"))).as("h"))
+      .select(UrlOps.resolveUrl(lit("https://h.example.com/a/page.html"),
+        col("h")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(resolved == Seq(
+      "https://h.example.com/dq", "https://h.example.com/sq",
+      "https://h.example.com/uq",
+      "https://h.example.com/a/page.html?q=1&r=2"))
+  }
 }
