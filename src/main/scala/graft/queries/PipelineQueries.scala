@@ -5553,24 +5553,35 @@ object PipelineQueries {
     * replay is not needed for them because the oracle here never
     * parses, it reconstructs).
     */
+  /** The q161/q162 link fixture: per-doc page URL and HTML planting
+    * all href forms plus comment/script trap links.
+    */
+  private def linkFixtureBase(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("https://h"), pmod(did, lit(7L)).cast("string"),
+      lit(".example.com/a"), pmod(did, lit(5L)).cast("string"),
+      lit("/page"), did.cast("string"), lit(".html"))
+
+  private def linkFixtureHtml(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def n(m: Long) = pmod(did, lit(m)).cast("string")
+    val ds = did.cast("string")
+    concat(
+      lit("<html><body><!-- <a href=\"/trap\">x</a> -->" +
+        "<script>var x='<a href=\"/strap\">y</a>';</script>\n<a href=\"https://ext"),
+      n(3), lit(".example.com/x"), ds,
+      lit("\">e</a>\n<a class=\"c"), n(2),
+      lit("\" href='//cdn"), n(4),
+      lit(".example.com/lib.js'>c</a>\n<a href=/root/"), ds,
+      lit("?z=1>r</a>\n<a href=\"sub/page"), ds,
+      lit(".html\">s</a>\n<a href=\"?q="), ds,
+      lit("&amp;r=2\">q</a>\n<a href=\"#sec\">f</a></body></html>"))
+  }
+
   val q161_link_graph = QueryDef(
     "q161_link_graph",
     (s, d) => {
       val did = col("doc_id")
-      def n(m: Long) = pmod(did, lit(m)).cast("string")
-      val ds = did.cast("string")
-      val base = concat(lit("https://h"), n(7), lit(".example.com/a"), n(5),
-        lit("/page"), ds, lit(".html"))
-      val html = concat(
-        lit("<html><body><!-- <a href=\"/trap\">x</a> -->" +
-          "<script>var x='<a href=\"/strap\">y</a>';</script>\n<a href=\"https://ext"),
-        n(3), lit(".example.com/x"), ds,
-        lit("\">e</a>\n<a class=\"c"), n(2),
-        lit("\" href='//cdn"), n(4),
-        lit(".example.com/lib.js'>c</a>\n<a href=/root/"), ds,
-        lit("?z=1>r</a>\n<a href=\"sub/page"), ds,
-        lit(".html\">s</a>\n<a href=\"?q="), ds,
-        lit("&amp;r=2\">q</a>\n<a href=\"#sec\">f</a></body></html>"))
+      val base = linkFixtureBase(did)
+      val html = linkFixtureHtml(did)
       docs(s, d).select(did, base.as("__base"),
           graft.ops.HtmlExtract.extractLinks(html).as("__ls"))
         .select(col("doc_id"), col("__base"),
@@ -5614,9 +5625,109 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** The crawl DISCOVERY-LOOP capstone — every r11 piece in ONE plan:
+    * pages → extractLinks → resolveUrl → canonicalizeUrl → seen-set
+    * anti-join (the fragment-only self-link canonicalizes to the page
+    * itself and dies here) → first-discovery ownership (map-side
+    * combinable min per URL — the shared cdn library URL collapses to
+    * its earliest discoverer) → robots_allowed gate with per-host
+    * rules (h-hosts disallow one /aK/ prefix) → Frontier.schedule
+    * (bounded-heap top-3 per host, slots spaced by the host's
+    * crawl-delay). The oracle reconstructs candidates, gate, ownership
+    * mins, window ranks, and slot times relationally — an integration
+    * proof over parts q146/q149/q157/q161 certify individually.
+    */
+  val q162_discovery_loop = QueryDef(
+    "q162_discovery_loop",
+    (s, d) => {
+      val did = col("doc_id")
+      val pages = docs(s, d).select(did, linkFixtureBase(did).as("url"),
+        linkFixtureHtml(did).as("html"))
+      val cand = pages
+        .select(did, col("url"),
+          posexplode(graft.ops.HtmlExtract.extractLinks(col("html")))
+            .as(Seq("idx", "href")))
+        .select(did, col("idx"),
+          graft.ops.UrlOps.canonicalizeUrl(
+            graft.ops.UrlOps.resolveUrl(col("url"), col("href"))).as("curl"))
+      val seen = pages
+        .select(graft.ops.UrlOps.canonicalizeUrl(col("url")).as("curl"))
+        .distinct()
+      val fresh = cand.join(seen, Seq("curl"), "left_anti")
+      val disc = fresh.groupBy("curl")
+        .agg(min(did * 8 + col("idx")).as("disc_id"))
+        .withColumn("host", graft.ops.UrlOps.canonicalHost(col("curl")))
+      val hostDigit = regexp_extract(col("host"), "^h([0-9]+)\\.", 1)
+      val isH = hostDigit =!= ""
+      val rules = when(isH, concat(
+          lit("User-agent: *\nDisallow: /a"),
+          ((hostDigit.cast("long") + 1) % 5).cast("string"),
+          lit("/\nCrawl-delay: "),
+          (hostDigit.cast("long") % 4 + 1).cast("string"), lit("\n")))
+        .otherwise(lit(""))
+      val path = regexp_replace(col("curl"), "^https?://[^/]*", "")
+      val gated = disc
+        .filter(call_function("robots_allowed", rules,
+          lit("GraftBot/1.0"), path))
+        .withColumn("score",
+          ((col("disc_id") * lit(2654435761L)) % 997).cast("double"))
+      val delays = gated.select(col("host"),
+        when(isH, hostDigit.cast("long") % 4 + 1).otherwise(lit(1L))
+          .as("crawl_delay_s")).distinct()
+      val sched = graft.ops.Frontier.schedule(gated, "disc_id", "host",
+        "score", delays, 3)
+      sched.join(gated.select(col("disc_id"), col("curl")), "disc_id")
+        .select(col("curl"), col("host"), col("rank"), col("fetch_at_s"),
+          col("disc_id"))
+    },
+    Some("""WITH c0 AS (
+        SELECT doc_id, unnest(generate_series(0, 4)) AS idx FROM documents),
+      cand AS (SELECT doc_id, idx,
+          CASE idx
+            WHEN 0 THEN 'https://ext' || CAST(doc_id % 3 AS VARCHAR) ||
+              '.example.com/x' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'https://cdn' || CAST(doc_id % 4 AS VARCHAR) ||
+              '.example.com/lib.js'
+            WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/root/' || CAST(doc_id AS VARCHAR) || '?z=1'
+            WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/a' || CAST(doc_id % 5 AS VARCHAR) ||
+              '/sub/page' || CAST(doc_id AS VARCHAR) || '.html'
+            ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/a' || CAST(doc_id % 5 AS VARCHAR) ||
+              '/page' || CAST(doc_id AS VARCHAR) || '.html?q=' ||
+              CAST(doc_id AS VARCHAR) || '&r=2' END AS curl,
+          CASE WHEN idx <= 1 THEN TRUE
+            WHEN idx = 2 THEN TRUE
+            ELSE doc_id % 5 <> (doc_id % 7 + 1) % 5 END AS allowed,
+          CASE idx
+            WHEN 0 THEN 'ext' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+            WHEN 1 THEN 'cdn' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+            ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              END AS host
+        FROM c0),
+      disc AS (SELECT curl, host, min(doc_id * 8 + idx) AS disc_id,
+          bool_and(allowed) AS allowed
+        FROM cand GROUP BY curl, host),
+      gated AS (SELECT curl, host, disc_id,
+          CAST((disc_id * 2654435761) % 997 AS DOUBLE) AS score,
+          CASE WHEN host LIKE 'h%.example.com' THEN
+            CAST(substr(host, 2, 1) AS BIGINT) % 4 + 1 ELSE 1 END AS delay
+        FROM disc WHERE allowed),
+      ranked AS (SELECT curl, host, disc_id, delay,
+          row_number() OVER (PARTITION BY host
+            ORDER BY score DESC, disc_id) AS rank
+        FROM gated)
+      SELECT curl, host, CAST(rank AS BIGINT) AS rank,
+        CAST((rank - 1) * delay AS BIGINT) AS fetch_at_s,
+        CAST(disc_id AS BIGINT) AS disc_id
+      FROM ranked WHERE rank <= 3"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
+    q162_discovery_loop,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
