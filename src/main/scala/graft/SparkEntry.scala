@@ -3425,6 +3425,42 @@ object SynthQueries {
     // reconstruction q155 uses, restricted to 200-status responses.
     // Batch-layout independence and the mutated-prefix failure mode
     // are spec-pinned (WarcStreamSpec).
+    // STREAMING crawl discovery: WARC pages arrive one segment per
+    // micro-batch, links extract + resolve + canonicalize in-stream,
+    // and a stateful dropDuplicates emits each candidate URL exactly
+    // once across batches (the cdn library URL is shared by hundreds
+    // of pages across DIFFERENT micro-batches — cross-batch state is
+    // what's being proven). Oracle = the distinct analytic candidate
+    // set. State note: plain dropDuplicates keys state by the URL
+    // itself, the right shape for a bounded replay; an unbounded crawl
+    // would swap in the banded/bounded-window index family
+    // (g124/g128).
+    QueryDef("g130_stream_discovery",
+      (s, d) => streamScoped(s) {
+        val dir = graft.queries.PipelineQueries.LinkWarcFixture.dir(s, d)
+        val name = "g130_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.format("warc")
+          .option("filesPerBatch", "1")
+          .load(dir)
+          .filter(col("http_status") === 200)
+          .select(col("target_uri").as("url"),
+            col("payload").cast("string").as("html"))
+          .select(col("url"),
+            org.apache.spark.sql.functions.explode(
+              graft.ops.HtmlExtract.extractLinks(col("html"))).as("href"))
+          .select(graft.ops.UrlOps.canonicalizeUrl(
+            graft.ops.UrlOps.resolveUrl(col("url"), col("href"))).as("curl"))
+          .dropDuplicates("curl")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some(s"""SELECT DISTINCT ${graft.queries.PipelineQueries.linkCandidateSql}
+          AS curl
+        FROM documents, (SELECT unnest(generate_series(0, 5)) AS idx) t""")),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5

@@ -5576,6 +5576,54 @@ object PipelineQueries {
       lit("&amp;r=2\">q</a>\n<a href=\"#sec\">f</a></body></html>"))
   }
 
+  /** Link-bearing pages as a WARC corpus (written once per (JVM,
+    * sfDir) through the sink): the input for the STREAMING discovery
+    * rig g130.
+    */
+  private[graft] object LinkWarcFixture {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("link_warc").toString
+        val did = col("doc_id")
+        docs(s, sfDir).select(
+            concat(lit("urn:link:"), did.cast("string")).as("record_id"),
+            lit("response").as("warc_type"),
+            linkFixtureBase(did).as("target_uri"),
+            lit("2026-01-01T00:00:00Z").as("warc_date"),
+            lit("application/http;msgtype=response").as("content_type"),
+            lit(200).as("http_status"),
+            lit("text/html").as("http_content_type"),
+            linkFixtureHtml(did).cast("binary").as("payload"))
+          .repartition(4, pmod(did, lit(4L)))
+          .write.format("warc").mode("append").option("path", out).save()
+        System.err.println(s"[graft] link warc fixture for $sfDir -> $out")
+        out
+      })
+  }
+
+  /** The 6 per-doc candidate URLs after resolve+canonicalize, as SQL
+    * (idx 5, the fragment-only self link, canonicalizes to the page
+    * URL itself) — shared by the g130 oracle.
+    */
+  private[graft] val linkCandidateSql: String = """CASE idx
+      WHEN 0 THEN 'https://ext' || CAST(doc_id % 3 AS VARCHAR) ||
+        '.example.com/x' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'https://cdn' || CAST(doc_id % 4 AS VARCHAR) ||
+        '.example.com/lib.js'
+      WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.example.com/root/' || CAST(doc_id AS VARCHAR) || '?z=1'
+      WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.example.com/a' || CAST(doc_id % 5 AS VARCHAR) ||
+        '/sub/page' || CAST(doc_id AS VARCHAR) || '.html'
+      WHEN 4 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.example.com/a' || CAST(doc_id % 5 AS VARCHAR) ||
+        '/page' || CAST(doc_id AS VARCHAR) || '.html?q=' ||
+        CAST(doc_id AS VARCHAR) || '&r=2'
+      ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.example.com/a' || CAST(doc_id % 5 AS VARCHAR) ||
+        '/page' || CAST(doc_id AS VARCHAR) || '.html' END"""
+
   val q161_link_graph = QueryDef(
     "q161_link_graph",
     (s, d) => {
