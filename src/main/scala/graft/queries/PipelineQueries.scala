@@ -5691,20 +5691,32 @@ object PipelineQueries {
       val did = col("doc_id")
       val pages = docs(s, d).select(did, linkFixtureBase(did).as("url"),
         linkFixtureHtml(did).as("html"))
+      // staged projections: `resolved` materializes as an attribute so
+      // canonicalizeUrl's six try_parse_url calls each reference ONE
+      // column, not six copies of the whole resolveUrl tree
+      // (CollapseProject keeps the barrier — multi-referenced non-cheap
+      // expressions don't re-inline)
       val cand = pages
         .select(did, col("url"),
           posexplode(graft.ops.HtmlExtract.extractLinks(col("html")))
             .as(Seq("idx", "href")))
         .select(did, col("idx"),
-          graft.ops.UrlOps.canonicalizeUrl(
-            graft.ops.UrlOps.resolveUrl(col("url"), col("href"))).as("curl"))
+          graft.ops.UrlOps.resolveUrl(col("url"), col("href")).as("resolved"))
+        .select(did, col("idx"),
+          graft.ops.UrlOps.canonicalizeUrl(col("resolved")).as("curl"))
       val seen = pages
         .select(graft.ops.UrlOps.canonicalizeUrl(col("url")).as("curl"))
         .distinct()
       val fresh = cand.join(seen, Seq("curl"), "left_anti")
+      // checkpoint BEFORE the robots filter: predicate pushdown would
+      // otherwise substitute the filter through every projection layer,
+      // re-inlining the canonicalize/resolve trees into the predicate
+      // (measured 6.6 s vs 1.1 s at sf0.1 for this one stage) — and the
+      // materialized set also feeds three downstream consumers once
       val disc = fresh.groupBy("curl")
         .agg(min(did * 8 + col("idx")).as("disc_id"))
         .withColumn("host", graft.ops.UrlOps.canonicalHost(col("curl")))
+        .localCheckpoint(true)
       val hostDigit = regexp_extract(col("host"), "^h([0-9]+)\\.", 1)
       val isH = hostDigit =!= ""
       val rules = when(isH, concat(
