@@ -118,6 +118,40 @@ object HtmlExtract {
       v => v.isNotNull)
   }
 
+  /** Charset sniffing for fetched payload BYTES, in the WHATWG
+    * precedence order a browser (and therefore a faithful corpus
+    * pipeline) uses: byte-order mark first (UTF-8 / UTF-16LE /
+    * UTF-16BE — a BOM overrides everything), then the transport's
+    * `charset=` parameter (the HTTP Content-Type the WARC reader
+    * already surfaces), then a `<meta ... charset=...>` probe over the
+    * first 1 KiB (covers both the HTML5 form and the legacy
+    * http-equiv form — the pattern keys on `charset=` inside the meta
+    * tag, so attribute order and form are free), else the UTF-8
+    * default. The meta probe casts bytes to string leniently — for
+    * UTF-16 payloads that cast is mojibake, but the BOM branch has
+    * already won by then. Lowercased so downstream grouping is stable.
+    */
+  def sniffCharset(payload: Column, httpContentType: Column): Column = {
+    val utf8Bom = substring(payload, 1, 3) ===
+      lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val utf16le = substring(payload, 1, 2) ===
+      lit(Array(0xFF.toByte, 0xFE.toByte))
+    val utf16be = substring(payload, 1, 2) ===
+      lit(Array(0xFE.toByte, 0xFF.toByte))
+    val fromHeader = lower(trim(regexp_extract(
+      coalesce(httpContentType, lit("")),
+      "(?i)charset[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9_.:-]+)", 1)))
+    val headStr = substring(payload, 1, 1024).cast("string")
+    val fromMeta = lower(regexp_extract(headStr,
+      "(?is)<meta[^>]*charset[ \\t]*=[ \\t]*[\"']?([A-Za-z0-9_.:-]+)", 1))
+    when(utf8Bom, lit("utf-8"))
+      .when(utf16le, lit("utf-16le"))
+      .when(utf16be, lit("utf-16be"))
+      .when(fromHeader =!= "", fromHeader)
+      .when(fromMeta =!= "", fromMeta)
+      .otherwise(lit("utf-8"))
+  }
+
   def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol),

@@ -5784,10 +5784,53 @@ object PipelineQueries {
       FROM ranked WHERE rank <= 3"""),
   )
 
+  /** Charset sniffing in WHATWG precedence (BOM > transport > meta >
+    * utf-8 default): five fixture branches — a UTF-8 BOM overriding a
+    * lying meta tag, a UTF-16LE BOM over mojibake meta bytes, a
+    * transport charset beating the meta, a meta-only page (legacy
+    * http-equiv form), and a bare default. The fixture charset is
+    * analytic in doc_id, so the oracle never parses bytes — the Spark
+    * side exercises the real BOM/regex probes.
+    */
+  val q163_charset_sniff = QueryDef(
+    "q163_charset_sniff",
+    (s, d) => {
+      val did = col("doc_id")
+      val kind = pmod(did, lit(5L))
+      val bomU8 = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val bomLe = lit(Array(0xFF.toByte, 0xFE.toByte))
+      val htmlLyingMeta = lit(
+        "<html><head><meta charset=\"ISO-8859-1\"></head><body>x</body></html>")
+        .cast("binary")
+      val htmlMetaOnly = lit("<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1251\"></head>" +
+        "<body>y</body></html>").cast("binary")
+      val plain = concat(lit("plain "), did.cast("string")).cast("binary")
+      val payload = when(kind === 0, concat(bomU8, htmlLyingMeta))
+        .when(kind === 1, concat(bomLe, plain))
+        .when(kind === 2, htmlLyingMeta)
+        .when(kind === 3, htmlMetaOnly)
+        .otherwise(plain)
+      val hct = when(kind === 2, lit("text/html; charset=KOI8-R"))
+        .when(kind === 3, lit("text/html"))
+        .otherwise(lit(null).cast("string"))
+      docs(s, d).select(did,
+        graft.ops.HtmlExtract.sniffCharset(payload, hct).as("charset"))
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'utf-8'
+          WHEN 1 THEN 'utf-16le'
+          WHEN 2 THEN 'koi8-r'
+          WHEN 3 THEN 'windows-1251'
+          ELSE 'utf-8' END AS charset
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
-    q162_discovery_loop,
+    q162_discovery_loop, q163_charset_sniff,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
