@@ -5827,10 +5827,69 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** MPEG-audio (MP3) frame metadata — the audio gate signal: per-doc
+    * streams vary sample rate, bitrate, channel mode, ID3v2 prefix
+    * size, and frame count; every 11th doc truncates to an honest
+    * null. Duration, frame count, stream shape, and tag size all
+    * reconstruct analytically; byte-level layout and the
+    * truncated-final-frame / desync walk rules are pinned in MpegSpec.
+    */
+  val q164_mp3_meta = QueryDef(
+    "q164_mp3_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("a", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val full = graft.ops.Mpeg.build(
+            frames = (10 + id % 23).toInt,
+            samplerateIdx = (id % 3).toInt,
+            bitrateIdx = (id % 5 + 8).toInt,
+            stereo = id % 2 == 0,
+            id3Size = if (id % 4 == 0) (100 + id % 50).toInt else -1)
+          Row(id, if (id % 11 == 0) full.take(3) else full)
+        }
+      }
+      graft.ops.Mpeg.audioMeta(withBytes, "a")
+        .select(col("doc_id"), col("a_mp3.n_frames").as("n_frames"),
+          col("a_mp3.sample_rate").as("sample_rate"),
+          col("a_mp3.bitrate_kbps").as("bitrate_kbps"),
+          col("a_mp3.channels").as("channels"),
+          col("a_mp3.duration_ms").as("duration_ms"),
+          col("a_mp3.id3_bytes").as("id3_bytes"))
+    },
+    Some("""SELECT doc_id,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          ELSE 10 + doc_id % 23 END AS INT) AS n_frames,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN doc_id % 3 = 0 THEN 44100 WHEN doc_id % 3 = 1 THEN 48000
+          ELSE 32000 END AS INT) AS sample_rate,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN doc_id % 5 = 0 THEN 112 WHEN doc_id % 5 = 1 THEN 128
+          WHEN doc_id % 5 = 2 THEN 160 WHEN doc_id % 5 = 3 THEN 192
+          ELSE 224 END AS INT) AS bitrate_kbps,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+          ELSE CAST((10 + doc_id % 23) * 1152 * 1000 //
+            (CASE WHEN doc_id % 3 = 0 THEN 44100
+              WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000 END) AS BIGINT)
+          END AS duration_ms,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN doc_id % 4 = 0 THEN 110 + doc_id % 50
+          ELSE 0 END AS INT) AS id3_bytes
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
-    q162_discovery_loop, q163_charset_sniff,
+    q162_discovery_loop, q163_charset_sniff, q164_mp3_meta,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
