@@ -5886,10 +5886,67 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** WebDataset ingestion: per-doc ustar archives holding samples as
+    * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
+    * under a directory prefix — the published convention's shard
+    * layout). The tar framer enumerates members (checksums verified,
+    * padding walked), the sample key/ext split as plain columns, and
+    * every member's name/size/digest reconstructs analytically.
+    * TarSpec pins the byte-level framing (hand offsets, block
+    * boundaries, non-file skip, loud corruption/truncation failures).
+    */
+  val q165_webdataset = QueryDef(
+    "q165_webdataset",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("shard", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val shards = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val members = (0 to (id % 3).toInt).flatMap { i =>
+            val base = Seq(
+              (s"sh/s$i.txt", s"t$id-$i".getBytes("UTF-8")),
+              (s"sh/s$i.json", s"""{"i":$i}""".getBytes("UTF-8")))
+            if (i % 2 == 0)
+              base :+ ((s"sh/s$i.cls", s"c${(id + i) % 10}".getBytes("UTF-8")))
+            else base
+          }
+          Row(id, graft.ops.Tar.build(members))
+        }
+      }
+      graft.ops.Tar.tarEntries(shards, "shard")
+        .select(col("doc_id"), explode(col("shard_entries")).as("e"))
+        .select(col("doc_id"),
+          graft.ops.Tar.sampleKey(col("e.name")).as("key"),
+          graft.ops.Tar.sampleExt(col("e.name")).as("ext"),
+          col("e.size").as("size"),
+          md5(col("e.payload")).as("payload_md5"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, i, ext,
+          CASE ext
+            WHEN 'txt' THEN 't' || CAST(doc_id AS VARCHAR) || '-' ||
+              CAST(i AS VARCHAR)
+            WHEN 'json' THEN '{"i":' || CAST(i AS VARCHAR) || '}'
+            ELSE 'c' || CAST((doc_id + i) % 10 AS VARCHAR) END AS payload
+        FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS i
+              FROM documents) t,
+             (SELECT unnest(['txt', 'json', 'cls']) AS ext) e
+        WHERE ext <> 'cls' OR i % 2 = 0)
+      SELECT doc_id, 's' || CAST(i AS VARCHAR) AS key, ext,
+        CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
-    q162_discovery_loop, q163_charset_sniff, q164_mp3_meta,
+    q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
