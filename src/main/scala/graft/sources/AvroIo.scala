@@ -77,17 +77,14 @@ object AvroIo {
   def writeAvro(df: DataFrame, path: String): String = {
     val schemaJson = avroSchemaJson(df.schema)
     val sparkSchema = df.schema
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
+    ArchiveFs.mkdirs(path)
     // overwrite semantics like the sibling write* sinks: a rewrite with
     // fewer partitions must not leave stale part files for readAvro's
     // glob to silently include
-    val old = java.nio.file.Files.list(dir)
-    try old.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (n.endsWith(".avro") || n.endsWith(".avro.tmp"))
-        java.nio.file.Files.deleteIfExists(p)
-    } finally old.close()
+    ArchiveFs.list(path).foreach { p =>
+      val n = ArchiveFs.name(p)
+      if (n.endsWith(".avro") || n.endsWith(".avro.tmp")) ArchiveFs.delete(p)
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -98,10 +95,10 @@ object AvroIo {
         // (speculation) must not share a temp file — each writes its
         // own and the last atomic move wins; the destination name stays
         // deterministic so retries never duplicate rows
-        val tmp = java.nio.file.Paths.get(path,
+        val tmp = ArchiveFs.child(path,
           f".part-$pid%05d-${java.util.UUID.randomUUID}.avro.tmp")
-        val dst = java.nio.file.Paths.get(path, f"part-$pid%05d.avro")
-        writer.create(avro, tmp.toFile)
+        val dst = ArchiveFs.child(path, f"part-$pid%05d.avro")
+        writer.create(avro, ArchiveFs.create(tmp))
         try {
           rows.foreach { r =>
             val rec = new GenericData.Record(avro)
@@ -115,9 +112,7 @@ object AvroIo {
         } finally writer.close()
         // atomic publish: a retry rewrites the tmp and republishes the
         // SAME destination name — idempotent, never a partial file
-        java.nio.file.Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ArchiveFs.renameOverwrite(tmp, dst)
         ()
       }
     }
@@ -144,18 +139,29 @@ object AvroIo {
     case other => other.asInstanceOf[AnyRef]
   }
 
+  /** Avro's random-access input over a Hadoop-FS seekable stream —
+    * the container format needs seek/tell for its sync-marker blocks.
+    */
+  private final class FsSeekableInput(path: String)
+      extends org.apache.avro.file.SeekableInput {
+    private val len = ArchiveFs.length(path)
+    private val in = ArchiveFs.open(path)
+    override def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def close(): Unit = in.close()
+  }
+
   /** Read Avro container files written by [[writeAvro]] back into a
     * DataFrame: schema from one file's header (driver, metadata-sized),
     * rows decoded task-side over the parallelized file list.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
-    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-    val files =
-      try ls.iterator().asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
-      finally ls.close()
+    val files = ArchiveFs.list(path).filter(_.endsWith(".avro")).sorted
     require(files.nonEmpty, s"no .avro files under $path")
     val reader0 = new DataFileReader[GenericRecord](
-      new java.io.File(files.head), new GenericDatumReader[GenericRecord]())
+      new FsSeekableInput(files.head), new GenericDatumReader[GenericRecord]())
     val avroSchema = try reader0.getSchema finally reader0.close()
     val sparkSchema = toSparkSchema(avroSchema)
     val schemaJson = avroSchema.toString
@@ -164,7 +170,7 @@ object AvroIo {
         val avro = new Schema.Parser().parse(schemaJson)
         val st = toSparkSchema(avro)
         val rd = new DataFileReader[GenericRecord](
-          new java.io.File(f), new GenericDatumReader[GenericRecord](avro))
+          new FsSeekableInput(f), new GenericDatumReader[GenericRecord](avro))
         val out = scala.collection.mutable.ArrayBuffer[Row]()
         try while (rd.hasNext) {
           val rec = rd.next()

@@ -66,13 +66,12 @@ final class ShardTable(schema: StructType, opts: CaseInsensitiveStringMap)
   * the no-longer-referenced old shard files deleted — a crash at any
   * step leaves exactly one complete generation on disk.
   *
-  * Filesystem assumption (by design, documented not hidden): commit()
-  * renames task temp files with driver-local java.nio, so the
-  * exactly-once protocol requires the driver and executors to share
-  * `path` (local mode, NFS, or any POSIX-shared volume). A cluster
-  * deployment over object storage would swap the rename for a
-  * FileSystem-API copy-and-delete commit; the protocol shape
-  * (uuid temps -> driver-published manifest) is unchanged.
+  * Filesystem: all IO goes through [[ArchiveFs]] (the Hadoop
+  * FileSystem API), so `path` may be local, hdfs://, or s3a:// —
+  * renames are atomic on HDFS/POSIX and degrade to copy+delete on
+  * object stores (the same caveat as Spark's own v1 committers,
+  * documented on [[ArchiveFs]]). The protocol shape (uuid temps ->
+  * driver-published manifest) is storage-agnostic.
   */
 final class ShardWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder
@@ -86,58 +85,62 @@ final class ShardWriteBuilder(path: String, schema: StructType)
 
 final case class ShardCommit(tmpName: String, rows: Long) extends WriterCommitMessage
 
+/** IO through [[ArchiveFs]] (Hadoop FileSystem) and the same
+  * concurrency hardening as [[WarcBatchWrite]]: a driver-minted
+  * generation id namespaces task temps (`_tmp/<gen>/`), and the
+  * manifest read-modify-write runs under `_MANIFEST.lock`, so
+  * concurrent append jobs serialize instead of clobbering each other.
+  */
 final class ShardBatchWrite(path: String, schema: StructType,
     truncate: Boolean = false) extends BatchWrite {
+  // generation-unique names: the previous shard set AND the manifest
+  // pointing at it stay fully intact and readable until the manifest
+  // swap below. A crash anywhere before the swap leaves the OLD
+  // dataset complete; a crash after it leaves the NEW one — never a
+  // mixed, partial, or empty state.
+  private val gen = java.util.UUID.randomUUID.toString.take(8)
+  private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(path, schema.json)
+    new ShardWriterFactory(tmpDir, schema.json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
+    ArchiveFs.mkdirs(path)
     val committed = messages.collect { case ShardCommit(tmp, rows) => (tmp, rows) }
       .filter(_._2 > 0).sortBy(_._1)
-    // generation-unique names: the previous shard set AND the manifest
-    // pointing at it stay fully intact and readable until the manifest
-    // swap below. A crash anywhere before the swap leaves the OLD
-    // dataset complete; a crash after it leaves the NEW one — never a
-    // mixed, partial, or empty state.
-    val gen = java.util.UUID.randomUUID.toString.take(8)
     val entries = committed.zipWithIndex.map { case ((tmp, rows), i) =>
       val name = f"shard-$gen-$i%05d.jsonl"
-      java.nio.file.Files.move(dir.resolve("_tmp").resolve(tmp),
-        dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp), ArchiveFs.child(path, name))
       (name, rows)
     }
     // empty-task temp files (0 rows) just get cleaned with the tmp dir
-    val manifestPath = dir.resolve("_MANIFEST.json")
+    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
     // append mode keeps the previous generation's entries; truncate
     // (mode("overwrite")) replaces them
     val entryRe = """\{"shard":"([^"]+)","rows":(\d+)\}""".r
-    val prev: Seq[String] =
-      if (!truncate && java.nio.file.Files.exists(manifestPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(manifestPath), "UTF-8")
-        entryRe.findAllMatchIn(txt).map(_.matched).toSeq
-      } else Seq.empty
-    val manifest =
-      (prev ++ entries.map { case (n, r) => s"""{"shard":"$n","rows":$r}""" })
-        .mkString("[", ",", "]")
-    // the atomic publish point: temp manifest + ATOMIC_MOVE
-    val mTmp = dir.resolve(s"._MANIFEST.$gen.tmp")
-    java.nio.file.Files.write(mTmp, manifest.getBytes("UTF-8"))
-    java.nio.file.Files.move(mTmp, manifestPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
+      val prev: Seq[String] =
+        if (!truncate && ArchiveFs.exists(manifestPath))
+          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
+            .map(_.matched).toSeq
+        else Seq.empty
+      val manifest =
+        (prev ++ entries.map { case (n, r) => s"""{"shard":"$n","rows":$r}""" })
+          .mkString("[", ",", "]")
+      // the atomic publish point: temp manifest + atomic overwrite
+      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
+      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
+      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+    }
     // only AFTER the swap: drop shard files the new manifest no longer
     // references (previous generations under truncate)
     if (truncate) {
       val keep = entries.map(_._1).toSet
-      val ls = java.nio.file.Files.list(dir)
-      try ls.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
+      ArchiveFs.list(path).foreach { p =>
+        val n = ArchiveFs.name(p)
         if (n.startsWith("shard-") && n.endsWith(".jsonl") && !keep(n))
-          java.nio.file.Files.deleteIfExists(p)
-      } finally ls.close()
+          ArchiveFs.delete(p)
+      }
     }
     deleteTmp()
   }
@@ -145,35 +148,29 @@ final class ShardBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTmp()
 
   private def deleteTmp(): Unit = {
-    val tmp = java.nio.file.Paths.get(path, "_tmp")
-    if (java.nio.file.Files.exists(tmp)) {
-      val ls = java.nio.file.Files.list(tmp)
-      try ls.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally ls.close()
-      java.nio.file.Files.deleteIfExists(tmp)
-    }
+    ArchiveFs.delete(tmpDir, recursive = true)
+    ArchiveFs.deleteIfEmptyDir(ArchiveFs.child(path, "_tmp"))
   }
 }
 
-final class ShardWriterFactory(path: String, schemaJson: String)
+final class ShardWriterFactory(tmpDir: String, schemaJson: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardWriter(path, schemaJson)
+    new ShardWriter(tmpDir, schemaJson)
 }
 
 /** One temp JSONL file per task attempt; the uuid name makes retried /
   * speculative attempts collision-free, and only the winning attempt's
   * commit message is published by the driver.
   */
-final class ShardWriter(path: String, schemaJson: String)
+final class ShardWriter(tmpDir: String, schemaJson: String)
     extends DataWriter[InternalRow] {
   private val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
     .asInstanceOf[StructType]
   private val tmpName = java.util.UUID.randomUUID.toString + ".jsonl"
-  private val tmpDir = java.nio.file.Paths.get(path, "_tmp")
-  java.nio.file.Files.createDirectories(tmpDir)
+  ArchiveFs.mkdirs(tmpDir)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    java.nio.file.Files.newOutputStream(tmpDir.resolve(tmpName)), "UTF-8"))
+    ArchiveFs.create(ArchiveFs.child(tmpDir, tmpName)), "UTF-8"))
   private val gen = new org.apache.spark.sql.catalyst.json.JacksonGenerator(
     st, out, new org.apache.spark.sql.catalyst.json.JSONOptions(
       Map.empty[String, String], "UTC"))
@@ -192,7 +189,7 @@ final class ShardWriter(path: String, schemaJson: String)
 
   override def abort(): Unit = {
     gen.close()
-    java.nio.file.Files.deleteIfExists(tmpDir.resolve(tmpName))
+    ArchiveFs.delete(ArchiveFs.child(tmpDir, tmpName))
   }
 
   override def close(): Unit = ()

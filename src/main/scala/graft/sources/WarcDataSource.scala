@@ -71,15 +71,15 @@ object WarcDataSource {
 
   /** Ascending record offsets from `<file>.cdx` (graft's minimal CDX:
     * `offset<TAB>length` per record; comment lines ignored). None when
-    * no sidecar exists.
+    * no sidecar exists. Reads through [[ArchiveFs]], so sidecars on
+    * hdfs://s3a:// split exactly like local ones.
     */
   def cdxOffsets(file: String): Option[Array[Long]] = {
-    val cdx = java.nio.file.Paths.get(file + ".cdx")
-    if (!java.nio.file.Files.exists(cdx)) return None
-    val offs = scala.io.Source.fromFile(cdx.toFile)
-    try Some(offs.getLines().filterNot(_.startsWith("#"))
+    val cdx = file + ".cdx"
+    if (!ArchiveFs.exists(cdx)) return None
+    Some(ArchiveFs.readString(cdx).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split("\t")(0).toLong).toArray.sorted)
-    finally offs.close()
   }
 
   /** Reads at most `limit` bytes from `in`. */
@@ -116,34 +116,24 @@ object WarcDataSource {
     * NAMES sort, unlike the directory-listing path.
     */
   def manifestFiles(path: String): Seq[String] = {
-    val dir = java.nio.file.Paths.get(
-      if (path.startsWith("file:")) new java.net.URI(path).getPath else path)
-    val m = dir.resolve("_MANIFEST.json")
-    require(java.nio.file.Files.exists(m),
+    val m = ArchiveFs.child(path, "_MANIFEST.json")
+    require(ArchiveFs.exists(m),
       s"manifest read requested but no _MANIFEST.json under $path")
-    val txt = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+    val txt = ArchiveFs.readString(m)
     """"segment":"([^"]+)"""".r.findAllMatchIn(txt)
-      .map(mm => dir.resolve(mm.group(1)).toString).toVector
+      .map(mm => ArchiveFs.child(path, mm.group(1))).toVector
   }
 
   /** WARC segment files under `path` (or `path` itself), sorted for a
     * deterministic partition order.
     */
   def listFiles(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(
-      if (path.startsWith("file:")) new java.net.URI(path).getPath else path)
-    def isWarc(f: java.nio.file.Path): Boolean = {
-      val n = f.getFileName.toString
+    def isWarc(n: String): Boolean =
       n.endsWith(".warc") || n.endsWith(".warc.gz")
-    }
     val out =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(isWarc).map(_.toString).toVector
-        } finally s.close()
-      } else Vector(p.toString)
+      if (ArchiveFs.isDirectory(path))
+        ArchiveFs.list(path).filter(f => isWarc(ArchiveFs.name(f))).toVector
+      else Vector(path)
     require(out.nonEmpty, s"no .warc / .warc.gz files under $path")
     out.sorted
   }
@@ -232,7 +222,7 @@ final class WarcScan(path: String, required: StructType,
      else WarcDataSource.listFiles(path)).flatMap { f =>
       WarcDataSource.cdxOffsets(f) match {
         case Some(offs) if offs.nonEmpty =>
-          val size = new java.io.File(f).length()
+          val size = ArchiveFs.length(f)
           val cuts = ArrayOfCuts.build(offs, size, targetBytes)
           cuts.map { case (s, e) => WarcInputPartition(f, s, e): InputPartition }
         case _ =>
@@ -268,14 +258,11 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String])
     val p = partition.asInstanceOf[WarcInputPartition]
     val file = p.file
     new PartitionReader[InternalRow] {
-      private val in = new java.io.FileInputStream(file)
-      // range scan: seek to the split start and read exactly the
-      // split's bytes — CDX cuts sit on record/member boundaries, so
-      // the range is a self-contained WARC stream
-      if (p.start > 0) {
-        var left = p.start
-        while (left > 0) { val k = in.skip(left); require(k > 0); left -= k }
-      }
+      // range scan: a positioned Hadoop-FS open at the split start —
+      // CDX cuts sit on record/member boundaries, so the range is a
+      // self-contained WARC stream (on hdfs/s3a this is a ranged read,
+      // not a skip loop)
+      private val in = ArchiveFs.open(file, p.start)
       private val bounded: java.io.InputStream =
         if (p.end == Long.MaxValue) in
         else new WarcDataSource.BoundedInputStream(in, p.end - p.start)
@@ -349,7 +336,12 @@ final class WarcMicroBatchStream(path: String, required: StructType,
     manifestOnly: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   require(filesPerBatch >= 1, s"filesPerBatch must be >= 1: $filesPerBatch")
-  private var latest = 0L
+  // the last offset this stream ADVANCED to, with its remembered
+  // last-file name — latestOffset validates THIS against each fresh
+  // listing (not an offset derived from the listing itself, which
+  // would be tautological — r11 advice), so deletion of committed
+  // segment files fails loudly instead of silently shrinking `latest`
+  private var latestOff = WarcFilesOffset(0L, "")
 
   /** Segment list; an empty/missing dir is just "nothing yet".
     * Directory mode sorts by NAME (new segments must sort after
@@ -375,7 +367,8 @@ final class WarcMicroBatchStream(path: String, required: StructType,
     if (o.n > 0) {
       require(fs.length >= o.n && fs((o.n - 1).toInt) == o.last,
         s"WARC segment list mutated under the stream: offset ${o.n} expected " +
-          s"'${o.last}' at position ${o.n - 1}; a new segment must sort after " +
+          s"'${o.last}' at position ${o.n - 1} but the listing is " +
+          s"[${fs.mkString(", ")}]; a new segment must sort after " +
           "every ingested one")
     }
   }
@@ -387,9 +380,10 @@ final class WarcMicroBatchStream(path: String, required: StructType,
   override def latestOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val fs = current()
-    validate(fs, offsetAt(fs, math.min(latest, fs.length.toLong)))
-    latest = math.min(fs.length.toLong, latest + filesPerBatch)
-    offsetAt(fs, latest)
+    validate(fs, latestOff) // committed history must survive verbatim
+    val n = math.min(fs.length.toLong, latestOff.n + filesPerBatch)
+    latestOff = offsetAt(fs, n)
+    latestOff
   }
 
   override def deserializeOffset(json: String)
@@ -397,8 +391,9 @@ final class WarcMicroBatchStream(path: String, required: StructType,
     val i = json.indexOf('\t')
     require(i >= 0, s"malformed warc offset: '$json'")
     val n = json.substring(0, i).toLong
-    latest = math.max(latest, n)
-    WarcFilesOffset(n, json.substring(i + 1))
+    val o = WarcFilesOffset(n, json.substring(i + 1))
+    if (n > latestOff.n) latestOff = o // checkpoint restore seeds the cursor
+    o
   }
 
   override def commit(
@@ -418,7 +413,7 @@ final class WarcMicroBatchStream(path: String, required: StructType,
     fs.slice(s.n.toInt, e.n.toInt).flatMap { f =>
       WarcDataSource.cdxOffsets(f) match {
         case Some(offs) if offs.nonEmpty =>
-          val size = new java.io.File(f).length()
+          val size = ArchiveFs.length(f)
           ArrayOfCuts.build(offs, size, targetBytes)
             .map { case (a, b) => WarcInputPartition(f, a, b): InputPartition }
         case _ =>

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object WarcRandomAccess {
 
+  /** Shields the per-segment seekable stream from a nested reader's
+    * close — the stream is reused across that segment's records.
+    */
+  private final class NonClosingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    override def close(): Unit = ()
+  }
+
   final case class Fetched(
       record_id: String, warc_type: String, target_uri: String,
       warc_date: String, content_type: String, http_status: Option[Int],
@@ -67,7 +75,7 @@ object WarcRandomAccess {
       .as[(String, Long, Long)]
     ds.mapPartitions { it =>
       var file: String = null
-      var ch: java.nio.channels.FileChannel = null
+      var ch: org.apache.hadoop.fs.FSDataInputStream = null
       def closeCh(): Unit = {
         if (ch != null) { ch.close(); ch = null; file = null }
       }
@@ -83,12 +91,14 @@ object WarcRandomAccess {
           val (f, off, len) = it.next()
           if (f != file) {
             closeCh()
-            ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(f))
+            // Hadoop-FS open: one seekable stream per segment, seeks
+            // monotonic within the partition (sorted by offset above)
+            ch = ArchiveFs.open(f)
             file = f
           }
-          ch.position(off)
+          ch.seek(off)
           val bounded = new WarcDataSource.BoundedInputStream(
-            java.nio.channels.Channels.newInputStream(ch), len)
+            new NonClosingInputStream(ch), len)
           val rs = WarcIo.records(bounded, gzipped = f.endsWith(".gz"))
           require(rs.hasNext, s"no WARC record at $f:$off")
           val r = rs.next()

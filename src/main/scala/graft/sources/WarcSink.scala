@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   * or newlines would corrupt the sidecar; RFC 3986 URIs cannot.
   *
   * Commit protocol (same shape as [[ShardSink]]): task attempts write
-  * uuid-named temps under `path/_tmp/` (invisible to the reader's
+  * uuid-named temps under `path/_tmp/<gen>/` (invisible to the reader's
   * `listFiles`, which only scans the top level), the driver renames
   * winners to generation-unique `part-<gen>-NNNNN.warc.gz` (+ `.cdx`)
   * and then atomically swaps `_MANIFEST.json`. Readers going through
@@ -54,77 +54,84 @@ final class WarcWriteBuilder(path: String, schema: StructType, gzipped: Boolean)
 
 final case class WarcCommit(tmpName: String, records: Long) extends WriterCommitMessage
 
+/** All byte IO through [[ArchiveFs]] (Hadoop FileSystem), so the sink
+  * writes `file:`/`hdfs://`/`s3a://` destinations alike. Concurrency
+  * hardening (r11 advice): each write job owns a generation id minted
+  * driver-side at plan time; task temps live under `_tmp/<gen>/` (so
+  * a concurrent job's commit/abort can never delete this job's
+  * in-flight temps), and the manifest read-modify-write runs under an
+  * exclusive `_MANIFEST.lock` ([[ArchiveFs.withLock]]) so two
+  * concurrent appends to the same path serialize instead of last-
+  * writer-wins dropping entries.
+  */
 final class WarcBatchWrite(path: String, schema: StructType, gzipped: Boolean,
     truncate: Boolean) extends BatchWrite {
+  private val gen = java.util.UUID.randomUUID.toString.take(8)
+  private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(path, schema.json, gzipped)
+    new WarcWriterFactory(tmpDir, schema.json, gzipped)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
+    ArchiveFs.mkdirs(path)
     val committed = messages.collect { case WarcCommit(tmp, n) => (tmp, n) }
       .filter(_._2 > 0).sortBy(_._1)
     val ext = if (gzipped) ".warc.gz" else ".warc"
-    val gen = java.util.UUID.randomUUID.toString.take(8)
     val entries = committed.zipWithIndex.map { case ((tmp, n), i) =>
       val name = f"part-$gen-$i%05d$ext"
-      java.nio.file.Files.move(dir.resolve("_tmp").resolve(tmp),
-        dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.move(dir.resolve("_tmp").resolve(tmp + ".cdx"),
-        dir.resolve(name + ".cdx"), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp), ArchiveFs.child(path, name))
+      ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp + ".cdx"),
+        ArchiveFs.child(path, name + ".cdx"))
       (name, n)
     }
-    val manifestPath = dir.resolve("_MANIFEST.json")
+    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
     val entryRe = """\{"segment":"([^"]+)","records":(\d+)\}""".r
-    val prev: Seq[String] =
-      if (!truncate && java.nio.file.Files.exists(manifestPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(manifestPath), "UTF-8")
-        entryRe.findAllMatchIn(txt).map(_.matched).toSeq
-      } else Seq.empty
-    val manifest =
-      (prev ++ entries.map { case (n, r) => s"""{"segment":"$n","records":$r}""" })
-        .mkString("[", ",", "]")
-    val mTmp = dir.resolve(s"._MANIFEST.$gen.tmp")
-    java.nio.file.Files.write(mTmp, manifest.getBytes("UTF-8"))
-    java.nio.file.Files.move(mTmp, manifestPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
+      val prev: Seq[String] =
+        if (!truncate && ArchiveFs.exists(manifestPath))
+          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
+            .map(_.matched).toSeq
+        else Seq.empty
+      val manifest =
+        (prev ++ entries.map { case (n, r) => s"""{"segment":"$n","records":$r}""" })
+          .mkString("[", ",", "]")
+      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
+      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
+      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+    }
     if (truncate) {
       val keep = entries.map(_._1).toSet
-      val ls = java.nio.file.Files.list(dir)
-      try ls.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
+      ArchiveFs.list(path).foreach { p =>
+        val n = ArchiveFs.name(p)
         val base = n.stripSuffix(".cdx")
         if (n.startsWith("part-") && (base.endsWith(".warc") || base.endsWith(".warc.gz"))
             && !keep(base))
-          java.nio.file.Files.deleteIfExists(p)
-      } finally ls.close()
+          ArchiveFs.delete(p)
+      }
     }
     deleteTmp()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTmp()
 
+  // only THIS job's generation dir — a concurrent writer's temps survive;
+  // the shared _tmp parent goes only once it is empty
   private def deleteTmp(): Unit = {
-    val tmp = java.nio.file.Paths.get(path, "_tmp")
-    if (java.nio.file.Files.exists(tmp)) {
-      val ls = java.nio.file.Files.list(tmp)
-      try ls.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally ls.close()
-      java.nio.file.Files.deleteIfExists(tmp)
-    }
+    ArchiveFs.delete(tmpDir, recursive = true)
+    ArchiveFs.deleteIfEmptyDir(ArchiveFs.child(path, "_tmp"))
   }
 }
 
-final class WarcWriterFactory(path: String, schemaJson: String, gzipped: Boolean)
+final class WarcWriterFactory(tmpDir: String, schemaJson: String, gzipped: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcWriter(path, schemaJson, gzipped)
+    new WarcWriter(tmpDir, schemaJson, gzipped)
 }
 
-/** One temp segment + CDX sidecar per task attempt. */
-final class WarcWriter(path: String, schemaJson: String, gzipped: Boolean)
+/** One temp segment + CDX sidecar per task attempt, under the write
+  * job's own `_tmp/<gen>/` namespace.
+  */
+final class WarcWriter(tmpDirPath: String, schemaJson: String, gzipped: Boolean)
     extends DataWriter[InternalRow] {
   private val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
     .asInstanceOf[StructType]
@@ -140,10 +147,9 @@ final class WarcWriter(path: String, schemaJson: String, gzipped: Boolean)
 
   private val tmpName = java.util.UUID.randomUUID.toString +
     (if (gzipped) ".warc.gz" else ".warc")
-  private val tmpDir = java.nio.file.Paths.get(path, "_tmp")
-  java.nio.file.Files.createDirectories(tmpDir)
+  ArchiveFs.mkdirs(tmpDirPath)
   private val out = new WarcIo.CountingOutputStream(new java.io.BufferedOutputStream(
-    java.nio.file.Files.newOutputStream(tmpDir.resolve(tmpName)), 1 << 16))
+    ArchiveFs.create(ArchiveFs.child(tmpDirPath, tmpName)), 1 << 16))
   private val cdx = new java.lang.StringBuilder("#graft-cdx offset\tlength\turi\n")
   private var records = 0L
 
@@ -157,8 +163,13 @@ final class WarcWriter(path: String, schemaJson: String, gzipped: Boolean)
       if (!row.isNullAt(oStatus)) {
         require(ct.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"),
           s"warc sink: http_status set but content_type is not application/http: $ct")
+        val code = row.getInt(oStatus)
         val sb = new StringBuilder(128)
-        sb.append("HTTP/1.1 ").append(row.getInt(oStatus)).append(" OK\r\n")
+        // standard reason phrase per code; unknown codes get an empty
+        // reason ("HTTP/1.1 599 " — legal per RFC 7230 §3.1.2), never
+        // a wrong one like "404 OK" (r11 advice)
+        sb.append("HTTP/1.1 ").append(code).append(' ')
+          .append(WarcWriter.reasonPhrase(code)).append("\r\n")
         if (!row.isNullAt(oHct))
           sb.append("Content-Type: ").append(row.getUTF8String(oHct)).append("\r\n")
         sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
@@ -185,16 +196,45 @@ final class WarcWriter(path: String, schemaJson: String, gzipped: Boolean)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    java.nio.file.Files.write(tmpDir.resolve(tmpName + ".cdx"),
+    ArchiveFs.writeBytes(ArchiveFs.child(tmpDirPath, tmpName + ".cdx"),
       cdx.toString.getBytes("UTF-8"))
     WarcCommit(tmpName, records)
   }
 
   override def abort(): Unit = {
     out.close()
-    java.nio.file.Files.deleteIfExists(tmpDir.resolve(tmpName))
-    java.nio.file.Files.deleteIfExists(tmpDir.resolve(tmpName + ".cdx"))
+    ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName))
+    ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName + ".cdx"))
   }
 
   override def close(): Unit = ()
+}
+
+object WarcWriter {
+  /** RFC 9110 reason phrases for the codes a crawl corpus actually
+    * carries; anything else writes an empty reason.
+    */
+  def reasonPhrase(code: Int): String = code match {
+    case 200 => "OK"
+    case 201 => "Created"
+    case 204 => "No Content"
+    case 206 => "Partial Content"
+    case 301 => "Moved Permanently"
+    case 302 => "Found"
+    case 303 => "See Other"
+    case 304 => "Not Modified"
+    case 307 => "Temporary Redirect"
+    case 308 => "Permanent Redirect"
+    case 400 => "Bad Request"
+    case 401 => "Unauthorized"
+    case 403 => "Forbidden"
+    case 404 => "Not Found"
+    case 410 => "Gone"
+    case 429 => "Too Many Requests"
+    case 500 => "Internal Server Error"
+    case 502 => "Bad Gateway"
+    case 503 => "Service Unavailable"
+    case 504 => "Gateway Timeout"
+    case _   => ""
+  }
 }
