@@ -51,8 +51,11 @@ object Frontier {
       .orderBy(col("__score").desc, col("__id").asc)
     val ranked = slim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= lit(maxPerHost))
-    val d = delays.select(col(hostCol).as("__host"),
-      col("crawl_delay_s").cast("long").as("__delay"))
+    // defensive per-host uniqueness: duplicate (host, delay) rows in
+    // the caller's delays frame must not fan out scheduled fetches
+    // (r11 advice) — min() keeps the strictest published delay
+    val d = delays.groupBy(col(hostCol).as("__host"))
+      .agg(min(col("crawl_delay_s").cast("long")).as("__delay"))
     ranked.join(d, Seq("__host"), "left")
       .select(col("__id").as(idCol), col("__host").as(hostCol),
         col("rank").cast("long").as("rank"),

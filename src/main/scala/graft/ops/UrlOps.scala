@@ -240,8 +240,12 @@ object UrlOps {
         trim(regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1)).as("loc"),
         nullif(trim(regexp_extract(b, "(?is)<lastmod>(.*?)</lastmod>", 1)),
           lit("")).as("lastmod"),
+        // try_cast, not cast: a malformed <priority> ("high", "1,0")
+        // in real-world sitemap XML must surface as a null ppm, not an
+        // ANSI runtime error that fails the whole job (r11 advice) —
+        // the same honest-null handling lastmod and empty values get
         (nullif(trim(regexp_extract(b, "(?is)<priority>(.*?)</priority>", 1)),
-          lit("")).cast("decimal(8,6)") * 1000000)
+          lit("")).try_cast("decimal(8,6)") * 1000000)
           .cast("long").as("priority_ppm")))
   }
 }

@@ -63,4 +63,15 @@ class FrontierSpec extends AnyFunSuite {
       .orderBy("rank").select("id").as[Long].collect().toSeq
     assert(got == Seq(3L, 1L, 2L))
   }
+
+  test("duplicate delay rows never fan out the schedule (min delay wins)") {
+    val cand = Seq((1L, "h", 5.0), (2L, "h", 4.0)).toDF("id", "host", "score")
+    // the API must enforce per-host uniqueness itself (r11 advice) —
+    // callers are not required to pre-distinct
+    val delays = Seq(("h", 7L), ("h", 7L), ("h", 3L)).toDF("host", "crawl_delay_s")
+    val rows = Frontier.schedule(cand, "id", "host", "score", delays, 5)
+      .orderBy("rank").select("id", "fetch_at_s").as[(Long, Long)]
+      .collect().toSeq
+    assert(rows == Seq((1L, 0L), (2L, 3L)), rows) // 2 rows, strictest delay
+  }
 }

@@ -234,6 +234,12 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(parse(xml) == Seq(
       ("https://a.example.com/1", "2026-05-01", 550000L),
       ("https://a.example.com/2", null, null)))
+    // malformed priority ("high", "1,0") is honest-null, never an ANSI
+    // runtime error killing the job (r11 advice: try_cast, not cast)
+    val bad = "<urlset><url><loc>https://x/a</loc><priority>high</priority>" +
+      "</url><url><loc>https://x/b</loc><priority>1,0</priority></url></urlset>"
+    assert(parse(bad) == Seq(
+      ("https://x/a", null, null), ("https://x/b", null, null)))
     // non-greedy blocks: entries never merge across </url><url> seams
     val two = "<urlset><url><loc>https://x/1</loc></url>" +
       "<url><loc>https://x/2</loc></url></urlset>"
