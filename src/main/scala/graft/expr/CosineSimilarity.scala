@@ -214,6 +214,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("decode_charset"),
+      new ExpressionInfo(classOf[DecodeCharset].getName, "decode_charset"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"decode_charset(payload, charset) takes 2 arguments, got ${children.length}")
+        DecodeCharset(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
       (children: Seq[Expression]) => {

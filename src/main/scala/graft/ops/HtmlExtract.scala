@@ -152,6 +152,20 @@ object HtmlExtract {
       .otherwise(lit("utf-8"))
   }
 
+  /** The sniff verdict APPLIED: payload bytes to text through
+    * [[sniffCharset]] + [[graft.expr.DecodeCharset]] — the
+    * sniff-decode-extract chain a faithful crawl pipeline runs, so a
+    * windows-1252 or UTF-16 page extracts real text (and real dedup
+    * fingerprints) instead of the mojibake an implicit UTF-8 cast
+    * produces. Pure scan-side expressions, one pass over the bytes.
+    */
+  def decodePayload(payload: Column, httpContentType: Column): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.column(graft.expr.DecodeCharset(
+      PlanBridge.expression(payload),
+      PlanBridge.expression(sniffCharset(payload, httpContentType))))
+  }
+
   def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol),

@@ -4951,8 +4951,12 @@ object PipelineQueries {
       val pages = s.read.format("warc")
         .option("cdxTargetBytes", "16384").load(dir)
         .filter(col("warc_type") === "response")
+        // sniff -> decode -> extract (r12): byte-identical to the old
+        // implicit UTF-8 cast on this UTF-8 fixture, but the chain now
+        // transcodes honestly when a page is not UTF-8 (q166 pins that)
         .select(col("target_uri").as("url"), col("http_status"),
-          col("payload").cast("string").as("html"))
+          graft.ops.HtmlExtract.decodePayload(col("payload"),
+            col("http_content_type")).as("html"))
       val text = graft.ops.HtmlExtract.extractText(col("html"))
       val nTok = length(col("text")) -
         length(regexp_replace(col("text"), " ", "")) + 1
@@ -5353,7 +5357,8 @@ object PipelineQueries {
       val pages = s.read.format("warc").load(src)
         .filter(col("warc_type") === "response" && col("http_status") === 200)
         .select(col("record_id"), col("target_uri"), col("warc_date"),
-          col("payload").cast("string").as("html"))
+          graft.ops.HtmlExtract.decodePayload(col("payload"),
+            col("http_content_type")).as("html"))
       pages.select(
           concat(lit("urn:wet:"), col("record_id")).as("record_id"),
           lit("conversion").as("warc_type"),
@@ -5943,10 +5948,70 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** The sniff verdict CONSUMED (r11 verdict ask #2): planted
+    * non-UTF-8 pages — transport-declared windows-1252 (with bytes
+    * from the 0x80-0x9F index), BOM'd UTF-16LE and UTF-16BE, and a
+    * meta-declared iso-8859-1 (the WHATWG alias of cp1252) — run the
+    * full sniff -> decode_charset -> extractText chain, and the
+    * extracted TEXT (not just the label) must match the analytic
+    * decode. An implicit UTF-8 cast (the pre-r12 behavior) produces
+    * mojibake on every branch here; only a real transcoder matches.
+    */
+  val q166_charset_decode = QueryDef(
+    "q166_charset_decode",
+    (s, d) => {
+      val did = col("doc_id")
+      val kind = pmod(did, lit(4L))
+      def asc(t: String) = lit(t).cast("binary")
+      val idStr = did.cast("string")
+      // 0x93 w<id> 0x94 0xE9 inside <p> — cp1252 smart quotes + e-acute
+      val cp1252Body = concat(asc("<p>"),
+        lit(Array(0x93.toByte)), asc("w"), idStr.cast("binary"),
+        lit(Array(0x94.toByte, 0xE9.toByte)), asc("</p>"))
+      val le = concat(lit(Array(0xFF.toByte, 0xFE.toByte)),
+        encode(concat(lit("<p>u"), idStr, lit("é</p>")), "UTF-16LE"))
+      val be = concat(lit(Array(0xFE.toByte, 0xFF.toByte)),
+        encode(concat(lit("<p>b"), idStr, lit("é</p>")), "UTF-16BE"))
+      // meta-declared latin1 label, body carries 0xF1 (n-tilde) and
+      // 0x96 (cp1252 en dash — the byte that PROVES the WHATWG alias:
+      // a literal iso-8859-1 table would emit a C1 control here)
+      val metaBody = concat(
+        asc("<html><head><meta charset=\"iso-8859-1\"></head><body>m"),
+        idStr.cast("binary"), lit(Array(0xF1.toByte, 0x96.toByte)),
+        asc("</body></html>"))
+      val payload = when(kind === 0, cp1252Body)
+        .when(kind === 1, le)
+        .when(kind === 2, be)
+        .otherwise(metaBody)
+      val hct = when(kind === 0, lit("text/html; charset=windows-1252"))
+        .otherwise(lit(null).cast("string"))
+      docs(s, d).select(did,
+          graft.ops.HtmlExtract.sniffCharset(payload, hct).as("charset"),
+          graft.ops.HtmlExtract.decodePayload(payload, hct).as("html"))
+        .select(did, col("charset"),
+          graft.ops.HtmlExtract.extractText(col("html")).as("text"))
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'windows-1252'
+          WHEN 1 THEN 'utf-16le'
+          WHEN 2 THEN 'utf-16be'
+          ELSE 'iso-8859-1' END AS charset,
+        CASE doc_id % 4
+          WHEN 0 THEN chr(8220) || 'w' || CAST(doc_id AS VARCHAR) ||
+            chr(8221) || chr(233)
+          WHEN 1 THEN 'u' || CAST(doc_id AS VARCHAR) || chr(233)
+          WHEN 2 THEN 'b' || CAST(doc_id AS VARCHAR) || chr(233)
+          ELSE 'm' || CAST(doc_id AS VARCHAR) || chr(241) || chr(8211)
+          END AS text
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
+    q166_charset_decode,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
