@@ -26,103 +26,34 @@ object Tar {
 
   // ------------------------------------------------------------- builder
 
-  private def octal(v: Long, width: Int): Array[Byte] = {
-    val s = java.lang.Long.toOctalString(v)
-    val padded = ("0" * (width - 1 - s.length)) + s
-    (padded + "\u0000").getBytes("US-ASCII")
-  }
-
-  /** One ustar header block for `name`/`size` (regular file). */
-  private def header(name: String, size: Long): Array[Byte] = {
-    val b = new Array[Byte](512)
-    val nb = name.getBytes("US-ASCII")
-    require(nb.length <= 100, s"tar name too long: $name")
-    System.arraycopy(nb, 0, b, 0, nb.length)
-    System.arraycopy(octal(420, 8), 0, b, 100, 8) // mode 0644
-    System.arraycopy(octal(0, 8), 0, b, 108, 8) // uid
-    System.arraycopy(octal(0, 8), 0, b, 116, 8) // gid
-    System.arraycopy(octal(size, 12), 0, b, 124, 12)
-    System.arraycopy(octal(0, 12), 0, b, 136, 12) // mtime
-    java.util.Arrays.fill(b, 148, 156, ' '.toByte) // chksum as spaces
-    b(156) = '0' // typeflag: regular file
-    System.arraycopy(("ustar\u0000" + "00").getBytes("US-ASCII"), 0, b, 257, 8)
-    var sum = 0L
-    var i = 0
-    while (i < 512) { sum += b(i) & 0xff; i += 1 }
-    val cs = java.lang.Long.toOctalString(sum)
-    val csPad = ("0" * (6 - cs.length)) + cs
-    System.arraycopy((csPad + "\u0000 ").getBytes("US-ASCII"), 0, b, 148, 8)
-    b
-  }
-
-  /** A complete ustar archive of regular-file members. */
+  /** A complete ustar archive of regular-file members — the fixture
+    * face of [[graft.sources.TarIo.writeMember]] (one writer, one
+    * byte grammar): names over the 100-byte ustar field emit a GNU
+    * `L` long-name member, so fixtures can exercise the long-key
+    * round-trip the WebDataset convention needs.
+    */
   def build(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     entries.foreach { case (name, payload) =>
-      out.write(header(name, payload.length.toLong))
-      out.write(payload)
-      val pad = (512 - payload.length % 512) % 512
-      (0 until pad).foreach(_ => out.write(0))
+      graft.sources.TarIo.writeMember(out, name, payload)
     }
-    out.write(new Array[Byte](1024)) // two terminating zero blocks
+    graft.sources.TarIo.writeTrailer(out)
     out.toByteArray
   }
 
   // ------------------------------------------------------------- parser
 
-  private def parseOctal(b: Array[Byte], off: Int, len: Int, at: Int): Long = {
-    var i = off
-    val end = off + len
-    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
-    var v = 0L
-    var any = false
-    while (i < end && b(i) >= '0' && b(i) <= '7') {
-      v = v * 8 + (b(i) - '0'); i += 1; any = true
-    }
-    require(any, s"tar: unparsable octal field at offset $at")
-    v
-  }
-
-  /** All regular-file members. Non-file member types (directories,
-    * links, pax extension headers) are skipped by their declared size
-    * — the walk stays aligned either way.
+  /** All regular-file members of an in-memory archive — the fixture
+    * face of the STREAMING framer ([[graft.sources.TarIo.members]]),
+    * so both share one grammar: checksums verified, pax `x` and GNU
+    * `L` long-name members applied to the following entry (r11
+    * What's wrong #5 — a >100-char WebDataset key keeps its real
+    * name), global pax headers and framing damage fail loudly with
+    * the offset.
     */
-  def entries(bytes: Array[Byte]): Seq[Entry] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
-    var o = 0
-    var done = false
-    while (!done) {
-      require(o + 512 <= bytes.length, s"tar: truncated header at offset $o")
-      if (bytes(o) == 0) { done = true } // zero block terminates
-      else {
-        var sum = 0L
-        var i = 0
-        while (i < 512) {
-          sum += (if (i >= 148 && i < 156) ' '.toLong
-                  else (bytes(o + i) & 0xff).toLong)
-          i += 1
-        }
-        val declared = parseOctal(bytes, o + 148, 8, o + 148)
-        require(sum == declared,
-          s"tar: header checksum mismatch at offset $o ($sum != $declared)")
-        var n = 0
-        while (n < 100 && bytes(o + n) != 0) n += 1
-        val name = new String(bytes, o, n, "US-ASCII")
-        val size = parseOctal(bytes, o + 124, 12, o + 124)
-        val typeflag = bytes(o + 156)
-        val dataStart = o + 512
-        require(dataStart + size <= bytes.length,
-          s"tar: member '$name' overruns the archive at offset $o")
-        if (typeflag == '0' || typeflag == 0) {
-          out += Entry(name, size,
-            java.util.Arrays.copyOfRange(bytes, dataStart,
-              (dataStart + size).toInt))
-        }
-        o = dataStart + ((size + 511) / 512 * 512).toInt
-      }
-    }
-    out.toSeq
-  }
+  def entries(bytes: Array[Byte]): Seq[Entry] =
+    graft.sources.TarIo.members(new java.io.ByteArrayInputStream(bytes))
+      .map(m => Entry(m.name, m.size, m.payload)).toSeq
 
   // ----------------------------------------------------------- DataFrame
 

@@ -5919,7 +5919,12 @@ object PipelineQueries {
             if (i % 2 == 0)
               base :+ ((s"sh/s$i.cls", s"c${(id + i) % 10}".getBytes("UTF-8")))
             else base
-          }
+          } ++ Seq(
+            // a >100-char sample key: forces a GNU L long-name member
+            // through the builder and the framer's override handling
+            // (r11 What's wrong #5) — a truncating reader emits a
+            // 100-char key here and breaks the hash
+            (s"sh/${"L" * 110}$id.txt", s"L$id".getBytes("UTF-8")))
           Row(id, graft.ops.Tar.build(members))
         }
       }
@@ -5945,7 +5950,13 @@ object PipelineQueries {
       SELECT doc_id, 's' || CAST(i AS VARCHAR) AS key, ext,
         CAST(strlen(payload) AS BIGINT) AS size,
         md5(payload) AS payload_md5
-      FROM m"""),
+      FROM m
+      UNION ALL
+      SELECT doc_id, repeat('L', 110) || CAST(doc_id AS VARCHAR) AS key,
+        'txt' AS ext,
+        CAST(strlen('L' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS size,
+        md5('L' || CAST(doc_id AS VARCHAR)) AS payload_md5
+      FROM documents"""),
   )
 
   /** The sniff verdict CONSUMED (r11 verdict ask #2): planted
@@ -6007,11 +6018,70 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** WebDataset packing round-trip (r11 verdict asks #3 + #4): sample
+    * rows from `documents` go through the `wds` SINK (Spark plans the
+    * clustered+sorted-by-key shuffle the sink's
+    * RequiresDistributionAndOrdering declares; shards roll at sample
+    * boundaries under a small byte target so rolling actually
+    * happens) into real tar shard FILES, then back through the `wds`
+    * SOURCE's streaming framer — one row per member, bounded task
+    * memory, never a whole-shard binary row. Output pins member
+    * identity (key/ext/size/md5) AND the two invariants: shard_spread
+    * = 1 per key (sample contiguity across rolls) and a >100-char key
+    * that only survives a GNU-L-capable writer+reader pair.
+    */
+  val q167_wds_roundtrip = QueryDef(
+    "q167_wds_roundtrip",
+    (s, d) => {
+      val outDir = java.nio.file.Files.createTempDirectory("wds_rt").toString
+      val did = col("doc_id")
+      val longKey = concat(lit("K" * 110), did.cast("string"))
+      val key = when(pmod(did, lit(5L)) === 0, longKey)
+        .otherwise(concat(lit("s"), lpad(did.cast("string"), 8, "0")))
+      val base = docs(s, d).select(did, key.as("key"))
+      val rows = base.select(col("key"), lit("txt").as("ext"),
+          concat(lit("t"), did.cast("string")).cast("binary").as("payload"))
+        .unionAll(base.select(col("key"), lit("json").as("ext"),
+          concat(lit("{\"d\":"), did.cast("string"), lit("}"))
+            .cast("binary").as("payload")))
+        .unionAll(base.filter(pmod(did, lit(3L)) === 0)
+          .select(col("key"), lit("cls").as("ext"),
+            concat(lit("c"), pmod(did, lit(7L)).cast("string"))
+              .cast("binary").as("payload")))
+      rows.write.format("wds").mode("overwrite")
+        .option("path", outDir).option("targetShardBytes", "65536").save()
+      val back = s.read.format("wds")
+        .option("manifestOnly", "true").load(outDir)
+      val spread = back.groupBy("key")
+        .agg(countDistinct(col("shard")).as("shard_spread"))
+      back.join(spread, Seq("key"))
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"), col("shard_spread"))
+    },
+    Some("""WITH k AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+            THEN repeat('K', 110) || CAST(doc_id AS VARCHAR)
+            ELSE 's' || lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS key
+        FROM documents),
+      m AS (
+        SELECT key, 'txt' AS ext, 't' || CAST(doc_id AS VARCHAR) AS payload
+        FROM k
+        UNION ALL
+        SELECT key, 'json', '{"d":' || CAST(doc_id AS VARCHAR) || '}' FROM k
+        UNION ALL
+        SELECT key, 'cls', 'c' || CAST(doc_id % 7 AS VARCHAR)
+        FROM k WHERE doc_id % 3 = 0)
+      SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
-    q166_charset_decode,
+    q166_charset_decode, q167_wds_roundtrip,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability,
+  TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField,
+  StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for WebDataset tar shards:
+  *
+  * {{{
+  * spark.read.format("wds").load("/corpus/shards")  // dir or one .tar
+  * }}}
+  *
+  * Schema: (shard, name, key, ext, size, payload) — one row per
+  * regular-file member, with the WebDataset sample split (key =
+  * basename before the first dot, ext = the rest) precomputed so the
+  * canonical `groupBy(shard, key)` sample assembly is a plain
+  * aggregation. This replaces the whole-shard-as-one-binary-row seam
+  * (r11 What's wrong #3): members stream out of a bounded
+  * [[TarIo]] walk one at a time, so task memory is one member — a
+  * 1 GB shard costs a 1 GB READ, not a 1 GB row plus copies, and the
+  * 2 GB row ceiling is out of the picture.
+  *
+  * Scale shape: one input partition per shard FILE (tar has no
+  * member index to split on; WebDataset corpora are shipped as many
+  * ~100 MB-1 GB shards precisely so file granularity is the
+  * parallelism unit — same contract as gzip WARC without CDX).
+  * `.tar.gz` shards stream through a gzip wrapper.
+  *
+  * Pushdown: required-column pruning skips payload materialization
+  * (members are SKIPPED by size, never allocated); `ext = '...'` /
+  * `ext IN (...)` filters are consumed at the framer against the
+  * EFFECTIVE member name (pax/GNU long names included), so a
+  * text-only pass over an image-heavy corpus never allocates the
+  * image bytes.
+  *
+  * Streaming: MICRO_BATCH via [[FileListMicroBatchStream]] — shards
+  * land in a directory (or the sink's manifest) and are ingested
+  * incrementally, at most `filesPerBatch` per trigger.
+  */
+final class TarDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "wds"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarDataSource.Schema
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null,
+      "wds source requires a path: spark.read.format(\"wds\").load(dir)")
+    new TarTable(path, schema)
+  }
+}
+
+object TarDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard", StringType),
+    StructField("name", StringType),
+    StructField("key", StringType),
+    StructField("ext", StringType),
+    StructField("size", LongType),
+    StructField("payload", BinaryType)))
+
+  /** WebDataset sample split of a member name — same convention as
+    * [[graft.ops.Tar.sampleKey]]/`sampleExt` (basename, first dot).
+    */
+  def splitKeyExt(name: String): (String, String) = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val dot = base.indexOf('.')
+    if (dot == 0) ("", base.substring(1))
+    else if (dot < 0) (base, "")
+    else (base.substring(0, dot), base.substring(dot + 1))
+  }
+
+  def isShard(n: String): Boolean = n.endsWith(".tar") || n.endsWith(".tar.gz")
+
+  /** Shard files under `path` (or `path` itself), name-sorted. */
+  def listFiles(path: String): Seq[String] = {
+    val out =
+      if (ArchiveFs.isDirectory(path))
+        ArchiveFs.list(path).filter(f => isShard(ArchiveFs.name(f))).toVector
+      else Vector(path)
+    require(out.nonEmpty, s"no .tar / .tar.gz shards under $path")
+    out.sorted
+  }
+
+  /** Shards named by `_MANIFEST.json` ([[WdsBatchWrite]]'s atomic
+    * publish point), in manifest = append order.
+    */
+  def manifestFiles(path: String): Seq[String] = {
+    val m = ArchiveFs.child(path, "_MANIFEST.json")
+    require(ArchiveFs.exists(m),
+      s"manifest read requested but no _MANIFEST.json under $path")
+    """"shard":"([^"]+)"""".r.findAllMatchIn(ArchiveFs.readString(m))
+      .map(mm => ArchiveFs.child(path, mm.group(1))).toVector
+  }
+}
+
+final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"wds($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fpb = Option(options.get("filesPerBatch")).map(_.toInt).getOrElse(1)
+    val manifest = Option(options.get("manifestOnly")).exists(_.toBoolean)
+    new TarScanBuilder(path, fpb, manifest)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val target = Option(info.options.get("targetShardBytes")).map(_.toLong)
+      .getOrElse(WdsBatchWrite.DefaultTargetShardBytes)
+    new WdsWriteBuilder(path, info.schema(), target)
+  }
+}
+
+final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boolean)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = TarDataSource.Schema
+  private var extFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("ext", v: String) =>
+        extFilter = Some(extFilter.getOrElse(Set.empty[String]) + v); true
+      case In("ext", vs) if vs.forall(_.isInstanceOf[String]) =>
+        extFilter = Some(extFilter.getOrElse(Set.empty[String]) ++
+          vs.map(_.asInstanceOf[String])); true
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new TarScan(path, required, extFilter, filesPerBatch, manifestOnly)
+}
+
+final case class TarInputPartition(file: String) extends InputPartition
+
+final class TarScan(path: String, required: StructType,
+    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TarScan($path, cols=${required.fieldNames.mkString(",")}" +
+      extFilter.map(e => s", ext in {${e.mkString(",")}}").getOrElse("") + ")"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (if (manifestOnly) TarDataSource.manifestFiles(path)
+     else TarDataSource.listFiles(path))
+      .map(f => TarInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory(required, extFilter)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TarMicroBatchStream(path, required, extFilter, filesPerBatch, manifestOnly)
+}
+
+final class TarMicroBatchStream(path: String, required: StructType,
+    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean)
+    extends FileListMicroBatchStream(filesPerBatch) {
+  override protected def current(): Vector[String] =
+    if (manifestOnly)
+      try TarDataSource.manifestFiles(path).toVector
+      catch { case _: IllegalArgumentException => Vector.empty }
+    else
+      try TarDataSource.listFiles(path).toVector
+      catch { case _: IllegalArgumentException => Vector.empty }
+
+  override protected def partitionsFor(f: String): Seq[InputPartition] =
+    Seq(TarInputPartition(f))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory(required, extFilter)
+}
+
+final class TarReaderFactory(required: StructType, extFilter: Option[Set[String]])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TarInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val raw = ArchiveFs.open(file)
+      private val in: java.io.InputStream =
+        if (file.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(raw, 1 << 16)
+        else new java.io.BufferedInputStream(raw, 1 << 16)
+      private val wantPayload = required.fieldNames.contains("payload")
+      private val keep: String => Boolean = extFilter match {
+        case Some(exts) => n => exts.contains(TarDataSource.splitKeyExt(n)._2)
+        case None       => _ => true
+      }
+      private val it = TarIo.members(in, wantPayload, keep)
+      private val fields = required.fieldNames
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val m = it.next()
+          val (key, ext) = TarDataSource.splitKeyExt(m.name)
+          val values = new Array[Any](fields.length)
+          var k = 0
+          while (k < fields.length) {
+            values(k) = fields(k) match {
+              case "shard"   => UTF8String.fromString(file)
+              case "name"    => UTF8String.fromString(m.name)
+              case "key"     => UTF8String.fromString(key)
+              case "ext"     => UTF8String.fromString(ext)
+              case "size"    => m.size
+              case "payload" => m.payload
+            }
+            k += 1
+          }
+          current = InternalRow.fromSeq(values.toSeq)
+          true
+        } else false
+
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -309,47 +309,24 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String])
   }
 }
 
-/** Streaming offset: the count of ingested segment files plus the
-  * name of the last one — the name pins the prefix, so a mutation of
-  * already-committed history (a late file sorting into the ingested
-  * range) is DETECTED and fails loudly instead of silently skewing
-  * which files replay after a restart.
-  */
-final case class WarcFilesOffset(n: Long, last: String)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"$n\t$last"
-}
-
 /** Micro-batch WARC ingestion: the crawl-loop shape where segment
   * files land in a directory as the crawler rolls them, and the
   * pipeline (extract -> gate -> dedup index) consumes them
-  * incrementally. Offsets are positions in the SORTED file list —
-  * exact, checkpoint-resumable, timing-independent — advancing at most
-  * `filesPerBatch` files per trigger. The archive convention this
-  * relies on (and validates): segments are immutable once published
-  * and new names sort after old ones (crawlers stamp monotonic names).
-  * Each batch's partitions reuse the batch scan's CDX-cut planning, so
-  * intra-file parallelism survives streaming.
+  * incrementally. Offset/validation machinery lives in
+  * [[FileListMicroBatchStream]] (shared with the `wds` tar source);
+  * this class supplies the segment listing — directory mode sorts by
+  * NAME (new segments must sort after ingested ones), manifest mode
+  * uses APPEND order so generation names are free to sort anywhere —
+  * and the per-file CDX-cut planning, so intra-file parallelism
+  * survives streaming.
   */
 final class WarcMicroBatchStream(path: String, required: StructType,
     typeFilter: Option[String], targetBytes: Long, filesPerBatch: Int,
     manifestOnly: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  require(filesPerBatch >= 1, s"filesPerBatch must be >= 1: $filesPerBatch")
-  // the last offset this stream ADVANCED to, with its remembered
-  // last-file name — latestOffset validates THIS against each fresh
-  // listing (not an offset derived from the listing itself, which
-  // would be tautological — r11 advice), so deletion of committed
-  // segment files fails loudly instead of silently shrinking `latest`
-  private var latestOff = WarcFilesOffset(0L, "")
+    extends FileListMicroBatchStream(filesPerBatch) {
 
-  /** Segment list; an empty/missing dir is just "nothing yet".
-    * Directory mode sorts by NAME (new segments must sort after
-    * ingested ones); manifest mode uses APPEND order, so generation
-    * names are free to sort anywhere — the prefix is stable because
-    * the sink only ever appends manifest entries.
-    */
-  private def current(): Vector[String] =
+  /** Segment list; an empty/missing dir is just "nothing yet". */
+  override protected def current(): Vector[String] =
     if (manifestOnly)
       try WarcDataSource.manifestFiles(path).toVector
       catch { case _: IllegalArgumentException => Vector.empty }
@@ -357,70 +334,15 @@ final class WarcMicroBatchStream(path: String, required: StructType,
       try WarcDataSource.listFiles(path).toVector
       catch { case _: IllegalArgumentException => Vector.empty }
 
-  private def offsetAt(fs: Vector[String], n: Long): WarcFilesOffset =
-    WarcFilesOffset(n, if (n == 0) "" else fs((n - 1).toInt))
-
-  /** The committed-prefix check: the file at index n-1 must still be
-    * the one the offset named.
-    */
-  private def validate(fs: Vector[String], o: WarcFilesOffset): Unit = {
-    if (o.n > 0) {
-      require(fs.length >= o.n && fs((o.n - 1).toInt) == o.last,
-        s"WARC segment list mutated under the stream: offset ${o.n} expected " +
-          s"'${o.last}' at position ${o.n - 1} but the listing is " +
-          s"[${fs.mkString(", ")}]; a new segment must sort after " +
-          "every ingested one")
+  override protected def partitionsFor(f: String): Seq[InputPartition] =
+    WarcDataSource.cdxOffsets(f) match {
+      case Some(offs) if offs.nonEmpty =>
+        val size = ArchiveFs.length(f)
+        ArrayOfCuts.build(offs, size, targetBytes)
+          .map { case (a, b) => WarcInputPartition(f, a, b): InputPartition }
+      case _ =>
+        Seq(WarcInputPartition(f, 0L, Long.MaxValue): InputPartition)
     }
-  }
-
-  override def initialOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    WarcFilesOffset(0L, "")
-
-  override def latestOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val fs = current()
-    validate(fs, latestOff) // committed history must survive verbatim
-    val n = math.min(fs.length.toLong, latestOff.n + filesPerBatch)
-    latestOff = offsetAt(fs, n)
-    latestOff
-  }
-
-  override def deserializeOffset(json: String)
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val i = json.indexOf('\t')
-    require(i >= 0, s"malformed warc offset: '$json'")
-    val n = json.substring(0, i).toLong
-    val o = WarcFilesOffset(n, json.substring(i + 1))
-    if (n > latestOff.n) latestOff = o // checkpoint restore seeds the cursor
-    o
-  }
-
-  override def commit(
-      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(
-      start: org.apache.spark.sql.connector.read.streaming.Offset,
-      end: org.apache.spark.sql.connector.read.streaming.Offset)
-      : Array[InputPartition] = {
-    val s = start.asInstanceOf[WarcFilesOffset]
-    val e = end.asInstanceOf[WarcFilesOffset]
-    if (e.n <= s.n) return Array.empty
-    val fs = current()
-    validate(fs, s)
-    validate(fs, e)
-    fs.slice(s.n.toInt, e.n.toInt).flatMap { f =>
-      WarcDataSource.cdxOffsets(f) match {
-        case Some(offs) if offs.nonEmpty =>
-          val size = ArchiveFs.length(f)
-          ArrayOfCuts.build(offs, size, targetBytes)
-            .map { case (a, b) => WarcInputPartition(f, a, b): InputPartition }
-        case _ =>
-          Seq(WarcInputPartition(f, 0L, Long.MaxValue): InputPartition)
-      }
-    }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter)

@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
+  PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+
+/** WRITE half of the `wds` connector: re-sharding/packing curation
+  * output back into WebDataset tar shards (r11 verdict ask #4 — the
+  * read side existed, a packing pipeline could consume samples but
+  * not produce new shards).
+  *
+  * {{{ df.write.format("wds").option("path", dir)
+  *       .option("targetShardBytes", 1L << 30).save() }}}
+  *
+  * Input columns (by name): `key` (string, the sample id), `ext`
+  * (string), `payload` (binary) — one row per member, the exact shape
+  * the `wds` reader emits, so read(write(df)) round-trips.
+  *
+  * The two WebDataset invariants the sink GUARANTEES rather than
+  * hopes for:
+  *   - **sample contiguity** — all extensions of a key land in ONE
+  *     shard, adjacent: the Write declares
+  *     [[RequiresDistributionAndOrdering]] (clustered + sorted by
+  *     `key`), so Spark itself inserts the shuffle/sort — the
+  *     Spark-first form of the guarantee, no writer-side re-sort, no
+  *     trust in caller discipline;
+  *   - **size-targeted shard rolling** — a writer rolls to a new tar
+  *     only at a sample BOUNDARY once the current shard passes
+  *     `targetShardBytes`, so shards land near the target without
+  *     ever splitting a sample.
+  *
+  * Long keys write GNU `L` long-name members ([[TarIo.writeMember]]),
+  * and the reader applies them — >100-char sample keys round-trip.
+  *
+  * Commit protocol: the [[ShardSink]]/[[WarcSink]] exactly-once shape
+  * — uuid temps under `_tmp/<gen>/`, driver renames winners to
+  * `part-<gen>-NNNNN.tar`, `_MANIFEST.json` swap under the manifest
+  * lock. Task memory is one buffered sample, never a shard.
+  */
+final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def toBatch: BatchWrite =
+      new WdsBatchWrite(path, schema, targetBytes, doTruncate)
+    // all rows of a key to one task, adjacent within it — Spark plans
+    // the shuffle+sort, the writer only observes key boundaries
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.column("key")))
+    override def requiredOrdering(): Array[SortOrder] =
+      Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+  }
+}
+
+final case class WdsCommit(shards: Seq[(String, Long)]) extends WriterCommitMessage
+
+object WdsBatchWrite {
+  /** WebDataset's conventional shard size band is 100 MB-1 GB; the
+    * default sits low enough that local tests exercise rolling.
+    */
+  val DefaultTargetShardBytes: Long = 256L * 1024 * 1024
+}
+
+final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
+    truncate: Boolean) extends BatchWrite {
+  private val gen = java.util.UUID.randomUUID.toString.take(8)
+  private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new WdsWriterFactory(tmpDir, schema.json, targetBytes)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    ArchiveFs.mkdirs(path)
+    val committed = messages.collect { case WdsCommit(shards) => shards }
+      .flatten.filter(_._2 > 0).sortBy(_._1)
+    val entries = committed.zipWithIndex.map { case ((tmp, n), i) =>
+      val name = f"part-$gen-$i%05d.tar"
+      ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp), ArchiveFs.child(path, name))
+      (name, n)
+    }
+    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
+    val entryRe = """\{"shard":"([^"]+)","samples":(\d+)\}""".r
+    ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
+      val prev: Seq[String] =
+        if (!truncate && ArchiveFs.exists(manifestPath))
+          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
+            .map(_.matched).toSeq
+        else Seq.empty
+      val manifest =
+        (prev ++ entries.map { case (n, s) => s"""{"shard":"$n","samples":$s}""" })
+          .mkString("[", ",", "]")
+      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
+      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
+      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+    }
+    if (truncate) {
+      val keep = entries.map(_._1).toSet
+      ArchiveFs.list(path).foreach { p =>
+        val n = ArchiveFs.name(p)
+        if (n.startsWith("part-") && n.endsWith(".tar") && !keep(n))
+          ArchiveFs.delete(p)
+      }
+    }
+    deleteTmp()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTmp()
+
+  private def deleteTmp(): Unit = {
+    ArchiveFs.delete(tmpDir, recursive = true)
+    ArchiveFs.deleteIfEmptyDir(ArchiveFs.child(path, "_tmp"))
+  }
+}
+
+final class WdsWriterFactory(tmpDir: String, schemaJson: String, targetBytes: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WdsWriter(tmpDir, schemaJson, targetBytes)
+}
+
+/** Rolls uuid-named temp tars at sample boundaries. Rows arrive
+  * key-sorted (the Write's required ordering); the writer buffers ONE
+  * sample's members, flushes the buffer whole when the key changes,
+  * and rolls the shard first if it has passed the target — so a
+  * sample never straddles two shards and memory stays O(one sample).
+  */
+final class WdsWriter(tmpDirPath: String, schemaJson: String, targetBytes: Long)
+    extends DataWriter[InternalRow] {
+  private val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+    .asInstanceOf[StructType]
+  private val oKey = st.fieldIndex("key")
+  private val oExt = st.fieldIndex("ext")
+  private val oPayload = st.fieldIndex("payload")
+
+  ArchiveFs.mkdirs(tmpDirPath)
+  private val done = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private var out: java.io.OutputStream = _
+  private var tmpName: String = _
+  private var shardBytes = 0L
+  private var shardSamples = 0L
+  private var curKey: String = null
+  private val sample = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+
+  private def openShard(): Unit = {
+    tmpName = java.util.UUID.randomUUID.toString + ".tar"
+    out = new java.io.BufferedOutputStream(
+      ArchiveFs.create(ArchiveFs.child(tmpDirPath, tmpName)), 1 << 16)
+    shardBytes = 0L
+    shardSamples = 0L
+  }
+
+  private def closeShard(): Unit = {
+    if (out != null) {
+      TarIo.writeTrailer(out)
+      out.close()
+      done += ((tmpName, shardSamples))
+      out = null
+    }
+  }
+
+  private def flushSample(): Unit = {
+    if (sample.nonEmpty) {
+      if (out == null) openShard()
+      else if (shardBytes >= targetBytes) { closeShard(); openShard() }
+      sample.foreach { case (name, payload) =>
+        shardBytes += TarIo.writeMember(out, name, payload)
+      }
+      shardSamples += 1
+      sample.clear()
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(oKey) && !row.isNullAt(oExt) && !row.isNullAt(oPayload),
+      "wds sink: key/ext/payload must be non-null")
+    val key = row.getUTF8String(oKey).toString
+    if (key != curKey) { flushSample(); curKey = key }
+    val ext = row.getUTF8String(oExt).toString
+    val name = if (ext.isEmpty) key else s"$key.$ext"
+    sample += ((name, row.getBinary(oPayload).clone()))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushSample()
+    closeShard()
+    WdsCommit(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (tmpName != null) ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName))
+    done.foreach { case (n, _) => ArchiveFs.delete(ArchiveFs.child(tmpDirPath, n)) }
+  }
+
+  override def close(): Unit = ()
+}
