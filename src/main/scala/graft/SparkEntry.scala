@@ -3461,6 +3461,91 @@ object SynthQueries {
           AS curl
         FROM documents, (SELECT unnest(generate_series(0, 5)) AS idx) t""")),
 
+    // CONTINUOUS frontier scheduling (r11 ask #5): per-host politeness
+    // slots carried ACROSS micro-batches by a transformWithState
+    // processor — and across a REAL query restart: incarnation 1
+    // schedules two thirds of the candidate feed, the query stops, a
+    // third lands, incarnation 2 resumes from the checkpoint and must
+    // CONTINUE each host's timeline (resume-not-reprocess asserted on
+    // input rows; a restart that reset any host's next-free-slot or
+    // seq breaks the hash). The oracle replays the whole schedule
+    // relationally: per host in candidate order, seq = rank-1 and
+    // fetch_at_s = (rank-1) * delay — the prefix-sum the carried state
+    // must equal over the FULL sequence.
+    QueryDef("g131_stream_frontier",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{concat, lit, max => fmax, pmod}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val cand = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .filter(pmod(col("doc_id"), lit(11L)) =!= 0) // robots-gated out
+          .select(
+            concat(lit("h"), pmod(col("doc_id"), lit(7L)).cast("string"))
+              .as("host"),
+            col("doc_id").as("ord"),
+            col("doc_id").as("id"),
+            (pmod(pmod(col("doc_id"), lit(7L)), lit(4L)) + 1L).as("delay_s"))
+        val maxId = cand.agg(fmax("id")).collect()(0).getLong(0)
+        val t1 = maxId / 3
+        val t2 = 2L * maxId / 3
+        val files = Seq(
+          "a_first" -> cand.filter(col("id") <= t1),
+          "b_second" -> cand.filter(col("id") > t1 && col("id") <= t2),
+          "c_third" -> cand.filter(col("id") > t2))
+        val streamDir = java.nio.file.Files.createTempDirectory("g131_cand")
+        val ckptDir = java.nio.file.Files.createTempDirectory("g131_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g131_out").toString
+        def runIncarnation(): Long = {
+          val scheduled = s.readStream.schema(cand.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString)
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.FrontierProcessor,
+              TimeMode.None(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[
+                (Long, String, Long, Long)]])
+            .toDF("id", "host", "seq", "fetch_at_s")
+          val q = scheduled.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val oldNoData = s.conf.get(noDataKey)
+        files.take(2).foreach { case (sub, df) =>
+          writeStreamFile(df, streamDir, sub)
+        }
+        s.conf.set(noDataKey, "false")
+        val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
+        require(rows1 > 0L, "phase 1 processed no rows")
+        val tailRows = files(2)._2.count()
+        writeStreamFile(files(2)._2, streamDir, files(2)._1)
+        val rows2 = runIncarnation()
+        require(rows2 == tailRows,
+          s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
+            s"expected exactly the new file's $tailRows")
+        val res = s.read.parquet(outDir)
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(streamDir, java.nio.file.Paths.get(ckptDir),
+          java.nio.file.Paths.get(outDir)).foreach(deleteTree)
+        out
+      }),
+      Some("""WITH c AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0)
+        SELECT doc_id AS id,
+          'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+          CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
+          CAST((row_number() OVER w - 1) * ((doc_id % 7) % 4 + 1) AS BIGINT)
+            AS fetch_at_s
+        FROM c
+        WINDOW w AS (PARTITION BY doc_id % 7 ORDER BY doc_id)""")),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5
