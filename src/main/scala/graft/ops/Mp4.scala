@@ -37,10 +37,19 @@ object Mp4 {
       codec: String, width: Int = 0, height: Int = 0,
       channels: Int = 0, sampleRate: Int = 0)
 
+  /** `durationMs` is mvhd-derived when mvhd carries one, else (the
+    * fragmented-file convention: mvhd duration 0) the fragment-derived
+    * total — so streaming-origin video gates on duration like
+    * progressive files. `nFragments`/`fragDurationMs`/`sidxDurationMs`
+    * expose the moof/trun walk and the sidx index separately (null
+    * when the file has none).
+    */
   final case class Meta(durationMs: Long, timescale: Long, nTracks: Int,
       nVideo: Int, nAudio: Int, videoCodec: String, width: Integer,
       height: Integer, audioCodec: String, audioChannels: Integer,
-      audioRate: Integer)
+      audioRate: Integer, nFragments: Int = 0,
+      fragDurationMs: java.lang.Long = null,
+      sidxDurationMs: java.lang.Long = null)
 
   // ------------------------------------------------------------- builder
 
@@ -109,63 +118,154 @@ object Mp4 {
         zeros(b, 24); u32(b, tracks.length + 1L)
       })
       tracks.zipWithIndex.foreach { case (t, i) =>
-        moov.write(box("trak") { trak =>
-          trak.write(box("tkhd") { b =>
-            if (version1) {
-              b.write(1); b.write(0); b.write(0); b.write(7)
-              u64(b, 0); u64(b, 0); u32(b, i + 1L); u32(b, 0); u64(b, t.durationTs)
-            } else {
-              b.write(0); b.write(0); b.write(0); b.write(7)
-              u32(b, 0); u32(b, 0); u32(b, i + 1L); u32(b, 0); u32(b, t.durationTs)
-            }
-            zeros(b, 8); u16(b, 0); u16(b, 0)
-            u16(b, if (t.kind == "soun") 0x0100 else 0); u16(b, 0)
-            IdentityMatrix.foreach(u32(b, _))
-            u32(b, t.width.toLong << 16); u32(b, t.height.toLong << 16)
-          })
-          trak.write(box("mdia") { mdia =>
-            mdia.write(box("mdhd") { b =>
-              if (version1) {
-                b.write(1); zeros(b, 3); u64(b, 0); u64(b, 0)
-                u32(b, t.timescale.toLong); u64(b, t.durationTs)
-              } else {
-                zeros(b, 4); u32(b, 0); u32(b, 0)
-                u32(b, t.timescale.toLong); u32(b, t.durationTs)
-              }
-              u16(b, 0x55c4) // 'und' packed language
-              u16(b, 0)
-            })
-            mdia.write(box("hdlr") { b =>
-              zeros(b, 4); u32(b, 0); fourcc(b, t.kind); zeros(b, 12)
-              b.write("graft".getBytes("US-ASCII")); b.write(0)
-            })
-            mdia.write(box("minf") { minf =>
-              minf.write(box("stbl") { stbl =>
-                stbl.write(box("stsd") { b =>
-                  zeros(b, 4); u32(b, 1L)
-                  b.write(box(t.codec) { e =>
-                    zeros(e, 6); u16(e, 1) // reserved + data_ref_index
-                    if (t.kind == "vide") {
-                      zeros(e, 16)
-                      u16(e, t.width); u16(e, t.height)
-                      u32(e, 0x00480000L); u32(e, 0x00480000L) // 72 dpi
-                      u32(e, 0); u16(e, 1) // reserved, frame_count
-                      zeros(e, 32) // compressor name
-                      u16(e, 0x0018); u16(e, 0xffff)
-                    } else {
-                      zeros(e, 8)
-                      u16(e, t.channels); u16(e, 16) // sample size
-                      u16(e, 0); u16(e, 0)
-                      u32(e, t.sampleRate.toLong << 16)
-                    }
-                  })
-                })
+        moov.write(trakBox(t, i, version1))
+      }
+    })
+    out.toByteArray
+  }
+
+  private def trakBox(t: Track, i: Int, version1: Boolean): Array[Byte] =
+    box("trak") { trak =>
+      trak.write(box("tkhd") { b =>
+        if (version1) {
+          b.write(1); b.write(0); b.write(0); b.write(7)
+          u64(b, 0); u64(b, 0); u32(b, i + 1L); u32(b, 0); u64(b, t.durationTs)
+        } else {
+          b.write(0); b.write(0); b.write(0); b.write(7)
+          u32(b, 0); u32(b, 0); u32(b, i + 1L); u32(b, 0); u32(b, t.durationTs)
+        }
+        zeros(b, 8); u16(b, 0); u16(b, 0)
+        u16(b, if (t.kind == "soun") 0x0100 else 0); u16(b, 0)
+        IdentityMatrix.foreach(u32(b, _))
+        u32(b, t.width.toLong << 16); u32(b, t.height.toLong << 16)
+      })
+      trak.write(box("mdia") { mdia =>
+        mdia.write(box("mdhd") { b =>
+          if (version1) {
+            b.write(1); zeros(b, 3); u64(b, 0); u64(b, 0)
+            u32(b, t.timescale.toLong); u64(b, t.durationTs)
+          } else {
+            zeros(b, 4); u32(b, 0); u32(b, 0)
+            u32(b, t.timescale.toLong); u32(b, t.durationTs)
+          }
+          u16(b, 0x55c4) // 'und' packed language
+          u16(b, 0)
+        })
+        mdia.write(box("hdlr") { b =>
+          zeros(b, 4); u32(b, 0); fourcc(b, t.kind); zeros(b, 12)
+          b.write("graft".getBytes("US-ASCII")); b.write(0)
+        })
+        mdia.write(box("minf") { minf =>
+          minf.write(box("stbl") { stbl =>
+            stbl.write(box("stsd") { b =>
+              zeros(b, 4); u32(b, 1L)
+              b.write(box(t.codec) { e =>
+                zeros(e, 6); u16(e, 1) // reserved + data_ref_index
+                if (t.kind == "vide") {
+                  zeros(e, 16)
+                  u16(e, t.width); u16(e, t.height)
+                  u32(e, 0x00480000L); u32(e, 0x00480000L) // 72 dpi
+                  u32(e, 0); u16(e, 1) // reserved, frame_count
+                  zeros(e, 32) // compressor name
+                  u16(e, 0x0018); u16(e, 0xffff)
+                } else {
+                  zeros(e, 8)
+                  u16(e, t.channels); u16(e, 16) // sample size
+                  u16(e, 0); u16(e, 0)
+                  u32(e, t.sampleRate.toLong << 16)
+                }
               })
             })
           })
         })
-      }
+      })
+    }
+
+  /** One fragment's run description for the fixture builder: duration
+    * comes per-sample (`sampleDurTs`), from the tfhd default
+    * (`tfhdDefaultTs`), or — both None — from the track's trex
+    * default, the three places the spec lets it live.
+    */
+  final case class FragRun(trackId: Int, samples: Int,
+      sampleDurTs: Option[Int] = None, tfhdDefaultTs: Option[Int] = None)
+
+  /** Fragmented (streaming-origin) MP4: ftyp + moov(mvhd duration 0 +
+    * trak* + mvex(trex*)) + [sidx] + (moof(mfhd+traf(tfhd+trun))+mdat)*
+    * — the moof/tfhd/trun/sidx grammar the r11 verdict flagged as
+    * unparsed (fMP4 is what video CDNs actually ship).
+    */
+  def buildFragmented(mvhdTimescale: Int, tracks: Seq[Track],
+      trexDefaultTs: Map[Int, Int], frags: Seq[FragRun],
+      sidx: Option[(Int, Seq[Int])] = None, // (timescale, subsegment durations)
+      version1: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(box("ftyp") { b =>
+      fourcc(b, "isom"); u32(b, 512L); fourcc(b, "iso6"); fourcc(b, "dash")
     })
+    out.write(box("moov") { moov =>
+      moov.write(box("mvhd") { b =>
+        zeros(b, 4); u32(b, 0); u32(b, 0)
+        u32(b, mvhdTimescale.toLong); u32(b, 0L) // duration UNKNOWN: fragments carry it
+        u32(b, 0x00010000L); u16(b, 0x0100); zeros(b, 10)
+        IdentityMatrix.foreach(u32(b, _))
+        zeros(b, 24); u32(b, tracks.length + 1L)
+      })
+      tracks.zipWithIndex.foreach { case (t, i) =>
+        moov.write(trakBox(t, i, version1))
+      }
+      moov.write(box("mvex") { mvex =>
+        tracks.zipWithIndex.foreach { case (_, i) =>
+          mvex.write(box("trex") { b =>
+            u32(b, 0) // version/flags
+            u32(b, i + 1L) // track_ID
+            u32(b, 1L) // default_sample_description_index
+            u32(b, trexDefaultTs.getOrElse(i + 1, 0).toLong)
+            u32(b, 0L); u32(b, 0L) // default size / flags
+          })
+        }
+      })
+    })
+    sidx.foreach { case (ts, subs) =>
+      out.write(box("sidx") { b =>
+        u32(b, 0) // version 0, flags 0
+        u32(b, 1L) // reference_ID
+        u32(b, ts.toLong)
+        u32(b, 0L); u32(b, 0L) // earliest_presentation_time, first_offset
+        u16(b, 0); u16(b, subs.length) // reserved, reference_count
+        subs.foreach { dur =>
+          u32(b, 4096L) // reference_type 0 + referenced_size
+          u32(b, dur.toLong) // subsegment_duration
+          u32(b, 0x90000000L) // starts_with_SAP + SAP type 1
+        }
+      })
+    }
+    frags.zipWithIndex.foreach { case (fr, seq) =>
+      out.write(box("moof") { moof =>
+        moof.write(box("mfhd") { b => u32(b, 0); u32(b, seq + 1L) })
+        moof.write(box("traf") { traf =>
+          val tfFlags = fr.tfhdDefaultTs.map(_ => 0x8L).getOrElse(0L) |
+            0x20000L // default-base-is-moof (no base_data_offset field)
+          traf.write(box("tfhd") { b =>
+            u32(b, tfFlags)
+            u32(b, fr.trackId.toLong)
+            fr.tfhdDefaultTs.foreach(dts => u32(b, dts.toLong))
+          })
+          val trFlags = 0x1L | // data_offset present
+            fr.sampleDurTs.map(_ => 0x100L).getOrElse(0L) |
+            0x200L // sample_size present (exercises the entry stride)
+          traf.write(box("trun") { b =>
+            u32(b, trFlags)
+            u32(b, fr.samples.toLong)
+            u32(b, 0L) // data_offset (unused by the metadata walk)
+            (0 until fr.samples).foreach { _ =>
+              fr.sampleDurTs.foreach(dur => u32(b, dur.toLong))
+              u32(b, 64L) // sample_size
+            }
+          })
+        })
+      })
+      out.write(box("mdat")(b => zeros(b, 64 * fr.samples)))
+    }
     out.toByteArray
   }
 
@@ -224,6 +324,19 @@ object Mp4 {
     try {
       if (bytes == null || bytes.length < 16) return None
       if (rName(bytes, 4) != "ftyp") return None
+      // strict top-level framing: a box that overruns the buffer means
+      // truncation — honest None, never a silently partial fragment
+      // count (the children() iterator alone cannot distinguish a
+      // clean end from a malformed stop)
+      var wo = 0
+      while (wo < bytes.length) {
+        boxAt(bytes, wo, bytes.length) match {
+          case Some((_, _, _, nx)) =>
+            if (nx <= wo) return None // zero-advance guard
+            wo = nx
+          case None => return None
+        }
+      }
       val moov = children(bytes, 0, bytes.length)
         .collectFirst { case ("moov", s, e) => (s, e) }.getOrElse(return None)
       val (ms, me) = moov
@@ -240,10 +353,22 @@ object Mp4 {
       var audioCodec: String = null
       var audioChannels: Integer = null
       var audioRate: Integer = null
+      // per-track timescales + trex defaults — what the fragment walk
+      // needs to turn trun sample counts into milliseconds
+      val trackTimescale = scala.collection.mutable.Map.empty[Long, Long]
+      val trexDefault = scala.collection.mutable.Map.empty[Long, Long]
       for (("trak", ts, te) <- children(bytes, ms, me)) {
         nTracks += 1
         val tkhd = firstChild(bytes, ts, te, "tkhd")
         val mdia = firstChild(bytes, ts, te, "mdia")
+        for ((hs, _) <- tkhd; (ds, _) <- mdia.flatMap { case (s, e) =>
+            firstChild(bytes, s, e, "mdhd") }) {
+          val tkVer = bytes(hs) & 0xff
+          val tid = rU32(bytes, hs + (if (tkVer == 1) 20 else 12))
+          val mdVer = bytes(ds) & 0xff
+          val tsc = rU32(bytes, ds + (if (mdVer == 1) 20 else 12))
+          if (tsc > 0) trackTimescale(tid) = tsc
+        }
         val hdlrKind = mdia.flatMap { case (s, e) =>
           firstChild(bytes, s, e, "hdlr").map { case (hs, _) =>
             rName(bytes, hs + 8)
@@ -288,9 +413,80 @@ object Mp4 {
           case _ => ()
         }
       }
-      Some(Meta(duration * 1000L / timescale, timescale, nTracks, nVideo,
+      // trex defaults live under moov/mvex
+      for ((es, ee) <- firstChild(bytes, ms, me, "mvex");
+           ("trex", xs, _) <- children(bytes, es, ee)) {
+        trexDefault(rU32(bytes, xs + 4)) = rU32(bytes, xs + 12)
+      }
+
+      // ---- fragment walk (moof/tfhd/trun) + sidx, top level --------
+      var nFragments = 0
+      var sidxDurationMs: java.lang.Long = null
+      val fragTs = scala.collection.mutable.Map.empty[Long, Long] // track -> sum ts
+      for ((name, s, e) <- children(bytes, 0, bytes.length)) name match {
+        case "sidx" if sidxDurationMs == null =>
+          val ver = bytes(s) & 0xff
+          val sidxTimescale = rU32(bytes, s + 8)
+          val (cntOff, refOff) =
+            if (ver == 1) (s + 30, s + 32) else (s + 22, s + 24)
+          val n = rU16(bytes, cntOff)
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += rU32(bytes, refOff + i * 12 + 4); i += 1 }
+          if (sidxTimescale > 0)
+            sidxDurationMs = java.lang.Long.valueOf(sum * 1000L / sidxTimescale)
+        case "moof" =>
+          nFragments += 1
+          for (("traf", fs, fe) <- children(bytes, s, e)) {
+            var trackId = -1L
+            var tfhdDefault = -1L
+            for (("tfhd", hs, _) <- children(bytes, fs, fe)) {
+              val flags = rU32(bytes, hs) & 0xffffffL
+              trackId = rU32(bytes, hs + 4)
+              var o = hs + 8
+              if ((flags & 0x1) != 0) o += 8 // base_data_offset
+              if ((flags & 0x2) != 0) o += 4 // sample_description_index
+              if ((flags & 0x8) != 0) { tfhdDefault = rU32(bytes, o); o += 4 }
+            }
+            val default =
+              if (tfhdDefault >= 0) tfhdDefault
+              else trexDefault.getOrElse(trackId, 0L)
+            for (("trun", rs, _) <- children(bytes, fs, fe)) {
+              val flags = rU32(bytes, rs) & 0xffffffL
+              val count = rU32(bytes, rs + 4)
+              var o = rs + 8
+              if ((flags & 0x1) != 0) o += 4 // data_offset
+              if ((flags & 0x4) != 0) o += 4 // first_sample_flags
+              if ((flags & 0x100) != 0) {
+                // per-sample durations: walk entries by their stride
+                var stride = 4
+                if ((flags & 0x200) != 0) stride += 4
+                if ((flags & 0x400) != 0) stride += 4
+                if ((flags & 0x800) != 0) stride += 4
+                var sum = 0L
+                var i = 0L
+                while (i < count) { sum += rU32(bytes, o); o += stride; i += 1 }
+                fragTs(trackId) = fragTs.getOrElse(trackId, 0L) + sum
+              } else {
+                fragTs(trackId) = fragTs.getOrElse(trackId, 0L) + count * default
+              }
+            }
+          }
+        case _ => ()
+      }
+      val fragDurationMs: java.lang.Long = {
+        val ms = fragTs.flatMap { case (tid, sum) =>
+          trackTimescale.get(tid).map(tsc => sum * 1000L / tsc)
+        }
+        if (ms.isEmpty) null else java.lang.Long.valueOf(ms.max)
+      }
+      val headDurationMs = duration * 1000L / timescale
+      val durationMs = // fragmented convention: mvhd carries 0
+        if (headDurationMs > 0 || fragDurationMs == null) headDurationMs
+        else fragDurationMs.longValue()
+      Some(Meta(durationMs, timescale, nTracks, nVideo,
         nAudio, videoCodec, width, height, audioCodec, audioChannels,
-        audioRate))
+        audioRate, nFragments, fragDurationMs, sidxDurationMs))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
@@ -309,7 +505,10 @@ object Mp4 {
     StructField("height", IntegerType),
     StructField("audio_codec", StringType),
     StructField("audio_channels", IntegerType),
-    StructField("audio_rate", IntegerType)))
+    StructField("audio_rate", IntegerType),
+    StructField("n_fragments", IntegerType),
+    StructField("frag_duration_ms", LongType),
+    StructField("sidx_duration_ms", LongType)))
 
   /** Appends `${binCol}_mp4` (struct, null when unparseable) — the
     * same mapPartitions seam as [[Multimodal.decodeFeatures]]: per-row
@@ -326,7 +525,8 @@ object Mp4 {
         val m = parseMeta(r.getAs[Array[Byte]](binIdx)) match {
           case Some(x) => Row(x.durationMs, x.timescale, x.nTracks, x.nVideo,
             x.nAudio, x.videoCodec, x.width, x.height, x.audioCodec,
-            x.audioChannels, x.audioRate)
+            x.audioChannels, x.audioRate, x.nFragments, x.fragDurationMs,
+            x.sidxDurationMs)
           case None => null
         }
         Row.fromSeq(r.toSeq :+ m)

@@ -6077,11 +6077,90 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** Fragmented MP4 (r11 verdict ask #7): streaming-origin video
+    * ships moof/tfhd/trun fragments with mvhd duration 0 — per-doc
+    * fixtures exercise all three places a sample duration can live
+    * (per-sample trun, tfhd default, trex default), the sidx index,
+    * the mvhd-0 duration fallback, and truncation (every 13th doc is
+    * an honest null — the strict top-level walk refuses a partial
+    * fragment count). Every field reconstructs analytically; byte
+    * layout and flag-stride handling are pinned in Mp4Spec.
+    */
+  val q168_fmp4_meta = QueryDef(
+    "q168_fmp4_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("v", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ts = (1000L * (id % 3 + 1)).toInt
+          val nf = (2 + id % 4).toInt
+          val nsamp = (5 + id % 7).toInt
+          val dur = (id % 3 match {
+            case 0 => 30 + id % 10
+            case 1 => 40 + id % 10
+            case _ => 50 + id % 10
+          }).toInt
+          val vid = graft.ops.Mp4.Track("vide", ts, 0L, "avc1",
+            width = 640, height = 360)
+          val frags = (0 until nf).map { _ =>
+            id % 3 match {
+              case 0 => graft.ops.Mp4.FragRun(1, nsamp, sampleDurTs = Some(dur))
+              case 1 => graft.ops.Mp4.FragRun(1, nsamp, tfhdDefaultTs = Some(dur))
+              case _ => graft.ops.Mp4.FragRun(1, nsamp) // trex carries it
+            }
+          }
+          val sidx = if (id % 2 == 0)
+            Some((1000, Seq.fill(nf)((100 + id % 50).toInt))) else None
+          val full = graft.ops.Mp4.buildFragmented(1000, Seq(vid),
+            Map(1 -> (50 + id % 10).toInt), frags, sidx)
+          // cut INSIDE the final mdat box (length/2 can land exactly on
+          // a box boundary and parse cleanly — doc 403 did at sf0.01)
+          Row(id, if (id % 13 == 0) full.take(full.length - 5) else full)
+        }
+      }
+      graft.ops.Mp4.videoMeta(withBytes, "v")
+        .select(col("doc_id"),
+          col("v_mp4.n_fragments").as("n_fragments"),
+          col("v_mp4.frag_duration_ms").as("frag_duration_ms"),
+          col("v_mp4.duration_ms").as("duration_ms"),
+          col("v_mp4.sidx_duration_ms").as("sidx_duration_ms"),
+          col("v_mp4.video_codec").as("video_codec"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          2 + doc_id % 4 AS nf, 5 + doc_id % 7 AS ns,
+          CASE doc_id % 3 WHEN 0 THEN 30 + doc_id % 10
+            WHEN 1 THEN 40 + doc_id % 10
+            ELSE 50 + doc_id % 10 END AS dur,
+          1000 * (doc_id % 3 + 1) AS ts
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE nf END AS INT)
+          AS n_fragments,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+          ELSE CAST(nf * ns * dur * 1000 // ts AS BIGINT) END
+          AS frag_duration_ms,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+          ELSE CAST(nf * ns * dur * 1000 // ts AS BIGINT) END
+          AS duration_ms,
+        CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+          ELSE CAST(nf * (100 + doc_id % 50) AS BIGINT) END
+          AS sidx_duration_ms,
+        CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'avc1' END AS video_codec
+      FROM p"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
-    q166_charset_decode, q167_wds_roundtrip,
+    q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

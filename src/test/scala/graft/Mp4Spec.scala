@@ -72,6 +72,43 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.parseMeta(lying) == None)
   }
 
+  test("fragmented: trun per-sample durations drive duration when mvhd is 0") {
+    // video track timescale 600; 3 fragments x 10 samples x 30 ts
+    val f = Mp4.buildFragmented(1000, Seq(vid), Map(1 -> 0),
+      (1 to 3).map(_ => Mp4.FragRun(1, 10, sampleDurTs = Some(30))))
+    val m = Mp4.parseMeta(f).get
+    assert(m.nFragments == 3)
+    assert(m.fragDurationMs == 3L * 10 * 30 * 1000 / vid.timescale)
+    assert(m.durationMs == m.fragDurationMs.longValue(), "mvhd-0 fallback")
+    assert(m.sidxDurationMs == null)
+    assert(m.nVideo == 1 && m.videoCodec == "avc1")
+  }
+
+  test("fragmented: tfhd default beats trex default; trex fills the gap") {
+    // frag 1 uses tfhd default 40, frag 2 falls through to trex 50
+    val f = Mp4.buildFragmented(1000, Seq(vid), Map(1 -> 50), Seq(
+      Mp4.FragRun(1, 8, tfhdDefaultTs = Some(40)),
+      Mp4.FragRun(1, 8)))
+    val m = Mp4.parseMeta(f).get
+    assert(m.nFragments == 2)
+    assert(m.fragDurationMs == (8L * 40 + 8L * 50) * 1000 / vid.timescale)
+  }
+
+  test("fragmented: sidx subsegment durations sum under the sidx timescale") {
+    val f = Mp4.buildFragmented(1000, Seq(vid), Map(1 -> 30),
+      Seq(Mp4.FragRun(1, 4)), sidx = Some((90000, Seq(180000, 90000, 45000))))
+    val m = Mp4.parseMeta(f).get
+    assert(m.sidxDurationMs == (180000L + 90000 + 45000) * 1000 / 90000)
+    assert(m.nFragments == 1)
+  }
+
+  test("fragmented: a truncated moof is honest None, never a partial count") {
+    val f = Mp4.buildFragmented(1000, Seq(vid), Map(1 -> 30),
+      (1 to 3).map(_ => Mp4.FragRun(1, 5, sampleDurTs = Some(20))))
+    for (cut <- Seq(f.length - 7, f.length - 100, f.length / 2))
+      assert(Mp4.parseMeta(f.take(cut)) == None, s"cut=$cut")
+  }
+
   test("videoMeta column seam: parsed and null rows coexist") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
