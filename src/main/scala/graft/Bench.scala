@@ -28,11 +28,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    // best-of-N per query: single-run times carry >=2x run-to-run noise
-    // (JVM/codegen warm-up, scheduler ordering), which drowns real
-    // per-round deltas. The min over reps is the standard low-noise
-    // estimator for a deterministic workload. Sub-second queries (where
-    // relative noise is worst) get one extra rep.
+    // best-of-N per query, reps taken as WHOLE-SUITE PASSES rather than
+    // back-to-back runs (r11 verdict What's wrong #1): machine-level
+    // contention windows last minutes, so two back-to-back reps of one
+    // query routinely sit in the SAME window and their min still reads
+    // ~1.7x smeared — r11's driver artifact did exactly that on a busy
+    // machine (q13 1.41 s recorded vs 0.32 s quiet, ten queries alike).
+    // Interleaving the passes puts a query's reps minutes apart, so a
+    // window can smear one pass but the min comes from the other. The
+    // min over decorrelated reps is the standard low-noise estimator
+    // for a deterministic workload.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
       .toIntOption.getOrElse(2).max(1)
     // optional comma-separated subset (local iteration aid; the driver
@@ -50,51 +55,52 @@ object Bench {
     val (streamQs, batchQs) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition(_._1.contains("_stream"))
-    def runOne(name: String, fn: (SparkSession, String) => DataFrame): Option[(String, Double)] = {
-      val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
-      // first failure aborts this query's remaining reps (re-running a
-      // broken query repeats an expensive failure and its fastest-failure
-      // time is not a timing)
-      def rep(): Unit = {
+
+    val times = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    val failed = scala.collection.mutable.Set[String]()
+    // a failure removes the query from later passes (re-running a broken
+    // query repeats an expensive failure, and its fastest failure is not
+    // a timing); errored queries get NO timing entry — a broken query
+    // must not look like a fast green one
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Unit =
+      if (!failed(name)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times += (System.nanoTime() - t0) / 1e9
+          times.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Double]()) +=
+            (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            failed = true
+            failed += name
+            times.remove(name)
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
       }
-      var i = 0
-      while (i < reps && !failed) { rep(); i += 1 }
-      if (!failed && times.nonEmpty && times.min < 1.0 && times.size < 3) rep()
-      // a min above 20 s is either real or a transient I/O / compaction
-      // window that both back-to-back reps sat in (observed: a 5 s query
-      // timing 75 s twice right after a cache-churning phase). One extra
-      // rep is bounded insurance: a transient window can't own the
-      // headline number, a genuinely slow query just confirms itself.
-      if (!failed && times.nonEmpty && times.min > 20.0 && times.size < reps + 1) rep()
-      // disagreeing reps (max/min > 1.5x) mean at least one rep sat in a
-      // transient window — r9's q98 recorded 4.4 s driver-side vs 1.8 s
-      // local on UNTOUCHED code because both of its back-to-back reps
-      // landed in one. One tie-breaker rep converges the min toward the
-      // true time; agreeing reps (the common case) never pay it, and a
-      // query that already earned an extra rep above doesn't pay twice
-      // (the >20 s guard's rep IS the tie-breaker in that case).
-      if (!failed && times.size >= 2 && times.size <= reps &&
-        times.max / times.min > 1.5) rep()
-      // errored queries get NO timing entry — a broken query must not
-      // look like a fast green one
-      if (failed) None else Some(name -> times.min)
+    def runFamily(qs: Seq[(String, (SparkSession, String) => DataFrame)])
+        : Seq[(String, Double)] = {
+      (1 to reps).foreach { _ =>
+        qs.foreach { case (n, f) => timeOne(n, f) }
+      }
+      // straggler tie-breakers AFTER the passes (by now the window that
+      // smeared a rep has usually moved): disagreeing reps (max/min >
+      // 1.5x) or an implausible >20 s min get ONE more rep; sub-second
+      // queries (worst relative noise) get one cheap extra.
+      qs.foreach { case (n, f) =>
+        times.get(n).foreach { ts =>
+          if ((ts.max / ts.min > 1.5) || ts.min > 20.0 || ts.min < 1.0)
+            timeOne(n, f)
+        }
+      }
+      qs.flatMap { case (n, _) => times.get(n).map(ts => n -> ts.min) }
     }
-    val batchResults = batchQs.flatMap { case (n, f) => runOne(n, f) }
+    val batchResults = runFamily(batchQs)
     // family boundary hygiene: drop anything cached and let the JVM
     // settle before the streaming replays start paying their own costs
     spark.catalog.clearCache()
     System.gc()
-    val streamResults = streamQs.flatMap { case (n, f) => runOne(n, f) }
+    val streamResults = runFamily(streamQs)
     val results = batchResults ++ streamResults
 
     def jstr(s: String): String =
@@ -119,7 +125,7 @@ object Bench {
     val batchTotal = batchResults.map(_._2).sum
     val streamTotal = streamResults.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // compact summary LAST so any tail-window truncation of the long line
     // above still leaves the total and the queries that matter most
     val slowest = results.sortBy(-_._2).take(10)
