@@ -6050,8 +6050,11 @@ object PipelineQueries {
               .cast("binary").as("payload")))
       rows.write.format("wds").mode("overwrite")
         .option("path", outDir).option("targetShardBytes", "65536").save()
+      // small split target: the read-back exercises RANGED partitions
+      // cut at the idx sidecar's sample boundaries, not whole files
       val back = s.read.format("wds")
-        .option("manifestOnly", "true").load(outDir)
+        .option("manifestOnly", "true")
+        .option("splitTargetBytes", "16384").load(outDir)
       val spread = back.groupBy("key")
         .agg(countDistinct(col("shard")).as("shard_spread"))
       back.join(spread, Seq("key"))

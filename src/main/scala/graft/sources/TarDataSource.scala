@@ -31,11 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * 1 GB shard costs a 1 GB READ, not a 1 GB row plus copies, and the
   * 2 GB row ceiling is out of the picture.
   *
-  * Scale shape: one input partition per shard FILE (tar has no
-  * member index to split on; WebDataset corpora are shipped as many
-  * ~100 MB-1 GB shards precisely so file granularity is the
+  * Scale shape: shards written by the `wds` SINK carry a sample-
+  * offset index sidecar (`<shard>.idx` — the CDX move applied to
+  * tar), so a shard splits into ranged partitions cut at SAMPLE
+  * boundaries (~`splitTargetBytes` each): intra-shard parallelism,
+  * and `groupBy(shard, key)` sample assembly stays intra-partition.
+  * Foreign shards without a sidecar read as one partition per FILE
+  * (tar alone has no index; the WebDataset convention ships many
+  * ~100 MB-1 GB shards precisely so file granularity works as the
   * parallelism unit — same contract as gzip WARC without CDX).
-  * `.tar.gz` shards stream through a gzip wrapper.
+  * `.tar.gz` shards stream through a gzip wrapper and never split.
   *
   * Pushdown: required-column pruning skips payload materialization
   * (members are SKIPPED by size, never allocated); `ext = '...'` /
@@ -106,6 +111,35 @@ object TarDataSource {
     """"shard":"([^"]+)"""".r.findAllMatchIn(ArchiveFs.readString(m))
       .map(mm => ArchiveFs.child(path, mm.group(1))).toVector
   }
+
+  /** Default ranged-split target — same rationale as the WARC CDX cut. */
+  val TargetSplitBytes: Long = 64L * 1024 * 1024
+
+  /** Ascending SAMPLE start offsets from `<shard>.idx` (the sink's
+    * sidecar: `offset<TAB>key` per sample, comments ignored). None
+    * when no sidecar exists — foreign shards read whole-file.
+    */
+  def idxOffsets(file: String): Option[Array[Long]] = {
+    val idx = file + ".idx"
+    if (!ArchiveFs.exists(idx)) return None
+    Some(ArchiveFs.readString(idx).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t")(0).toLong).toArray.sorted)
+  }
+
+  /** Scan partitions for one shard: ranged splits cut at SAMPLE
+    * boundaries when the index sidecar exists (so `groupBy(shard,
+    * key)` sample assembly stays intra-partition), else the whole
+    * file. Gzipped shards are never split (the stream is not
+    * seekable).
+    */
+  def partitionsFor(f: String, targetBytes: Long): Seq[InputPartition] =
+    if (!f.endsWith(".gz")) idxOffsets(f) match {
+      case Some(offs) if offs.nonEmpty =>
+        ArrayOfCuts.build(offs, ArchiveFs.length(f), targetBytes)
+          .map { case (s, e) => TarInputPartition(f, s, e): InputPartition }
+      case _ => Seq(TarInputPartition(f, 0L, Long.MaxValue))
+    } else Seq(TarInputPartition(f, 0L, Long.MaxValue))
 }
 
 final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schema)
@@ -120,7 +154,9 @@ final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schem
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val fpb = Option(options.get("filesPerBatch")).map(_.toInt).getOrElse(1)
     val manifest = Option(options.get("manifestOnly")).exists(_.toBoolean)
-    new TarScanBuilder(path, fpb, manifest)
+    val target = Option(options.get("splitTargetBytes")).map(_.toLong)
+      .getOrElse(TarDataSource.TargetSplitBytes)
+    new TarScanBuilder(path, fpb, manifest, target)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -131,8 +167,8 @@ final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schem
   }
 }
 
-final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boolean)
-    extends ScanBuilder
+final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boolean,
+    targetBytes: Long = TarDataSource.TargetSplitBytes) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = TarDataSource.Schema
   private var extFilter: Option[Set[String]] = None
@@ -156,13 +192,20 @@ final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boole
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TarScan(path, required, extFilter, filesPerBatch, manifestOnly)
+    new TarScan(path, required, extFilter, filesPerBatch, manifestOnly,
+      targetBytes)
 }
 
-final case class TarInputPartition(file: String) extends InputPartition
+/** One scan task: the byte range [start, end) of `file` — the whole
+  * file (end = Long.MaxValue) or a run of whole SAMPLES cut at index
+  * offsets.
+  */
+final case class TarInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class TarScan(path: String, required: StructType,
-    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean)
+    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean,
+    targetBytes: Long = TarDataSource.TargetSplitBytes)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -173,18 +216,20 @@ final class TarScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     (if (manifestOnly) TarDataSource.manifestFiles(path)
      else TarDataSource.listFiles(path))
-      .map(f => TarInputPartition(f): InputPartition).toArray
+      .flatMap(f => TarDataSource.partitionsFor(f, targetBytes)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required, extFilter)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TarMicroBatchStream(path, required, extFilter, filesPerBatch, manifestOnly)
+    new TarMicroBatchStream(path, required, extFilter, filesPerBatch,
+      manifestOnly, targetBytes)
 }
 
 final class TarMicroBatchStream(path: String, required: StructType,
-    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean)
+    extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean,
+    targetBytes: Long = TarDataSource.TargetSplitBytes)
     extends FileListMicroBatchStream(filesPerBatch) {
   override protected def current(): Vector[String] =
     if (manifestOnly)
@@ -195,7 +240,7 @@ final class TarMicroBatchStream(path: String, required: StructType,
       catch { case _: IllegalArgumentException => Vector.empty }
 
   override protected def partitionsFor(f: String): Seq[InputPartition] =
-    Seq(TarInputPartition(f))
+    TarDataSource.partitionsFor(f, targetBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required, extFilter)
@@ -205,13 +250,20 @@ final class TarReaderFactory(required: StructType, extFilter: Option[Set[String]
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[TarInputPartition].file
+    val p = partition.asInstanceOf[TarInputPartition]
+    val file = p.file
     new PartitionReader[InternalRow] {
-      private val raw = ArchiveFs.open(file)
+      // ranged split: positioned open at a sample boundary; the range
+      // ends at the next split's first header, where the framer's
+      // clean-EOF rule stops the walk
+      private val raw = ArchiveFs.open(file, p.start)
+      private val bounded: java.io.InputStream =
+        if (p.end == Long.MaxValue) raw
+        else new WarcDataSource.BoundedInputStream(raw, p.end - p.start)
       private val in: java.io.InputStream =
         if (file.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(raw, 1 << 16)
-        else new java.io.BufferedInputStream(raw, 1 << 16)
+          new java.util.zip.GZIPInputStream(bounded, 1 << 16)
+        else new java.io.BufferedInputStream(bounded, 1 << 16)
       private val wantPayload = required.fieldNames.contains("payload")
       private val keep: String => Boolean = extFilter match {
         case Some(exts) => n => exts.contains(TarDataSource.splitKeyExt(n)._2)

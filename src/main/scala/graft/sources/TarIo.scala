@@ -159,6 +159,13 @@ object TarIo {
     * filters on the EFFECTIVE member name BEFORE payload
     * materialization (the framer-level pushdown: a filtered-out or
     * payload-pruned member costs a skip, not an allocation).
+    *
+    * Termination: a zero block OR clean EOF exactly at a header
+    * boundary ends the walk — the latter is what a RANGED read over
+    * an index-sidecar split sees (the range ends at the next sample's
+    * header start, no trailer inside it), and also how GNU tar treats
+    * trailer-less archives. EOF anywhere INSIDE a header or member
+    * still fails loudly with the offset.
     */
   def members(in: InputStream, wantPayload: Boolean = true,
       keep: String => Boolean = _ => true): Iterator[Member] =
@@ -172,7 +179,15 @@ object TarIo {
       private def advance(): Unit = {
         while (!done) {
           val at = offset
-          readFully(in, hdr, 512, at, "header")
+          val first = in.read()
+          if (first < 0) { done = true; return } // clean EOF at a boundary
+          hdr(0) = first.toByte
+          var got = 1
+          while (got < 512) {
+            val k = in.read(hdr, got, 512 - got)
+            require(k >= 0, s"tar: truncated header at offset $at ($got of 512 bytes)")
+            got += k
+          }
           offset += 512
           if (hdr(0) == 0) { done = true; return } // zero block terminates
           var sum = 0L

@@ -82,6 +82,8 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
     val entries = committed.zipWithIndex.map { case ((tmp, n), i) =>
       val name = f"part-$gen-$i%05d.tar"
       ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp), ArchiveFs.child(path, name))
+      ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp + ".idx"),
+        ArchiveFs.child(path, name + ".idx"))
       (name, n)
     }
     val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
@@ -103,7 +105,8 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
       val keep = entries.map(_._1).toSet
       ArchiveFs.list(path).foreach { p =>
         val n = ArchiveFs.name(p)
-        if (n.startsWith("part-") && n.endsWith(".tar") && !keep(n))
+        val base = n.stripSuffix(".idx")
+        if (n.startsWith("part-") && base.endsWith(".tar") && !keep(base))
           ArchiveFs.delete(p)
       }
     }
@@ -146,11 +149,17 @@ final class WdsWriter(tmpDirPath: String, schemaJson: String, targetBytes: Long)
   private var shardSamples = 0L
   private var curKey: String = null
   private val sample = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+  // sample-offset index sidecar (`<shard>.idx`): one line per sample at
+  // its first member's byte offset — the CDX move applied to tar, so
+  // the READER can cut a shard into ranged splits at sample boundaries
+  // (intra-shard parallelism; tar alone has no index)
+  private var idx: java.lang.StringBuilder = _
 
   private def openShard(): Unit = {
     tmpName = java.util.UUID.randomUUID.toString + ".tar"
     out = new java.io.BufferedOutputStream(
       ArchiveFs.create(ArchiveFs.child(tmpDirPath, tmpName)), 1 << 16)
+    idx = new java.lang.StringBuilder("#graft-wds-idx offset\tkey\n")
     shardBytes = 0L
     shardSamples = 0L
   }
@@ -159,6 +168,8 @@ final class WdsWriter(tmpDirPath: String, schemaJson: String, targetBytes: Long)
     if (out != null) {
       TarIo.writeTrailer(out)
       out.close()
+      ArchiveFs.writeBytes(ArchiveFs.child(tmpDirPath, tmpName + ".idx"),
+        idx.toString.getBytes("UTF-8"))
       done += ((tmpName, shardSamples))
       out = null
     }
@@ -168,6 +179,7 @@ final class WdsWriter(tmpDirPath: String, schemaJson: String, targetBytes: Long)
     if (sample.nonEmpty) {
       if (out == null) openShard()
       else if (shardBytes >= targetBytes) { closeShard(); openShard() }
+      idx.append(shardBytes).append('\t').append(curKey).append('\n')
       sample.foreach { case (name, payload) =>
         shardBytes += TarIo.writeMember(out, name, payload)
       }
@@ -194,8 +206,14 @@ final class WdsWriter(tmpDirPath: String, schemaJson: String, targetBytes: Long)
 
   override def abort(): Unit = {
     if (out != null) out.close()
-    if (tmpName != null) ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName))
-    done.foreach { case (n, _) => ArchiveFs.delete(ArchiveFs.child(tmpDirPath, n)) }
+    if (tmpName != null) {
+      ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName))
+      ArchiveFs.delete(ArchiveFs.child(tmpDirPath, tmpName + ".idx"))
+    }
+    done.foreach { case (n, _) =>
+      ArchiveFs.delete(ArchiveFs.child(tmpDirPath, n))
+      ArchiveFs.delete(ArchiveFs.child(tmpDirPath, n + ".idx"))
+    }
   }
 
   override def close(): Unit = ()
