@@ -6159,11 +6159,69 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** The archive-to-training-shards capstone: crawl WARC in, curated
+    * WebDataset out, ONE plan — the full r11+r12 stack composed: CDX
+    * range scans with the `warc_type` filter at the framer, the HTTP
+    * status gate, sniff -> decode_charset -> extractText, sample
+    * assembly (text + JSON metadata per page under an md5(url) key),
+    * the `wds` sink's Spark-planned cluster+sort-by-key shuffle with
+    * size-rolled shards, and a ranged read-back over the idx
+    * sidecars. The oracle composes every stage's known result
+    * analytically; shard_spread pins contiguity through the repack.
+    */
+  val q169_warc_to_wds = QueryDef(
+    "q169_warc_to_wds",
+    (s, d) => {
+      val warcDir = WarcFixture.dir(s, d)
+      val outDir = java.nio.file.Files.createTempDirectory("wds_pack").toString
+      val pages = s.read.format("warc")
+        .option("cdxTargetBytes", "16384").load(warcDir)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("target_uri").as("url"),
+          graft.ops.HtmlExtract.decodePayload(col("payload"),
+            col("http_content_type")).as("html"))
+        .select(col("url"),
+          graft.ops.HtmlExtract.extractText(col("html")).as("text"))
+      val keyed = pages.select(md5(col("url")).as("key"), col("url"),
+        col("text"))
+      val rows = keyed.select(col("key"), lit("txt").as("ext"),
+          col("text").cast("binary").as("payload"))
+        .unionAll(keyed.select(col("key"), lit("json").as("ext"),
+          concat(lit("{\"url\":\""), col("url"), lit("\"}"))
+            .cast("binary").as("payload")))
+      rows.write.format("wds").mode("overwrite")
+        .option("path", outDir).option("targetShardBytes", "131072").save()
+      val back = s.read.format("wds").option("manifestOnly", "true")
+        .option("splitTargetBytes", "32768").load(outDir)
+      val spread = back.groupBy("key")
+        .agg(countDistinct(col("shard")).as("shard_spread"))
+      back.join(spread, Seq("key"))
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"), col("shard_spread"))
+    },
+    Some {
+      val ch = warcPartsCte(urlPicksChain)
+      val wetText = "'Doc ' || CAST(c.doc_id AS VARCHAR) || ' ' || c.text || " +
+        "' caf' || chr(233) || ' A' || chr(8212) || 'B'"
+      ch.cte("wbase", s"""SELECT md5($oracleMessyUrlSql) AS key,
+            $wetText AS text,
+            $oracleMessyUrlSql AS url
+          FROM crawled c JOIN parts ON parts.doc_id = c.doc_id
+          WHERE c.doc_id % 7 <> 0""")
+        .cte("wm", """SELECT key, 'txt' AS ext, text AS payload FROM wbase
+          UNION ALL
+          SELECT key, 'json', '{"url":"' || url || '"}' FROM wbase""")
+        .render("""SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+          md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
+        FROM wm""")
+    },
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
-    q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta,
+    q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta, q169_warc_to_wds,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
