@@ -47,7 +47,7 @@ object TarIo {
     System.arraycopy(octal(420, 8), 0, b, 100, 8) // mode 0644
     System.arraycopy(octal(0, 8), 0, b, 108, 8) // uid
     System.arraycopy(octal(0, 8), 0, b, 116, 8) // gid
-    System.arraycopy(octal(size, 12), 0, b, 124, 12)
+    System.arraycopy(sizeField(size), 0, b, 124, 12)
     System.arraycopy(octal(0, 12), 0, b, 136, 12) // mtime
     java.util.Arrays.fill(b, 148, 156, ' '.toByte) // chksum as spaces
     b(156) = typeflag
@@ -131,6 +131,40 @@ object TarIo {
     v
   }
 
+  /** The size field with the GNU base-256 extension: a set high bit
+    * on the first byte marks big-endian binary (members beyond the
+    * 8 GiB the 11-digit octal field can express — multi-hour video
+    * shards hit this); otherwise plain octal.
+    */
+  private def parseSize(b: Array[Byte], off: Int, len: Int, at: Long): Long =
+    if ((b(off) & 0x80) != 0) {
+      var v = (b(off) & 0x7f).toLong
+      var i = off + 1
+      while (i < off + len) {
+        require(v <= (Long.MaxValue >> 8),
+          s"tar: base-256 size overflows a Long at offset $at")
+        v = (v << 8) | (b(i) & 0xff)
+        i += 1
+      }
+      v
+    } else parseOctal(b, off, len, at)
+
+  /** The writer's 12-byte size field: octal when it fits (the
+    * interoperable form), GNU base-256 beyond 8 GiB.
+    */
+  private[graft] def sizeField(v: Long): Array[Byte] = {
+    require(v >= 0, s"tar: negative size $v")
+    if (java.lang.Long.toOctalString(v).length <= 11) octal(v, 12)
+    else {
+      val f = new Array[Byte](12)
+      f(0) = 0x80.toByte
+      var i = 11
+      var x = v
+      while (i > 0) { f(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      f
+    }
+  }
+
   /** The pax `x` extended header's `path` keyword, if present: records
     * are `"<len> <keyword>=<value>\n"` with len counting the whole
     * record including itself — the published pax grammar.
@@ -202,7 +236,7 @@ object TarIo {
           var n = 0
           while (n < 100 && hdr(n) != 0) n += 1
           val rawName = new String(hdr, 0, n, "UTF-8")
-          val size = parseOctal(hdr, 124, 12, at + 124)
+          val size = parseSize(hdr, 124, 12, at + 124)
           val typeflag = hdr(156)
           val padded = (size + 511) / 512 * 512
           typeflag match {
@@ -234,6 +268,10 @@ object TarIo {
               if (keep(name)) {
                 val payload =
                   if (wantPayload) {
+                    require(size <= Int.MaxValue,
+                      s"tar: member '$name' is $size bytes — too large to " +
+                        "materialize as one row; prune the payload column " +
+                        "(metadata scans handle any size)")
                     val p = new Array[Byte](size.toInt)
                     readFully(in, p, size.toInt, offset, s"member '$name'")
                     p
