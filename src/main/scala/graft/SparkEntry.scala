@@ -3546,6 +3546,55 @@ object SynthQueries {
         FROM c
         WINDOW w AS (PARTITION BY doc_id % 7 ORDER BY doc_id)""")),
 
+    // Micro-batch WebDataset ingestion through the `wds` source's
+    // manifest-ordered file-list stream: two append generations land
+    // as tar shards (written by the sink itself — the fixture IS the
+    // write path), the stream ingests shard-by-shard with ranged idx
+    // splits inside each batch, and every sample member must arrive
+    // exactly once with its exact size.
+    QueryDef("g132_stream_wds_ingest",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{concat, lit, lpad, pmod}
+        val outDir = java.nio.file.Files.createTempDirectory("g132_wds").toString
+        def gen(parity: Int): Unit = {
+          val base = s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"))
+            .filter(pmod(col("doc_id"), lit(2L)) === parity)
+            .select(col("doc_id"),
+              concat(lit("w"), lpad(col("doc_id").cast("string"), 8, "0"))
+                .as("key"))
+          base.select(col("key"), lit("txt").as("ext"),
+              concat(lit("p"), col("doc_id").cast("string"))
+                .cast("binary").as("payload"))
+            .unionAll(base.select(col("key"), lit("json").as("ext"),
+              concat(lit("{\"d\":"), col("doc_id").cast("string"), lit("}"))
+                .cast("binary").as("payload")))
+            .coalesce(2)
+            .write.format("wds").mode("append")
+            .option("path", outDir).option("targetShardBytes", "32768").save()
+        }
+        gen(0); gen(1)
+        val name = "g132_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.format("wds")
+          .option("manifestOnly", "true").option("filesPerBatch", "1")
+          .option("splitTargetBytes", "16384")
+          .load(outDir)
+          .select(col("key"), col("ext"), col("size"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""SELECT 'w' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+          'txt' AS ext,
+          CAST(strlen('p' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS size
+        FROM documents
+        UNION ALL
+        SELECT 'w' || lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'json',
+          CAST(strlen('{"d":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT)
+        FROM documents""")),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5
