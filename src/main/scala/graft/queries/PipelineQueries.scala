@@ -6217,11 +6217,63 @@ object PipelineQueries {
     },
   )
 
+  /** WebDataset point lookup — the serving path of the `wds`
+    * connector, mirroring q156's CDX lookup for WARC: N wanted sample
+    * keys out of a shard set must cost N bounded seeks (idx-sidecar
+    * join, broadcast wanted side, per-shard monotonic seeks), never a
+    * corpus scan. Sample contiguity (the sink's required clustering)
+    * is what makes "read members while the key matches" exact — the
+    * oracle pins every member of every wanted sample.
+    */
+  val q170_wds_lookup = QueryDef(
+    "q170_wds_lookup",
+    (s, d) => {
+      val outDir = java.nio.file.Files.createTempDirectory("wds_lkp").toString
+      val did = col("doc_id")
+      val base = docs(s, d).select(did,
+        concat(lit("s"), lpad(did.cast("string"), 8, "0")).as("key"))
+      val rows = base.select(col("key"), lit("txt").as("ext"),
+          concat(lit("t"), did.cast("string")).cast("binary").as("payload"))
+        .unionAll(base.select(col("key"), lit("json").as("ext"),
+          concat(lit("{\"d\":"), did.cast("string"), lit("}"))
+            .cast("binary").as("payload")))
+        .unionAll(base.filter(pmod(did, lit(3L)) === 0)
+          .select(col("key"), lit("cls").as("ext"),
+            concat(lit("c"), pmod(did, lit(7L)).cast("string"))
+              .cast("binary").as("payload")))
+      rows.write.format("wds").mode("overwrite")
+        .option("path", outDir).option("targetShardBytes", "65536").save()
+      val wanted = docs(s, d).select(did)
+        .filter(pmod(did, lit(97L)) === 0)
+        .select(concat(lit("s"), lpad(did.cast("string"), 8, "0")).as("key"))
+      val hits = graft.sources.WdsRandomAccess.idx(s, outDir)
+        .join(broadcast(wanted), Seq("key"))
+      graft.sources.WdsRandomAccess.fetch(hits)
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+          's' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key
+        FROM documents WHERE doc_id % 97 = 0),
+      m AS (
+        SELECT key, 'txt' AS ext, 't' || CAST(doc_id AS VARCHAR) AS payload
+        FROM w
+        UNION ALL
+        SELECT key, 'json', '{"d":' || CAST(doc_id AS VARCHAR) || '}' FROM w
+        UNION ALL
+        SELECT key, 'cls', 'c' || CAST(doc_id % 7 AS VARCHAR)
+        FROM w WHERE doc_id % 3 = 0)
+      SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
     q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta, q169_warc_to_wds,
+    q170_wds_lookup,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
