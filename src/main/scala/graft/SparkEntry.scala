@@ -3571,14 +3571,18 @@ object SynthQueries {
                 .cast("binary").as("payload")))
             .coalesce(2)
             .write.format("wds").mode("append")
-            .option("path", outDir).option("targetShardBytes", "32768").save()
+            // shard/split targets sized so the shard count grows slowly
+            // with sf (a 32 KiB target at sf0.1 meant thousands of
+            // shards = thousands of micro-batches — 44 s of pure
+            // trigger overhead in the r12 bench's first cut)
+            .option("path", outDir).option("targetShardBytes", "8388608").save()
         }
         gen(0); gen(1)
         val name = "g132_sink_" +
           java.util.UUID.randomUUID.toString.replace("-", "")
         val q = s.readStream.format("wds")
-          .option("manifestOnly", "true").option("filesPerBatch", "1")
-          .option("splitTargetBytes", "16384")
+          .option("manifestOnly", "true").option("filesPerBatch", "2")
+          .option("splitTargetBytes", "4194304")
           .load(outDir)
           .select(col("key"), col("ext"), col("size"))
           .writeStream.format("memory").queryName(name)

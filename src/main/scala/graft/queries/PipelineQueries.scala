@@ -6048,13 +6048,15 @@ object PipelineQueries {
           .select(col("key"), lit("cls").as("ext"),
             concat(lit("c"), pmod(did, lit(7L)).cast("string"))
               .cast("binary").as("payload")))
+      // 1 MiB shard target keeps the shard count sane as sf grows
+      // (rolling itself is WdsSpec-pinned); the 64 KiB split target
+      // makes the read-back run over RANGED partitions cut at the idx
+      // sidecar's sample boundaries, ~16 splits per shard
       rows.write.format("wds").mode("overwrite")
-        .option("path", outDir).option("targetShardBytes", "65536").save()
-      // small split target: the read-back exercises RANGED partitions
-      // cut at the idx sidecar's sample boundaries, not whole files
+        .option("path", outDir).option("targetShardBytes", "1048576").save()
       val back = s.read.format("wds")
         .option("manifestOnly", "true")
-        .option("splitTargetBytes", "16384").load(outDir)
+        .option("splitTargetBytes", "65536").load(outDir)
       val spread = back.groupBy("key")
         .agg(countDistinct(col("shard")).as("shard_spread"))
       back.join(spread, Seq("key"))
@@ -6190,9 +6192,9 @@ object PipelineQueries {
           concat(lit("{\"url\":\""), col("url"), lit("\"}"))
             .cast("binary").as("payload")))
       rows.write.format("wds").mode("overwrite")
-        .option("path", outDir).option("targetShardBytes", "131072").save()
+        .option("path", outDir).option("targetShardBytes", "1048576").save()
       val back = s.read.format("wds").option("manifestOnly", "true")
-        .option("splitTargetBytes", "32768").load(outDir)
+        .option("splitTargetBytes", "131072").load(outDir)
       val spread = back.groupBy("key")
         .agg(countDistinct(col("shard")).as("shard_spread"))
       back.join(spread, Seq("key"))
@@ -6242,7 +6244,7 @@ object PipelineQueries {
             concat(lit("c"), pmod(did, lit(7L)).cast("string"))
               .cast("binary").as("payload")))
       rows.write.format("wds").mode("overwrite")
-        .option("path", outDir).option("targetShardBytes", "65536").save()
+        .option("path", outDir).option("targetShardBytes", "1048576").save()
       val wanted = docs(s, d).select(did)
         .filter(pmod(did, lit(97L)) === 0)
         .select(concat(lit("s"), lpad(did.cast("string"), 8, "0")).as("key"))
