@@ -147,6 +147,47 @@ object WdsScaleBench {
       // clean up the bench shards
       graft.sources.ArchiveFs.delete(dir, recursive = true)
     }
+
+    // --- 3. intra-shard parallelism: ranged idx splits vs one task --
+    // one LARGE shard (the shape a repack job emits), scanned as a
+    // single whole-file partition vs ~32 ranged splits cut at the
+    // sidecar's sample boundaries
+    locally {
+      val mb = curveMb.max * 2
+      val dir = java.nio.file.Files.createTempDirectory("wds_bench_big").toString
+      spark.range(mb.toLong * 4).select(
+          concat(lit("s"), lpad($"id".cast("string"), 8, "0")).as("key"),
+          lit("bin").as("ext"),
+          repeat(concat(lit("x"), lpad(pmod($"id", lit(97L)).cast("string"), 3, "0")),
+            65536).cast("binary").as("payload"))
+        .coalesce(1) // ONE writer -> ONE shard
+        .write.format("wds").mode("overwrite")
+        .option("path", dir).option("targetShardBytes", (1L << 40).toString)
+        .save()
+      def time[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def scan(splitBytes: Long) = {
+        val src = spark.read.format("wds")
+          .option("splitTargetBytes", splitBytes.toString).load(dir)
+        // partition count of the SCAN, not the 1-partition aggregate;
+        // md5 per member makes the job compute-real (the fingerprint
+        // work a dedup/repack pass actually does per payload)
+        val parts = src.rdd.getNumPartitions
+        (parts, src.agg(count(lit(1)), sum(length($"payload")),
+          max(md5($"payload"))).collect()(0))
+      }
+      val ((pWhole, rWhole), tWhole) = time(scan(1L << 40))
+      val ((pSplit, rSplit), tSplit) = time(scan(mb.toLong * 1024 * 1024 / 32))
+      require(rWhole == rSplit, s"split/whole disagree: $rWhole vs $rSplit")
+      println(f"""{"metric":"wds_ranged_split","shard_mb":$mb,""" +
+        f""""whole_parts":$pWhole,"whole_s":$tWhole%.2f,""" +
+        f""""split_parts":$pSplit,"split_s":$tSplit%.2f,""" +
+        f""""speedup":${tWhole / tSplit}%.1f}""")
+      graft.sources.ArchiveFs.delete(dir, recursive = true)
+    }
     spark.stop()
   }
 }
