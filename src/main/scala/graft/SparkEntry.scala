@@ -3444,8 +3444,11 @@ object SynthQueries {
           .option("filesPerBatch", "1")
           .load(dir)
           .filter(col("http_status") === 200)
+          // the sniff-decode chain, streaming too — byte-identical on
+          // this UTF-8 fixture, honest transcode on a real crawl
           .select(col("target_uri").as("url"),
-            col("payload").cast("string").as("html"))
+            graft.ops.HtmlExtract.decodePayload(col("payload"),
+              col("http_content_type")).as("html"))
           .select(col("url"),
             org.apache.spark.sql.functions.explode(
               graft.ops.HtmlExtract.extractLinks(col("html"))).as("href"))
