@@ -12,21 +12,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * #2 — detection existed, nothing applied it, so non-UTF-8 crawl
   * HTML extracted as mojibake).
   *
-  * Supported labels, per the WHATWG Encoding spec's label table — the
-  * set that covers real crawl HTML:
-  *   - `utf-8` (+ ascii aliases): pass-through with BOM strip;
+  * Decoding follows the WHATWG `decode` algorithm: BOM sniffing FIRST
+  * — a UTF-8 / UTF-16LE / UTF-16BE byte-order mark OVERRIDES the
+  * label (so an `utf-16be`-labeled page that actually starts with the
+  * LE mark FF FE decodes little-endian with the mark stripped, never
+  * the strip-but-keep-label mojibake) — then the label, normalized
+  * per the spec's label table:
+  *   - `utf-8` (+ ascii aliases): pass-through;
   *   - `windows-1252` and every latin1-family label (`iso-8859-1`,
-  *     `latin1`, `cp1252`, ...): decoded by the WHATWG windows-1252
-  *     index — the spec ALIASES iso-8859-1 to windows-1252, the
-  *     behavior browsers (and therefore faithful corpora) exhibit;
-  *     the five undefined bytes map to their C1 controls, exactly as
-  *     the published index says;
-  *   - `utf-16le` / `utf-16be` / bare `utf-16` (BOM decides, LE
-  *     default): code-unit pairs, surrogate pairs combined, unpaired
-  *     surrogates and odd tail bytes to U+FFFD — never a throw;
+  *     `latin1`, `ascii`, `cp1252`, ...): decoded by the WHATWG
+  *     windows-1252 index — the spec ALIASES iso-8859-1 and ascii to
+  *     windows-1252, the behavior browsers (and therefore faithful
+  *     corpora) exhibit; the five undefined bytes map to their C1
+  *     controls, exactly as the published index says;
+  *   - `utf-16le` / `utf-16be` / bare `utf-16` (LE default):
+  *     code-unit pairs, surrogate pairs combined, unpaired surrogates
+  *     and odd tail bytes to U+FFFD — never a throw;
+  *   - CJK and legacy single-byte families — `shift_jis`/`windows-31j`,
+  *     `euc-jp`, `iso-2022-jp`, `gbk`/`gb2312`, `gb18030`, `big5`,
+  *     `euc-kr`/`windows-949`, `koi8-r`/`koi8-u`, `windows-874` and
+  *     `windows-1250`-`1258`, `iso-8859-2..15`, `ibm866`, `macintosh`,
+  *     `x-mac-cyrillic` — every WHATWG label routed to the matching
+  *     JVM `java.nio.charset` decoder (present in every JRE) with
+  *     REPLACE semantics: malformed input becomes U+FFFD, never a
+  *     throw. This is the ~3-5% non-cp1252/utf-16 tail of a real
+  *     crawl that previously read as UTF-8 mojibake;
+  *   - the WHATWG `replacement` encoding labels (`iso-2022-kr`,
+  *     `hz-gb-2312`, ...): the whole stream decodes to one U+FFFD —
+  *     the spec's anti-smuggling rule;
+  *   - `x-user-defined`: high bytes to the U+F780 private-use block;
   *   - any other label: utf-8 pass-through (the decoder must not kill
   *     a 100 TB job over one exotic page; the label survives in the
-  *     sniff column for auditing).
+  *     sniff column for auditing, and [[DecodeCharset.isKnownLabel]]
+  *     lets curation quarantine the fallback rows).
   *
   * Scale shape: scan-side scalar, codegen'd via a static call; one
   * output allocation per row; no UDF, no shuffle. Deterministic
@@ -69,27 +87,151 @@ object DecodeCharset {
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178
   ).map(_.toChar)
 
-  def decode(bytes: Array[Byte], label: UTF8String): UTF8String = {
-    val cs = label.toString.trim.toLowerCase(java.util.Locale.ROOT)
-    cs match {
-      case "windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" |
-          "iso8859-1" | "iso_8859-1" | "latin1" | "l1" | "cp819" =>
-        cp1252(bytes)
-      case "utf-16le" => utf16(bytes, bigEndian = false, sniffBom = true)
-      case "utf-16be" => utf16(bytes, bigEndian = true, sniffBom = true)
-      case "utf-16" => // BOM decides; LE is the WHATWG default
-        if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
-          utf16(bytes, bigEndian = true, sniffBom = true)
-        else utf16(bytes, bigEndian = false, sniffBom = true)
-      case _ => utf8(bytes) // utf-8 family and every unknown label
-    }
+  /** WHATWG label -> JVM charset name, for the families the spec
+    * defines beyond the hand decoders below. Published spec data (the
+    * Encoding Standard's label table), mapped to the equivalent
+    * decoders every JRE ships; WHATWG aliases that widen an IANA name
+    * (shift_jis -> windows-31j, euc-kr -> windows-949, big5 ->
+    * big5-hkscs) map to the WIDE decoder, which is what the label
+    * means on the web. Built once; labels whose decoder is missing
+    * from this JVM simply stay out of the map (-> utf-8 fallback).
+    */
+  private val JvmByLabel: java.util.HashMap[String, java.nio.charset.Charset] = {
+    val m = new java.util.HashMap[String, java.nio.charset.Charset]()
+    def put(jvmNames: Seq[String], labels: Seq[String]): Unit =
+      jvmNames.find(java.nio.charset.Charset.isSupported).foreach { n =>
+        val cs = java.nio.charset.Charset.forName(n)
+        labels.foreach(l => m.put(l, cs))
+      }
+    put(Seq("IBM866"), Seq("866", "cp866", "csibm866", "ibm866"))
+    put(Seq("ISO-8859-2"), Seq("csisolatin2", "iso-8859-2", "iso-ir-101",
+      "iso8859-2", "iso88592", "iso_8859-2", "iso_8859-2:1987", "l2", "latin2"))
+    put(Seq("ISO-8859-3"), Seq("csisolatin3", "iso-8859-3", "iso-ir-109",
+      "iso8859-3", "iso88593", "iso_8859-3", "iso_8859-3:1988", "l3", "latin3"))
+    put(Seq("ISO-8859-4"), Seq("csisolatin4", "iso-8859-4", "iso-ir-110",
+      "iso8859-4", "iso88594", "iso_8859-4", "iso_8859-4:1988", "l4", "latin4"))
+    put(Seq("ISO-8859-5"), Seq("csisolatincyrillic", "cyrillic", "iso-8859-5",
+      "iso-ir-144", "iso8859-5", "iso88595", "iso_8859-5", "iso_8859-5:1988"))
+    put(Seq("ISO-8859-6"), Seq("arabic", "asmo-708", "csiso88596e",
+      "csiso88596i", "csisolatinarabic", "ecma-114", "iso-8859-6",
+      "iso-8859-6-e", "iso-8859-6-i", "iso-ir-127", "iso8859-6", "iso88596",
+      "iso_8859-6", "iso_8859-6:1987"))
+    put(Seq("ISO-8859-7"), Seq("csisolatingreek", "ecma-118", "elot_928",
+      "greek", "greek8", "iso-8859-7", "iso-ir-126", "iso8859-7", "iso88597",
+      "iso_8859-7", "iso_8859-7:1987", "sun_eu_greek"))
+    // the spec's iso-8859-8-i (logical order) shares the byte index
+    put(Seq("ISO-8859-8"), Seq("csiso88598e", "csisolatinhebrew", "hebrew",
+      "iso-8859-8", "iso-8859-8-e", "iso-ir-138", "iso8859-8", "iso88598",
+      "iso_8859-8", "iso_8859-8:1988", "visual",
+      "csiso88598i", "iso-8859-8-i", "logical"))
+    put(Seq("ISO-8859-10"), Seq("csisolatin6", "iso-8859-10", "iso-ir-157",
+      "iso8859-10", "iso885910", "l6", "latin6"))
+    put(Seq("ISO-8859-13"), Seq("iso-8859-13", "iso8859-13", "iso885913"))
+    put(Seq("ISO-8859-14"), Seq("iso-8859-14", "iso8859-14", "iso885914"))
+    put(Seq("ISO-8859-15"), Seq("csisolatin9", "iso-8859-15", "iso8859-15",
+      "iso885915", "iso_8859-15", "l9"))
+    put(Seq("ISO-8859-16"), Seq("iso-8859-16"))
+    put(Seq("KOI8-R"), Seq("cskoi8r", "koi", "koi8", "koi8-r", "koi8_r"))
+    put(Seq("KOI8-U"), Seq("koi8-ru", "koi8-u"))
+    put(Seq("x-MacRoman"), Seq("csmacintosh", "mac", "macintosh",
+      "x-mac-roman"))
+    put(Seq("x-windows-874", "TIS-620"), Seq("dos-874", "iso-8859-11",
+      "iso8859-11", "iso885911", "tis-620", "windows-874"))
+    put(Seq("windows-1250"), Seq("cp1250", "windows-1250", "x-cp1250"))
+    put(Seq("windows-1251"), Seq("cp1251", "windows-1251", "x-cp1251"))
+    put(Seq("windows-1253"), Seq("cp1253", "windows-1253", "x-cp1253"))
+    put(Seq("windows-1254"), Seq("cp1254", "csisolatin5", "iso-8859-9",
+      "iso-ir-148", "iso8859-9", "iso88599", "iso_8859-9", "iso_8859-9:1989",
+      "l5", "latin5", "windows-1254", "x-cp1254"))
+    put(Seq("windows-1255"), Seq("cp1255", "windows-1255", "x-cp1255"))
+    put(Seq("windows-1256"), Seq("cp1256", "windows-1256", "x-cp1256"))
+    put(Seq("windows-1257"), Seq("cp1257", "windows-1257", "x-cp1257"))
+    put(Seq("windows-1258"), Seq("cp1258", "windows-1258", "x-cp1258"))
+    put(Seq("x-MacCyrillic"), Seq("x-mac-cyrillic", "x-mac-ukrainian"))
+    put(Seq("GBK"), Seq("chinese", "csgb2312", "csiso58gb231280", "gb2312",
+      "gb_2312", "gb_2312-80", "gbk", "iso-ir-58", "x-gbk"))
+    put(Seq("GB18030"), Seq("gb18030"))
+    put(Seq("Big5-HKSCS", "Big5"), Seq("big5", "big5-hkscs", "cn-big5",
+      "csbig5", "x-x-big5"))
+    put(Seq("EUC-JP"), Seq("cseucpkdfmtjapanese", "euc-jp", "x-euc-jp"))
+    put(Seq("ISO-2022-JP"), Seq("csiso2022jp", "iso-2022-jp"))
+    put(Seq("windows-31j", "Shift_JIS"), Seq("csshiftjis", "ms932",
+      "ms_kanji", "shift-jis", "shift_jis", "sjis", "windows-31j", "x-sjis"))
+    put(Seq("x-windows-949", "EUC-KR"), Seq("cseuckr", "csksc56011987",
+      "euc-kr", "iso-ir-149", "korean", "ks_c_5601-1987", "ks_c_5601-1989",
+      "ksc5601", "ksc_5601", "windows-949"))
+    m
   }
 
-  private def utf8(b: Array[Byte]): UTF8String =
-    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
-        b(2) == 0xBF.toByte)
-      UTF8String.fromBytes(b, 3, b.length - 3)
-    else UTF8String.fromBytes(b)
+  /** WHATWG `replacement` encoding labels: decoders that historically
+    * allowed byte-smuggling attacks; the spec decodes the WHOLE stream
+    * to a single U+FFFD.
+    */
+  private val ReplacementLabels: Set[String] = Set("csiso2022kr",
+    "hz-gb-2312", "iso-2022-cn", "iso-2022-cn-ext", "iso-2022-kr",
+    "replacement")
+
+  private val Cp1252Labels: Set[String] = Set(
+    "ansi_x3.4-1968", "ascii", "cp1252", "cp819", "csisolatin1", "ibm819",
+    "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591", "iso_8859-1",
+    "iso_8859-1:1987", "l1", "latin1", "us-ascii", "windows-1252", "x-cp1252")
+
+  /** True iff `label` (normalized) routes to a real decoder here —
+    * the quarantine signal for curation: false means [[decode]] fell
+    * back to utf-8 pass-through on a non-utf-8 label.
+    */
+  def isKnownLabel(label: String): Boolean = {
+    val cs = label.trim.toLowerCase(java.util.Locale.ROOT)
+    Cp1252Labels.contains(cs) || JvmByLabel.containsKey(cs) ||
+      ReplacementLabels.contains(cs) ||
+      (cs match {
+        case "utf-8" | "utf8" | "unicode-1-1-utf-8" | "unicode11utf8" |
+            "unicode20utf8" | "x-unicode20utf8" => true
+        case "utf-16" | "utf-16le" | "utf-16be" | "csunicode" |
+            "iso-10646-ucs-2" | "ucs-2" | "unicode" | "unicodefeff" |
+            "unicodefffe" => true
+        case "x-user-defined" => true
+        case _ => false
+      })
+  }
+
+  def decode(bytes: Array[Byte], label: UTF8String): UTF8String = {
+    // WHATWG `decode` step 1, BOM sniffing: a mark OVERRIDES the label
+    // (an utf-16be-labeled page opening with FF FE decodes LE), and is
+    // not part of the text
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return UTF8String.fromBytes(bytes, 3, bytes.length - 3)
+    if (bytes.length >= 2) {
+      if (bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+        return utf16(bytes, bigEndian = true, from = 2)
+      if (bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+        return utf16(bytes, bigEndian = false, from = 2)
+    }
+    val cs = label.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    if (Cp1252Labels.contains(cs)) return cp1252(bytes)
+    cs match {
+      // no BOM present by here; LE is the WHATWG default for the
+      // ucs-2/unicode alias family too
+      case "utf-16le" | "utf-16" | "csunicode" | "iso-10646-ucs-2" |
+          "ucs-2" | "unicode" | "unicodefeff" =>
+        utf16(bytes, bigEndian = false, from = 0)
+      case "utf-16be" | "unicodefffe" =>
+        utf16(bytes, bigEndian = true, from = 0)
+      case "x-user-defined" => xUserDefined(bytes)
+      case _ =>
+        if (ReplacementLabels.contains(cs))
+          UTF8String.fromString(if (bytes.length == 0) "" else "�")
+        else {
+          val jvm = JvmByLabel.get(cs)
+          // String(bytes, charset) is the REPLACE-on-malformed path —
+          // U+FFFD, never a throw; utf-8 family and every unknown
+          // label pass through
+          if (jvm != null) UTF8String.fromString(new String(bytes, jvm))
+          else UTF8String.fromBytes(bytes)
+        }
+    }
+  }
 
   private def cp1252(b: Array[Byte]): UTF8String = {
     val sb = new java.lang.StringBuilder(b.length)
@@ -104,13 +246,20 @@ object DecodeCharset {
     UTF8String.fromString(sb.toString)
   }
 
-  private def utf16(b: Array[Byte], bigEndian: Boolean,
-      sniffBom: Boolean): UTF8String = {
+  private def xUserDefined(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder(b.length)
     var i = 0
-    if (sniffBom && b.length >= 2) {
-      val bom = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
-      if (bom == 0xFEFF || bom == 0xFFFE) i = 2 // either-order BOM strips
+    while (i < b.length) {
+      val v = b(i) & 0xFF
+      sb.append(if (v < 0x80) v.toChar else (0xF780 + v - 0x80).toChar)
+      i += 1
     }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def utf16(b: Array[Byte], bigEndian: Boolean,
+      from: Int): UTF8String = {
+    var i = from
     val sb = new java.lang.StringBuilder((b.length - i) / 2 + 1)
     while (i + 1 < b.length) {
       val u =

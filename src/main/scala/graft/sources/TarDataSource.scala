@@ -177,13 +177,18 @@ final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boole
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // pushed filters arrive as a CONJUNCTION, so a second ext predicate
+  // narrows the accepted set by INTERSECTION (ext = 'a' AND ext IN
+  // ('a','b') keeps {'a'}); a union here would widen the scan to rows
+  // Spark never re-checks, i.e. wrong results, not a missed pushdown
+  private def narrow(vs: Set[String]): Unit =
+    extFilter = Some(extFilter.fold(vs)(_.intersect(vs)))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
-      case EqualTo("ext", v: String) =>
-        extFilter = Some(extFilter.getOrElse(Set.empty[String]) + v); true
+      case EqualTo("ext", v: String) => narrow(Set(v)); true
       case In("ext", vs) if vs.forall(_.isInstanceOf[String]) =>
-        extFilter = Some(extFilter.getOrElse(Set.empty[String]) ++
-          vs.map(_.asInstanceOf[String])); true
+        narrow(vs.map(_.asInstanceOf[String]).toSet); true
       case _ => false
     }
     pushed = accepted
@@ -231,13 +236,24 @@ final class TarMicroBatchStream(path: String, required: StructType,
     extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean,
     targetBytes: Long = TarDataSource.TargetSplitBytes)
     extends FileListMicroBatchStream(filesPerBatch) {
+  // Directory mode prefers manifest order when _MANIFEST.json exists:
+  // the stream's offsets pin a committed PREFIX, so the listing must
+  // only ever grow at the tail — true of the manifest (append order by
+  // construction) but NOT of a name-sorted listing of the sink's own
+  // shards (part-<random gen>-NNNNN.tar: a second append generation
+  // sorts before the first about half the time and the stream fails
+  // its prefix validation). Plain name-sorted directory mode remains
+  // for foreign corpora, which must add files in ascending name order.
   override protected def current(): Vector[String] =
     if (manifestOnly)
       try TarDataSource.manifestFiles(path).toVector
       catch { case _: IllegalArgumentException => Vector.empty }
     else
-      try TarDataSource.listFiles(path).toVector
-      catch { case _: IllegalArgumentException => Vector.empty }
+      try {
+        if (ArchiveFs.exists(ArchiveFs.child(path, "_MANIFEST.json")))
+          TarDataSource.manifestFiles(path).toVector
+        else TarDataSource.listFiles(path).toVector
+      } catch { case _: IllegalArgumentException => Vector.empty }
 
   override protected def partitionsFor(f: String): Seq[InputPartition] =
     TarDataSource.partitionsFor(f, targetBytes)

@@ -55,6 +55,82 @@ class DecodeCharsetSpec extends AnyFunSuite {
     assert(dec(b(0x61, 0x00, 0x62), "utf-16le") === "a�")
   }
 
+  test("a BOM OVERRIDES the label (WHATWG decode), including endianness") {
+    // LE mark under a BE label: decode LE, mark stripped (the r12
+    // behavior consumed the mark but kept decoding BE — mojibake)
+    assert(dec(b(0xFF, 0xFE, 0x61, 0x00), "utf-16be") === "a")
+    assert(dec(b(0xFE, 0xFF, 0x00, 0x61), "utf-16le") === "a")
+    // utf-8 mark under a legacy label
+    assert(dec(b(0xEF, 0xBB, 0xBF) ++ "é".getBytes("UTF-8"), "windows-1252")
+      === "é")
+    assert(dec(b(0xFF, 0xFE, 0x61, 0x00), "shift_jis") === "a")
+  }
+
+  test("CJK families route through the JVM decoders (WHATWG labels)") {
+    val jp = "日本語のテキスト"
+    assert(dec(jp.getBytes("windows-31j"), "shift_jis") === jp)
+    assert(dec(jp.getBytes("windows-31j"), "Shift-JIS") === jp)
+    assert(dec(jp.getBytes("windows-31j"), "x-sjis") === jp)
+    assert(dec(jp.getBytes("EUC-JP"), "euc-jp") === jp)
+    assert(dec(jp.getBytes("ISO-2022-JP"), "iso-2022-jp") === jp)
+    val zh = "简体中文测试"
+    assert(dec(zh.getBytes("GBK"), "gbk") === zh)
+    assert(dec(zh.getBytes("GBK"), "gb2312") === zh) // WHATWG alias
+    assert(dec(zh.getBytes("GB18030"), "gb18030") === zh)
+    val tw = "繁體中文測試"
+    assert(dec(tw.getBytes("Big5"), "big5") === tw)
+    val kr = "한국어 텍스트"
+    assert(dec(kr.getBytes("x-windows-949"), "euc-kr") === kr)
+    assert(dec(kr.getBytes("x-windows-949"), "ks_c_5601-1987") === kr)
+    // windows-31j superset codepoints (NEC/IBM extensions) — the
+    // reason shift_jis maps to windows-31j, not the narrow JVM SJIS
+    assert(dec(b(0x87, 0x40), "shift_jis") === "①")
+  }
+
+  test("legacy single-byte families: cyrillic, greek, thai, turkish") {
+    val ru = "русский текст"
+    assert(dec(ru.getBytes("windows-1251"), "windows-1251") === ru)
+    assert(dec(ru.getBytes("KOI8-R"), "koi8-r") === ru)
+    assert(dec(ru.getBytes("ISO-8859-5"), "cyrillic") === ru)
+    val el = "ελληνικά"
+    assert(dec(el.getBytes("windows-1253"), "cp1253") === el)
+    assert(dec(el.getBytes("ISO-8859-7"), "greek") === el)
+    val th = "ภาษาไทย"
+    assert(dec(th.getBytes("x-windows-874"), "windows-874") === th)
+    assert(dec(th.getBytes("x-windows-874"), "tis-620") === th)
+    val tr = "ğüşöçİı"
+    // WHATWG: iso-8859-9 aliases to windows-1254
+    assert(dec(tr.getBytes("windows-1254"), "iso-8859-9") === tr)
+    assert(dec("žāļū".getBytes("ISO-8859-13"), "iso-8859-13") === "žāļū")
+    assert(dec("œŸ€".getBytes("ISO-8859-15"), "iso-8859-15") === "œŸ€")
+  }
+
+  test("malformed bytes under a routed label become U+FFFD, never a throw") {
+    // 0x82 opens a two-byte shift_jis sequence; 0xFF can't close it
+    val got = dec(b(0x61, 0x82, 0xFF, 0x62), "shift_jis")
+    assert(got.startsWith("a") && got.endsWith("b") && got.contains("�"))
+    assert(dec(b(0x80), "gb18030").contains("�"))
+  }
+
+  test("replacement-encoding labels decode the whole stream to one U+FFFD") {
+    assert(dec("anything at all".getBytes("UTF-8"), "iso-2022-kr") === "�")
+    assert(dec("x".getBytes("UTF-8"), "hz-gb-2312") === "�")
+    assert(dec(Array.empty[Byte], "iso-2022-kr") === "")
+  }
+
+  test("x-user-defined maps high bytes to the U+F780 block") {
+    assert(dec(b(0x61, 0x80, 0xFF), "x-user-defined") === "a")
+  }
+
+  test("isKnownLabel separates routed labels from the utf-8 fallback") {
+    for (l <- Seq("utf-8", "windows-1252", "ASCII", "utf-16", "shift_jis",
+        "gb18030", "euc-kr", "koi8-r", "iso-8859-7", "x-user-defined",
+        "iso-2022-kr"))
+      assert(DecodeCharset.isKnownLabel(l), l)
+    for (l <- Seq("klingon-1", "utf-9", "x-ebcdic-ish", ""))
+      assert(!DecodeCharset.isKnownLabel(l), l)
+  }
+
   test("registered SQL function + sniff-decode-extract chain end to end") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
