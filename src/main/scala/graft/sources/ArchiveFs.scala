@@ -17,39 +17,79 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * local filesystem directly (ArchiveFsSpec pins that by grepping the
   * source tree).
   *
-  * Configuration: driver-side calls pick up the active session's
-  * Hadoop conf (so `spark.hadoop.*` settings apply); executor JVMs
-  * without a session fall back to `new Configuration()`, i.e. the
-  * standard core-site.xml/hdfs-site.xml classpath channel every
-  * Hadoop-ecosystem executor already ships. `FileSystem.get` caches
-  * instances per scheme+authority, so per-task calls stay cheap, and
-  * cached instances are never closed here (they are JVM-shared).
+  * Configuration: the scan/write factories capture the driver
+  * session's Hadoop conf at planning time and ship it inside their
+  * task-serialized selves ([[SerializableHadoopConf]] ->
+  * [[ArchiveFs.installConf]]), so `spark.hadoop.*` settings — s3a
+  * credentials, endpoints — reach executor tasks; a JVM with no
+  * installed conf falls back to the active session, then to the
+  * classpath core-site.xml channel. FileSystem instances are PRIVATE
+  * (`FileSystem.newInstance`, cached per scheme+authority here, never
+  * closed): the write-checksum toggle this module needs must not leak
+  * into the JVM-shared `FileSystem.get` cache that Spark's own
+  * checkpoint/committer writes go through.
   *
-  * Atomicity contract (same as before the port, now stated per
-  * filesystem): `renameOverwrite` uses `FileContext.rename(OVERWRITE)`
-  * — atomic on HDFS and POSIX local; on S3A it degrades to
-  * copy+delete, the documented object-store caveat shared with
-  * Spark's own v1 committers. `createExclusive` relies on atomic
-  * create-no-overwrite — true on HDFS/local, best-effort on S3A.
+  * Atomicity contract, per filesystem: `renameOverwrite` uses
+  * `FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX local;
+  * on S3A it degrades to copy+delete. The MANIFEST therefore does not
+  * rely on it: [[publishManifest]]/[[readManifest]] write immutable
+  * numbered generations (`_MANIFEST-<gen>.json`, one atomic PUT each)
+  * and readers take the highest, so object-store readers never observe
+  * a missing or torn manifest; the legacy `_MANIFEST.json` swap is
+  * kept only as a mirror. `createExclusive` relies on atomic
+  * create-no-overwrite — true on HDFS/local, conditional-PUT on
+  * modern S3.
   */
 object ArchiveFs {
 
-  /** Lazily resolved per-JVM Hadoop conf (see class doc). */
-  lazy val conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
+  /** Driver-shipped Hadoop conf, installed executor-side by the scan /
+    * write factories (via [[SerializableHadoopConf]]) so `spark.hadoop.*`
+    * session settings — s3a credentials, endpoints — reach tasks
+    * instead of silently falling back to the executor's core-site.xml.
+    * First install wins (tasks of one app carry the same session conf).
+    */
+  @volatile private var installed: Configuration = null
+  def installConf(c: Configuration): Unit =
+    if (c != null && installed == null) installed = c
+
+  /** Per-JVM Hadoop conf: driver-shipped if installed, else the active
+    * session's, else the classpath default (see class doc).
+    */
+  def conf: Configuration = {
+    val i = installed
+    if (i != null) i
+    else org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+  }
+
+  /** Capture the driver's conf for shipping inside a task-serialized
+    * factory. Call driver-side (scan/write planning time).
+    */
+  def carrier(): SerializableHadoopConf = new SerializableHadoopConf(conf)
 
   def path(s: String): Path = new Path(s)
+
+  // PRIVATE FileSystem instances (FileSystem.newInstance, one per
+  // scheme+authority, never closed): the write-checksum toggle below
+  // must not leak into the JVM-shared FileSystem.get cache, where it
+  // would silently disable .crc sidecars for every other user of the
+  // same filesystem (including Spark's own checkpoint writes)
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
   def fs(p: Path): FileSystem = {
-    val f = p.getFileSystem(conf)
-    // the local ChecksumFileSystem writes .crc sidecars next to every
-    // file — noise in archive dirs whose listings ARE the contract;
-    // integrity on real deployments comes from the store (hdfs block
-    // checksums, s3 etags), so write plain bytes everywhere
-    f.setWriteChecksum(false)
-    f
+    val u = p.getFileSystem(conf).getUri // normalized scheme+authority
+    fsCache.computeIfAbsent(u.toString, _ => {
+      val f = FileSystem.newInstance(u, conf)
+      // the local ChecksumFileSystem writes .crc sidecars next to every
+      // file — noise in archive dirs whose listings ARE the contract;
+      // integrity on real deployments comes from the store (hdfs block
+      // checksums, s3 etags), so write plain bytes on OUR instances
+      f.setWriteChecksum(false)
+      f
+    })
   }
   private def fsOf(s: String): (FileSystem, Path) = {
     val p = path(s); (fs(p), p)
@@ -174,12 +214,12 @@ object ArchiveFs {
     try { create(s, overwrite = false).close(); true }
     catch { case _: java.io.IOException => false }
 
-  /** Exclusive create + unique-token readback: true iff THIS caller's
-    * token survives in the lock file. On HDFS create-no-overwrite is
-    * atomic by itself; the readback closes the local-FS check-then-
-    * create window for cross-process racers on file: paths.
+  /** Exclusive create + unique-token readback: Some(token) iff THIS
+    * caller's token survives in the lock file. On HDFS create-no-
+    * overwrite is atomic by itself; the readback closes the local-FS
+    * check-then-create window for cross-process racers on file: paths.
     */
-  private def tryAcquire(lockPath: String): Boolean = {
+  private def tryAcquire(lockPath: String): Option[String] = {
     val token = java.util.UUID.randomUUID.toString
     val created =
       try {
@@ -187,9 +227,40 @@ object ArchiveFs {
         try out.write(token.getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    created &&
-      (try readString(lockPath) == token
-       catch { case _: java.io.IOException => false })
+    if (created &&
+        (try readString(lockPath) == token
+         catch { case _: java.io.IOException => false })) Some(token)
+    else None
+  }
+
+  /** Break a lock OBSERVED stale, without ever deleting `lockPath` in
+    * place: a blind delete races — two waiters can both observe
+    * staleness, one acquires a FRESH lock after the other's
+    * observation, and the delayed delete then removes the live lock
+    * (the lost-manifest-entry scenario the lock exists to prevent).
+    * Instead the dead lock is RENAMED aside (atomic, exactly one
+    * winner) and the moved file's token is verified against the
+    * observed holder: a match means we moved the dead lock (delete it,
+    * retry acquisition); a mismatch means a live racer's lock slipped
+    * in — put it back, or fail LOUDLY if it cannot be restored, never
+    * let two writers into the manifest RMW.
+    */
+  private def breakStale(lockPath: String, observedToken: String): Unit = {
+    val (f, p) = fsOf(lockPath)
+    val aside = path(lockPath + ".stale." +
+      java.util.UUID.randomUUID.toString.take(8))
+    val moved = try f.rename(p, aside) catch { case _: java.io.IOException => false }
+    if (moved) {
+      val tok = try readString(aside.toString)
+                catch { case _: java.io.IOException => "" }
+      if (tok == observedToken) f.delete(aside, false)
+      else if (!f.rename(aside, p)) {
+        f.delete(aside, false)
+        throw new IllegalStateException(
+          s"lock break raced on $lockPath: displaced a live holder and " +
+            "could not restore it; manual cleanup required")
+      }
+    }
   }
 
   // same-JVM writers (local[*] mode: every task shares this JVM) gate
@@ -212,22 +283,116 @@ object ArchiveFs {
     local.lock()
     try {
       val deadline = System.nanoTime() + staleMs * 2000000L // 2x stale as hard cap
-      var held = false
-      while (!held) {
-        if (tryAcquire(lockPath)) held = true
-        else {
+      var held: Option[String] = None
+      while (held.isEmpty) {
+        held = tryAcquire(lockPath)
+        if (held.isEmpty) {
           val (f, p) = fsOf(lockPath)
+          // observe age and token TOGETHER, break in the same iteration
           val age = try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
                     catch { case _: java.io.FileNotFoundException => -1L } // racer released
-          if (age > staleMs) { f.delete(p, false) } // break a dead holder's lock
-          else if (System.nanoTime() > deadline)
+          if (age > staleMs) {
+            // a dead holder's leftover may be EMPTY (crashed between
+            // create and token write) — still breakable; only a failed
+            // read (racer released mid-observation) skips the attempt
+            val observed = try Some(readString(lockPath))
+                           catch { case _: java.io.IOException => None }
+            observed.foreach(tok => breakStale(lockPath, tok))
+          } else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"could not acquire $lockPath within ${staleMs * 2} ms; " +
                 "another writer holds it (or raise the stale window)")
           else Thread.sleep(20)
         }
       }
-      try body finally delete(lockPath)
+      // token-checked release: if a breaker (wrongly tuned staleMs, or
+      // a body outliving the stale window) replaced our lock, deleting
+      // blindly would release the NEW holder's lock
+      try body finally {
+        val mine = try readString(lockPath) == held.get
+                   catch { case _: java.io.IOException => false }
+        if (mine) delete(lockPath)
+      }
     } finally local.unlock()
+  }
+
+  // ---- manifest publish/read protocol ----------------------------------
+
+  private val NumberedManifest = """_MANIFEST-(\d{12})\.json""".r
+
+  /** Numbered manifest generations under `dir`, ascending. */
+  private def manifestGens(dir: String): Seq[(Long, String)] =
+    (if (isDirectory(dir)) list(dir) else Seq.empty).flatMap { f =>
+      name(f) match {
+        case NumberedManifest(n) => Some((n.toLong, f))
+        case _                   => None
+      }
+    }.sortBy(_._1)
+
+  /** Publish a new manifest generation. Call under [[withLock]].
+    *
+    * Object-store-safe visibility: the authoritative copy is an
+    * IMMUTABLE numbered file `_MANIFEST-<gen>.json` written with
+    * create-no-overwrite — on S3A a single atomic PUT, so a reader
+    * listing the directory always finds a COMPLETE newest generation;
+    * there is no moment where "the manifest" does not exist (the
+    * renameOverwrite swap degrades to copy+delete on object stores,
+    * leaving exactly that window). The legacy `_MANIFEST.json` is still
+    * mirrored (rename-swapped) for humans and external tooling, but
+    * [[readManifest]] never depends on it when a numbered generation
+    * exists. The last 3 generations are retained so a reader that
+    * listed just before a publish can still open its pick.
+    */
+  def publishManifest(dir: String, json: String): Unit = {
+    val gens = manifestGens(dir)
+    val next = gens.lastOption.map(_._1 + 1).getOrElse(1L)
+    val bytes = json.getBytes("UTF-8")
+    // temp + rename-no-overwrite, NOT a direct create: local/HDFS
+    // create() makes the file visible EMPTY before the bytes land, and
+    // a concurrent reader picking the newest generation would read a
+    // torn manifest; the rename publishes it complete-or-absent (on
+    // S3A the Hadoop rename is a copy of a COMPLETE object — same
+    // visibility guarantee, no empty window)
+    val gTmp = child(dir, f"._MANIFEST-$next%012d.tmp")
+    writeBytes(gTmp, bytes, overwrite = true)
+    rename(gTmp, child(dir, f"_MANIFEST-$next%012d.json"))
+    val tmp = child(dir, f"._MANIFEST.$next.tmp")
+    writeBytes(tmp, bytes, overwrite = true)
+    renameOverwrite(tmp, child(dir, "_MANIFEST.json"))
+    gens.dropRight(2).foreach { case (_, p) => delete(p) } // keep 3 incl. next
+  }
+
+  /** Newest manifest content: the highest numbered generation, falling
+    * back to legacy `_MANIFEST.json` (pre-protocol directories).
+    */
+  def readManifest(dir: String): Option[String] =
+    manifestGens(dir).lastOption.map { case (_, p) => readString(p) }
+      .orElse {
+        val legacy = child(dir, "_MANIFEST.json")
+        if (exists(legacy)) Some(readString(legacy)) else None
+      }
+
+  def hasManifest(dir: String): Boolean =
+    manifestGens(dir).nonEmpty || exists(child(dir, "_MANIFEST.json"))
+}
+
+/** Java-serializable wrapper for a Hadoop `Configuration` (Writable,
+  * not Serializable), the channel that ships the driver session's
+  * `spark.hadoop.*` settings inside task-serialized scan/write
+  * factories to [[ArchiveFs.installConf]] on executors.
+  */
+final class SerializableHadoopConf(@transient private var c: Configuration)
+    extends Serializable {
+  def value: Configuration = c
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    c.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new Configuration(false)
+    c.readFields(in)
   }
 }

@@ -102,7 +102,7 @@ final class ShardBatchWrite(path: String, schema: StructType,
   private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(tmpDir, schema.json)
+    new ShardWriterFactory(tmpDir, schema.json, ArchiveFs.carrier())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     ArchiveFs.mkdirs(path)
@@ -114,23 +114,22 @@ final class ShardBatchWrite(path: String, schema: StructType,
       (name, rows)
     }
     // empty-task temp files (0 rows) just get cleaned with the tmp dir
-    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
     // append mode keeps the previous generation's entries; truncate
     // (mode("overwrite")) replaces them
     val entryRe = """\{"shard":"([^"]+)","rows":(\d+)\}""".r
     ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
       val prev: Seq[String] =
-        if (!truncate && ArchiveFs.exists(manifestPath))
-          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
-            .map(_.matched).toSeq
+        if (!truncate)
+          ArchiveFs.readManifest(path)
+            .map(m => entryRe.findAllMatchIn(m).map(_.matched).toSeq)
+            .getOrElse(Seq.empty)
         else Seq.empty
       val manifest =
         (prev ++ entries.map { case (n, r) => s"""{"shard":"$n","rows":$r}""" })
           .mkString("[", ",", "]")
-      // the atomic publish point: temp manifest + atomic overwrite
-      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
-      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
-      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+      // the atomic publish point: immutable numbered generation +
+      // legacy mirror (see ArchiveFs.publishManifest)
+      ArchiveFs.publishManifest(path, manifest)
     }
     // only AFTER the swap: drop shard files the new manifest no longer
     // references (previous generations under truncate)
@@ -153,10 +152,12 @@ final class ShardBatchWrite(path: String, schema: StructType,
   }
 }
 
-final class ShardWriterFactory(tmpDir: String, schemaJson: String)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+final class ShardWriterFactory(tmpDir: String, schemaJson: String,
+    confSer: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
     new ShardWriter(tmpDir, schemaJson)
+  }
 }
 
 /** One temp JSONL file per task attempt; the uuid name makes retried /

@@ -105,10 +105,10 @@ object TarDataSource {
     * publish point), in manifest = append order.
     */
   def manifestFiles(path: String): Seq[String] = {
-    val m = ArchiveFs.child(path, "_MANIFEST.json")
-    require(ArchiveFs.exists(m),
-      s"manifest read requested but no _MANIFEST.json under $path")
-    """"shard":"([^"]+)"""".r.findAllMatchIn(ArchiveFs.readString(m))
+    val m = ArchiveFs.readManifest(path)
+    require(m.nonEmpty,
+      s"manifest read requested but no manifest under $path")
+    """"shard":"([^"]+)"""".r.findAllMatchIn(m.get)
       .map(mm => ArchiveFs.child(path, mm.group(1))).toVector
   }
 
@@ -224,7 +224,7 @@ final class TarScan(path: String, required: StructType,
       .flatMap(f => TarDataSource.partitionsFor(f, targetBytes)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(required, extFilter)
+    new TarReaderFactory(required, extFilter, ArchiveFs.carrier())
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -250,7 +250,7 @@ final class TarMicroBatchStream(path: String, required: StructType,
       catch { case _: IllegalArgumentException => Vector.empty }
     else
       try {
-        if (ArchiveFs.exists(ArchiveFs.child(path, "_MANIFEST.json")))
+        if (ArchiveFs.hasManifest(path))
           TarDataSource.manifestFiles(path).toVector
         else TarDataSource.listFiles(path).toVector
       } catch { case _: IllegalArgumentException => Vector.empty }
@@ -259,13 +259,16 @@ final class TarMicroBatchStream(path: String, required: StructType,
     TarDataSource.partitionsFor(f, targetBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(required, extFilter)
+    new TarReaderFactory(required, extFilter, ArchiveFs.carrier())
 }
 
-final class TarReaderFactory(required: StructType, extFilter: Option[Set[String]])
-    extends PartitionReaderFactory {
+final class TarReaderFactory(required: StructType, extFilter: Option[Set[String]],
+    confSer: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // ship the driver session's Hadoop conf (s3a credentials etc.) to
+    // executors that have no SparkSession of their own
+    ArchiveFs.installConf(confSer.value)
     val p = partition.asInstanceOf[TarInputPartition]
     val file = p.file
     new PartitionReader[InternalRow] {

@@ -116,11 +116,10 @@ object WarcDataSource {
     * NAMES sort, unlike the directory-listing path.
     */
   def manifestFiles(path: String): Seq[String] = {
-    val m = ArchiveFs.child(path, "_MANIFEST.json")
-    require(ArchiveFs.exists(m),
-      s"manifest read requested but no _MANIFEST.json under $path")
-    val txt = ArchiveFs.readString(m)
-    """"segment":"([^"]+)"""".r.findAllMatchIn(txt)
+    val m = ArchiveFs.readManifest(path)
+    require(m.nonEmpty,
+      s"manifest read requested but no manifest under $path")
+    """"segment":"([^"]+)"""".r.findAllMatchIn(m.get)
       .map(mm => ArchiveFs.child(path, mm.group(1))).toVector
   }
 
@@ -231,7 +230,7 @@ final class WarcScan(path: String, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter)
+    new WarcReaderFactory(required, typeFilter, ArchiveFs.carrier())
 }
 
 /** Greedy record-boundary splitter: walk the ascending offsets and cut
@@ -251,10 +250,13 @@ private[sources] object ArrayOfCuts {
   }
 }
 
-final class WarcReaderFactory(required: StructType, typeFilter: Option[String])
-    extends PartitionReaderFactory {
+final class WarcReaderFactory(required: StructType, typeFilter: Option[String],
+    confSer: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // ship the driver session's Hadoop conf (s3a credentials etc.) to
+    // executors that have no SparkSession of their own
+    ArchiveFs.installConf(confSer.value)
     val p = partition.asInstanceOf[WarcInputPartition]
     val file = p.file
     new PartitionReader[InternalRow] {
@@ -345,5 +347,5 @@ final class WarcMicroBatchStream(path: String, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, typeFilter)
+    new WarcReaderFactory(required, typeFilter, ArchiveFs.carrier())
 }

@@ -70,7 +70,7 @@ final class WarcBatchWrite(path: String, schema: StructType, gzipped: Boolean,
   private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(tmpDir, schema.json, gzipped)
+    new WarcWriterFactory(tmpDir, schema.json, gzipped, ArchiveFs.carrier())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     ArchiveFs.mkdirs(path)
@@ -84,20 +84,20 @@ final class WarcBatchWrite(path: String, schema: StructType, gzipped: Boolean,
         ArchiveFs.child(path, name + ".cdx"))
       (name, n)
     }
-    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
     val entryRe = """\{"segment":"([^"]+)","records":(\d+)\}""".r
     ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
       val prev: Seq[String] =
-        if (!truncate && ArchiveFs.exists(manifestPath))
-          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
-            .map(_.matched).toSeq
+        if (!truncate)
+          ArchiveFs.readManifest(path)
+            .map(m => entryRe.findAllMatchIn(m).map(_.matched).toSeq)
+            .getOrElse(Seq.empty)
         else Seq.empty
       val manifest =
         (prev ++ entries.map { case (n, r) => s"""{"segment":"$n","records":$r}""" })
           .mkString("[", ",", "]")
-      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
-      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
-      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+      // immutable numbered generation + legacy mirror: no visibility
+      // window on object stores (see ArchiveFs.publishManifest)
+      ArchiveFs.publishManifest(path, manifest)
     }
     if (truncate) {
       val keep = entries.map(_._1).toSet
@@ -122,10 +122,12 @@ final class WarcBatchWrite(path: String, schema: StructType, gzipped: Boolean,
   }
 }
 
-final class WarcWriterFactory(tmpDir: String, schemaJson: String, gzipped: Boolean)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+final class WarcWriterFactory(tmpDir: String, schemaJson: String, gzipped: Boolean,
+    confSer: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
     new WarcWriter(tmpDir, schemaJson, gzipped)
+  }
 }
 
 /** One temp segment + CDX sidecar per task attempt, under the write

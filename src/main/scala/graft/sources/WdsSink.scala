@@ -73,7 +73,7 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
   private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WdsWriterFactory(tmpDir, schema.json, targetBytes)
+    new WdsWriterFactory(tmpDir, schema.json, targetBytes, ArchiveFs.carrier())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     ArchiveFs.mkdirs(path)
@@ -86,20 +86,20 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
         ArchiveFs.child(path, name + ".idx"))
       (name, n)
     }
-    val manifestPath = ArchiveFs.child(path, "_MANIFEST.json")
     val entryRe = """\{"shard":"([^"]+)","samples":(\d+)\}""".r
     ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
       val prev: Seq[String] =
-        if (!truncate && ArchiveFs.exists(manifestPath))
-          entryRe.findAllMatchIn(ArchiveFs.readString(manifestPath))
-            .map(_.matched).toSeq
+        if (!truncate)
+          ArchiveFs.readManifest(path)
+            .map(m => entryRe.findAllMatchIn(m).map(_.matched).toSeq)
+            .getOrElse(Seq.empty)
         else Seq.empty
       val manifest =
         (prev ++ entries.map { case (n, s) => s"""{"shard":"$n","samples":$s}""" })
           .mkString("[", ",", "]")
-      val mTmp = ArchiveFs.child(path, s"._MANIFEST.$gen.tmp")
-      ArchiveFs.writeBytes(mTmp, manifest.getBytes("UTF-8"), overwrite = true)
-      ArchiveFs.renameOverwrite(mTmp, manifestPath)
+      // immutable numbered generation + legacy mirror: no visibility
+      // window on object stores (see ArchiveFs.publishManifest)
+      ArchiveFs.publishManifest(path, manifest)
     }
     if (truncate) {
       val keep = entries.map(_._1).toSet
@@ -121,10 +121,12 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
   }
 }
 
-final class WdsWriterFactory(tmpDir: String, schemaJson: String, targetBytes: Long)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+final class WdsWriterFactory(tmpDir: String, schemaJson: String, targetBytes: Long,
+    confSer: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
     new WdsWriter(tmpDir, schemaJson, targetBytes)
+  }
 }
 
 /** Rolls uuid-named temp tars at sample boundaries. Rows arrive

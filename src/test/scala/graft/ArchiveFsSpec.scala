@@ -104,4 +104,136 @@ class ArchiveFsSpec extends AnyFunSuite {
     assert(got === 42)
     ArchiveFs.delete(d, recursive = true)
   }
+
+  test("release is token-checked: a broken-and-replaced lock is not deleted") {
+    val d = tmpDir()
+    val lock = ArchiveFs.child(d, "steal.lock")
+    ArchiveFs.withLock(lock, staleMs = 60000L) {
+      // simulate a breaker replacing our lock mid-body (wrongly tuned
+      // stale window on another driver): release must NOT delete the
+      // new holder's file
+      ArchiveFs.delete(lock)
+      ArchiveFs.writeBytes(lock, "someone-else".getBytes("UTF-8"))
+    }
+    assert(ArchiveFs.exists(lock), "release deleted a foreign lock")
+    assert(ArchiveFs.readString(lock) === "someone-else")
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("stale break leaves no .stale debris and the RMW stays serialized") {
+    val d = tmpDir()
+    val lock = ArchiveFs.child(d, "brk.lock")
+    ArchiveFs.writeBytes(lock, "dead-holder-token".getBytes("UTF-8"))
+    // age it so it reads as stale immediately
+    val counter = ArchiveFs.child(d, "n.txt")
+    ArchiveFs.writeBytes(counter, "0".getBytes("UTF-8"))
+    Thread.sleep(350)
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => {
+        ArchiveFs.withLock(lock, staleMs = 300L) {
+          val v = ArchiveFs.readString(counter).trim.toInt
+          Thread.sleep(30)
+          val t = ArchiveFs.child(d, s"t-${java.util.UUID.randomUUID}.tmp")
+          ArchiveFs.writeBytes(t, (v + 1).toString.getBytes("UTF-8"))
+          ArchiveFs.renameOverwrite(t, counter)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(ArchiveFs.readString(counter).trim.toInt === 3)
+    assert(!ArchiveFs.list(d).exists(f => ArchiveFs.name(f).contains(".stale.")),
+      "break left a .stale tombstone behind")
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("manifest protocol: numbered generations, newest wins, legacy fallback") {
+    val d = tmpDir()
+    assert(ArchiveFs.readManifest(d).isEmpty && !ArchiveFs.hasManifest(d))
+    // legacy-only directory (pre-protocol) still reads
+    ArchiveFs.writeBytes(ArchiveFs.child(d, "_MANIFEST.json"),
+      """["legacy"]""".getBytes("UTF-8"))
+    assert(ArchiveFs.readManifest(d) === Some("""["legacy"]"""))
+    // publishes create numbered generations; newest wins
+    ArchiveFs.publishManifest(d, """["g1"]""")
+    ArchiveFs.publishManifest(d, """["g1","g2"]""")
+    assert(ArchiveFs.readManifest(d) === Some("""["g1","g2"]"""))
+    // the legacy mirror tracks the newest too
+    assert(ArchiveFs.readString(ArchiveFs.child(d, "_MANIFEST.json"))
+      === """["g1","g2"]""")
+    // GC keeps a bounded window of generations
+    (3 to 9).foreach(i => ArchiveFs.publishManifest(d, s"""["g$i"]"""))
+    val numbered = ArchiveFs.list(d).map(ArchiveFs.name)
+      .filter(_.startsWith("_MANIFEST-")).sorted
+    assert(numbered.size === 3, s"GC window: $numbered")
+    assert(ArchiveFs.readManifest(d) === Some("""["g9"]"""))
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("manifest survives an object-store-style copy+delete mirror window") {
+    val d = tmpDir()
+    ArchiveFs.publishManifest(d, """["s1"]""")
+    // simulate S3A renameOverwrite mid-swap: the legacy mirror is GONE
+    ArchiveFs.delete(ArchiveFs.child(d, "_MANIFEST.json"))
+    // a reader still sees the full newest manifest via the numbered file
+    assert(ArchiveFs.readManifest(d) === Some("""["s1"]"""))
+    assert(ArchiveFs.hasManifest(d))
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("concurrent publishers under the lock never lose a generation") {
+    val d = tmpDir()
+    val lock = ArchiveFs.child(d, "_MANIFEST.lock")
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        (1 to 5).foreach { i =>
+          ArchiveFs.withLock(lock) {
+            val prev = ArchiveFs.readManifest(d).getOrElse("[]")
+            val n = prev.count(_ == 'e') // count of "entry" markers
+            ArchiveFs.publishManifest(d,
+              (0 to n).map(_ => "e").mkString("[", ",", "]"))
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val fin = ArchiveFs.readManifest(d).get
+    assert(fin.count(_ == 'e') === 20, s"lost RMW generations: $fin")
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("write-checksum stays OFF privately: the shared FS cache is untouched") {
+    val d = tmpDir()
+    // our instance writes no .crc sidecars (list via java.io.File —
+    // ChecksumFileSystem.listStatus HIDES crc sidecars, so a Hadoop
+    // listing cannot observe either outcome)
+    def onDisk(): Seq[String] = new java.io.File(d).list().toSeq.sorted
+    ArchiveFs.writeBytes(ArchiveFs.child(d, "plain.bin"), "x".getBytes("UTF-8"))
+    assert(!onDisk().exists(_.endsWith(".crc")), onDisk())
+    // the JVM-shared FileSystem.get instance still writes checksums —
+    // proving ArchiveFs never mutated the shared cache under Spark's feet
+    val shared = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+    val sp = new org.apache.hadoop.fs.Path(d, "shared.bin")
+    val out = shared.create(sp, true)
+    try out.write(1) finally out.close()
+    assert(onDisk().contains(".shared.bin.crc"),
+      "shared FileSystem.get cache lost its checksum default — " +
+        s"ArchiveFs mutated a JVM-shared instance (files: ${onDisk()})")
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("SerializableHadoopConf round-trips custom keys through Java serialization") {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set("graft.test.key", "shipped-value")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.sources.SerializableHadoopConf(c))
+    oos.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(back.value.get("graft.test.key") === "shipped-value")
+  }
 }
