@@ -223,6 +223,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("charset_known"),
+      new ExpressionInfo(classOf[CharsetKnown].getName, "charset_known"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"charset_known(charset) takes 1 argument, got ${children.length}")
+        CharsetKnown(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
       (children: Seq[Expression]) => {

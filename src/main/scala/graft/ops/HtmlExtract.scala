@@ -166,6 +166,17 @@ object HtmlExtract {
       PlanBridge.expression(sniffCharset(payload, httpContentType))))
   }
 
+  /** The quarantine flag next to [[decodePayload]]: false when the
+    * sniffed label is one [[graft.expr.DecodeCharset]] does NOT route
+    * to a real decoder (utf-8 fallback), so curation can divert
+    * possibly-mojibake pages instead of silently ingesting them.
+    */
+  def decodedOk(payload: Column, httpContentType: Column): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.column(graft.expr.CharsetKnown(
+      PlanBridge.expression(sniffCharset(payload, httpContentType))))
+  }
+
   def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol),

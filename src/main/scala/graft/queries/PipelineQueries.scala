@@ -6270,12 +6270,93 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** CJK/legacy charset decoding (r12 verdict ask #1): planted
+    * Shift_JIS / GBK-via-meta-gb2312 / EUC-KR / KOI8-R pages decode to
+    * real text through the sniff -> decode_charset -> extractText
+    * chain (every branch is mojibake under an implicit UTF-8 cast —
+    * the high bytes are invalid UTF-8 sequences), and an unknown label
+    * surfaces decoded_ok = 0, the quarantine signal curation diverts
+    * on instead of ingesting fallback mojibake. CJK byte constants are
+    * the fixed dictionary-word encodings (ASCII-safe trail bytes vary
+    * per id via the appended digits, which all five charsets encode
+    * identically to ASCII).
+    */
+  val q171_charset_cjk = QueryDef(
+    "q171_charset_cjk",
+    (s, d) => {
+      val did = col("doc_id")
+      val kind = pmod(did, lit(5L))
+      def asc(t: String) = lit(t).cast("binary")
+      val idb = did.cast("string").cast("binary")
+      // 日本語 in windows-31j / テスト
+      val sjis = concat(asc("<p>"),
+        lit(Array(0x93.toByte, 0xFA.toByte, 0x96.toByte, 0x7B.toByte,
+          0x8C.toByte, 0xEA.toByte)), asc("w"), idb,
+        lit(Array(0x83.toByte, 0x65.toByte, 0x83.toByte, 0x58.toByte,
+          0x83.toByte, 0x67.toByte)), asc("</p>"))
+      // 简体中文 in GBK, label delivered by a meta gb2312 tag (WHATWG
+      // aliases gb2312 -> GBK)
+      val gbk = concat(
+        asc("<html><head><meta charset=\"gb2312\"></head><body><p>"),
+        lit(Array(0xBC.toByte, 0xF2.toByte, 0xCC.toByte, 0xE5.toByte,
+          0xD6.toByte, 0xD0.toByte, 0xCE.toByte, 0xC4.toByte)),
+        asc("g"), idb, asc("</p></body></html>"))
+      // 한국어 in windows-949 (WHATWG euc-kr)
+      val euckr = concat(asc("<p>"),
+        lit(Array(0xC7.toByte, 0xD1.toByte, 0xB1.toByte, 0xB9.toByte,
+          0xBE.toByte, 0xEE.toByte)), asc("k"), idb, asc("</p>"))
+      // русский in koi8-r
+      val koi8 = concat(asc("<p>"),
+        lit(Array(0xD2.toByte, 0xD5.toByte, 0xD3.toByte, 0xD3.toByte,
+          0xCB.toByte, 0xC9.toByte, 0xCA.toByte)), asc("r"), idb, asc("</p>"))
+      val unknown = concat(asc("<p>plain"), idb, asc("</p>"))
+      val payload = when(kind === 0, sjis)
+        .when(kind === 1, gbk)
+        .when(kind === 2, euckr)
+        .when(kind === 3, koi8)
+        .otherwise(unknown)
+      val hct = when(kind === 0, lit("text/html; charset=shift_jis"))
+        .when(kind === 2, lit("text/html; charset=euc-kr"))
+        .when(kind === 3, lit("text/html; charset=koi8-r"))
+        .when(kind === 4, lit("text/html; charset=x-klingon"))
+        .otherwise(lit(null).cast("string"))
+      docs(s, d).select(did,
+          graft.ops.HtmlExtract.sniffCharset(payload, hct).as("charset"),
+          graft.ops.HtmlExtract.decodedOk(payload, hct)
+            .cast("long").as("decoded_ok"),
+          graft.ops.HtmlExtract.decodePayload(payload, hct).as("html"))
+        .select(did, col("charset"), col("decoded_ok"),
+          graft.ops.HtmlExtract.extractText(col("html")).as("text"))
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'shift_jis'
+          WHEN 1 THEN 'gb2312'
+          WHEN 2 THEN 'euc-kr'
+          WHEN 3 THEN 'koi8-r'
+          ELSE 'x-klingon' END AS charset,
+        CASE WHEN doc_id % 5 = 4 THEN CAST(0 AS BIGINT)
+          ELSE CAST(1 AS BIGINT) END AS decoded_ok,
+        CASE doc_id % 5
+          WHEN 0 THEN chr(26085) || chr(26412) || chr(35486) || 'w' ||
+            CAST(doc_id AS VARCHAR) || chr(12486) || chr(12473) || chr(12488)
+          WHEN 1 THEN chr(31616) || chr(20307) || chr(20013) || chr(25991) ||
+            'g' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN chr(54620) || chr(44397) || chr(50612) || 'k' ||
+            CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN chr(1088) || chr(1091) || chr(1089) || chr(1089) ||
+            chr(1082) || chr(1080) || chr(1081) || 'r' ||
+            CAST(doc_id AS VARCHAR)
+          ELSE 'plain' || CAST(doc_id AS VARCHAR) END AS text
+      FROM documents"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
     q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta, q169_warc_to_wds,
-    q170_wds_lookup,
+    q170_wds_lookup, q171_charset_cjk,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
