@@ -6351,12 +6351,117 @@ object PipelineQueries {
       FROM documents"""),
   )
 
+  /** idx-sidecar backfill for FOREIGN WebDataset shards (r12 verdict
+    * ask #2): the fixture corpus is written WITHOUT the sink — plain
+    * tars emitted executor-side through [[graft.sources.TarIo]], no
+    * sidecars, no manifest, including >100-char keys whose samples
+    * start with a GNU `L` prelude — then
+    * [[graft.sources.WdsIndexBackfill]] streams each shard once and
+    * writes the sidecars, and the read-back runs over RANGED splits
+    * cut at the backfilled offsets. A point-lookup leg re-fetches a
+    * key subset through the backfilled idx (bounded seeks must land on
+    * real header units or the framer fails loudly) and its md5s are
+    * pinned against the scan's — so the whole r12 scale story (ranged
+    * splits + point lookup) is proven on data this engine did not
+    * write.
+    */
+  val q172_wds_backfill = QueryDef(
+    "q172_wds_backfill",
+    (s, d) => {
+      val outDir = java.nio.file.Files.createTempDirectory("wds_foreign").toString
+      val did = col("doc_id")
+      val longKey = concat(lit("F" * 120), lpad(did.cast("string"), 8, "0"))
+      val key = when(pmod(did, lit(50L)) === 3, longKey)
+        .otherwise(concat(lit("s"), lpad(did.cast("string"), 8, "0")))
+      val base = docs(s, d).select(did, key.as("key"),
+        pmod(did, lit(4L)).as("shard_no"))
+      val rows = base.select(col("shard_no"), col("key"), lit("txt").as("ext"),
+          concat(lit("t"), did.cast("string")).cast("binary").as("payload"))
+        .unionAll(base.select(col("shard_no"), col("key"), lit("json").as("ext"),
+          concat(lit("{\"d\":"), did.cast("string"), lit("}"))
+            .cast("binary").as("payload")))
+        .unionAll(base.filter(pmod(did, lit(3L)) === 0)
+          .select(col("shard_no"), col("key"), lit("bin").as("ext"),
+            md5(did.cast("string")).cast("binary").as("payload")))
+      // the "someone else's tooling" writer: one plain tar per task,
+      // samples key-contiguous, trailer included, NO sidecar/manifest
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      implicit val enc = org.apache.spark.sql.Encoders.row(
+        StructType(Seq(StructField("n", LongType))))
+      rows.repartition(4, col("shard_no")).sortWithinPartitions("key", "ext")
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var n = 0L
+          if (it.hasNext) {
+            // uuid temp + atomic swap so overlapping task attempts
+            // (fault-parity kill-retry) never interleave one file
+            val tmp = graft.sources.ArchiveFs.child(outDir,
+              f".foreign-$pid%03d." + java.util.UUID.randomUUID.toString.take(8))
+            val out = new java.io.BufferedOutputStream(
+              graft.sources.ArchiveFs.create(tmp), 1 << 16)
+            try {
+              it.foreach { r =>
+                val name = r.getString(1) + "." + r.getString(2)
+                graft.sources.TarIo.writeMember(out, name,
+                  r.get(3).asInstanceOf[Array[Byte]])
+                n += 1
+              }
+              graft.sources.TarIo.writeTrailer(out)
+            } finally out.close()
+            graft.sources.ArchiveFs.renameOverwrite(tmp,
+              graft.sources.ArchiveFs.child(outDir, f"foreign-$pid%03d.tar"))
+          }
+          Iterator.single(Row(n))
+        }.agg(sum("n")).collect()
+      graft.sources.WdsIndexBackfill.run(s, outDir).collect()
+      val back = s.read.format("wds")
+        .option("splitTargetBytes", "32768").load(outDir)
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+      val wanted = docs(s, d).filter(pmod(did, lit(61L)) === 0)
+        .select(when(pmod(did, lit(50L)) === 3, longKey)
+          .otherwise(concat(lit("s"), lpad(did.cast("string"), 8, "0")))
+          .as("key"))
+      val hits = graft.sources.WdsRandomAccess.idx(s, outDir)
+        .join(broadcast(wanted), Seq("key"))
+      val fetched = graft.sources.WdsRandomAccess.fetch(hits)
+        .select(col("key"), col("ext"), md5(col("payload")).as("fetched_md5"))
+      back.join(fetched, Seq("key", "ext"), "left")
+        .select(col("key"), col("ext"), col("size"), col("payload_md5"),
+          when(col("fetched_md5").isNotNull,
+            (col("fetched_md5") === col("payload_md5")).cast("long"))
+            .as("fetch_match"))
+    },
+    Some("""WITH k AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 50 = 3
+            THEN repeat('F', 120) || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            ELSE 's' || lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS key,
+          CASE WHEN doc_id % 61 = 0 THEN 1 ELSE NULL END AS fetch_match
+        FROM documents),
+      m AS (
+        SELECT key, 'txt' AS ext, 't' || CAST(doc_id AS VARCHAR) AS payload,
+          fetch_match
+        FROM k
+        UNION ALL
+        SELECT key, 'json', '{"d":' || CAST(doc_id AS VARCHAR) || '}',
+          fetch_match
+        FROM k
+        UNION ALL
+        SELECT key, 'bin', md5(CAST(doc_id AS VARCHAR)), fetch_match
+        FROM k WHERE doc_id % 3 = 0)
+      SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5, CAST(fetch_match AS BIGINT) AS fetch_match
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
     q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta, q169_warc_to_wds,
-    q170_wds_lookup, q171_charset_cjk,
+    q170_wds_lookup, q171_charset_cjk, q172_wds_backfill,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,

@@ -203,16 +203,32 @@ object TarIo {
     */
   def members(in: InputStream, wantPayload: Boolean = true,
       keep: String => Boolean = _ => true): Iterator[Member] =
-    new Iterator[Member] {
+    walk(in, wantPayload, keep).map(_._2)
+
+  /** (startOffset, effectiveName) of every regular-file member, payloads
+    * skipped — the one-pass scan under the idx-sidecar BACKFILL job for
+    * foreign shards ([[WdsIndexBackfill]]). `startOffset` is the byte
+    * offset of the member's whole UNIT — a GNU `L` / pax `x` prelude
+    * included — because that is where a ranged split or point lookup
+    * must open to re-parse the member under its long name.
+    */
+  def memberStarts(in: InputStream): Iterator[(Long, String)] =
+    walk(in, wantPayload = false, _ => true).map { case (o, m) => (o, m.name) }
+
+  private def walk(in: InputStream, wantPayload: Boolean,
+      keep: String => Boolean): Iterator[(Long, Member)] =
+    new Iterator[(Long, Member)] {
       private val hdr = new Array[Byte](512)
       private var offset = 0L
       private var pendingName: String = null // from a preceding L/x member
-      private var nextM: Member = _
+      private var unitStart = 0L // first header of the current L/x+file unit
+      private var nextM: (Long, Member) = _
       private var done = false
 
       private def advance(): Unit = {
         while (!done) {
           val at = offset
+          if (pendingName == null) unitStart = at // no prelude pending
           val first = in.read()
           if (first < 0) { done = true; return } // clean EOF at a boundary
           hdr(0) = first.toByte
@@ -281,7 +297,7 @@ object TarIo {
                   }
                 skipFully(in, padded - size, offset + size, "member padding")
                 offset += padded
-                nextM = Member(name, size, payload)
+                nextM = (unitStart, Member(name, size, payload))
                 return
               } else {
                 skipFully(in, padded, offset, s"member '$name'")
@@ -297,7 +313,7 @@ object TarIo {
 
       advance()
       override def hasNext: Boolean = !done
-      override def next(): Member = {
+      override def next(): (Long, Member) = {
         val m = nextM
         advance()
         m
