@@ -3488,7 +3488,16 @@ object SynthQueries {
               .as("host"),
             col("doc_id").as("ord"),
             col("doc_id").as("id"),
-            (pmod(pmod(col("doc_id"), lit(7L)), lit(4L)) + 1L).as("delay_s"))
+            // the delay CHANGES along each host's own timeline (a host
+            // republishing robots crawl-delay mid-crawl): a per-host
+            // base plus an ord-varying term, so the carried state must
+            // respace later fetches by the new value — the class-doc
+            // claim g131 previously never reached (constant-per-host
+            // delays made prefix-sum == rank*delay indistinguishable)
+            (pmod(pmod(col("doc_id"), lit(7L)), lit(4L)) + 1L +
+              pmod(org.apache.spark.sql.functions.floor(col("doc_id") / 7L)
+                .cast("long"), lit(3L)))
+              .as("delay_s"))
         val maxId = cand.agg(fmax("id")).collect()(0).getLong(0)
         val t1 = maxId / 3
         val t2 = 2L * maxId / 3
@@ -3540,11 +3549,15 @@ object SynthQueries {
           java.nio.file.Paths.get(outDir)).foreach(deleteTree)
         out
       }),
-      Some("""WITH c AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0)
+      Some("""WITH c AS (SELECT doc_id,
+            (doc_id % 7) % 4 + 1 + (doc_id // 7) % 3 AS delay_s
+          FROM documents WHERE doc_id % 11 <> 0)
         SELECT doc_id AS id,
           'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
           CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
-          CAST((row_number() OVER w - 1) * ((doc_id % 7) % 4 + 1) AS BIGINT)
+          CAST(COALESCE(SUM(delay_s) OVER (PARTITION BY doc_id % 7
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS fetch_at_s
         FROM c
         WINDOW w AS (PARTITION BY doc_id % 7 ORDER BY doc_id)""")),
