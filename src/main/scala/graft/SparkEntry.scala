@@ -3615,6 +3615,145 @@ object SynthQueries {
           CAST(strlen('{"d":' || CAST(doc_id AS VARCHAR) || '}') AS BIGINT)
         FROM documents""")),
 
+    // The continuous crawl loop COMPOSED (r12 verdict ask #3): g130's
+    // discovery (WARC ingest -> status gate -> sniff/decode -> link
+    // extraction -> RFC 3986 resolve -> canonicalize -> EXACTLY-ONCE
+    // candidate dedup) feeds g131's FrontierProcessor scheduling inside
+    // ONE streaming query — chained stateful operators (streaming
+    // dropDuplicates then transformWithState), with the robots-delay
+    // dimension joined broadcast-static between them, plus a real
+    // checkpoint-restart leg (resume-not-reprocess asserted on source
+    // rows). The fixture writes one WARC segment per sink GENERATION so
+    // manifest order == batch order is deterministic and the oracle can
+    // replay discovery+scheduling relationally: a candidate's batch is
+    // the MIN generation of any page linking it, per-host order is
+    // (batch, xxhash64(curl)) — the processor's (ord, id) sort — and
+    // fetch_at_s is the per-host politeness prefix sum.
+    QueryDef("g133_stream_crawl_loop",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{ascii, broadcast, concat,
+          explode, lit, pmod, substring, xxhash64}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val warcDir = java.nio.file.Files.createTempDirectory("g133_warc").toString
+        val did = col("doc_id")
+        def writeGen(g: Long): Long = {
+          val pages = s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"))
+            .filter(pmod(did, lit(3L)) === g)
+          pages.select(
+              concat(lit("urn:loop:"), did.cast("string")).as("record_id"),
+              lit("response").as("warc_type"),
+              graft.queries.PipelineQueries.linkFixtureBase(did).as("target_uri"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              lit("application/http;msgtype=response").as("content_type"),
+              lit(200).as("http_status"),
+              lit("text/html").as("http_content_type"),
+              graft.queries.PipelineQueries.linkFixtureHtml(did)
+                .cast("binary").as("payload"))
+            .coalesce(1) // one segment per generation: manifest order IS batch order
+            .write.format("warc").mode("append").option("path", warcDir).save()
+          pages.count()
+        }
+        writeGen(0); writeGen(1)
+        // the robots/crawl-delay dimension: per-host politeness the
+        // upstream join supplies (broadcast-size, static to the stream)
+        val candBatch = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .select(graft.queries.PipelineQueries.linkFixtureBase(did).as("__base"),
+            graft.ops.HtmlExtract.extractLinks(
+              graft.queries.PipelineQueries.linkFixtureHtml(did)).as("__ls"))
+          .select(col("__base"), explode(col("__ls")).as("href"))
+          .select(graft.ops.UrlOps.canonicalizeUrl(
+            graft.ops.UrlOps.resolveUrl(col("__base"), col("href"))).as("curl"))
+          .distinct()
+        val delayDim = candBatch
+          .select(graft.ops.UrlOps.canonicalHost(col("curl")).as("host"))
+          .distinct()
+          .withColumn("delay_s",
+            (pmod(ascii(substring(col("host"), 2, 1)), lit(3)) + 1).cast("long"))
+        val ckptDir = java.nio.file.Files.createTempDirectory("g133_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g133_out").toString
+        def runIncarnation(): Long = {
+          val scheduled = s.readStream.format("warc")
+            .option("manifestOnly", "true").option("filesPerBatch", "1")
+            .load(warcDir)
+            .filter(col("http_status") === 200)
+            .select(col("target_uri").as("url"),
+              graft.ops.HtmlExtract.decodePayload(col("payload"),
+                col("http_content_type")).as("html"))
+            .select(col("url"),
+              explode(graft.ops.HtmlExtract.extractLinks(col("html"))).as("href"))
+            .select(graft.ops.UrlOps.canonicalizeUrl(
+              graft.ops.UrlOps.resolveUrl(col("url"), col("href"))).as("curl"))
+            .dropDuplicates("curl") // exactly-once candidates, state #1
+            .join(broadcast(delayDim),
+              graft.ops.UrlOps.canonicalHost(col("curl")) === delayDim("host"))
+            .select(col("host"), xxhash64(col("curl")).as("ord"),
+              xxhash64(col("curl")).as("id"), col("delay_s"))
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.FrontierProcessor,
+              TimeMode.None(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[
+                (Long, String, Long, Long)]]) // state #2, same query
+            .toDF("id", "host", "seq", "fetch_at_s")
+          // default trigger + processAllAvailable + stop: a REAL
+          // restart against the same checkpoint (the AvailableNow
+          // wrapper snapshots this custom source's offsets before the
+          // checkpoint seeds them, so it cannot drive the resume leg)
+          val q = scheduled.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val oldNoData = s.conf.get(noDataKey)
+        s.conf.set(noDataKey, "false")
+        val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
+        require(rows1 > 0L, "phase 1 processed no rows")
+        val tailRows = writeGen(2)
+        val rows2 = runIncarnation()
+        require(rows2 == tailRows,
+          s"restart must resume, not reprocess: phase 2 read $rows2 source " +
+            s"rows, expected exactly generation 2's $tailRows")
+        val res = s.read.parquet(outDir)
+          .join(candBatch.select(col("curl"), xxhash64(col("curl")).as("id")),
+            Seq("id"))
+          .select(col("curl"), col("host"), col("seq"), col("fetch_at_s"))
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(java.nio.file.Paths.get(warcDir), java.nio.file.Paths.get(ckptDir),
+          java.nio.file.Paths.get(outDir)).foreach(deleteTree)
+        out
+      }),
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = chain("l",
+          s"""SELECT doc_id, doc_id % 3 AS gen,
+              unnest(generate_series(0, 5)) AS idx
+            FROM documents""")
+          .cte("cand",
+            s"""SELECT curl, CAST(min(gen) AS BIGINT) AS gen FROM (
+               SELECT gen, ${graft.queries.PipelineQueries.linkCandidateSql}
+                 AS curl FROM l) GROUP BY curl""")
+          .cte("b",
+            "SELECT curl, gen, regexp_extract(curl, 'https://([^/]+)', 1) " +
+              "AS host, hex(encode(curl)) AS hhx, " +
+              "octet_length(encode(curl)) AS hln FROM cand")
+          .steps(hashStringSteps("h"))
+        ch.render(
+          s"""SELECT curl, host,
+            CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
+            CAST((row_number() OVER w - 1) *
+              (ascii(substr(host, 2, 1)) % 3 + 1) AS BIGINT) AS fetch_at_s
+          FROM ${ch.last}
+          WINDOW w AS (PARTITION BY host ORDER BY gen, ${signed("hout")})""")
+      }),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5

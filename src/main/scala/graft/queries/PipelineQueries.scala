@@ -5561,12 +5561,12 @@ object PipelineQueries {
   /** The q161/q162 link fixture: per-doc page URL and HTML planting
     * all href forms plus comment/script trap links.
     */
-  private def linkFixtureBase(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def linkFixtureBase(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit("https://h"), pmod(did, lit(7L)).cast("string"),
       lit(".example.com/a"), pmod(did, lit(5L)).cast("string"),
       lit("/page"), did.cast("string"), lit(".html"))
 
-  private def linkFixtureHtml(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def linkFixtureHtml(did: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def n(m: Long) = pmod(did, lit(m)).cast("string")
     val ds = did.cast("string")
     concat(

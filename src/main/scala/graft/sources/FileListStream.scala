@@ -13,8 +13,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * skewing replay). Subclasses supply the listing and the per-file
   * partition planning.
   */
-abstract class FileListMicroBatchStream(filesPerBatch: Int)
-    extends MicroBatchStream {
+abstract class FileListMicroBatchStream(filesPerBatch: Int,
+    metadataPath: String = null) extends MicroBatchStream {
   require(filesPerBatch >= 1, s"filesPerBatch must be >= 1: $filesPerBatch")
 
   /** The current stable-ordered file list (empty = nothing yet). */
@@ -25,8 +25,37 @@ abstract class FileListMicroBatchStream(filesPerBatch: Int)
 
   // the last offset this stream ADVANCED to, with its remembered
   // last-file name — latestOffset validates THIS against each fresh
-  // listing, never an offset derived from the listing itself
-  private var latestOff = FileListOffset(0L, "")
+  // listing, never an offset derived from the listing itself.
+  //
+  // RESTART: a fresh instance's latestOffset() runs BEFORE Spark hands
+  // it any checkpointed offset (deserializeOffset is only reached at
+  // batch-planning time), so without recovery the cursor would regress
+  // to 0, the engine would log the regressed offset as "new data", and
+  // the next real batch would span — and RE-READ — committed files.
+  // The cursor therefore persists under the per-source checkpoint dir
+  // Spark passes to toMicroBatchStream (the same channel Kafka's
+  // stream uses for its initial-offset metadata) and seeds here.
+  private var latestOff: FileListOffset = readCursor()
+
+  private def cursorFile: Option[String] =
+    Option(metadataPath).map(m => ArchiveFs.child(m, "graft-file-cursor"))
+
+  private def readCursor(): FileListOffset =
+    cursorFile.filter(ArchiveFs.exists) match {
+      case Some(f) =>
+        val json = ArchiveFs.readString(f)
+        val i = json.indexOf('\t')
+        require(i >= 0, s"malformed file-list cursor: '$json'")
+        FileListOffset(json.substring(0, i).toLong, json.substring(i + 1))
+      case None => FileListOffset(0L, "")
+    }
+
+  private def writeCursor(o: FileListOffset): Unit = cursorFile.foreach { f =>
+    ArchiveFs.mkdirs(metadataPath)
+    val tmp = f + ".tmp-" + java.util.UUID.randomUUID.toString.take(8)
+    ArchiveFs.writeBytes(tmp, o.json().getBytes("UTF-8"), overwrite = true)
+    ArchiveFs.renameOverwrite(tmp, f)
+  }
 
   private def offsetAt(fs: Vector[String], n: Long): FileListOffset =
     FileListOffset(n, if (n == 0) "" else fs((n - 1).toInt))
@@ -46,7 +75,9 @@ abstract class FileListMicroBatchStream(filesPerBatch: Int)
     val fs = current()
     validate(fs, latestOff) // committed history must survive verbatim
     val n = math.min(fs.length.toLong, latestOff.n + filesPerBatch)
-    latestOff = offsetAt(fs, n)
+    val next = offsetAt(fs, n)
+    if (next.n > latestOff.n) writeCursor(next)
+    latestOff = next
     latestOff
   }
 

@@ -229,13 +229,14 @@ final class TarScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TarMicroBatchStream(path, required, extFilter, filesPerBatch,
-      manifestOnly, targetBytes)
+      manifestOnly, targetBytes, checkpointLocation)
 }
 
 final class TarMicroBatchStream(path: String, required: StructType,
     extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean,
-    targetBytes: Long = TarDataSource.TargetSplitBytes)
-    extends FileListMicroBatchStream(filesPerBatch) {
+    targetBytes: Long = TarDataSource.TargetSplitBytes,
+    checkpointLocation: String = null)
+    extends FileListMicroBatchStream(filesPerBatch, checkpointLocation) {
   // Directory mode prefers manifest order when _MANIFEST.json exists:
   // the stream's offsets pin a committed PREFIX, so the listing must
   // only ever grow at the tail — true of the manifest (append order by

@@ -201,7 +201,7 @@ final class WarcScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(path, required, typeFilter, targetBytes,
-      filesPerBatch, manifestOnly)
+      filesPerBatch, manifestOnly, checkpointLocation)
   override def description(): String =
     s"WarcScan($path, cols=${required.fieldNames.mkString(",")}" +
       typeFilter.map(t => s", warc_type=$t").getOrElse("") + ")"
@@ -324,8 +324,8 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String],
   */
 final class WarcMicroBatchStream(path: String, required: StructType,
     typeFilter: Option[String], targetBytes: Long, filesPerBatch: Int,
-    manifestOnly: Boolean = false)
-    extends FileListMicroBatchStream(filesPerBatch) {
+    manifestOnly: Boolean = false, checkpointLocation: String = null)
+    extends FileListMicroBatchStream(filesPerBatch, checkpointLocation) {
 
   /** Segment list; an empty/missing dir is just "nothing yet". */
   override protected def current(): Vector[String] =
