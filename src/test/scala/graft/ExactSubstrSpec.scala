@@ -119,4 +119,21 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
     check(corpus)
   }
+
+  test("forced Bloom position-prune path equals the broadcast-join path") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 60L).map { id =>
+      val n = 2 + rnd.nextInt(24)
+      id -> Seq.fill(n)(s"w${rnd.nextInt(5)}").mkString(" ")
+    }
+    def rows(bloom: Boolean, minDup: Long) =
+      ExactSubstrDedup.report(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        L, bloomPrune = bloom, bloomMinDup = minDup)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    // bloomMinDup = 1 forces the prune even on this tiny dup side; the
+    // answer must be identical to the plain-join plan
+    assert(rows(bloom = true, minDup = 1L) ===
+      rows(bloom = false, minDup = 1L))
+    check(corpus) // and both match brute force via the default path
+  }
 }
