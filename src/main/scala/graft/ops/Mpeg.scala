@@ -31,7 +31,20 @@ object Mpeg {
   /** MPEG-1 sample rates by header index 0..2. */
   private[graft] val SampleRate: Array[Int] = Array(44100, 48000, 32000)
 
+  /** `bitrateKbps` is the FIRST frame's nominal rate (what a header
+    * peek sees); `avgBitrateKbps` is the honest stream-wide average —
+    * from the Xing/Info/VBRI tag's declared (bytes, frames) when both
+    * are present, else frame-exact from the walk itself (total walked
+    * bytes over walked duration), so a VBR stream no longer reports
+    * its first frame's rate as if it were the stream's (r12 verdict
+    * ask #8). `vbr` = a "Xing"/"VBRI" tag was seen OR the walk saw
+    * differing per-frame rates; `declaredFrames` = the tag's audio
+    * frame count (-1 when untagged — the walk's `nFrames` INCLUDES the
+    * tag frame itself, so the two differing by one is the expected
+    * tagged shape).
+    */
   final case class Meta(nFrames: Int, sampleRate: Int, bitrateKbps: Int,
+      avgBitrateKbps: Int, vbr: Boolean, declaredFrames: Int,
       channels: Int, durationMs: Long, id3Bytes: Int)
 
   // ------------------------------------------------------------- builder
@@ -68,6 +81,60 @@ object Mpeg {
     out.toByteArray
   }
 
+  private def putInt(buf: Array[Byte], off: Int, v: Int): Unit = {
+    buf(off) = (v >>> 24).toByte; buf(off + 1) = (v >>> 16).toByte
+    buf(off + 2) = (v >>> 8).toByte; buf(off + 3) = v.toByte
+  }
+
+  /** VBR / tagged builder: one leading tag frame (Xing for VBR, Info
+    * for CBR, or the Fraunhofer VBRI form) followed by audio frames at
+    * `bitrateIdxs` per-frame rates. The tag sits at its published
+    * offset — header + side info (32 bytes stereo / 17 mono) for
+    * Xing/Info, header + 32 for VBRI — and declares the AUDIO frame
+    * count and whole-stream byte count, the fields a duration/bitrate
+    * estimator reads instead of trusting frame one.
+    */
+  def buildTagged(bitrateIdxs: Seq[Int], samplerateIdx: Int,
+      stereo: Boolean = true, tag: String = "xing"): Array[Byte] = {
+    require(samplerateIdx >= 0 && samplerateIdx <= 2, s"sr idx $samplerateIdx")
+    bitrateIdxs.foreach(b =>
+      require(b >= 1 && b <= 14, s"br idx $b"))
+    require(Seq("xing", "info", "vbri", "none").contains(tag), s"tag $tag")
+    def flen(b: Int): Int =
+      144000 * BitrateKbps(b) / SampleRate(samplerateIdx)
+    val out = new ByteArrayOutputStream()
+    def writeFrame(b: Int, fill: Array[Byte] => Unit): Unit = {
+      val buf = new Array[Byte](flen(b))
+      buf(0) = 0xff.toByte
+      buf(1) = 0xfb.toByte
+      buf(2) = ((b << 4) | (samplerateIdx << 2)).toByte
+      buf(3) = (if (stereo) 0x00 else 0xc0).toByte
+      fill(buf)
+      out.write(buf)
+    }
+    if (tag != "none") {
+      val tb = bitrateIdxs.head
+      val totalBytes = flen(tb) + bitrateIdxs.map(flen).sum
+      writeFrame(tb, buf => tag match {
+        case "vbri" =>
+          val off = 4 + 32
+          "VBRI".getBytes("US-ASCII").copyToArray(buf, off)
+          buf(off + 5) = 1 // version 1
+          putInt(buf, off + 10, totalBytes)
+          putInt(buf, off + 14, bitrateIdxs.length)
+        case name =>
+          val off = 4 + (if (stereo) 32 else 17)
+          (if (name == "xing") "Xing" else "Info")
+            .getBytes("US-ASCII").copyToArray(buf, off)
+          putInt(buf, off + 4, 3) // flags: FRAMES | BYTES
+          putInt(buf, off + 8, bitrateIdxs.length)
+          putInt(buf, off + 12, totalBytes)
+      })
+    }
+    bitrateIdxs.foreach(b => writeFrame(b, _ => ()))
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- parser
 
   def parseMeta(bytes: Array[Byte]): Option[Meta] = {
@@ -92,9 +159,42 @@ object Mpeg {
     if (brIdx < 1 || brIdx > 14 || srIdx > 2) return None
     val sr = SampleRate(srIdx)
     val br = BitrateKbps(brIdx)
-    val channels = if (((bytes(o + 3) >> 6) & 0x03) == 3) 1 else 2
+    val mono = ((bytes(o + 3) >> 6) & 0x03) == 3
+    val channels = if (mono) 1 else 2
+
+    // VBR metadata tag in the FIRST frame: Xing/Info after the side
+    // info (32 bytes stereo / 17 mono), VBRI at a fixed 32 — the
+    // published locations every estimator probes
+    def tagAt(p: Int, t: String): Boolean =
+      p + 4 <= bytes.length && new String(bytes, p, 4, "US-ASCII") == t
+    def int4(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    var vbrTag = false
+    var declFrames = -1
+    var declBytes = -1L
+    val xOff = o + 4 + (if (mono) 17 else 32)
+    val vOff = o + 4 + 32
+    if (tagAt(xOff, "Xing") || tagAt(xOff, "Info")) {
+      vbrTag = tagAt(xOff, "Xing")
+      if (xOff + 8 <= bytes.length) {
+        val flags = int4(xOff + 4)
+        var p = xOff + 8
+        if ((flags & 1L) != 0 && p + 4 <= bytes.length) {
+          declFrames = int4(p).toInt; p += 4
+        }
+        if ((flags & 2L) != 0 && p + 4 <= bytes.length) declBytes = int4(p)
+      }
+    } else if (tagAt(vOff, "VBRI") && vOff + 18 <= bytes.length) {
+      vbrTag = true
+      declBytes = int4(vOff + 10)
+      declFrames = int4(vOff + 14).toInt
+    }
+
     var n = 0
     var p = o
+    var tot = 0L // walked frame bytes — the honest VBR denominator
+    var vbrSeen = false
     var ok = true
     while (ok && headerAt(p)) {
       val b = (bytes(p + 2) >> 4) & 0x0f
@@ -104,11 +204,21 @@ object Mpeg {
       else {
         val len = 144000 * BitrateKbps(b) / SampleRate(s) + pad
         if (p + len > bytes.length) ok = false // truncated final frame drops
-        else { n += 1; p += len }
+        else {
+          if (b != brIdx) vbrSeen = true
+          n += 1; p += len; tot += len
+        }
       }
     }
     if (n == 0) return None
-    Some(Meta(n, sr, br, channels, n.toLong * 1152 * 1000 / sr, id3))
+    // declared (bytes, frames) when the tag carries both — the fields
+    // written for exactly this purpose; frame-exact walk average else
+    val avg =
+      if (declFrames > 0 && declBytes > 0)
+        (declBytes * 8L * sr / (declFrames.toLong * 1152L * 1000L)).toInt
+      else (tot * 8L * sr / (n.toLong * 1152L * 1000L)).toInt
+    Some(Meta(n, sr, br, avg, vbrTag || vbrSeen, declFrames, channels,
+      n.toLong * 1152 * 1000 / sr, id3))
   }
 
   // ----------------------------------------------------------- DataFrame
@@ -117,6 +227,9 @@ object Mpeg {
     StructField("n_frames", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("bitrate_kbps", IntegerType),
+    StructField("avg_bitrate_kbps", IntegerType),
+    StructField("vbr", BooleanType),
+    StructField("declared_frames", IntegerType), // null when untagged
     StructField("channels", IntegerType),
     StructField("duration_ms", LongType),
     StructField("id3_bytes", IntegerType)))
@@ -133,6 +246,8 @@ object Mpeg {
       rows.map { r =>
         val m = parseMeta(r.getAs[Array[Byte]](binIdx)) match {
           case Some(x) => Row(x.nFrames, x.sampleRate, x.bitrateKbps,
+            x.avgBitrateKbps, x.vbr,
+            if (x.declaredFrames >= 0) x.declaredFrames else null,
             x.channels, x.durationMs, x.id3Bytes)
           case None => null
         }

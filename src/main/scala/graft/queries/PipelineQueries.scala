@@ -5851,12 +5851,23 @@ object PipelineQueries {
       val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val full = graft.ops.Mpeg.build(
-            frames = (10 + id % 23).toInt,
-            samplerateIdx = (id % 3).toInt,
-            bitrateIdx = (id % 5 + 8).toInt,
-            stereo = id % 2 == 0,
-            id3Size = if (id % 4 == 0) (100 + id % 50).toInt else -1)
+          val nf = (10 + id % 23).toInt
+          val srIdx = (id % 3).toInt
+          val brIdx = (id % 5 + 8).toInt
+          val stereo = id % 2 == 0
+          // kinds by id % 6 (1/3/5 are odd, so they never collide with
+          // the % 4 == 0 id3 branch): 1 = Xing-tagged VBR (per-frame
+          // rates vary), 3 = VBRI-tagged VBR, 5 = Info-tagged CBR,
+          // else plain untagged CBR
+          def vbrIdxs = (0 until nf).map(i => ((id + i) % 5 + 8).toInt)
+          val full = (id % 6) match {
+            case 1 => graft.ops.Mpeg.buildTagged(vbrIdxs, srIdx, stereo, "xing")
+            case 3 => graft.ops.Mpeg.buildTagged(vbrIdxs, srIdx, stereo, "vbri")
+            case 5 => graft.ops.Mpeg.buildTagged(Seq.fill(nf)(brIdx), srIdx,
+              stereo, "info")
+            case _ => graft.ops.Mpeg.build(nf, srIdx, brIdx, stereo,
+              id3Size = if (id % 4 == 0) (100 + id % 50).toInt else -1)
+          }
           Row(id, if (id % 11 == 0) full.take(3) else full)
         }
       }
@@ -5864,31 +5875,57 @@ object PipelineQueries {
         .select(col("doc_id"), col("a_mp3.n_frames").as("n_frames"),
           col("a_mp3.sample_rate").as("sample_rate"),
           col("a_mp3.bitrate_kbps").as("bitrate_kbps"),
+          col("a_mp3.avg_bitrate_kbps").as("avg_bitrate_kbps"),
+          col("a_mp3.vbr").cast("int").as("vbr"),
+          col("a_mp3.declared_frames").as("declared_frames"),
           col("a_mp3.channels").as("channels"),
           col("a_mp3.duration_ms").as("duration_ms"),
           col("a_mp3.id3_bytes").as("id3_bytes"))
     },
-    Some("""SELECT doc_id,
+    Some("""WITH p AS (SELECT doc_id,
+          10 + doc_id % 23 AS nf,
+          CASE WHEN doc_id % 3 = 0 THEN 44100 WHEN doc_id % 3 = 1 THEN 48000
+            ELSE 32000 END AS sr,
+          CASE doc_id % 5 WHEN 0 THEN 112 WHEN 1 THEN 128 WHEN 2 THEN 160
+            WHEN 3 THEN 192 ELSE 224 END AS kb0,
+          doc_id % 6 AS kind
+        FROM documents),
+      c AS (SELECT doc_id, nf, sr, kb0, kind,
+          (144000 * kb0) // sr AS flen0,
+          CASE WHEN kind IN (1, 3)
+            THEN CAST(list_sum([(144000 * (CASE (doc_id + i) % 5
+                WHEN 0 THEN 112 WHEN 1 THEN 128 WHEN 2 THEN 160
+                WHEN 3 THEN 192 ELSE 224 END)) // sr
+              for i in generate_series(0, nf - 1)]) AS BIGINT)
+            ELSE nf * ((144000 * kb0) // sr) END AS audio_bytes
+        FROM p)
+      SELECT doc_id,
         CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
-          ELSE 10 + doc_id % 23 END AS INT) AS n_frames,
+          WHEN kind IN (1, 3, 5) THEN nf + 1 ELSE nf END AS INT) AS n_frames,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE sr END AS INT)
+          AS sample_rate,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE kb0 END AS INT)
+          AS bitrate_kbps,
         CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
-          WHEN doc_id % 3 = 0 THEN 44100 WHEN doc_id % 3 = 1 THEN 48000
-          ELSE 32000 END AS INT) AS sample_rate,
+          WHEN kind IN (1, 3, 5)
+            THEN ((flen0 + audio_bytes) * 8 * sr) // (nf * 1152 * 1000)
+          ELSE (audio_bytes * 8 * sr) // (nf * 1152 * 1000) END AS INT)
+          AS avg_bitrate_kbps,
         CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
-          WHEN doc_id % 5 = 0 THEN 112 WHEN doc_id % 5 = 1 THEN 128
-          WHEN doc_id % 5 = 2 THEN 160 WHEN doc_id % 5 = 3 THEN 192
-          ELSE 224 END AS INT) AS bitrate_kbps,
+          WHEN kind IN (1, 3) THEN 1 ELSE 0 END AS INT) AS vbr,
+        CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN kind IN (1, 3, 5) THEN nf ELSE NULL END AS INT)
+          AS declared_frames,
         CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
           WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
         CASE WHEN doc_id % 11 = 0 THEN NULL
-          ELSE CAST((10 + doc_id % 23) * 1152 * 1000 //
-            (CASE WHEN doc_id % 3 = 0 THEN 44100
-              WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000 END) AS BIGINT)
-          END AS duration_ms,
+          ELSE CAST((CASE WHEN kind IN (1, 3, 5) THEN nf + 1 ELSE nf END)
+            * 1152 * 1000 // sr AS BIGINT) END AS duration_ms,
         CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+          WHEN kind IN (1, 3, 5) THEN 0
           WHEN doc_id % 4 = 0 THEN 110 + doc_id % 50
           ELSE 0 END AS INT) AS id3_bytes
-      FROM documents"""),
+      FROM c"""),
   )
 
   /** WebDataset ingestion: per-doc ustar archives holding samples as

@@ -56,6 +56,53 @@ class MpegSpec extends AnyFunSuite {
     assert(Mpeg.parseMeta(id3Only) == None)
   }
 
+  test("untagged CBR: avg equals the frame-exact rate, vbr false, no declared") {
+    val m = Mpeg.parseMeta(Mpeg.build(9, 0, 9)).get
+    val flen = 144000 * Mpeg.BitrateKbps(9) / Mpeg.SampleRate(0)
+    assert(m.avgBitrateKbps ==
+      (9L * flen * 8 * 44100 / (9L * 1152 * 1000)).toInt)
+    assert(!m.vbr && m.declaredFrames == -1)
+  }
+
+  test("untagged VBR: the walk itself reports the honest average") {
+    val idxs = Seq(8, 14, 8, 14, 8, 14) // 112/320 alternating at 44100
+    val bytes = Mpeg.buildTagged(idxs, 0, stereo = true, tag = "none")
+    val m = Mpeg.parseMeta(bytes).get
+    assert(m.nFrames == 6 && m.vbr && m.declaredFrames == -1)
+    assert(m.bitrateKbps == 112) // first frame, the old (dishonest) value
+    val tot = idxs.map(b => 144000 * Mpeg.BitrateKbps(b) / 44100).sum.toLong
+    assert(m.avgBitrateKbps == (tot * 8 * 44100 / (6L * 1152 * 1000)).toInt)
+    assert(m.avgBitrateKbps > 150 && m.avgBitrateKbps < 320) // between the two
+  }
+
+  test("Xing tag: declared frames/bytes drive the average; Info means CBR") {
+    for (stereo <- Seq(true, false)) {
+      val idxs = Seq(8, 10, 12, 14)
+      val bytes = Mpeg.buildTagged(idxs, 1, stereo, tag = "xing")
+      val m = Mpeg.parseMeta(bytes).get
+      def flen(b: Int) = 144000 * Mpeg.BitrateKbps(b) / 48000
+      val declBytes = (flen(8) + idxs.map(flen).sum).toLong
+      assert(m.nFrames == 5, "walk includes the tag frame") // 1 tag + 4 audio
+      assert(m.declaredFrames == 4 && m.vbr, s"stereo=$stereo")
+      assert(m.avgBitrateKbps ==
+        (declBytes * 8 * 48000 / (4L * 1152 * 1000)).toInt)
+    }
+    val info = Mpeg.parseMeta(
+      Mpeg.buildTagged(Seq(9, 9, 9), 0, stereo = true, tag = "info")).get
+    assert(!info.vbr && info.declaredFrames == 3)
+  }
+
+  test("VBRI tag parses at its fixed offset") {
+    val idxs = Seq(14, 8, 14)
+    val m = Mpeg.parseMeta(
+      Mpeg.buildTagged(idxs, 2, stereo = true, tag = "vbri")).get
+    def flen(b: Int) = 144000 * Mpeg.BitrateKbps(b) / 32000
+    val declBytes = (flen(14) + idxs.map(flen).sum).toLong
+    assert(m.vbr && m.declaredFrames == 3 && m.nFrames == 4)
+    assert(m.avgBitrateKbps ==
+      (declBytes * 8 * 32000 / (3L * 1152 * 1000)).toInt)
+  }
+
   test("audioMeta column seam: parsed and null rows coexist") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
