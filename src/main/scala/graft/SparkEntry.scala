@@ -3779,6 +3779,90 @@ object SynthQueries {
           WINDOW w AS (PARTITION BY host ORDER BY gen, ${signed("hout")})""")
       }),
 
+    // CONTINUOUS repacking: the wds sink's STREAMING half — crawl
+    // archive pages stream in (WARC micro-batches), curated samples
+    // stream OUT as WebDataset shard generations, one per epoch,
+    // exactly once across a real query restart (epoch-idempotent
+    // manifest commit; WdsSpec unit-pins the replayed-epoch case). The
+    // q169 capstone as a LOOP instead of a batch job. Sample
+    // contiguity holds per epoch: Spark plans the sink's required
+    // clustered+sorted distribution on the streaming write path too
+    // (spread pinned both here and in WdsSpec).
+    QueryDef("g134_stream_warc_to_wds",
+      (s, d) => streamScoped(s) {
+        import org.apache.spark.sql.functions.{array, concat, countDistinct,
+          explode, lit, md5, pmod, struct, when}
+        val did = col("doc_id")
+        val warcDir = java.nio.file.Files.createTempDirectory("g134_warc").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g134_wds").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("g134_ckpt").toString
+        def writeGen(g: Long): Unit =
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .filter(pmod(did, lit(2L)) === g)
+            .select(
+              concat(lit("urn:repack:"), did.cast("string")).as("record_id"),
+              lit("response").as("warc_type"),
+              concat(lit("https://w"), pmod(did, lit(5L)).cast("string"),
+                lit(".example.com/d/"), did.cast("string")).as("target_uri"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              lit("application/http;msgtype=response").as("content_type"),
+              when(pmod(did, lit(9L)) === 0, lit(404)).otherwise(lit(200))
+                .as("http_status"),
+              lit("text/plain; charset=utf-8").as("http_content_type"),
+              col("text").cast("binary").as("payload"))
+            .coalesce(1)
+            .write.format("warc").mode("append").option("path", warcDir).save()
+        def runIncarnation(): Unit = {
+          val q = s.readStream.format("warc")
+            .option("manifestOnly", "true").option("filesPerBatch", "1")
+            .load(warcDir)
+            .filter(col("http_status") === 200)
+            .select(md5(col("target_uri")).as("key"), col("target_uri"),
+              col("payload"))
+            .select(col("key"),
+              explode(array(
+                struct(lit("txt").as("ext"), col("payload").as("payload")),
+                struct(lit("url").as("ext"),
+                  col("target_uri").cast("binary").as("payload"))))
+                .as("m"))
+            .select(col("key"), col("m.ext").as("ext"),
+              col("m.payload").as("payload"))
+            .writeStream.format("wds")
+            .option("path", outDir).option("checkpointLocation", ckptDir)
+            .option("targetShardBytes", "1048576")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        writeGen(0)
+        runIncarnation()
+        writeGen(1) // lands after a REAL stop: the restart must resume
+        runIncarnation()
+        val back = s.read.format("wds").option("manifestOnly", "true")
+          .load(outDir)
+        val spread = back.groupBy("key")
+          .agg(countDistinct(col("shard")).as("shard_spread"))
+        val res = back.join(spread, Seq("key"))
+          .select(col("key"), col("ext"), col("size"),
+            md5(col("payload")).as("payload_md5"), col("shard_spread"))
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(warcDir, outDir, ckptDir)
+          .foreach(p => deleteTree(java.nio.file.Paths.get(p)))
+        out
+      },
+      Some("""WITH p AS (SELECT doc_id, text,
+            'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+              CAST(doc_id AS VARCHAR) AS uri
+          FROM documents WHERE doc_id % 9 <> 0),
+        m AS (
+          SELECT md5(uri) AS key, 'txt' AS ext, text AS payload FROM p
+          UNION ALL
+          SELECT md5(uri), 'url', uri FROM p)
+        SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+          md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
+        FROM m""")),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5

@@ -150,7 +150,8 @@ final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schem
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val fpb = Option(options.get("filesPerBatch")).map(_.toInt).getOrElse(1)
     val manifest = Option(options.get("manifestOnly")).exists(_.toBoolean)
@@ -163,7 +164,7 @@ final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schem
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val target = Option(info.options.get("targetShardBytes")).map(_.toLong)
       .getOrElse(WdsBatchWrite.DefaultTargetShardBytes)
-    new WdsWriteBuilder(path, info.schema(), target)
+    new WdsWriteBuilder(path, info.schema(), target, info.queryId())
   }
 }
 

@@ -41,20 +41,109 @@ import org.apache.spark.sql.types.StructType
   * `part-<gen>-NNNNN.tar`, `_MANIFEST.json` swap under the manifest
   * lock. Task memory is one buffered sample, never a shard.
   */
-final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long)
-    extends WriteBuilder
+final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long,
+    queryId: String = "") extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new WdsBatchWrite(path, schema, targetBytes, doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new WdsStreamingWrite(path, schema, targetBytes, queryId)
     // all rows of a key to one task, adjacent within it — Spark plans
     // the shuffle+sort, the writer only observes key boundaries
     override def requiredDistribution(): Distribution =
       Distributions.clustered(Array(Expressions.column("key")))
     override def requiredOrdering(): Array[SortOrder] =
       Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+  }
+}
+
+/** STREAMING half of the `wds` sink — continuous repacking:
+  * `df.writeStream.format("wds").option("path", dir)` appends one
+  * shard generation per micro-batch EPOCH, exactly once.
+  *
+  * Exactly-once shape: the generation name is derived from
+  * (queryId, epochId) — deterministic across driver restarts — and the
+  * commit is IDEMPOTENT: under the manifest lock, an epoch whose
+  * shards are already in the manifest (a restarted driver re-running
+  * its last epoch) cleans its temp files and returns without renaming
+  * or republishing, so replayed epochs can never double samples.
+  * Within an epoch the batch sink's contract holds unchanged: the
+  * required clustered+sorted-by-key distribution gives sample
+  * contiguity inside the epoch's shards, uuid temps under
+  * `_tmp/<qid>-e<epoch>/` mean task retries never collide, and the
+  * manifest publish is the numbered-generation protocol. Sample
+  * contiguity is per EPOCH — a key recurring in later epochs starts a
+  * new sample in that epoch's shards (continuous packing; a global
+  * repack is the batch sink's job downstream).
+  */
+final class WdsStreamingWrite(path: String, schema: StructType,
+    targetBytes: Long, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val qid =
+    (if (queryId == null || queryId.isEmpty) "wdsq" else queryId)
+      .replaceAll("[^A-Za-z0-9]", "").take(8)
+  private def genOf(epochId: Long) = s"$qid-e$epochId"
+  private def tmpDirOf(epochId: Long) =
+    ArchiveFs.child(ArchiveFs.child(path, "_tmp"), genOf(epochId))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new WdsStreamingWriterFactory(ArchiveFs.child(path, "_tmp"), qid,
+      schema.json, targetBytes, ArchiveFs.carrier())
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    ArchiveFs.mkdirs(path)
+    val gen = genOf(epochId)
+    val tmpDir = tmpDirOf(epochId)
+    val committed = messages.collect { case WdsCommit(shards) => shards }
+      .flatten.filter(_._2 > 0).sortBy(_._1)
+    val entryRe = """\{"shard":"([^"]+)","samples":(\d+)\}""".r
+    ArchiveFs.withLock(ArchiveFs.child(path, "_MANIFEST.lock")) {
+      val prev: Seq[String] = ArchiveFs.readManifest(path)
+        .map(m => entryRe.findAllMatchIn(m).map(_.matched).toSeq)
+        .getOrElse(Seq.empty)
+      // idempotent replay: this (query, epoch) already published
+      if (!prev.exists(_.contains(s""""shard":"part-$gen-"""))) {
+        val entries = committed.zipWithIndex.map { case ((tmp, n), i) =>
+          val name = f"part-$gen-$i%05d.tar"
+          ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp),
+            ArchiveFs.child(path, name))
+          ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp + ".idx"),
+            ArchiveFs.child(path, name + ".idx"))
+          (name, n)
+        }
+        if (entries.nonEmpty) {
+          val manifest = (prev ++ entries.map { case (n, s) =>
+            s"""{"shard":"$n","samples":$s}""" }).mkString("[", ",", "]")
+          ArchiveFs.publishManifest(path, manifest)
+        }
+      }
+    }
+    deleteTmp(epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = deleteTmp(epochId)
+
+  private def deleteTmp(epochId: Long): Unit = {
+    ArchiveFs.delete(tmpDirOf(epochId), recursive = true)
+    ArchiveFs.deleteIfEmptyDir(ArchiveFs.child(path, "_tmp"))
+  }
+}
+
+final class WdsStreamingWriterFactory(tmpRoot: String, qid: String,
+    schemaJson: String, targetBytes: Long, confSer: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
+    new WdsWriter(ArchiveFs.child(tmpRoot, s"$qid-e$epochId"), schemaJson,
+      targetBytes)
   }
 }
 
