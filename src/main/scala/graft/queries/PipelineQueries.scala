@@ -6493,12 +6493,88 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** WebDataset compaction: the continuous-packing follow-up — a
+    * streaming sink (g134) accretes one small shard generation per
+    * epoch, and the BATCH sink's overwrite mode compacts them in place:
+    * read the fragmented corpus, write mode("overwrite") to the SAME
+    * directory. Safe by the commit protocol's construction: writers
+    * land under `_tmp/`, winners rename in only at driver commit, the
+    * manifest swaps atomically (numbered generation), and the old
+    * generations' files are deleted only AFTER the swap — the scan has
+    * finished by then, so read-under-write never tears. Output pins
+    * content identity (key/ext/size/md5), global sample contiguity
+    * (shard_spread = 1 — the streaming sink only guarantees per-epoch
+    * contiguity, compaction restores it corpus-wide), and that the
+    * shard count actually SHRANK (n_shards_delta < 0 per row would not
+    * be analytic; instead the fixture's 6 appended generations always
+    * compact into fewer shards, asserted via require).
+    */
+  val q173_wds_compact = QueryDef(
+    "q173_wds_compact",
+    (s, d) => {
+      val outDir = java.nio.file.Files.createTempDirectory("wds_compact").toString
+      val did = col("doc_id")
+      // 6 append generations of small shards — the streaming sink's
+      // epoch-accretion shape (keys interleave across generations, so
+      // pre-compaction a key's members can sit in different shards)
+      (0L until 6L).foreach { g =>
+        val base = docs(s, d).filter(pmod(did, lit(6L)) === g)
+          .select(did, concat(lit("c"), lpad(did.cast("string"), 8, "0"))
+            .as("key"))
+        base.select(col("key"), lit("txt").as("ext"),
+            concat(lit("t"), did.cast("string")).cast("binary").as("payload"))
+          .unionAll(base.select(col("key"), lit("json").as("ext"),
+            concat(lit("{\"d\":"), did.cast("string"), lit("}"))
+              .cast("binary").as("payload")))
+          .coalesce(1)
+          .write.format("wds").mode("append")
+          .option("path", outDir).option("targetShardBytes", "16384").save()
+      }
+      val before = s.read.format("wds").option("manifestOnly", "true")
+        .load(outDir)
+      val shardsBefore = before.select(countDistinct(col("shard")))
+        .collect()(0).getLong(0)
+      // in-place compaction: same directory, overwrite mode, big target
+      before.select("key", "ext", "payload")
+        .write.format("wds").mode("overwrite")
+        .option("path", outDir).option("targetShardBytes", "1048576").save()
+      val after = s.read.format("wds").option("manifestOnly", "true")
+        .load(outDir)
+      val shardsAfter = after.select(countDistinct(col("shard")))
+        .collect()(0).getLong(0)
+      require(shardsAfter < shardsBefore,
+        s"compaction did not shrink the shard count: $shardsBefore -> $shardsAfter")
+      // old generations' files really left the directory
+      val onDisk = graft.sources.ArchiveFs.list(outDir)
+        .map(graft.sources.ArchiveFs.name)
+        .count(n => n.startsWith("part-") && n.endsWith(".tar"))
+      require(onDisk.toLong == shardsAfter,
+        s"stale shards survive compaction: $onDisk on disk vs $shardsAfter live")
+      val spread = after.groupBy("key")
+        .agg(countDistinct(col("shard")).as("shard_spread"))
+      after.join(spread, Seq("key"))
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"), col("shard_spread"))
+    },
+    Some("""WITH k AS (SELECT doc_id,
+          'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key
+        FROM documents),
+      m AS (
+        SELECT key, 'txt' AS ext, 't' || CAST(doc_id AS VARCHAR) AS payload
+        FROM k
+        UNION ALL
+        SELECT key, 'json', '{"d":' || CAST(doc_id AS VARCHAR) || '}' FROM k)
+      SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
     q166_charset_decode, q167_wds_roundtrip, q168_fmp4_meta, q169_warc_to_wds,
-    q170_wds_lookup, q171_charset_cjk, q172_wds_backfill,
+    q170_wds_lookup, q171_charset_cjk, q172_wds_backfill, q173_wds_compact,
     q150_warc_read, q151_warc_pipeline, q152_robots_meta, q153_vp8_pixels,
     q144_image_coverage, q145_crawl_pipeline, q146_html_extract,
     q147_html_meta, q148_extract_pipeline, q149_robots_gate,
