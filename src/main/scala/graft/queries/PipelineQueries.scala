@@ -6528,7 +6528,10 @@ object PipelineQueries {
               .cast("binary").as("payload")))
           .coalesce(1)
           .write.format("wds").mode("append")
-          .option("path", outDir).option("targetShardBytes", "16384").save()
+          // target sized so the shard count grows slowly with sf (the
+          // g132 lesson: a tiny target means hundreds of shards at
+          // sf0.1 = hundreds of file opens per readback)
+          .option("path", outDir).option("targetShardBytes", "131072").save()
       }
       val before = s.read.format("wds").option("manifestOnly", "true")
         .load(outDir)
