@@ -70,7 +70,13 @@ final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long,
   * commit is IDEMPOTENT: under the manifest lock, an epoch whose
   * shards are already in the manifest (a restarted driver re-running
   * its last epoch) cleans its temp files and returns without renaming
-  * or republishing, so replayed epochs can never double samples.
+  * or republishing, so replayed epochs can never double samples. A
+  * driver killed INSIDE the commit — after some renames, before the
+  * manifest publish — leaves final-name orphans for an unpublished
+  * generation; the replay deletes them before renaming (they can only
+  * be this query's own crashed attempt, and they were never reader-
+  * visible), so the restart commits instead of wedging on the
+  * destination-exists rename guard.
   * Within an epoch the batch sink's contract holds unchanged: the
   * required clustered+sorted-by-key distribution gives sample
   * contiguity inside the epoch's shards, uuid temps under
@@ -83,9 +89,14 @@ final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long,
 final class WdsStreamingWrite(path: String, schema: StructType,
     targetBytes: Long, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // the FULL sanitized queryId, not a truncated prefix: two streaming
+  // queries writing the same directory must never alias generations
+  // (a shared prefix would make each treat the other's epochs as its
+  // own already-committed replays and silently drop shards); directory
+  // entries can afford the length
   private val qid =
     (if (queryId == null || queryId.isEmpty) "wdsq" else queryId)
-      .replaceAll("[^A-Za-z0-9]", "").take(8)
+      .replaceAll("[^A-Za-z0-9]", "")
   private def genOf(epochId: Long) = s"$qid-e$epochId"
   private def tmpDirOf(epochId: Long) =
     ArchiveFs.child(ArchiveFs.child(path, "_tmp"), genOf(epochId))
@@ -109,6 +120,18 @@ final class WdsStreamingWrite(path: String, schema: StructType,
         .getOrElse(Seq.empty)
       // idempotent replay: this (query, epoch) already published
       if (!prev.exists(_.contains(s""""shard":"part-$gen-"""))) {
+        // crash-window recovery: a driver killed between the first
+        // rename below and publishManifest leaves final-name orphans
+        // for an UNPUBLISHED generation. Because the generation name is
+        // (queryId, epochId)-deterministic, any part-<gen>-* file here
+        // can only be this query's own crashed attempt — delete them so
+        // the replay's fresh temps take the names (never adopt: mixing
+        // a partial old attempt with a new one could interleave two
+        // renders of the epoch). Unpublished shards were never visible
+        // to the manifest-order reader, so this deletes no live data.
+        ArchiveFs.list(path).foreach { p =>
+          if (ArchiveFs.name(p).startsWith(s"part-$gen-")) ArchiveFs.delete(p)
+        }
         val entries = committed.zipWithIndex.map { case ((tmp, n), i) =>
           val name = f"part-$gen-$i%05d.tar"
           ArchiveFs.rename(ArchiveFs.child(tmpDir, tmp),
