@@ -43,14 +43,29 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 object ArchiveFs {
 
   /** Driver-shipped Hadoop conf, installed executor-side by the scan /
-    * write factories (via [[SerializableHadoopConf]]) so `spark.hadoop.*`
-    * session settings — s3a credentials, endpoints — reach tasks
-    * instead of silently falling back to the executor's core-site.xml.
-    * First install wins (tasks of one app carry the same session conf).
+    * write factories (via [[SerializableHadoopConf.install]]) so
+    * `spark.hadoop.*` session settings — s3a credentials, endpoints —
+    * reach tasks instead of silently falling back to the executor's
+    * core-site.xml. Installs are keyed by a content FINGERPRINT, not
+    * first-wins: tasks of one app ship the same conf (same fingerprint,
+    * no churn), but a reused JVM running a new app with different
+    * settings REPLACES the conf and invalidates [[fsCache]] — otherwise
+    * FileSystem instances built from the old conf (or from the session
+    * fallback, for calls that ran before any install) would pin stale
+    * credentials silently for the JVM's lifetime. Replaced instances
+    * are orphaned, not closed (they may still be in use); a handful per
+    * install is the accepted cost.
     */
   @volatile private var installed: Configuration = null
-  def installConf(c: Configuration): Unit =
-    if (c != null && installed == null) installed = c
+  @volatile private var installedFp: String = null
+  private[sources] def installConf(c: Configuration, fp: String): Unit =
+    if (c != null && fp != installedFp) synchronized {
+      if (fp != installedFp) {
+        installed = c
+        installedFp = fp
+        fsCache.clear()
+      }
+    }
 
   /** Per-JVM Hadoop conf: driver-shipped if installed, else the active
     * session's, else the classpath default (see class doc).
@@ -214,12 +229,32 @@ object ArchiveFs {
     try { create(s, overwrite = false).close(); true }
     catch { case _: java.io.IOException => false }
 
+  /** A fresh `.stale.*` aside next to `lockPath` means a break is IN
+    * FLIGHT (see [[breakStale]]): a breaker has renamed the lock aside
+    * and may be about to rename a displaced live lock BACK. Acquirers
+    * must defer while one exists, or the restored lock and the new
+    * acquisition would both "hold". Asides older than `staleMs` are
+    * ignored: a genuinely-stale lock keeps its old mtime through the
+    * rename (the match path, deleted immediately), and a breaker that
+    * CRASHED mid-flight must not wedge acquisition forever.
+    */
+  private def breakInFlight(lockPath: String, staleMs: Long): Boolean = {
+    val (f, p) = fsOf(lockPath)
+    try {
+      val g = f.globStatus(new Path(p.getParent, p.getName + ".stale.*"))
+      g != null && g.exists(st =>
+        System.currentTimeMillis() - st.getModificationTime <= staleMs)
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** Exclusive create + unique-token readback: Some(token) iff THIS
     * caller's token survives in the lock file. On HDFS create-no-
     * overwrite is atomic by itself; the readback closes the local-FS
     * check-then-create window for cross-process racers on file: paths.
+    * An acquisition that lands while a lock break is in flight is
+    * RELEASED and retried — see [[breakInFlight]].
     */
-  private def tryAcquire(lockPath: String): Option[String] = {
+  private def tryAcquire(lockPath: String, staleMs: Long): Option[String] = {
     val token = java.util.UUID.randomUUID.toString
     val created =
       try {
@@ -229,8 +264,16 @@ object ArchiveFs {
       } catch { case _: java.io.IOException => false }
     if (created &&
         (try readString(lockPath) == token
-         catch { case _: java.io.IOException => false })) Some(token)
-    else None
+         catch { case _: java.io.IOException => false })) {
+      if (breakInFlight(lockPath, staleMs)) {
+        // we slipped into a breaker's no-lock window: back out so its
+        // rename-back of the displaced holder can land, then retry
+        val mine = try readString(lockPath) == token
+                   catch { case _: java.io.IOException => false }
+        if (mine) delete(lockPath)
+        None
+      } else Some(token)
+    } else None
   }
 
   /** Break a lock OBSERVED stale, without ever deleting `lockPath` in
@@ -242,8 +285,18 @@ object ArchiveFs {
     * winner) and the moved file's token is verified against the
     * observed holder: a match means we moved the dead lock (delete it,
     * retry acquisition); a mismatch means a live racer's lock slipped
-    * in — put it back, or fail LOUDLY if it cannot be restored, never
-    * let two writers into the manifest RMW.
+    * in — put it back. The rename-back can transiently fail while a
+    * waiter that acquired during the no-lock window holds `lockPath`,
+    * but such waiters observe this fresh aside and BACK OUT
+    * ([[breakInFlight]] in tryAcquire), so the restore is retried until
+    * the window closes; only a restore that still fails after the cap
+    * fails loudly — never two writers in the manifest RMW. Residual
+    * (documented, not closable without a conditional-write primitive):
+    * a breaker that CRASHES between the rename-aside and the restore
+    * leaves the displaced holder lockless while its aside ages out;
+    * even then the manifest's numbered-generation publish
+    * (create-no-overwrite per generation) turns a concurrent RMW into a
+    * LOUD failure of one writer, never a silent lost update.
     */
   private def breakStale(lockPath: String, observedToken: String): Unit = {
     val (f, p) = fsOf(lockPath)
@@ -254,11 +307,21 @@ object ArchiveFs {
       val tok = try readString(aside.toString)
                 catch { case _: java.io.IOException => "" }
       if (tok == observedToken) f.delete(aside, false)
-      else if (!f.rename(aside, p)) {
-        f.delete(aside, false)
-        throw new IllegalStateException(
-          s"lock break raced on $lockPath: displaced a live holder and " +
-            "could not restore it; manual cleanup required")
+      else {
+        var restored =
+          try f.rename(aside, p) catch { case _: java.io.IOException => false }
+        val cap = System.nanoTime() + 10000000000L // 10 s; windows are ms-scale
+        while (!restored && System.nanoTime() < cap) {
+          Thread.sleep(10)
+          restored =
+            try f.rename(aside, p) catch { case _: java.io.IOException => false }
+        }
+        if (!restored) {
+          f.delete(aside, false)
+          throw new IllegalStateException(
+            s"lock break raced on $lockPath: displaced a live holder and " +
+              "could not restore it; manual cleanup required")
+        }
       }
     }
   }
@@ -285,7 +348,7 @@ object ArchiveFs {
       val deadline = System.nanoTime() + staleMs * 2000000L // 2x stale as hard cap
       var held: Option[String] = None
       while (held.isEmpty) {
-        held = tryAcquire(lockPath)
+        held = tryAcquire(lockPath, staleMs)
         if (held.isEmpty) {
           val (f, p) = fsOf(lockPath)
           // observe age and token TOGETHER, break in the same iteration
@@ -379,11 +442,15 @@ object ArchiveFs {
 /** Java-serializable wrapper for a Hadoop `Configuration` (Writable,
   * not Serializable), the channel that ships the driver session's
   * `spark.hadoop.*` settings inside task-serialized scan/write
-  * factories to [[ArchiveFs.installConf]] on executors.
+  * factories to [[ArchiveFs.installConf]] on executors. Carries a
+  * driver-computed content fingerprint so installs are idempotent per
+  * conf CONTENT (see [[ArchiveFs.installConf]]).
   */
 final class SerializableHadoopConf(@transient private var c: Configuration)
     extends Serializable {
+  private val fp: String = SerializableHadoopConf.fingerprint(c)
   def value: Configuration = c
+  def install(): Unit = ArchiveFs.installConf(c, fp)
 
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
@@ -394,5 +461,27 @@ final class SerializableHadoopConf(@transient private var c: Configuration)
     in.defaultReadObject()
     c = new Configuration(false)
     c.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** Content fingerprint of a conf: md5 over its key-SORTED resolved
+    * entries — canonical, so two content-equal confs built through
+    * different histories fingerprint identically and never churn the
+    * FileSystem cache.
+    */
+  private[graft] def fingerprint(c: Configuration): String = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = c.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries += ((e.getKey, e.getValue))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sortInPlace().foreach { case (k, v) =>
+      md.update(k.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(v.getBytes("UTF-8")); md.update(1.toByte)
+    }
+    md.digest().map(b => f"$b%02x").mkString
   }
 }

@@ -155,7 +155,7 @@ final class ShardBatchWrite(path: String, schema: StructType,
 final class ShardWriterFactory(tmpDir: String, schemaJson: String,
     confSer: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
+    confSer.install() // driver conf -> executor tasks
     new ShardWriter(tmpDir, schemaJson)
   }
 }

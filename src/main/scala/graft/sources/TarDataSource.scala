@@ -270,7 +270,7 @@ final class TarReaderFactory(required: StructType, extFilter: Option[Set[String]
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // ship the driver session's Hadoop conf (s3a credentials etc.) to
     // executors that have no SparkSession of their own
-    ArchiveFs.installConf(confSer.value)
+    confSer.install()
     val p = partition.asInstanceOf[TarInputPartition]
     val file = p.file
     new PartitionReader[InternalRow] {

@@ -256,7 +256,7 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // ship the driver session's Hadoop conf (s3a credentials etc.) to
     // executors that have no SparkSession of their own
-    ArchiveFs.installConf(confSer.value)
+    confSer.install()
     val p = partition.asInstanceOf[WarcInputPartition]
     val file = p.file
     new PartitionReader[InternalRow] {

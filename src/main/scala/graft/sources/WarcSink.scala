@@ -125,7 +125,7 @@ final class WarcBatchWrite(path: String, schema: StructType, gzipped: Boolean,
 final class WarcWriterFactory(tmpDir: String, schemaJson: String, gzipped: Boolean,
     confSer: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
+    confSer.install() // driver conf -> executor tasks
     new WarcWriter(tmpDir, schemaJson, gzipped)
   }
 }

@@ -38,7 +38,7 @@ object WdsIndexBackfill {
     val slots = math.max(1, math.min(shards.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(shards).repartition(slots).map { f =>
-      ArchiveFs.installConf(confSer.value)
+      confSer.install()
       val idxPath = f + ".idx"
       if (f.endsWith(".gz")) (f, -1L, false)
       else if (!overwrite && ArchiveFs.exists(idxPath)) (f, -1L, false)

@@ -164,7 +164,7 @@ final class WdsStreamingWriterFactory(tmpRoot: String, qid: String,
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
-    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
+    confSer.install() // driver conf -> executor tasks
     new WdsWriter(ArchiveFs.child(tmpRoot, s"$qid-e$epochId"), schemaJson,
       targetBytes)
   }
@@ -236,7 +236,7 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
 final class WdsWriterFactory(tmpDir: String, schemaJson: String, targetBytes: Long,
     confSer: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    ArchiveFs.installConf(confSer.value) // driver conf -> executor tasks
+    confSer.install() // driver conf -> executor tasks
     new WdsWriter(tmpDir, schemaJson, targetBytes)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.ArchiveFs
+import graft.sources.{ArchiveFs, SerializableHadoopConf}
 
 /** The Hadoop-FileSystem byte seam under every archive source/sink
   * (r11 verdict ask #1): behavior of the primitives, and a source-tree
@@ -145,6 +145,75 @@ class ArchiveFsSpec extends AnyFunSuite {
     assert(!ArchiveFs.list(d).exists(f => ArchiveFs.name(f).contains(".stale.")),
       "break left a .stale tombstone behind")
     ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("acquisition defers while a lock break is in flight") {
+    // the r13 advice window: a breaker renames a live racer's fresh
+    // lock aside and is about to rename it BACK; an acquirer that
+    // slipped into the no-lock window must back out (or the restored
+    // holder and the new acquirer would both run the manifest RMW).
+    // The in-flight marker is a FRESH .stale.* aside next to the lock.
+    val d = tmpDir()
+    val lock = ArchiveFs.child(d, "defer.lock")
+    ArchiveFs.writeBytes(lock + ".stale.deadbeef",
+      "displaced-live-token".getBytes("UTF-8"))
+    val done = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val t0 = System.nanoTime()
+    val t = new Thread(() => {
+      ArchiveFs.withLock(lock, staleMs = 60000L) {
+        done.set(System.nanoTime() - t0)
+      }
+    })
+    t.start()
+    Thread.sleep(250)
+    assert(done.get() === -1L,
+      "acquired while a fresh break-aside existed — two-holder window")
+    // the breaker finishes (here: the aside resolves); acquisition lands
+    ArchiveFs.delete(lock + ".stale.deadbeef")
+    t.join(30000)
+    assert(done.get() > 0L, "acquisition never completed after the break")
+    assert(!ArchiveFs.exists(lock), "lock file must be released")
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("an AGED aside does not wedge acquisition (crashed breaker)") {
+    val d = tmpDir()
+    val lock = ArchiveFs.child(d, "aged.lock")
+    ArchiveFs.writeBytes(lock + ".stale.cafe0000", "orphan".getBytes("UTF-8"))
+    Thread.sleep(350) // older than staleMs: ignored, not a live break
+    val got = ArchiveFs.withLock(lock, staleMs = 300L) { 7 }
+    assert(got === 7)
+    ArchiveFs.delete(d, recursive = true)
+  }
+
+  test("conf fingerprint is content-canonical") {
+    import org.apache.hadoop.conf.Configuration
+    val a = new Configuration(false)
+    a.set("fs.s3a.access.key", "k1"); a.set("x.y", "z")
+    val b = new Configuration(false)
+    b.set("x.y", "z"); b.set("fs.s3a.access.key", "k1") // other order
+    val c = new Configuration(false)
+    c.set("fs.s3a.access.key", "OTHER"); c.set("x.y", "z")
+    assert(SerializableHadoopConf.fingerprint(a) ===
+      SerializableHadoopConf.fingerprint(b),
+      "equal content must fingerprint equal regardless of build order")
+    assert(SerializableHadoopConf.fingerprint(a) !==
+      SerializableHadoopConf.fingerprint(c),
+      "changed settings must change the fingerprint")
+    // round-trip through task serialization preserves content (and so
+    // the executor-side install's fingerprint); installing a BARE test
+    // conf here would hijack the shared test JVM's effective conf, so
+    // install() itself is exercised by every sink/source suite
+    val ser = new SerializableHadoopConf(a)
+    val bytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(ser); oo.close(); bo.toByteArray
+    }
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject()
+      .asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("fs.s3a.access.key") === "k1")
   }
 
   test("manifest protocol: numbered generations, newest wins, legacy fallback") {
