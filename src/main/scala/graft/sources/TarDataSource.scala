@@ -246,16 +246,56 @@ final class TarMicroBatchStream(path: String, required: StructType,
   // sorts before the first about half the time and the stream fails
   // its prefix validation). Plain name-sorted directory mode remains
   // for foreign corpora, which must add files in ascending name order.
+  //
+  // The choice is PINNED per stream, persisted under the checkpoint at
+  // the first nonempty observation: a foreign dir that gains a manifest
+  // MID-STREAM (someone runs the sink into it), or whose listing order
+  // differs from manifest append order, must not flip modes — the
+  // committed prefix would fail validation and the stream could never
+  // resume without a new checkpoint. An EMPTY dir defers the decision
+  // (nothing committed yet, so switching is still free).
+  private val orderPin: Option[String] =
+    Option(checkpointLocation).map(m => ArchiveFs.child(m, "graft-wds-order"))
+  @volatile private var orderMode: Option[Boolean] = None // true = manifest
+  private def useManifest(): Option[Boolean] = orderMode.orElse {
+    val fromDisk = orderPin
+      .filter(ArchiveFs.exists)
+      .map(p => ArchiveFs.readString(p).trim == "manifest")
+    val decided = fromDisk.orElse {
+      if (ArchiveFs.hasManifest(path)) Some(true)
+      else {
+        val any =
+          try TarDataSource.listFiles(path).nonEmpty
+          catch { case _: IllegalArgumentException => false }
+        if (any) Some(false) else None // nothing yet: defer the pin
+      }
+    }
+    if (fromDisk.isEmpty) decided.foreach { m =>
+      orderPin.foreach { p =>
+        ArchiveFs.mkdirs(checkpointLocation)
+        val tmp = p + ".tmp-" + java.util.UUID.randomUUID.toString.take(8)
+        ArchiveFs.writeBytes(tmp,
+          (if (m) "manifest" else "listing").getBytes("UTF-8"), overwrite = true)
+        ArchiveFs.renameOverwrite(tmp, p)
+      }
+    }
+    orderMode = decided
+    decided
+  }
+
   override protected def current(): Vector[String] =
     if (manifestOnly)
       try TarDataSource.manifestFiles(path).toVector
       catch { case _: IllegalArgumentException => Vector.empty }
-    else
-      try {
-        if (ArchiveFs.hasManifest(path))
-          TarDataSource.manifestFiles(path).toVector
-        else TarDataSource.listFiles(path).toVector
-      } catch { case _: IllegalArgumentException => Vector.empty }
+    else useManifest() match {
+      case Some(true) =>
+        try TarDataSource.manifestFiles(path).toVector
+        catch { case _: IllegalArgumentException => Vector.empty }
+      case Some(false) =>
+        try TarDataSource.listFiles(path).toVector
+        catch { case _: IllegalArgumentException => Vector.empty }
+      case None => Vector.empty
+    }
 
   override protected def partitionsFor(f: String): Seq[InputPartition] =
     TarDataSource.partitionsFor(f, targetBytes)
