@@ -15,9 +15,12 @@ import java.io.{InputStream, OutputStream}
   * extended headers override the FOLLOWING member's name (pax `path`
   * keyword, length-prefixed record grammar), so >100-char sample keys
   * keep their real names instead of a silently truncated 100-char
-  * prefix. Global pax headers (`g`) fail loudly — applying them
-  * correctly needs whole-archive state this reader deliberately does
-  * not carry, and silently ignoring one could misname every member.
+  * prefix. Global pax headers (`g`) are APPLIED with POSIX precedence
+  * — a global `path` names every subsequent member unless a closer
+  * `x`/`L` prelude overrides it, a later `g` replaces it, and an empty
+  * `path=` record clears it; `g` records with other keywords only
+  * (`comment=<sha>` from `git archive` is the common real-world case)
+  * pass through harmlessly. Malformed records still fail loudly.
   *
   * Framing errors fail LOUDLY with the offset (checksums verified,
   * truncation named) — a silent resync would attribute one member's
@@ -221,6 +224,7 @@ object TarIo {
       private val hdr = new Array[Byte](512)
       private var offset = 0L
       private var pendingName: String = null // from a preceding L/x member
+      private var globalName: String = null // from a pax `g` header's path
       private var unitStart = 0L // first header of the current L/x+file unit
       private var nextM: (Long, Member) = _
       private var done = false
@@ -274,12 +278,22 @@ object TarIo {
               skipFully(in, padded - size, offset + size, "pax padding")
               offset += padded
               paxPath(block, at).foreach(p => pendingName = p)
-            case 'g' =>
-              throw new IllegalArgumentException(
-                s"tar: global pax header at offset $at is not supported — " +
-                  "it would silently rename every following member")
+            case 'g' => // pax GLOBAL header: defaults for ALL subsequent
+              // members (x/L preludes override per-member, a later g
+              // replaces, `path=` with an empty value clears)
+              require(size <= 1024 * 1024,
+                s"tar: implausible global pax header size $size at offset $at")
+              val block = new Array[Byte](size.toInt)
+              readFully(in, block, size.toInt, offset, "global pax header block")
+              skipFully(in, padded - size, offset + size, "global pax padding")
+              offset += padded
+              paxPath(block, at).foreach(p =>
+                globalName = if (p.isEmpty) null else p)
             case '0' | 0 =>
-              val name = if (pendingName != null) pendingName else rawName
+              val name =
+                if (pendingName != null) pendingName
+                else if (globalName != null) globalName
+                else rawName
               pendingName = null
               if (keep(name)) {
                 val payload =
