@@ -2,10 +2,70 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Ambient-load probe for the bench (r13 verdict ask #5: the host
+  * carries intermittent EXTERNAL load, and artifacts need the evidence
+  * inline so a judge can adjudicate per-query deltas without
+  * re-benching). Two signals per suite pass:
+  *
+  *   - `loadavg`: /proc/loadavg's 1-minute field — the conventional
+  *     number, but once OUR OWN local[32] run is hot it is dominated by
+  *     ourselves, so mid-run it only bounds (ambient <= loadavg);
+  *   - `ext_cores`: average EXTERNAL busy cores over the pass interval,
+  *     from /proc/stat total busy jiffies minus /proc/self/stat's own
+  *     utime+stime — self-load subtracts out, so this stays a true
+  *     ambient measure while the suite runs (USER_HZ assumed 100, the
+  *     Linux default; only the thousandths would shift otherwise).
+  *
+  * Passes with ext_cores above [[NoisyExtCores]] are flagged in the
+  * artifact (`noisy_passes`) — their per-query numbers are smeared and
+  * should not drive cross-round comparisons.
+  */
+object LoadProbe {
+  val NoisyExtCores = 1.5
+
+  final case class Snap(wallNanos: Long, busyJiffies: Long, selfJiffies: Long)
+
+  private def slurp(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8"))
+    catch { case _: Throwable => None }
+
+  def loadavg1m(): Double =
+    slurp("/proc/loadavg").flatMap(_.split(" ").headOption)
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
+
+  def snap(): Snap = {
+    val busy = slurp("/proc/stat").flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+      .map { l =>
+        // user nice system idle iowait irq softirq steal: busy = all - idle - iowait
+        val f = l.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+        f.sum - f(3) - f(4)
+      }.getOrElse(-1L)
+    val self = slurp("/proc/self/stat").map { l =>
+      // utime/stime are fields 14/15, counted after the ")" that ends
+      // the comm field (which may itself contain spaces)
+      val rest = l.substring(l.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    }.getOrElse(-1L)
+    Snap(System.nanoTime(), busy, self)
+  }
+
+  /** Average external busy cores between two snaps; -1 when unreadable. */
+  def extCores(a: Snap, b: Snap): Double = {
+    if (a.busyJiffies < 0 || b.busyJiffies < 0 ||
+        a.selfJiffies < 0 || b.selfJiffies < 0) return -1.0
+    val wallSec = (b.wallNanos - a.wallNanos) / 1e9
+    if (wallSec <= 0.1) return -1.0
+    val ext = (b.busyJiffies - a.busyJiffies) - (b.selfJiffies - a.selfJiffies)
+    math.max(0.0, ext / 100.0 / wallSec)
+  }
+}
+
 /** Benchmark main: times every SparkEntry query at the driver-given scale
   * factor and prints ONE JSON line. Failures are reported per-query in an
   * "errors" map (never silently folded into a timing — a broken query must
-  * not look like a fast green one).
+  * not look like a fast green one). Each suite pass carries ambient-load
+  * evidence ([[LoadProbe]]) so noisy-host artifacts are self-describing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -78,29 +138,46 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
       }
-    def runFamily(qs: Seq[(String, (SparkSession, String) => DataFrame)])
+    // per-pass ambient-load evidence: (label, wall_s, ext_cores, loadavg)
+    val loadSamples =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
+    val loadavgStart = LoadProbe.loadavg1m()
+    def probed[T](label: String)(body: => T): T = {
+      val a = LoadProbe.snap()
+      val r = body
+      val b = LoadProbe.snap()
+      loadSamples += ((label, (b.wallNanos - a.wallNanos) / 1e9,
+        LoadProbe.extCores(a, b), LoadProbe.loadavg1m()))
+      r
+    }
+    def runFamily(family: String,
+        qs: Seq[(String, (SparkSession, String) => DataFrame)])
         : Seq[(String, Double)] = {
-      (1 to reps).foreach { _ =>
-        qs.foreach { case (n, f) => timeOne(n, f) }
+      (1 to reps).foreach { r =>
+        probed(s"$family-pass$r") {
+          qs.foreach { case (n, f) => timeOne(n, f) }
+        }
       }
       // straggler tie-breakers AFTER the passes (by now the window that
       // smeared a rep has usually moved): disagreeing reps (max/min >
       // 1.5x) or an implausible >20 s min get ONE more rep; sub-second
       // queries (worst relative noise) get one cheap extra.
-      qs.foreach { case (n, f) =>
-        times.get(n).foreach { ts =>
-          if ((ts.max / ts.min > 1.5) || ts.min > 20.0 || ts.min < 1.0)
-            timeOne(n, f)
+      probed(s"$family-stragglers") {
+        qs.foreach { case (n, f) =>
+          times.get(n).foreach { ts =>
+            if ((ts.max / ts.min > 1.5) || ts.min > 20.0 || ts.min < 1.0)
+              timeOne(n, f)
+          }
         }
       }
       qs.flatMap { case (n, _) => times.get(n).map(ts => n -> ts.min) }
     }
-    val batchResults = runFamily(batchQs)
+    val batchResults = runFamily("batch", batchQs)
     // family boundary hygiene: drop anything cached and let the JVM
     // settle before the streaming replays start paying their own costs
     spark.catalog.clearCache()
     System.gc()
-    val streamResults = runFamily(streamQs)
+    val streamResults = runFamily("streaming", streamQs)
     val results = batchResults ++ streamResults
 
     def jstr(s: String): String =
@@ -124,14 +201,22 @@ object Bench {
     // family pays its own fixed costs under its own budget.
     val batchTotal = batchResults.map(_._2).sum
     val streamTotal = streamResults.map(_._2).sum
+    // ambient-load evidence (r13 ask #5): per-pass external busy cores
+    // + loadavg, and the passes whose ambient exceeded the noise
+    // threshold — so a judge can adjudicate per-query deltas on a busy
+    // host without re-benching
+    val noisy = loadSamples.filter(_._3 > LoadProbe.NoisyExtCores).map(_._1)
+    val loadJson = loadSamples.map { case (l, w, e, la) =>
+      s"""{"pass":${jstr(l)},"wall_s":${fmt(w)},"ext_cores":${fmt(e)},"loadavg":${fmt(la)}}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"reps":$reps,"loadavg_start":${fmt(loadavgStart)},"noisy_passes":${noisy.map(jstr).mkString("[", ",", "]")},"load":$loadJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // compact summary LAST so any tail-window truncation of the long line
     // above still leaves the total and the queries that matter most
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"summary","total_s":${fmt(total)},"batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"n_batch":${batchResults.size},"n_streaming":${streamResults.size},"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest}""")
+      s"""{"metric":"summary","total_s":${fmt(total)},"batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"n_batch":${batchResults.size},"n_streaming":${streamResults.size},"n_queries":${results.size},"n_errors":${errors.size},"n_noisy_passes":${noisy.size},"slowest":$slowest}""")
     spark.stop()
   }
 }
