@@ -6572,7 +6572,106 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** SELECTIVE compaction (r13 verdict ask #2): q173 rewrites the whole
+    * corpus in place — correct, but at 100 TB routine compaction of a
+    * long-running stream must not cost a full-corpus rewrite. Fixture:
+    * one large KEPT generation plus four small generations whose
+    * members SHARE sample keys (the streaming sink's epoch-accretion
+    * shape: one sample's members scattered over four shards).
+    * [[graft.sources.WdsCompact]] plans from the manifest + one sized
+    * listing, reads ONLY the fragmented shards (the scan's `shards`
+    * subset — the big shard is never opened), and the sink's
+    * `replaceShards` commit swaps fragments out of the manifest in the
+    * same atomic publish that adds their replacement. Pinned by
+    * require: the kept shard survives BYTE-IDENTICAL under its own
+    * name, the fragments leave disk and manifest, and the summary
+    * actions match; pinned by oracle: content identity and
+    * shard_spread = 1 — the scattered samples regained contiguity
+    * without touching the big shard.
+    */
+  val q174_wds_compact_select = QueryDef(
+    "q174_wds_compact_select",
+    (s, d) => {
+      val outDir = java.nio.file.Files.createTempDirectory("wds_selcomp").toString
+      val did = col("doc_id")
+      // kept generation: all even docs, one huge roll target
+      val big = docs(s, d).filter(pmod(did, lit(2L)) === 0)
+        .select(did, concat(lit("B"), lpad(did.cast("string"), 8, "0")).as("key"))
+      big.select(col("key"), lit("txt").as("ext"),
+          concat(lit("t"), did.cast("string")).cast("binary").as("payload"))
+        .unionAll(big.select(col("key"), lit("json").as("ext"),
+          concat(lit("{\"d\":"), did.cast("string"), lit("}"))
+            .cast("binary").as("payload")))
+        .write.format("wds").mode("append")
+        .option("path", outDir)
+        .option("targetShardBytes", (1L << 30).toString).save()
+      def names(): Set[String] =
+        graft.sources.TarDataSource.manifestFiles(outDir)
+          .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val bigShards = names()
+      // fragmented tail: odd docs across FOUR generations; ids 8k+1,
+      // 8k+3, 8k+5, 8k+7 all carry key c<k> with per-generation exts,
+      // so one sample's members scatter over four small shards
+      Seq(1L, 3L, 5L, 7L).foreach { g =>
+        docs(s, d).filter(pmod(did, lit(8L)) === g)
+          .select(
+            concat(lit("c"), lpad(floor(did / 8).cast("string"), 8, "0")).as("key"),
+            concat(lit("t"), lit(g).cast("string")).as("ext"),
+            concat(lit("v"), did.cast("string")).cast("binary").as("payload"))
+          .write.format("wds").mode("append")
+          .option("path", outDir).option("targetShardBytes", "32768").save()
+      }
+      val smallShards = names() -- bigShards
+      def len(n: String): Long =
+        graft.sources.ArchiveFs.length(graft.sources.ArchiveFs.child(outDir, n))
+      val bigMin = bigShards.map(len).min
+      require(smallShards.map(len).max < bigMin,
+        "fixture sizes inverted: fragments at least as large as kept shards")
+      def fileMd5(n: String): Seq[Byte] =
+        java.security.MessageDigest.getInstance("MD5").digest(
+          graft.sources.ArchiveFs.readBytes(
+            graft.sources.ArchiveFs.child(outDir, n))).toSeq
+      val bigBytes = bigShards.map(n => n -> fileMd5(n)).toMap
+      val summary = graft.sources.WdsCompact.run(s, outDir, bigMin, 1L << 20)
+        .collect().map(r => (r.getString(0), r.getString(2)))
+      require(summary.filter(_._2 == "kept").map(_._1).toSet == bigShards,
+        "kept set mismatch")
+      require(summary.filter(_._2 == "compacted").map(_._1).toSet == smallShards,
+        "compacted set mismatch")
+      val after = names()
+      require(bigShards.subsetOf(after), "kept shard left the manifest")
+      bigShards.foreach(n => require(fileMd5(n) == bigBytes(n),
+        s"kept shard $n was rewritten — selective compaction must not touch it"))
+      require(after.intersect(smallShards).isEmpty, "fragments still in manifest")
+      val onDisk = graft.sources.ArchiveFs.list(outDir)
+        .map(graft.sources.ArchiveFs.name).toSet
+      require(onDisk.intersect(smallShards).isEmpty, "fragments still on disk")
+      val back = s.read.format("wds").option("manifestOnly", "true").load(outDir)
+      val spread = back.groupBy("key")
+        .agg(countDistinct(col("shard")).as("shard_spread"))
+      back.join(spread, Seq("key"))
+        .select(col("key"), col("ext"), col("size"),
+          md5(col("payload")).as("payload_md5"), col("shard_spread"))
+    },
+    Some("""WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+      s AS (SELECT doc_id, doc_id % 8 AS g, doc_id // 8 AS k
+        FROM documents WHERE doc_id % 2 = 1),
+      m AS (
+        SELECT 'B' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+          'txt' AS ext, 't' || CAST(doc_id AS VARCHAR) AS payload FROM b
+        UNION ALL
+        SELECT 'B' || lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'json',
+          '{"d":' || CAST(doc_id AS VARCHAR) || '}' FROM b
+        UNION ALL
+        SELECT 'c' || lpad(CAST(k AS VARCHAR), 8, '0'),
+          't' || CAST(g AS VARCHAR), 'v' || CAST(doc_id AS VARCHAR) FROM s)
+      SELECT key, ext, CAST(strlen(payload) AS BIGINT) AS size,
+        md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
+      FROM m"""),
+  )
+
   val pipeline: Seq[QueryDef] = Seq(
+    q174_wds_compact_select,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,

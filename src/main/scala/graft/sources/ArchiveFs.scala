@@ -150,6 +150,16 @@ object ArchiveFs {
     f.listStatus(p).toSeq.filter(_.isFile).map(s => asUserPath(s.getPath))
   }
 
+  /** Child files of `dir` with their lengths — one listing RPC instead
+    * of a length() call per file (compaction planning over 100k shards
+    * must not issue 100k HEAD requests).
+    */
+  def listWithLen(dir: String): Seq[(String, Long)] = {
+    val (f, p) = fsOf(dir)
+    f.listStatus(p).toSeq.filter(_.isFile)
+      .map(s => (asUserPath(s.getPath), s.getLen))
+  }
+
   def readBytes(s: String): Array[Byte] = {
     val in = open(s)
     try {

@@ -157,19 +157,30 @@ final class TarTable(path: String, tableSchema: StructType = TarDataSource.Schem
     val manifest = Option(options.get("manifestOnly")).exists(_.toBoolean)
     val target = Option(options.get("splitTargetBytes")).map(_.toLong)
       .getOrElse(TarDataSource.TargetSplitBytes)
-    new TarScanBuilder(path, fpb, manifest, target)
+    // explicit shard subset (names relative to path): the selective-
+    // compaction read path — scan ONLY the fragmented shards, never
+    // the whole corpus
+    val shards = Option(options.get("shards"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    new TarScanBuilder(path, fpb, manifest, target, shards)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val target = Option(info.options.get("targetShardBytes")).map(_.toLong)
       .getOrElse(WdsBatchWrite.DefaultTargetShardBytes)
-    new WdsWriteBuilder(path, info.schema(), target, info.queryId())
+    // selective compaction: an append whose commit atomically swaps the
+    // named shards out of the manifest (and off disk) as the new
+    // generation's entries swap in — see WdsBatchWrite
+    val replace = Option(info.options.get("replaceShards"))
+      .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set.empty[String])
+    new WdsWriteBuilder(path, info.schema(), target, info.queryId(), replace)
   }
 }
 
 final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boolean,
-    targetBytes: Long = TarDataSource.TargetSplitBytes) extends ScanBuilder
+    targetBytes: Long = TarDataSource.TargetSplitBytes,
+    shards: Option[Seq[String]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = TarDataSource.Schema
   private var extFilter: Option[Set[String]] = None
@@ -199,7 +210,7 @@ final class TarScanBuilder(path: String, filesPerBatch: Int, manifestOnly: Boole
 
   override def build(): Scan =
     new TarScan(path, required, extFilter, filesPerBatch, manifestOnly,
-      targetBytes)
+      targetBytes, shards)
 }
 
 /** One scan task: the byte range [start, end) of `file` — the whole
@@ -211,7 +222,8 @@ final case class TarInputPartition(file: String, start: Long, end: Long)
 
 final class TarScan(path: String, required: StructType,
     extFilter: Option[Set[String]], filesPerBatch: Int, manifestOnly: Boolean,
-    targetBytes: Long = TarDataSource.TargetSplitBytes)
+    targetBytes: Long = TarDataSource.TargetSplitBytes,
+    shards: Option[Seq[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -220,9 +232,12 @@ final class TarScan(path: String, required: StructType,
       extFilter.map(e => s", ext in {${e.mkString(",")}}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
-    (if (manifestOnly) TarDataSource.manifestFiles(path)
-     else TarDataSource.listFiles(path))
-      .flatMap(f => TarDataSource.partitionsFor(f, targetBytes)).toArray
+    (shards match {
+      case Some(names) => names.map(n => ArchiveFs.child(path, n))
+      case None =>
+        if (manifestOnly) TarDataSource.manifestFiles(path)
+        else TarDataSource.listFiles(path)
+    }).flatMap(f => TarDataSource.partitionsFor(f, targetBytes)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required, extFilter, ArchiveFs.carrier())

@@ -42,13 +42,13 @@ import org.apache.spark.sql.types.StructType
   * lock. Task memory is one buffered sample, never a shard.
   */
 final class WdsWriteBuilder(path: String, schema: StructType, targetBytes: Long,
-    queryId: String = "") extends WriteBuilder
+    queryId: String = "", replace: Set[String] = Set.empty) extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      new WdsBatchWrite(path, schema, targetBytes, doTruncate)
+      new WdsBatchWrite(path, schema, targetBytes, doTruncate, replace)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new WdsStreamingWrite(path, schema, targetBytes, queryId)
@@ -179,8 +179,20 @@ object WdsBatchWrite {
   val DefaultTargetShardBytes: Long = 256L * 1024 * 1024
 }
 
+/** Batch commit modes: plain APPEND (prev manifest entries kept),
+  * TRUNCATE (full in-place rewrite: prev discarded, stale part files
+  * swept after the publish — q173's compaction), and REPLACE (selective
+  * compaction, [[WdsCompact]]): an append whose commit drops the named
+  * shards from the manifest as the new generation's entries land —
+  * one atomic manifest swap, so a manifest-order reader sees the
+  * fragmented shards OR their compacted replacement, never both —
+  * and deletes their files after the publish. A crash between the
+  * publish and the deletes leaves unreferenced files on disk
+  * (invisible to manifest-order readers; the same residual as
+  * truncate's sweep), never a torn or doubled corpus.
+  */
 final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, replace: Set[String] = Set.empty) extends BatchWrite {
   private val gen = java.util.UUID.randomUUID.toString.take(8)
   private def tmpDir = ArchiveFs.child(ArchiveFs.child(path, "_tmp"), gen)
 
@@ -204,6 +216,12 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
         if (!truncate)
           ArchiveFs.readManifest(path)
             .map(m => entryRe.findAllMatchIn(m).map(_.matched).toSeq)
+            // replaced shards leave the manifest in the SAME swap that
+            // publishes their compacted replacement (entries appended
+            // concurrently by other writers are untouched — they are
+            // not in `replace`)
+            .map(_.filterNot(e => replace.exists(r =>
+              e.contains(s""""shard":"$r""""))))
             .getOrElse(Seq.empty)
         else Seq.empty
       val manifest =
@@ -221,6 +239,12 @@ final class WdsBatchWrite(path: String, schema: StructType, targetBytes: Long,
         if (n.startsWith("part-") && base.endsWith(".tar") && !keep(base))
           ArchiveFs.delete(p)
       }
+    }
+    // replaced (compacted-away) shards leave the directory only AFTER
+    // the manifest stopped referencing them
+    replace.foreach { r =>
+      ArchiveFs.delete(ArchiveFs.child(path, r))
+      ArchiveFs.delete(ArchiveFs.child(path, r + ".idx"))
     }
     deleteTmp()
   }
