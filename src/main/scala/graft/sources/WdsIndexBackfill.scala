@@ -26,6 +26,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WdsIndexBackfill {
 
+  /** One shard's header-stride walk + temp/rename sidecar publish —
+    * executor-side, shared with [[WdsTranscode]]'s crash-recovery leg.
+    * Returns the sample count.
+    */
+  private[sources] def backfillOne(f: String, overwrite: Boolean): Long = {
+    val idxPath = f + ".idx"
+    val in = new java.io.BufferedInputStream(ArchiveFs.open(f), 1 << 16)
+    val sb = new java.lang.StringBuilder("#graft-wds-idx offset\tkey\n")
+    var samples = 0L
+    var prevKey: String = null
+    try TarIo.memberStarts(in).foreach { case (off, name) =>
+      val key = TarDataSource.splitKeyExt(name)._1
+      if (key != prevKey) {
+        sb.append(off).append('\t').append(key).append('\n')
+        samples += 1
+        prevKey = key
+      }
+    } finally in.close()
+    // temp + rename: a concurrent reader sees the sidecar
+    // complete-or-absent, never half-written
+    val tmp = f + ".idx.tmp-" + java.util.UUID.randomUUID.toString.take(8)
+    ArchiveFs.writeBytes(tmp, sb.toString.getBytes("UTF-8"), overwrite = true)
+    if (overwrite) ArchiveFs.renameOverwrite(tmp, idxPath)
+    else ArchiveFs.rename(tmp, idxPath)
+    samples
+  }
+
   /** Backfill `dir` (or a single shard path); returns one row per
     * shard: (shard, samples, wrote) — `wrote = false` when a sidecar
     * already existed (samples = -1) or the shard is gzipped.
@@ -39,30 +66,9 @@ object WdsIndexBackfill {
       spark.sparkContext.defaultParallelism))
     spark.createDataset(shards).repartition(slots).map { f =>
       confSer.install()
-      val idxPath = f + ".idx"
       if (f.endsWith(".gz")) (f, -1L, false)
-      else if (!overwrite && ArchiveFs.exists(idxPath)) (f, -1L, false)
-      else {
-        val in = new java.io.BufferedInputStream(ArchiveFs.open(f), 1 << 16)
-        val sb = new java.lang.StringBuilder("#graft-wds-idx offset\tkey\n")
-        var samples = 0L
-        var prevKey: String = null
-        try TarIo.memberStarts(in).foreach { case (off, name) =>
-          val key = TarDataSource.splitKeyExt(name)._1
-          if (key != prevKey) {
-            sb.append(off).append('\t').append(key).append('\n')
-            samples += 1
-            prevKey = key
-          }
-        } finally in.close()
-        // temp + rename: a concurrent reader sees the sidecar
-        // complete-or-absent, never half-written
-        val tmp = f + ".idx.tmp-" + java.util.UUID.randomUUID.toString.take(8)
-        ArchiveFs.writeBytes(tmp, sb.toString.getBytes("UTF-8"), overwrite = true)
-        if (overwrite) ArchiveFs.renameOverwrite(tmp, idxPath)
-        else ArchiveFs.rename(tmp, idxPath)
-        (f, samples, true)
-      }
+      else if (!overwrite && ArchiveFs.exists(f + ".idx")) (f, -1L, false)
+      else (f, backfillOne(f, overwrite), true)
     }.toDF("shard", "samples", "wrote")
   }
 }
