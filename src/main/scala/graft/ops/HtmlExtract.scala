@@ -177,6 +177,25 @@ object HtmlExtract {
       PlanBridge.expression(sniffCharset(payload, httpContentType))))
   }
 
+  /** Content-based charset recovery for the quarantined tail
+    * ([[decodedOk]] = false rows): proposes a label from the bytes
+    * alone — `struct(label, confidence_ppm)`, label null when nothing
+    * clears the confidence bar. See [[graft.expr.CharsetDetect]].
+    */
+  def detectCharset(payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.column(graft.expr.CharsetDetect(PlanBridge.expression(payload)))
+  }
+
+  /** Decode payload bytes under an EXPLICIT label column (the recovery
+    * path: a [[detectCharset]] verdict instead of the sniffed label).
+    */
+  def decodeWith(payload: Column, label: Column): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.column(graft.expr.DecodeCharset(
+      PlanBridge.expression(payload), PlanBridge.expression(label)))
+  }
+
   def metaSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val html = col(htmlCol)
     df.select(col(idCol),

@@ -6572,6 +6572,121 @@ object PipelineQueries {
       FROM m"""),
   )
 
+  /** Content-based charset recovery (r13 verdict ask #6): pages whose
+    * label is absent or unrecognized previously stayed utf-8
+    * pass-through forever — flagged (decoded_ok = 0) but never
+    * recovered. [[graft.expr.CharsetDetect]] proposes a label from the
+    * BYTES (strict UTF-8 validity, then multibyte structure +
+    * typicality, then single-byte letter-frequency models), and this
+    * gate drives the full recovery pipeline: planted windows-1251 /
+    * Shift_JIS / KOI8-R pages under UNRECOGNIZED labels and a GBK page
+    * with NO label all recover and decode to real text; a properly
+    * LABELED Shift_JIS page keeps its q171 verdict untouched
+    * (recovery never second-guesses an explicit known label); and a
+    * junk-bytes page stays quarantined (label null -> 'unknown', text
+    * null) — a wrong recovery being worse than none.
+    */
+  val q176_charset_recover = QueryDef(
+    "q176_charset_recover",
+    (s, d) => {
+      val did = col("doc_id")
+      val kind = pmod(did, lit(6L))
+      def asc(t: String) = lit(t).cast("binary")
+      val idb = did.cast("string").cast("binary")
+      // русский текст в интернете in windows-1251 / koi8-r
+      val ruCp1251 = lit(Array(0xF0.toByte, 0xF3.toByte, 0xF1.toByte,
+        0xF1.toByte, 0xEA.toByte, 0xE8.toByte, 0xE9.toByte, 0x20.toByte,
+        0xF2.toByte, 0xE5.toByte, 0xEA.toByte, 0xF1.toByte, 0xF2.toByte,
+        0x20.toByte, 0xE2.toByte, 0x20.toByte, 0xE8.toByte, 0xED.toByte,
+        0xF2.toByte, 0xE5.toByte, 0xF0.toByte, 0xED.toByte, 0xE5.toByte,
+        0xF2.toByte, 0xE5.toByte))
+      val ruKoi8 = lit(Array(0xD2.toByte, 0xD5.toByte, 0xD3.toByte,
+        0xD3.toByte, 0xCB.toByte, 0xC9.toByte, 0xCA.toByte, 0x20.toByte,
+        0xD4.toByte, 0xC5.toByte, 0xCB.toByte, 0xD3.toByte, 0xD4.toByte,
+        0x20.toByte, 0xD7.toByte, 0x20.toByte, 0xC9.toByte, 0xCE.toByte,
+        0xD4.toByte, 0xC5.toByte, 0xD2.toByte, 0xCE.toByte, 0xC5.toByte,
+        0xD4.toByte, 0xC5.toByte))
+      // テストデータです in shift_jis
+      val jaSjis = lit(Array(0x83.toByte, 0x65.toByte, 0x83.toByte,
+        0x58.toByte, 0x83.toByte, 0x67.toByte, 0x83.toByte, 0x66.toByte,
+        0x81.toByte, 0x5B.toByte, 0x83.toByte, 0x5E.toByte, 0x82.toByte,
+        0xC5.toByte, 0x82.toByte, 0xB7.toByte))
+      // 简体中文数据 in gbk
+      val zhGbk = lit(Array(0xBC.toByte, 0xF2.toByte, 0xCC.toByte,
+        0xE5.toByte, 0xD6.toByte, 0xD0.toByte, 0xCE.toByte, 0xC4.toByte,
+        0xCA.toByte, 0xFD.toByte, 0xBE.toByte, 0xDD.toByte))
+      // 日本語 + テスト in shift_jis (the labeled q171 page)
+      val jaLabeled = concat(
+        lit(Array(0x93.toByte, 0xFA.toByte, 0x96.toByte, 0x7B.toByte,
+          0x8C.toByte, 0xEA.toByte)), asc("w"), idb,
+        lit(Array(0x83.toByte, 0x65.toByte, 0x83.toByte, 0x58.toByte,
+          0x83.toByte, 0x67.toByte)))
+      val junk = lit(Array(0x81.toByte, 0x00.toByte, 0x9F.toByte,
+        0xFF.toByte, 0x07.toByte, 0x03.toByte, 0x81.toByte, 0x00.toByte,
+        0xFE.toByte, 0x11.toByte))
+      val payload = when(kind === 0, concat(ruCp1251, asc(" a"), idb))
+        .when(kind === 1, concat(jaSjis, asc(" j"), idb))
+        .when(kind === 2, concat(ruKoi8, asc(" c"), idb))
+        .when(kind === 3, concat(zhGbk, asc(" g"), idb))
+        .when(kind === 4, jaLabeled)
+        .otherwise(concat(junk, idb))
+      val hct = when(kind === 0 || kind === 2,
+          lit("text/html; charset=x-unknown-8bit"))
+        .when(kind === 1, lit("text/html; charset=x-mystery"))
+        .when(kind === 4, lit("text/html; charset=shift_jis"))
+        .otherwise(lit(null).cast("string"))
+      // recovery applies to the quarantined tail AND to unlabeled pages
+      // (whose sniff DEFAULTS to utf-8 and so never trips decoded_ok);
+      // an explicit recognized label is never second-guessed
+      val hasLabel = hct.isNotNull
+      val ok = graft.ops.HtmlExtract.decodedOk(payload, hct)
+      val detected = graft.ops.HtmlExtract.detectCharset(payload)
+      val sniffed = graft.ops.HtmlExtract.sniffCharset(payload, hct)
+      val recoverable = !ok || !hasLabel
+      val finalLabel = when(!recoverable, sniffed)
+        .otherwise(coalesce(detected.getField("label"), lit("unknown")))
+      docs(s, d).select(did,
+          finalLabel.as("charset"),
+          (recoverable && detected.getField("label").isNotNull)
+            .cast("long").as("recovered"),
+          when(finalLabel =!= "unknown",
+            graft.ops.HtmlExtract.decodeWith(payload, finalLabel))
+            .as("text"))
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'windows-1251'
+          WHEN 1 THEN 'shift_jis'
+          WHEN 2 THEN 'koi8-r'
+          WHEN 3 THEN 'gbk'
+          WHEN 4 THEN 'shift_jis'
+          ELSE 'unknown' END AS charset,
+        CASE WHEN doc_id % 6 IN (0, 1, 2, 3) THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS recovered,
+        CASE doc_id % 6
+          WHEN 0 THEN chr(1088) || chr(1091) || chr(1089) || chr(1089) ||
+            chr(1082) || chr(1080) || chr(1081) || ' ' || chr(1090) ||
+            chr(1077) || chr(1082) || chr(1089) || chr(1090) || ' ' ||
+            chr(1074) || ' ' || chr(1080) || chr(1085) || chr(1090) ||
+            chr(1077) || chr(1088) || chr(1085) || chr(1077) || chr(1090) ||
+            chr(1077) || ' a' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN chr(12486) || chr(12473) || chr(12488) || chr(12487) ||
+            chr(12540) || chr(12479) || chr(12391) || chr(12377) ||
+            ' j' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN chr(1088) || chr(1091) || chr(1089) || chr(1089) ||
+            chr(1082) || chr(1080) || chr(1081) || ' ' || chr(1090) ||
+            chr(1077) || chr(1082) || chr(1089) || chr(1090) || ' ' ||
+            chr(1074) || ' ' || chr(1080) || chr(1085) || chr(1090) ||
+            chr(1077) || chr(1088) || chr(1085) || chr(1077) || chr(1090) ||
+            chr(1077) || ' c' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN chr(31616) || chr(20307) || chr(20013) || chr(25991) ||
+            chr(25968) || chr(25454) || ' g' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN chr(26085) || chr(26412) || chr(35486) || 'w' ||
+            CAST(doc_id AS VARCHAR) || chr(12486) || chr(12473) || chr(12488)
+          ELSE NULL END AS text
+      FROM documents"""),
+  )
+
   /** gz-shard transcode (r13 verdict ask #3): a `.tar.gz` corpus can
     * never seek, so it sat permanently outside the ranged-split /
     * point-lookup scale story — q172's backfill honestly skips gz.
@@ -6773,7 +6888,7 @@ object PipelineQueries {
   )
 
   val pipeline: Seq[QueryDef] = Seq(
-    q174_wds_compact_select, q175_wds_transcode,
+    q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,

@@ -131,6 +131,65 @@ class DecodeCharsetSpec extends AnyFunSuite {
       assert(!DecodeCharset.isKnownLabel(l), l)
   }
 
+  test("charset_detect: the recovery ladder over planted fixtures") {
+    def det(bytes: Array[Byte]): (String, Long) = {
+      val r = graft.expr.CharsetDetect.detect(bytes)
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString, r.getLong(1))
+    }
+    val ru = "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0432 \u0438\u043d\u0442\u0435\u0440\u043d\u0435\u0442\u0435"
+    // strict utf-8 first (pure ASCII included)
+    assert(det("plain ascii page 123".getBytes("UTF-8"))._1 === "utf-8")
+    assert(det((ru + " r7").getBytes("UTF-8"))._1 === "utf-8")
+    // BOMs are definitive
+    assert(det(Array(0xEF, 0xBB, 0xBF, 0x41).map(_.toByte))._1 === "utf-8")
+    assert(det(Array(0xFF, 0xFE, 0x41, 0x00).map(_.toByte))._1 === "utf-16le")
+    assert(det(Array(0xFE, 0xFF, 0x00, 0x41).map(_.toByte))._1 === "utf-16be")
+    // single-byte Cyrillic: BOTH layouts, distinguished by case+frequency
+    assert(det((ru + " r7").getBytes("windows-1251"))._1 === "windows-1251")
+    assert(det((ru + " r7").getBytes("KOI8-R"))._1 === "koi8-r")
+    // multibyte structure + typicality
+    val ja = "\u30c6\u30b9\u30c8\u30c7\u30fc\u30bf\u3067\u3059"
+    val ja2 = "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059"
+    val zh = "\u7b80\u4f53\u4e2d\u6587\u6570\u636e"
+    val ko = "\ud55c\uad6d\uc5b4 \ub370\uc774\ud130 \ud14c\uc2a4\ud2b8"
+    assert(det((ja + " j7").getBytes("Shift_JIS"))._1 === "shift_jis")
+    assert(det((ja2 + " e7").getBytes("EUC-JP"))._1 === "euc-jp")
+    assert(det((zh + " g7").getBytes("GBK"))._1 === "gbk")
+    assert(det((ko + " k7").getBytes("EUC-KR"))._1 === "euc-kr")
+    val tw = "\u7e41\u9ad4\u4e2d\u6587\u8cc7\u6599\u5eab\u7cfb\u7d71"
+    assert(det((tw + " b7").getBytes("Big5"))._1 === "big5")
+    // confidence is a real number in [0, 1e6] and recovery is confident
+    val (_, conf) = det((ru + " r7").getBytes("windows-1251"))
+    assert(conf >= 300000L && conf <= 1000000L)
+    // junk stays quarantined: label null, confidence low
+    val junk = Array(0x81, 0x00, 0x9F, 0xFF, 0x07, 0x03, 0x81, 0x00, 0xFE,
+      0x11).map(_.toByte)
+    val (jl, jc) = det(junk)
+    assert(jl === null)
+    assert(jc < 300000L)
+    // KOI8-R text must never read as half-width-katakana Shift_JIS
+    // (the 0xA1-0xDF singles are byte-identical) — typicality gates it
+    assert(det((ru + " r7").getBytes("KOI8-R"))._1 !== "shift_jis")
+    // empty payload: utf-8, trivially
+    assert(det(Array.emptyByteArray)._1 === "utf-8")
+  }
+
+  test("charset_detect feeds decode_charset: recovered text round-trips") {
+    def detLabel(bytes: Array[Byte]): String = {
+      val r = graft.expr.CharsetDetect.detect(bytes)
+      if (r.isNullAt(0)) null else r.getUTF8String(0).toString
+    }
+    val ru = "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0432 \u0438\u043d\u0442\u0435\u0440\u043d\u0435\u0442\u0435"
+    for (cs <- Seq("windows-1251", "KOI8-R")) {
+      val bytes = (ru + " r7").getBytes(cs)
+      val label = detLabel(bytes)
+      assert(dec(bytes, label) === ru + " r7", cs)
+    }
+    val ja = "\u30c6\u30b9\u30c8\u30c7\u30fc\u30bf\u3067\u3059"
+    val sjis = (ja + " j7").getBytes("Shift_JIS")
+    assert(dec(sjis, detLabel(sjis)) === ja + " j7")
+  }
+
   test("registered SQL function + sniff-decode-extract chain end to end") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._
