@@ -3863,6 +3863,207 @@ object SynthQueries {
           md5(payload) AS payload_md5, CAST(1 AS BIGINT) AS shard_spread
         FROM m""")),
 
+    // The crawl loop's FEEDBACK edge closed (r13 verdict ask #4): g133
+    // composes discovery -> scheduling in one query; here the
+    // frontier's scheduled OUTPUT drives a simulated fetcher that
+    // writes the NEXT WARC generation into the SAME source directory,
+    // consumed by the SAME streaming query across incarnations —
+    // schedule -> fetch -> discover -> schedule, two full turns, then a
+    // drain turn (leaf pages link to nothing, so the third incarnation
+    // schedules zero new candidates). The url universe is a binary
+    // tree (seed i links d1 children 2i/2i+1; a d1 page links its d2
+    // children; d2 pages are leaves), so the oracle replays ALL loop
+    // turns relationally: a candidate's turn is its depth, per-host
+    // order is (depth, xxhash64(curl)), fetch_at_s is the politeness
+    // prefix sum. The fetcher fetches ONLY what the frontier actually
+    // scheduled (require-pinned per turn) — the feedback edge is load-
+    // bearing, not decorative.
+    QueryDef("g135_stream_crawl_feedback",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.{array, ascii, broadcast,
+          concat, explode, lit, md5, pmod, substring, when, xxhash64}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val warcDir = java.nio.file.Files.createTempDirectory("g135_warc").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("g135_ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("g135_out").toString
+        val did = col("doc_id")
+        def urlOf(dep: Int, j: org.apache.spark.sql.Column) =
+          concat(lit("https://h"), pmod(j, lit(5L)).cast("string"),
+            lit(s".example.com/d$dep/"), j.cast("string"))
+        val seeds = s.read.parquet(s"$d/documents.parquet")
+          .select(did.cast("long").as("i")).filter(pmod(col("i"), lit(7L)) === 0)
+        val d1 = seeds.select(explode(array(col("i") * 2, col("i") * 2 + 1))
+          .as("j")).select(col("j"), lit(1L).as("depth"))
+        val d2 = d1.select(explode(array(col("j") * 2, col("j") * 2 + 1))
+          .as("j")).select(col("j"), lit(2L).as("depth"))
+        // the analytic url universe, frozen once: the fetcher joins the
+        // frontier's output ids against it, and the final projection
+        // maps ids back to urls
+        val uni = {
+          val df = d1.unionByName(d2).select(col("j"), col("depth"))
+            .withColumn("curl",
+              when(col("depth") === 1L, urlOf(1, col("j")))
+                .otherwise(urlOf(2, col("j"))))
+            .select(col("curl"), col("depth"), col("j"),
+              xxhash64(col("curl")).as("id"))
+          s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+        }
+        val dcount = uni.groupBy("depth").count().as[(Long, Long)]
+          .collect().toMap
+        // per-host politeness dim, O(hosts) literal (the g133 shape)
+        val delayDf = uni
+          .select(graft.ops.UrlOps.canonicalHost(col("curl")).as("host"))
+          .distinct()
+          .withColumn("delay_s",
+            (pmod(ascii(substring(col("host"), 2, 1)), lit(3)) + 1).cast("long"))
+        val delayDim = s.createDataFrame(
+          java.util.Arrays.asList(delayDf.collect(): _*), delayDf.schema)
+        def linkPage(target: org.apache.spark.sql.Column,
+            hrefs: Seq[org.apache.spark.sql.Column]) = {
+          val body =
+            if (hrefs.isEmpty) lit("<html><body>leaf</body></html>")
+            else concat(Seq(lit("<html><body>")) ++
+              hrefs.flatMap(h => Seq(lit("<a href=\""), h, lit("\">x</a>"))) ++
+              Seq(lit("</body></html>")): _*)
+          (target, body)
+        }
+        def writePages(pages: org.apache.spark.sql.DataFrame): Long = {
+          pages
+            .select(
+              concat(lit("urn:fb:"), md5(col("target_uri"))).as("record_id"),
+              lit("response").as("warc_type"), col("target_uri"),
+              lit("2026-01-01T00:00:00Z").as("warc_date"),
+              lit("application/http;msgtype=response").as("content_type"),
+              lit(200).as("http_status"),
+              lit("text/html").as("http_content_type"),
+              col("html").cast("binary").as("payload"))
+            .coalesce(1) // one segment per generation: manifest order IS batch order
+            .write.format("warc").mode("append").option("path", warcDir).save()
+          pages.count()
+        }
+        // generation 0: seed pages, fetched out-of-band (the crawl's
+        // entry point), each linking its two d1 children
+        val (t0, h0) = linkPage(urlOf(0, col("i")),
+          Seq(urlOf(1, col("i") * 2), urlOf(1, col("i") * 2 + 1)))
+        val gen0 = writePages(seeds.select(t0.as("target_uri"), h0.as("html")))
+        def runIncarnation(): Long = {
+          val scheduled = s.readStream.format("warc")
+            .option("manifestOnly", "true").option("filesPerBatch", "1")
+            .load(warcDir)
+            .filter(col("http_status") === 200)
+            .select(col("target_uri").as("url"),
+              graft.ops.HtmlExtract.decodePayload(col("payload"),
+                col("http_content_type")).as("html"))
+            .select(col("url"),
+              explode(graft.ops.HtmlExtract.extractLinks(col("html"))).as("href"))
+            .select(graft.ops.UrlOps.canonicalizeUrl(
+              graft.ops.UrlOps.resolveUrl(col("url"), col("href"))).as("curl"))
+            .dropDuplicates("curl")
+            .join(broadcast(delayDim),
+              graft.ops.UrlOps.canonicalHost(col("curl")) === delayDim("host"))
+            .select(col("host"), xxhash64(col("curl")).as("ord"),
+              xxhash64(col("curl")).as("id"), col("delay_s"))
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.FrontierProcessor,
+              TimeMode.None(), OutputMode.Append(),
+              implicitly[org.apache.spark.sql.Encoder[
+                (Long, String, Long, Long)]])
+            .toDF("id", "host", "seq", "fetch_at_s")
+          val q = scheduled.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        // the FEEDBACK edge: fetch exactly what the frontier scheduled
+        // this turn, emit the next WARC generation into the same dir
+        def fetchTurn(depth: Long): Long = {
+          val sched = s.read.parquet(outDir).select(col("id")).distinct()
+            .join(broadcast(uni), Seq("id"))
+            .filter(col("depth") === depth)
+          val n = sched.count()
+          require(n == dcount(depth),
+            s"turn $depth: frontier scheduled $n of ${dcount(depth)} depth-$depth candidates")
+          val pages =
+            if (depth == 1L)
+              sched.select(col("curl").as("target_uri"),
+                linkPage(col("curl"),
+                  Seq(urlOf(2, col("j") * 2), urlOf(2, col("j") * 2 + 1)))._2
+                  .as("html"))
+            else
+              sched.select(col("curl").as("target_uri"),
+                lit("<html><body>leaf</body></html>").as("html"))
+          writePages(pages)
+        }
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val partsKey = "spark.sql.shuffle.partitions"
+        val clogKey =
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        val olds = Seq(noDataKey, partsKey, clogKey).map(k =>
+          k -> s.conf.getOption(k))
+        s.conf.set(noDataKey, "false")
+        s.conf.set(partsKey, "4")
+        s.conf.set(clogKey, "true")
+        def restore(): Unit = olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+        try {
+          val rows1 = runIncarnation() // turn 1: discover+schedule d1
+          require(rows1 == gen0, s"turn 1 read $rows1 pages, expected $gen0")
+          val fetched1 = fetchTurn(1L) // feedback: fetch what was scheduled
+          val rows2 = runIncarnation() // turn 2: resume, discover d2
+          require(rows2 == fetched1,
+            s"restart must resume, not reprocess: turn 2 read $rows2, " +
+              s"expected exactly generation 1's $fetched1")
+          val fetched2 = fetchTurn(2L)
+          val rows3 = runIncarnation() // turn 3: leaves drain the loop
+          require(rows3 == fetched2,
+            s"turn 3 read $rows3 source rows, expected $fetched2")
+          val total = s.read.parquet(outDir).select(col("id")).distinct().count()
+          require(total == dcount(1L) + dcount(2L),
+            s"loop did not drain cleanly: $total scheduled vs " +
+              s"${dcount(1L) + dcount(2L)} candidates")
+        } finally restore()
+        val res = s.read.parquet(outDir)
+          .join(uni.select(col("curl"), col("id")), Seq("id"))
+          .select(col("curl"), col("host"), col("seq"), col("fetch_at_s"))
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+        Seq(warcDir, ckptDir, outDir)
+          .foreach(p => deleteTree(java.nio.file.Paths.get(p)))
+        out
+      }),
+      Some {
+        import graft.queries.DuckXxHash._
+        val ch = chain("l",
+          """SELECT doc_id * 2 + unnest([0, 1]) AS j FROM documents
+            WHERE doc_id % 7 = 0""")
+          .cte("cand",
+            """SELECT j, 1 AS depth FROM l
+              UNION ALL
+              SELECT j * 2 + unnest([0, 1]) AS j, 2 AS depth FROM l""")
+          .cte("b",
+            "SELECT 'https://h' || CAST(j % 5 AS VARCHAR) || " +
+              "'.example.com/d' || CAST(depth AS VARCHAR) || '/' || " +
+              "CAST(j AS VARCHAR) AS curl, depth, " +
+              "'h' || CAST(j % 5 AS VARCHAR) || '.example.com' AS host, " +
+              "hex(encode(curl)) AS hhx, " +
+              "octet_length(encode(curl)) AS hln FROM cand")
+          .steps(hashStringSteps("h"))
+        ch.render(
+          s"""SELECT curl, host,
+            CAST(row_number() OVER w - 1 AS BIGINT) AS seq,
+            CAST((row_number() OVER w - 1) *
+              (ascii(substr(host, 2, 1)) % 3 + 1) AS BIGINT) AS fetch_at_s
+          FROM ${ch.last}
+          WINDOW w AS (PARTITION BY host ORDER BY depth, ${signed("hout")})""")
+      }),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5
