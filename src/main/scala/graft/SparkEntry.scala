@@ -3629,6 +3629,11 @@ object SynthQueries {
     // the MIN generation of any page linking it, per-host order is
     // (batch, xxhash64(curl)) — the processor's (ord, id) sort — and
     // fetch_at_s is the per-host politeness prefix sum.
+    // State honesty: the candidate dedup is a crawl SEEN-SET — state
+    // grows with total unique URLs, unwatermarked by design (any real
+    // crawler carries it; RocksDB keeps it on disk). Where approximate
+    // suffices, the bounded/windowed variants (BandedFirstSeen /
+    // BandedWindowIndex, g124/g126/g128) are the capped alternatives.
     QueryDef("g133_stream_crawl_loop",
       (s, d) => streamScoped(s)(withRocksDb(s) {
         import org.apache.spark.sql.functions.{ascii, broadcast, concat,

@@ -5928,6 +5928,88 @@ object PipelineQueries {
       FROM c"""),
   )
 
+  /** FLAC STREAMINFO metadata — the lossless-audio gate signal
+    * completing the container family (WAV q114, MP4 q159/q168, MP3
+    * q164): per-doc streams vary sample rate, channels, bit depth,
+    * total samples, block size, VORBIS_COMMENT count, and PADDING
+    * size; every 13th doc truncates to an honest null and every 17th
+    * declares total-samples 0 (unknown) so duration nulls without the
+    * row nulling. Every field reconstructs analytically; the
+    * byte-level block grammar (packed u20/u3/u5/u36 STREAMINFO, LE
+    * vorbis lengths, size-skip walk) is pinned in FlacSpec.
+    */
+  val q177_flac_meta = QueryDef(
+    "q177_flac_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("a", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val sr = Array(44100, 48000, 96000, 22050)((id % 4).toInt)
+          val ch = (id % 3 + 1).toInt
+          val bps = Array(16, 24, 8)((id % 3).toInt)
+          val total = if (id % 17 == 0) 0L else 1000L + (id * 37) % 100000
+          val blk = if (id % 2 == 0) 4096 else 1024
+          val comments =
+            if (id % 3 == 0) (0 until (1 + id % 4).toInt).map(i =>
+              (s"k$i", s"v${(id + i) % 7}"))
+            else Seq.empty
+          val pad = if (id % 5 == 0) (256 + id % 100).toInt else -1
+          val full = graft.ops.Flac.build(sr, ch, bps, total, blk,
+            comments, pad)
+          Row(id, if (id % 13 == 0) full.take(10) else full)
+        }
+      }
+      graft.ops.Flac.audioMeta(withBytes, "a")
+        .select(col("doc_id"),
+          col("a_flac.sample_rate").as("sample_rate"),
+          col("a_flac.channels").as("channels"),
+          col("a_flac.bits_per_sample").as("bits_per_sample"),
+          col("a_flac.total_samples").as("total_samples"),
+          col("a_flac.duration_ms").as("duration_ms"),
+          col("a_flac.min_block").as("min_block"),
+          col("a_flac.max_block").as("max_block"),
+          col("a_flac.n_blocks").as("n_blocks"),
+          col("a_flac.padding_bytes").as("padding_bytes"),
+          col("a_flac.n_comments").as("n_comments"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            WHEN 2 THEN 96000 ELSE 22050 END AS sr,
+          doc_id % 3 + 1 AS ch,
+          CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 8 END AS bps,
+          CASE WHEN doc_id % 17 = 0 THEN 0
+            ELSE 1000 + (doc_id * 37) % 100000 END AS total,
+          CASE WHEN doc_id % 2 = 0 THEN 4096 ELSE 1024 END AS blk,
+          CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 4 ELSE 0 END AS nc,
+          CASE WHEN doc_id % 5 = 0 THEN 256 + doc_id % 100 ELSE -1 END AS pad,
+          doc_id % 13 = 0 AS cut
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE sr END AS INT) AS sample_rate,
+        CAST(CASE WHEN cut THEN NULL ELSE ch END AS INT) AS channels,
+        CAST(CASE WHEN cut THEN NULL ELSE bps END AS INT) AS bits_per_sample,
+        CAST(CASE WHEN cut THEN NULL ELSE total END AS BIGINT)
+          AS total_samples,
+        CAST(CASE WHEN cut OR total = 0 THEN NULL
+          ELSE total * 1000 // sr END AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN cut THEN NULL ELSE blk END AS INT) AS min_block,
+        CAST(CASE WHEN cut THEN NULL ELSE blk END AS INT) AS max_block,
+        CAST(CASE WHEN cut THEN NULL
+          ELSE 1 + CASE WHEN nc > 0 THEN 1 ELSE 0 END
+            + CASE WHEN pad >= 0 THEN 1 ELSE 0 END END AS INT) AS n_blocks,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN pad >= 0 THEN pad ELSE 0 END AS INT) AS padding_bytes,
+        CAST(CASE WHEN cut OR nc = 0 THEN NULL ELSE nc END AS INT)
+          AS n_comments
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -6889,6 +6971,7 @@ object PipelineQueries {
 
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
+    q177_flac_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
