@@ -6010,6 +6010,99 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** JPEG EXIF metadata — the image-side gate signal the pixel paths
+    * (q141 dHash, q144 coverage) don't read: orientation (rotation
+    * lives in metadata, not pixels — a resize pipeline must apply it),
+    * camera Make/Model/DateTimeOriginal provenance, Exif-claimed vs
+    * SOF-decoded dimensions (they disagree after a re-encode — q178
+    * plants them 1000 apart), ISO, and GPS PRESENCE — the geotag PII
+    * flag a crawl pipeline gates on before reading any coordinate.
+    * Streams vary byte order (II/MM), inline-vs-offset ASCII values,
+    * FF fill bytes, a no-EXIF JFIF shape (fields null, SOF dims still
+    * read — the camera-stripped web JPEG), and a non-JPEG cut to an
+    * honest full null. Byte grammar pinned in ExifSpec.
+    */
+  val q178_exif_meta = QueryDef(
+    "q178_exif_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("img", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 640 + (id % 13).toInt * 16
+          val h = 480 + (id % 7).toInt * 16
+          val model =
+            if (id % 4 == 0) "M" + (id % 10) else "Model" + (id % 7)
+          val full = graft.ops.Exif.build(w, h,
+            orientation = (id % 8 + 1).toInt,
+            make = "Make" + (id % 5), model = model,
+            dtOrig = f"2020:01:${id % 27 + 1}%02d 03:04:05",
+            pixelW = w + 1000, pixelH = h + 1000,
+            iso = (100 * (1 + id % 8)).toInt,
+            gps = id % 3 == 0, littleEndian = id % 2 == 0,
+            noExif = id % 7 == 0, fillByte = id % 6 == 0)
+          Row(id, if (id % 11 == 0) full.take(3) else full)
+        }
+      }
+      graft.ops.Exif.imageMeta(withBytes, "img")
+        .select(col("doc_id"),
+          col("img_exif.sof_w").as("sof_w"),
+          col("img_exif.sof_h").as("sof_h"),
+          col("img_exif.byte_order").as("byte_order"),
+          col("img_exif.orientation").as("orientation"),
+          col("img_exif.make").as("make"),
+          col("img_exif.model").as("model"),
+          col("img_exif.dt_orig").as("dt_orig"),
+          col("img_exif.pixel_w").as("pixel_w"),
+          col("img_exif.pixel_h").as("pixel_h"),
+          col("img_exif.iso").as("iso"),
+          col("img_exif.has_gps").cast("int").as("has_gps"),
+          col("img_exif.n_ifd0").as("n_ifd0"),
+          col("img_exif.n_gps").as("n_gps"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          640 + (doc_id % 13) * 16 AS w, 480 + (doc_id % 7) * 16 AS h,
+          doc_id % 8 + 1 AS ori,
+          'Make' || CAST(doc_id % 5 AS VARCHAR) AS mk,
+          CASE WHEN doc_id % 4 = 0 THEN 'M' || CAST(doc_id % 10 AS VARCHAR)
+            ELSE 'Model' || CAST(doc_id % 7 AS VARCHAR) END AS mdl,
+          '2020:01:' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+            || ' 03:04:05' AS dt,
+          100 * (1 + doc_id % 8) AS iso,
+          doc_id % 3 = 0 AS gps,
+          doc_id % 2 = 0 AS le,
+          doc_id % 7 = 0 AS noex,
+          doc_id % 11 = 0 AS cut
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE w END AS INT) AS sof_w,
+        CAST(CASE WHEN cut THEN NULL ELSE h END AS INT) AS sof_h,
+        CASE WHEN cut OR noex THEN NULL WHEN le THEN 'II' ELSE 'MM' END
+          AS byte_order,
+        CAST(CASE WHEN cut OR noex THEN NULL ELSE ori END AS INT)
+          AS orientation,
+        CASE WHEN cut OR noex THEN NULL ELSE mk END AS make,
+        CASE WHEN cut OR noex THEN NULL ELSE mdl END AS model,
+        CASE WHEN cut OR noex THEN NULL ELSE dt END AS dt_orig,
+        CAST(CASE WHEN cut OR noex THEN NULL ELSE w + 1000 END AS INT)
+          AS pixel_w,
+        CAST(CASE WHEN cut OR noex THEN NULL ELSE h + 1000 END AS INT)
+          AS pixel_h,
+        CAST(CASE WHEN cut OR noex THEN NULL ELSE iso END AS INT) AS iso,
+        CAST(CASE WHEN cut THEN NULL WHEN noex THEN 0
+          WHEN gps THEN 1 ELSE 0 END AS INT) AS has_gps,
+        CAST(CASE WHEN cut OR noex THEN NULL
+          WHEN gps THEN 5 ELSE 4 END AS INT) AS n_ifd0,
+        CAST(CASE WHEN cut OR noex OR NOT gps THEN NULL ELSE 3 END AS INT)
+          AS n_gps
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -6971,7 +7064,7 @@ object PipelineQueries {
 
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
-    q177_flac_meta,
+    q177_flac_meta, q178_exif_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
