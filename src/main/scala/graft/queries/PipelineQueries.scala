@@ -6103,6 +6103,220 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** A revisit-bearing crawl written through the `warc` SINK (the
+    * digest/refers-to/profile headers ride the new optional-column
+    * pass-through), once per (JVM, sf). Every doc_id % 3 == 0 (except
+    * 0) is a `revisit` stub: 304 head, empty body, profile set, digest
+    * naming one of 40 content classes; half the revisits (id % 6 == 3)
+    * also carry WARC-Refers-To naming an explicit original, and the
+    * id % 9 == 6 subset declares a digest no response has — the
+    * unresolvable case (unless the explicit pointer rescues it:
+    * id ≡ 15 mod 18 has both, and the pointer must win).
+    */
+  private[graft] object RevisitFixture {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("warc_revisit").toString
+        val id = col("doc_id")
+        val c = pmod(id, lit(40L))
+        val isRev = id % 3 === 0 && id > 0
+        val rid = concat(lit("rec-"), lpad(id.cast("string"), 8, "0"))
+        val refC = when(c % 3 =!= 0, c).otherwise(c + 40)
+        docs(s, sfDir).select(
+            rid.as("record_id"),
+            when(isRev, lit("revisit")).otherwise(lit("response"))
+              .as("warc_type"),
+            concat(lit("https://h"), pmod(id, lit(7L)).cast("string"),
+              lit(".example/p"), id.cast("string")).as("target_uri"),
+            lit("2026-02-01T00:00:00Z").as("warc_date"),
+            lit("application/http;msgtype=response").as("content_type"),
+            when(isRev, lit(304)).otherwise(lit(200)).as("http_status"),
+            lit("text/plain").as("http_content_type"),
+            when(isRev, lit(Array.emptyByteArray))
+              .otherwise(concat(lit("body-"), c.cast("string"))
+                .cast("binary")).as("payload"),
+            when(isRev && id % 9 === 6,
+                concat(lit("sha1:MISSING"), id.cast("string")))
+              .otherwise(concat(lit("sha1:D"), c.cast("string")))
+              .as("payload_digest"),
+            when(isRev && id % 6 === 3,
+                concat(lit("rec-"), lpad(refC.cast("string"), 8, "0")))
+              .otherwise(lit(null).cast("string")).as("refers_to"),
+            when(isRev, lit("http://netpreserve.org/warc/1.0/revisit/" +
+                "identical-payload-digest"))
+              .otherwise(lit(null).cast("string")).as("warc_profile"))
+          .repartition(4, pmod(id, lit(4L)))
+          .write.format("warc").mode("append").option("path", out).save()
+        System.err.println(s"[graft] warc revisit fixture for $sfDir -> $out")
+        out
+      })
+  }
+
+  /** Revisit resolution — crawl-dedup replay over a sink round-trip:
+    * revisit stubs re-attach their original's payload by
+    * WARC-Refers-To when present (the pointer must WIN over the
+    * digest: the c = 0 class's pointer names a different original than
+    * the digest's canonical min), else by WARC-Payload-Digest against
+    * the map-side-combinable canonical-original table; digests no
+    * response carries resolve to an honest null payload. The oracle
+    * replays both join paths and the precedence relationally.
+    */
+  val q179_warc_revisit = QueryDef(
+    "q179_warc_revisit",
+    (s, d) => {
+      val dir = RevisitFixture.dir(s, d)
+      graft.ops.Revisit.resolve(s.read.format("warc").load(dir))
+        .select(col("record_id"), col("warc_type"), col("revisit_of"),
+          md5(col("payload")).as("payload_md5"), col("payload_len"),
+          col("warc_profile").isNotNull.cast("int").as("has_profile"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, doc_id % 40 AS c,
+          doc_id % 3 = 0 AND doc_id > 0 AS isrev,
+          'rec-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS rid
+        FROM documents),
+      resp AS (SELECT id, c, rid, 'body-' || CAST(c AS VARCHAR) AS content,
+          'sha1:D' || CAST(c AS VARCHAR) AS dig FROM p WHERE NOT isrev),
+      canon AS (SELECT dig, MIN(rid) AS o_rid, MIN(content) AS o_content
+        FROM resp GROUP BY dig),
+      rev AS (SELECT id, c, rid,
+          CASE WHEN id % 9 = 6 THEN 'sha1:MISSING' || CAST(id AS VARCHAR)
+               ELSE 'sha1:D' || CAST(c AS VARCHAR) END AS dig,
+          CASE WHEN id % 6 = 3 THEN 'rec-' || lpad(CAST(
+              CASE WHEN c % 3 <> 0 THEN c ELSE c + 40 END AS VARCHAR),
+              8, '0') END AS refs
+        FROM p WHERE isrev),
+      revres AS (SELECT rev.rid,
+          COALESCE(r2.rid, canon.o_rid) AS revisit_of,
+          COALESCE(r2.content, canon.o_content) AS content
+        FROM rev
+        LEFT JOIN resp r2 ON rev.refs = r2.rid
+        LEFT JOIN canon ON rev.dig = canon.dig)
+      SELECT rid AS record_id, 'response' AS warc_type,
+        CAST(NULL AS VARCHAR) AS revisit_of, md5(content) AS payload_md5,
+        CAST(strlen(content) AS BIGINT) AS payload_len,
+        CAST(0 AS INT) AS has_profile
+      FROM resp
+      UNION ALL
+      SELECT rid, 'revisit', revisit_of, md5(content),
+        CAST(strlen(content) AS BIGINT), CAST(1 AS INT)
+      FROM revres"""),
+  )
+
+  /** HTTP wire framings the q180 fixture stores verbatim, built
+    * executor-side as record-per-gzip-member segments: per doc_id % 5
+    * — plain, chunked (7-byte chunks, a chunk extension, trailers),
+    * Content-Encoding gzip, chunked OVER gzip (decode order matters),
+    * and RAW deflate (the broken-server form the zlib-first fallback
+    * must catch); every 13th doc declares gzip over garbage bytes —
+    * the quarantine case (payload_decoded = false, raw bytes kept).
+    */
+  private[graft] object HttpDecodeFixture {
+    import graft.sources.WarcIo
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def textOf(id: Long): String = s"payload-$id-" + "x" * (id % 50).toInt
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("warc_http").toString
+        val rows = docs(s, sfDir).select(col("doc_id"))
+          .repartition(4, pmod(col("doc_id"), lit(4L)))
+        rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val ascii = java.nio.charset.StandardCharsets.US_ASCII
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fos = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+            def gzipBytes(b: Array[Byte]): Array[Byte] = {
+              val bo = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bo)
+              gz.write(b); gz.close(); bo.toByteArray
+            }
+            def rawDeflate(b: Array[Byte]): Array[Byte] = {
+              val d = new java.util.zip.Deflater(
+                java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+              d.setInput(b); d.finish()
+              val bo = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+              d.end(); bo.toByteArray
+            }
+            def chunked(b: Array[Byte]): Array[Byte] = {
+              val bo = new java.io.ByteArrayOutputStream()
+              var i = 0; var first = true
+              while (i < b.length) {
+                val n = math.min(7, b.length - i)
+                val ext = if (first) ";graft=1" else ""
+                bo.write(s"${n.toHexString}$ext\r\n".getBytes(ascii))
+                bo.write(b, i, n); bo.write("\r\n".getBytes(ascii))
+                i += n; first = false
+              }
+              bo.write("0\r\nX-Trailer: t\r\n\r\n".getBytes(ascii))
+              bo.toByteArray
+            }
+            try it.foreach { r =>
+              val id = r.getLong(0)
+              val text = textOf(id).getBytes(ascii)
+              val (hdrs, body) =
+                if (id % 13 == 0)
+                  ("Content-Encoding: gzip\r\n",
+                    s"NOTGZIP-$id".getBytes(ascii))
+                else (id % 5) match {
+                  case 1 => ("Transfer-Encoding: chunked\r\n", chunked(text))
+                  case 2 => ("Content-Encoding: gzip\r\n", gzipBytes(text))
+                  case 3 => ("Transfer-Encoding: chunked\r\n" +
+                    "Content-Encoding: gzip\r\n", chunked(gzipBytes(text)))
+                  case 4 => ("Content-Encoding: deflate\r\n", rawDeflate(text))
+                  case _ => ("", text)
+                }
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+                hdrs + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++ body
+              WarcIo.writeRecordGzip(fos, "response",
+                f"urn:graft:http:$id", s"2026-03-01T00:00:00Z",
+                s"https://e.example/p$id",
+                "application/http;msgtype=response", http)
+            } finally fos.close()
+            ()
+          }
+        }
+        System.err.println(s"[graft] warc http-decode fixture for $sfDir -> $out")
+        out
+      })
+  }
+
+  /** HTTP entity decoding at the WARC read seam: chunked framing
+    * removed (extensions and trailers walked), gzip/deflate
+    * content-encodings decompressed (raw deflate via the fallback),
+    * chunked-over-gzip in the right order, and declared-but-corrupt
+    * encodings quarantined with `payload_decoded = false` and raw
+    * bytes kept. The oracle reconstructs every decoded payload and
+    * the honesty flag analytically.
+    */
+  val q180_http_decode = QueryDef(
+    "q180_http_decode",
+    (s, d) => {
+      val dir = HttpDecodeFixture.dir(s, d)
+      s.read.format("warc").load(dir)
+        .select(col("record_id"),
+          md5(col("payload")).as("payload_md5"), col("payload_len"),
+          col("payload_decoded").cast("int").as("payload_decoded"),
+          col("http_status"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          'payload-' || CAST(doc_id AS VARCHAR) || '-'
+            || repeat('x', CAST(doc_id % 50 AS INT)) AS t
+        FROM documents)
+      SELECT 'urn:graft:http:' || CAST(id AS VARCHAR) AS record_id,
+        md5(CASE WHEN id % 13 = 0 THEN 'NOTGZIP-' || CAST(id AS VARCHAR)
+          ELSE t END) AS payload_md5,
+        CAST(strlen(CASE WHEN id % 13 = 0
+          THEN 'NOTGZIP-' || CAST(id AS VARCHAR) ELSE t END) AS BIGINT)
+          AS payload_len,
+        CAST(CASE WHEN id % 13 = 0 THEN 0 ELSE 1 END AS INT)
+          AS payload_decoded,
+        CAST(200 AS INT) AS http_status
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7064,7 +7278,7 @@ object PipelineQueries {
 
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
-    q177_flac_meta, q178_exif_meta,
+    q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,

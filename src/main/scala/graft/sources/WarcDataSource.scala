@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType,
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType,
   StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,7 +107,11 @@ object WarcDataSource {
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
     StructField("payload", BinaryType),
-    StructField("payload_len", LongType)))
+    StructField("payload_len", LongType),
+    StructField("payload_digest", StringType), // WARC-Payload-Digest
+    StructField("refers_to", StringType),      // WARC-Refers-To (revisit)
+    StructField("warc_profile", StringType),   // WARC-Profile (revisit)
+    StructField("payload_decoded", BooleanType))) // TE/CE honesty flag
 
   /** Segment files named by `_MANIFEST.json` (the [[WarcSink]] commit
     * protocol's atomic publish point), in manifest = APPEND order. A
@@ -295,6 +299,10 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String],
               case "http_content_type" => utf8(r.httpContentType)
               case "payload"           => r.payload
               case "payload_len"       => r.payloadLen.toLong
+              case "payload_digest"    => utf8(r.payloadDigest)
+              case "refers_to"         => utf8(r.refersTo)
+              case "warc_profile"      => utf8(r.warcProfile)
+              case "payload_decoded"   => r.payloadDecoded
             }
             k += 1
           }

@@ -31,6 +31,20 @@ object WarcIo {
     * acts on) and the RAW block for everything else (request heads,
     * warcinfo fields, metadata); `httpStatus`/`httpContentType` are
     * set only when the block is an HTTP response/request head.
+    *
+    * Response bodies are MESSAGE-decoded: `Transfer-Encoding: chunked`
+    * framing is removed and a `Content-Encoding` of gzip/deflate is
+    * decompressed (zlib-wrapped first, then the raw-deflate form the
+    * broken-server convention made common), in that order — the bytes
+    * a curation pipeline acts on are the entity, not the wire framing.
+    * `payloadDecoded` is the honesty flag: false when an encoding was
+    * DECLARED but could not be applied (the raw body is kept — a crawl
+    * carries garbage; quarantine, don't throw), true otherwise.
+    *
+    * `payloadDigest`/`refersTo`/`warcProfile` surface the crawl-dedup
+    * headers (WARC-Payload-Digest, WARC-Refers-To, WARC-Profile) that
+    * revisit records use to point at the response that carries their
+    * bytes — [[graft.ops.Revisit]] joins on them.
     */
   final case class Record(
       recordId: String,
@@ -41,7 +55,11 @@ object WarcIo {
       httpStatus: Integer, // null for non-HTTP blocks and requests
       httpContentType: String, // null likewise
       payload: Array[Byte],
-      payloadLen: Int) // correct even when payload bytes were pruned
+      payloadLen: Int, // correct even when payload bytes were pruned
+      payloadDigest: String = null,
+      refersTo: String = null,
+      warcProfile: String = null,
+      payloadDecoded: Boolean = true)
 
   // ------------------------------------------------------------- writing
 
@@ -50,7 +68,7 @@ object WarcIo {
     */
   def writeRecord(out: OutputStream, warcType: String, recordId: String,
       warcDate: String, targetUri: String, contentType: String,
-      block: Array[Byte]): Unit = {
+      block: Array[Byte], extraHeaders: Seq[(String, String)] = Nil): Unit = {
     val sb = new StringBuilder(256)
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -59,6 +77,9 @@ object WarcIo {
     if (targetUri != null)
       sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     sb.append("Content-Type: ").append(contentType).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
     sb.append("Content-Length: ").append(block.length).append("\r\n")
     sb.append("\r\n")
     out.write(sb.toString.getBytes(US_ASCII))
@@ -74,9 +95,10 @@ object WarcIo {
     */
   def writeRecordGzip(out: OutputStream, warcType: String, recordId: String,
       warcDate: String, targetUri: String, contentType: String,
-      block: Array[Byte]): Unit = {
+      block: Array[Byte], extraHeaders: Seq[(String, String)] = Nil): Unit = {
     val gz = new GZIPOutputStream(out, 8192)
-    writeRecord(gz, warcType, recordId, warcDate, targetUri, contentType, block)
+    writeRecord(gz, warcType, recordId, warcDate, targetUri, contentType,
+      block, extraHeaders)
     gz.finish()
   }
 
@@ -170,6 +192,9 @@ object WarcIo {
     var warcDate: String = null
     var contentType: String = null
     var contentLength = -1L
+    var payloadDigest: String = null
+    var refersTo: String = null
+    var warcProfile: String = null
     var h = readLine(in)
     while (h != null && h.nonEmpty) {
       val c = h.indexOf(':')
@@ -184,7 +209,10 @@ object WarcIo {
         case "warc-date"       => warcDate = value
         case "content-type"    => contentType = value
         case "content-length"  => contentLength = value.toLong
-        case _                 => () // concurrent-to, ip-address, digests, ...
+        case "warc-payload-digest" => payloadDigest = value
+        case "warc-refers-to" => refersTo = value.stripPrefix("<").stripSuffix(">")
+        case "warc-profile"   => warcProfile = value
+        case _                 => () // concurrent-to, ip-address, ...
       }
       h = readLine(in)
     }
@@ -197,6 +225,7 @@ object WarcIo {
     var httpContentType: String = null
     var payload: Array[Byte] = null
     var payloadLen = 0
+    var payloadDecoded = true
     if (isHttp) {
       // the HTTP head must be materialized even under payload pruning
       // (status / content-type live there); bodies can be skipped
@@ -219,6 +248,28 @@ object WarcIo {
         if (isResponse && headEnd >= 0)
           java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
         else block // request heads / headless blocks stay raw
+      if (isResponse && headEnd >= 0) {
+        // entity decode: remove chunked framing, then the declared
+        // compression — the order HTTP applies them in reverse
+        def headHeader(name: String): String = head.split("\r\n").drop(1)
+          .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
+          .map(l => l.substring(l.indexOf(':') + 1).trim
+            .toLowerCase(java.util.Locale.ROOT)).orNull
+        val te = headHeader("transfer-encoding")
+        if (te != null && te.contains("chunked")) {
+          Http.dechunk(payload) match {
+            case Some(b) => payload = b
+            case None => payloadDecoded = false
+          }
+        }
+        val ce = headHeader("content-encoding")
+        if (payloadDecoded && ce != null && ce != "identity") {
+          Http.decompress(payload, ce) match {
+            case Some(b) => payload = b
+            case None => payloadDecoded = false
+          }
+        }
+      }
       payloadLen = payload.length
     } else if (wantPayload) {
       payload = readFully(in, contentLength.toInt, "block")
@@ -237,7 +288,8 @@ object WarcIo {
       require(t == null || t.isEmpty, s"expected blank record separator, got '$t'")
     }
     Record(recordId, warcType, targetUri, warcDate, contentType,
-      httpStatus, httpContentType, payload, payloadLen)
+      httpStatus, httpContentType, payload, payloadLen,
+      payloadDigest, refersTo, warcProfile, payloadDecoded)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

@@ -146,6 +146,13 @@ final class WarcWriter(tmpDirPath: String, schemaJson: String, gzipped: Boolean)
   private val oStatus = st.fieldIndex("http_status")
   private val oHct = st.fieldIndex("http_content_type")
   private val oPayload = st.fieldIndex("payload")
+  // optional crawl-dedup headers: written when the column exists and
+  // is non-null (round-trip fidelity for revisit corpora), absent
+  // otherwise — the pre-revisit schema stays byte-identical
+  private def optIdx(name: String): Int = st.fieldNames.indexOf(name)
+  private val oDigest = optIdx("payload_digest")
+  private val oRefers = optIdx("refers_to")
+  private val oProfile = optIdx("warc_profile")
 
   private val tmpName = java.util.UUID.randomUUID.toString +
     (if (gzipped) ".warc.gz" else ".warc")
@@ -182,15 +189,24 @@ final class WarcWriter(tmpDirPath: String, schemaJson: String, gzipped: Boolean)
         b
       } else body
     val uri = if (row.isNullAt(oUri)) null else row.getUTF8String(oUri).toString
+    var extra = List.empty[(String, String)]
+    if (oProfile >= 0 && !row.isNullAt(oProfile))
+      extra = ("WARC-Profile" -> row.getUTF8String(oProfile).toString) :: extra
+    if (oRefers >= 0 && !row.isNullAt(oRefers))
+      extra = ("WARC-Refers-To" ->
+        s"<${row.getUTF8String(oRefers)}>") :: extra
+    if (oDigest >= 0 && !row.isNullAt(oDigest))
+      extra = ("WARC-Payload-Digest" ->
+        row.getUTF8String(oDigest).toString) :: extra
     val off = out.count
     if (gzipped)
       WarcIo.writeRecordGzip(out, row.getUTF8String(oType).toString,
         row.getUTF8String(oId).toString, row.getUTF8String(oDate).toString,
-        uri, ct, block)
+        uri, ct, block, extra)
     else
       WarcIo.writeRecord(out, row.getUTF8String(oType).toString,
         row.getUTF8String(oId).toString, row.getUTF8String(oDate).toString,
-        uri, ct, block)
+        uri, ct, block, extra)
     cdx.append(off).append('\t').append(out.count - off).append('\t')
       .append(if (uri == null) "-" else uri).append('\n')
     records += 1
