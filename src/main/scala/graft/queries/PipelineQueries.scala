@@ -6317,6 +6317,86 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** Ogg container metadata (Opus + Vorbis) — the open-web audio gate
+    * signal closing the container family (WAV q114, MP4 q159/q168,
+    * MP3 q164, FLAC q177): per-doc streams alternate codec, vary
+    * channels/rate/pre-skip/page count/granule step, every 10th doc
+    * truncates mid-final-page (the walk keeps the playable prefix,
+    * `complete` goes 0 — honest truncation, not an error), every 13th
+    * is not Ogg at all (full null). Duration is granule arithmetic —
+    * Opus at 48 kHz minus pre-skip, Vorbis at the stream rate — and
+    * every page's RFC 3533 CRC is verified in the walk. Byte grammar
+    * pinned in OggSpec.
+    */
+  val q181_ogg_meta = QueryDef(
+    "q181_ogg_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("a", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val codec = if (id % 2 == 0) "opus" else "vorbis"
+          val rate = Array(48000, 44100, 16000, 11025)((id % 4).toInt)
+          val full = graft.ops.Ogg.build(codec,
+            channels = (id % 3 + 1).toInt, sampleRate = rate,
+            preSkip = (312 + id % 100).toInt, serial = 7 + id,
+            dataPages = (3 + id % 9).toInt,
+            granulePerPage = 960L * (1 + id % 4))
+          Row(id,
+            if (id % 13 == 0) full.take(3)
+            else if (id % 10 == 0) full.dropRight(5)
+            else full)
+        }
+      }
+      graft.ops.Ogg.audioMeta(withBytes, "a")
+        .select(col("doc_id"),
+          col("a_ogg.codec").as("codec"),
+          col("a_ogg.channels").as("channels"),
+          col("a_ogg.sample_rate").as("sample_rate"),
+          col("a_ogg.pre_skip").as("pre_skip"),
+          col("a_ogg.n_pages").as("n_pages"),
+          col("a_ogg.granule_last").as("granule_last"),
+          col("a_ogg.duration_ms").as("duration_ms"),
+          col("a_ogg.serial").as("serial"),
+          col("a_ogg.complete").cast("int").as("complete"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+          doc_id % 3 + 1 AS ch,
+          CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            WHEN 2 THEN 16000 ELSE 11025 END AS rate,
+          312 + doc_id % 100 AS skp,
+          3 + doc_id % 9 AS dpages,
+          960 * (1 + doc_id % 4) AS gpp,
+          doc_id % 13 = 0 AS cut,
+          doc_id % 10 = 0 AND doc_id % 13 <> 0 AS trunc
+        FROM documents),
+      c AS (SELECT *, CASE WHEN trunc THEN dpages - 1 ELSE dpages END AS dp
+        FROM p)
+      SELECT id AS doc_id,
+        CASE WHEN cut THEN NULL ELSE codec END AS codec,
+        CAST(CASE WHEN cut THEN NULL ELSE ch END AS INT) AS channels,
+        CAST(CASE WHEN cut THEN NULL ELSE rate END AS INT) AS sample_rate,
+        CAST(CASE WHEN cut OR codec = 'vorbis' THEN NULL ELSE skp END AS INT)
+          AS pre_skip,
+        CAST(CASE WHEN cut THEN NULL ELSE 2 + dp END AS INT) AS n_pages,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN codec = 'opus' THEN gpp * dp + skp
+          ELSE gpp * dp END AS BIGINT) AS granule_last,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN codec = 'opus' THEN (gpp * dp) * 1000 // 48000
+          ELSE (gpp * dp) * 1000 // rate END AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN cut THEN NULL ELSE 7 + id END AS BIGINT) AS serial,
+        CAST(CASE WHEN cut THEN NULL WHEN trunc THEN 0 ELSE 1 END AS INT)
+          AS complete
+      FROM c"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7279,6 +7359,7 @@ object PipelineQueries {
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
+    q181_ogg_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
