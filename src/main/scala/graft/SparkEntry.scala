@@ -4069,6 +4069,57 @@ object SynthQueries {
           WINDOW w AS (PARTITION BY host ORDER BY depth, ${signed("hout")})""")
       }),
 
+    // STREAMING revisit resolution: crawl-dedup replay as a live
+    // ingest. Revisit stubs and their originals arrive across two
+    // micro-batches in BOTH orders (parity-split segments): an
+    // original-first pair resolves from carried canon state, a
+    // revisit-first pair parks in the pending buffer and flushes the
+    // moment its original lands, and digests with no original stay
+    // pending forever (absent from the output — the streaming analog
+    // of the batch op's null payload). The oracle is order-free
+    // because each digest has exactly one original, so the resolved
+    // set replays as a plain relational join.
+    QueryDef("g136_stream_revisit",
+      (s, d) => streamScoped(s)(withRocksDb(s) {
+        import org.apache.spark.sql.functions.md5
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val dir = graft.queries.PipelineQueries.RevisitStreamFixture.dir(s, d)
+        val name = "g136_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.format("warc")
+          .option("filesPerBatch", "1")
+          .load(dir)
+          .select(col("payload_digest"), col("warc_type"),
+            col("record_id"), col("payload"))
+          .as[(String, String, String, Array[Byte])]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.RevisitProcessor,
+            TimeMode.None(), OutputMode.Append(),
+            implicitly[org.apache.spark.sql.Encoder[
+              (String, String, Array[Byte])]])
+          .toDF("record_id", "revisit_of", "payload")
+          .select(col("record_id"), col("revisit_of"),
+            md5(col("payload")).as("payload_md5"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      }),
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents),
+        refs AS (SELECT id,
+            CASE WHEN id % 5 = 2 THEN id - 1 ELSE id + 3 END AS ref
+          FROM d WHERE id % 5 IN (2, 3))
+        SELECT 'urn:graft:rv:' || CAST(id AS VARCHAR) AS record_id,
+          CAST(NULL AS VARCHAR) AS revisit_of,
+          md5('rvbody-' || CAST(id AS VARCHAR)) AS payload_md5
+        FROM d WHERE id % 5 IN (0, 1)
+        UNION ALL
+        SELECT 'urn:graft:rv:' || CAST(refs.id AS VARCHAR),
+          'urn:graft:rv:' || CAST(ref AS VARCHAR),
+          md5('rvbody-' || CAST(ref AS VARCHAR))
+        FROM refs JOIN d o ON refs.ref = o.id""")),
+
     QueryDef("g129_stream_warc_ingest",
       (s, d) => streamScoped(s) {
         import org.apache.spark.sql.functions.md5

@@ -6203,6 +6203,61 @@ object PipelineQueries {
       FROM revres"""),
   )
 
+  /** Two name-ordered `.warc.gz` segments for the STREAMING revisit
+    * rig (g136), parity-split so roughly half of all revisit stubs
+    * land in a different micro-batch than their original — in both
+    * orders (original-first resolves from carried state; revisit-first
+    * exercises the out-of-order pending buffer). Per doc_id % 5:
+    * 0/1 = response (digest unique per id), 2 = revisit of id-1,
+    * 3 = revisit of id+3 (opposite parity → cross-batch), 4 = revisit
+    * of a digest no response carries (stays pending forever — absent
+    * from the output by design).
+    */
+  private[graft] object RevisitStreamFixture {
+    import graft.sources.WarcIo
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def dir(s: SparkSession, sfDir: String): String =
+      cache.computeIfAbsent(sfDir, { _ =>
+        val out = java.nio.file.Files.createTempDirectory("warc_rvstream").toString
+        docs(s, sfDir).select(col("doc_id"))
+          .repartition(2, pmod(col("doc_id"), lit(2L)))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val ascii = java.nio.charset.StandardCharsets.US_ASCII
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val fos = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+              try it.foreach { r =>
+                val id = r.getLong(0)
+                val rid = s"urn:graft:rv:$id"
+                val (isResp, refDig) = (id % 5) match {
+                  case 0 | 1 => (true, s"sha1:R$id")
+                  case 2     => (false, s"sha1:R${id - 1}")
+                  case 3     => (false, s"sha1:R${id + 3}")
+                  case _     => (false, s"sha1:MISSING$id")
+                }
+                val body =
+                  (if (isResp) s"rvbody-$id" else "").getBytes(ascii)
+                val http = (s"HTTP/1.1 ${if (isResp) "200 OK"
+                  else "304 Not Modified"}\r\nContent-Type: text/plain\r\n" +
+                  s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++
+                  body
+                WarcIo.writeRecordGzip(fos,
+                  if (isResp) "response" else "revisit", rid,
+                  "2026-04-01T00:00:00Z", s"https://rv.example/p$id",
+                  "application/http;msgtype=response", http,
+                  extraHeaders = Seq("WARC-Payload-Digest" -> refDig) ++
+                    (if (isResp) Nil else Seq("WARC-Profile" ->
+                      "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+              } finally fos.close()
+              ()
+            }
+          }
+        System.err.println(s"[graft] warc revisit stream fixture for $sfDir -> $out")
+        out
+      })
+  }
+
   /** HTTP wire framings the q180 fixture stores verbatim, built
     * executor-side as record-per-gzip-member segments: per doc_id % 5
     * — plain, chunked (7-byte chunks, a chunk extension, trailers),
