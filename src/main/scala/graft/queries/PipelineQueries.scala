@@ -6452,6 +6452,84 @@ object PipelineQueries {
       FROM c"""),
   )
 
+  /** PDF document metadata — the non-HTML document gate signal: page
+    * count via trailer /Root → /Pages → /Count, /Encrypt PRESENCE
+    * (the drop/route flag a curation pipeline needs before any
+    * decryption), /Info provenance strings in BOTH spellings (literal
+    * and hex), across BOTH cross-reference machineries — the classic
+    * 20-byte table and the v1.5 xref STREAM (FlateDecode, with the
+    * PNG-Up /Predictor 12 form real writers emit). Every 11th doc
+    * tears its startxref (version survives, the rest nulls — honest
+    * degradation, encryption reports UNKNOWN not false) and every
+    * 13th is not a PDF at all. Object grammar pinned in PdfSpec.
+    */
+  val q182_pdf_meta = QueryDef(
+    "q182_pdf_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("doc", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val full = graft.ops.Pdf.build(
+            version = "1." + (4 + id % 4),
+            nPages = (1 + id % 12).toInt,
+            title = "T" + id, author = "A" + (id % 9),
+            producer = "graft " + (id % 3),
+            xrefStream = id % 2 == 1, predictor = id % 4 == 3,
+            encrypted = id % 7 == 0, hexTitle = id % 5 == 0)
+          val bytes =
+            if (id % 13 == 0) full.take(2)
+            else if (id % 11 == 0) {
+              val str = new String(full, "ISO-8859-1")
+              (str.substring(0, str.lastIndexOf("startxref")) +
+                "startxref\n999999999\n%%EOF\n").getBytes("ISO-8859-1")
+            } else full
+          Row(id, bytes)
+        }
+      }
+      graft.ops.Pdf.docMeta(withBytes, "doc")
+        .select(col("doc_id"),
+          col("doc_pdf.version").as("version"),
+          col("doc_pdf.n_pages").as("n_pages"),
+          col("doc_pdf.n_objects").as("n_objects"),
+          col("doc_pdf.xref_kind").as("xref_kind"),
+          col("doc_pdf.encrypted").cast("int").as("encrypted"),
+          col("doc_pdf.title").as("title"),
+          col("doc_pdf.author").as("author"),
+          col("doc_pdf.producer").as("producer"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS ver,
+          1 + doc_id % 12 AS np,
+          doc_id % 7 = 0 AS enc,
+          doc_id % 2 = 1 AS strm,
+          doc_id % 13 = 0 AS cut,
+          doc_id % 11 = 0 AND doc_id % 13 <> 0 AS torn
+        FROM documents)
+      SELECT id AS doc_id,
+        CASE WHEN cut THEN NULL ELSE ver END AS version,
+        CAST(CASE WHEN cut OR torn THEN NULL ELSE np END AS INT) AS n_pages,
+        CAST(CASE WHEN cut OR torn THEN NULL
+          ELSE 4 + np + CASE WHEN enc THEN 1 ELSE 0 END
+            + CASE WHEN strm THEN 1 ELSE 0 END END AS INT) AS n_objects,
+        CASE WHEN cut OR torn THEN NULL
+          WHEN strm THEN 'stream' ELSE 'table' END AS xref_kind,
+        CAST(CASE WHEN cut OR torn THEN NULL
+          WHEN enc THEN 1 ELSE 0 END AS INT) AS encrypted,
+        CASE WHEN cut OR torn THEN NULL
+          ELSE 'T' || CAST(id AS VARCHAR) END AS title,
+        CASE WHEN cut OR torn THEN NULL
+          ELSE 'A' || CAST(id % 9 AS VARCHAR) END AS author,
+        CASE WHEN cut OR torn THEN NULL
+          ELSE 'graft ' || CAST(id % 3 AS VARCHAR) END AS producer
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7414,7 +7492,7 @@ object PipelineQueries {
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
-    q181_ogg_meta,
+    q181_ogg_meta, q182_pdf_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
