@@ -6530,6 +6530,178 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** ZIP container routing — the modern-document envelope: per doc_id
+    * % 5 a plain archive (varying entry count), an EPUB (stored
+    * `mimetype` read back through the local header), a DOCX and a JAR
+    * (evidence-chain kinds), and an archive with an encrypted-flagged
+    * member (flag surfaced, nothing decrypted); every 9th forces the
+    * zip64 EOCD64/locator path and every 13th is not a ZIP. Declared
+    * sizes, kinds, flags, and the epub self-declaration all
+    * reconstruct analytically; byte layout + member reads (stored and
+    * raw-deflate) are pinned in ZipSpec.
+    */
+  val q183_zip_meta = QueryDef(
+    "q183_zip_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("z", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          def b(x: String) = x.getBytes("UTF-8")
+          val members: Seq[(String, Array[Byte], Int, Boolean)] =
+            (id % 5) match {
+              case 0 => (0 until (2 + id % 4).toInt).map(i =>
+                (s"e$i.txt", b(s"c$i-$id" + "y" * (id % 20).toInt), 8, false))
+              case 1 => Seq(
+                ("mimetype", b("application/epub+zip"), 0, false),
+                ("META-INF/container.xml", b(s"<container id=$id/>"), 8,
+                  false),
+                ("OEBPS/ch1.xhtml", b(s"<html>$id</html>"), 8, false))
+              case 2 => Seq(
+                ("[Content_Types].xml", b(s"""<Types id="$id"/>"""), 8,
+                  false),
+                ("word/document.xml", b(s"<w:doc>$id</w:doc>"), 8, false))
+              case 3 => Seq(
+                ("META-INF/MANIFEST.MF",
+                  b(s"Manifest-Version: 1.0\nBuilt-By: $id\n"), 8, false),
+                ("com/x/A.class", b(s"CAFEBABE$id"), 0, false))
+              case _ => Seq(
+                ("data.bin", b(s"d-$id"), 8, false),
+                ("secret.bin", b(s"s-$id"), 0, true))
+            }
+          val full = graft.ops.Zip.build(members, forceZip64 = id % 9 == 0)
+          Row(id, if (id % 13 == 0) full.take(4) else full)
+        }
+      }
+      graft.ops.Zip.containerMeta(withBytes, "z")
+        .select(col("doc_id"),
+          col("z_zip.n_entries").as("n_entries"),
+          col("z_zip.total_uncomp").as("total_uncomp"),
+          col("z_zip.kind").as("kind"),
+          col("z_zip.encrypted").cast("int").as("encrypted"),
+          col("z_zip.zip64").cast("int").as("zip64"),
+          col("z_zip.mimetype").as("mimetype"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, doc_id % 5 AS kind,
+          2 + doc_id % 4 AS k, doc_id % 9 = 0 AS z64, doc_id % 13 = 0 AS cut
+        FROM documents),
+      c AS (SELECT *,
+        CASE kind WHEN 0 THEN k WHEN 1 THEN 3 ELSE 2 END AS ne,
+        CASE kind
+          WHEN 0 THEN CAST(list_sum([strlen('c' || CAST(i AS VARCHAR)
+              || '-' || CAST(id AS VARCHAR)) + id % 20
+            for i in generate_series(0, CAST(k - 1 AS INT))]) AS BIGINT)
+          WHEN 1 THEN 20
+            + strlen('<container id=' || CAST(id AS VARCHAR) || '/>')
+            + strlen('<html>' || CAST(id AS VARCHAR) || '</html>')
+          WHEN 2 THEN strlen('<Types id="' || CAST(id AS VARCHAR) || '"/>')
+            + strlen('<w:doc>' || CAST(id AS VARCHAR) || '</w:doc>')
+          WHEN 3 THEN strlen('Manifest-Version: 1.0' || chr(10)
+              || 'Built-By: ' || CAST(id AS VARCHAR) || chr(10))
+            + strlen('CAFEBABE' || CAST(id AS VARCHAR))
+          ELSE strlen('d-' || CAST(id AS VARCHAR))
+            + strlen('s-' || CAST(id AS VARCHAR)) END AS tu
+        FROM p)
+      SELECT id AS doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE ne END AS INT) AS n_entries,
+        CAST(CASE WHEN cut THEN NULL ELSE tu END AS BIGINT) AS total_uncomp,
+        CASE WHEN cut THEN NULL
+          WHEN kind = 1 THEN 'epub' WHEN kind = 2 THEN 'docx'
+          WHEN kind = 3 THEN 'jar' ELSE 'zip' END AS kind,
+        CAST(CASE WHEN cut THEN NULL WHEN kind = 4 THEN 1 ELSE 0 END AS INT)
+          AS encrypted,
+        CAST(CASE WHEN cut THEN NULL WHEN z64 THEN 1 ELSE 0 END AS INT)
+          AS zip64,
+        CASE WHEN cut OR kind <> 1 THEN NULL
+          ELSE 'application/epub+zip' END AS mimetype
+      FROM c"""),
+  )
+
+  /** ID3v2 text frames — audio provenance the q164 walk skips by
+    * size: title/artist/album/year through BOTH tag versions (v2.3
+    * plain-u32 frame sizes + TYER, v2.4 syncsafe + TDRC) and all four
+    * text encodings (Latin-1, UTF-16+BOM, UTF-16BE, UTF-8), with
+    * varying padding. The declared tag size reconstructs from the
+    * ENCODING BYTE MATH — chars vs bytes per encoding — so a
+    * one-byte framing error anywhere breaks the hash. Every 11th doc
+    * is untagged audio and every 13th a torn header, both honest
+    * nulls. Byte grammar pinned in Id3Spec.
+    */
+  val q184_id3_tags = QueryDef(
+    "q184_id3_tags",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("a", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val version = if (id % 2 == 0) 4 else 3
+          val encId = if (version == 3) (id % 3).toInt else (id % 4).toInt
+          val full = graft.ops.Id3.build(version,
+            title = s"Song é$id", artist = "Artist" + (id % 7),
+            album = "Album" + (id % 5), year = (1970 + id % 50).toString,
+            enc = encId, audio = Array.fill[Byte]((id % 10).toInt)(0x55),
+            padding = (id % 30).toInt)
+          Row(id,
+            if (id % 13 == 0) full.take(6)
+            else if (id % 11 == 0) Array.fill[Byte](32)(0x55)
+            else full)
+        }
+      }
+      graft.ops.Id3.tagMeta(withBytes, "a")
+        .select(col("doc_id"),
+          col("a_id3.version").as("version"),
+          col("a_id3.tag_bytes").as("tag_bytes"),
+          col("a_id3.title").as("title"),
+          col("a_id3.artist").as("artist"),
+          col("a_id3.album").as("album"),
+          col("a_id3.year").as("year"),
+          col("a_id3.n_frames").as("n_frames"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS ver,
+          CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 ELSE doc_id % 3 END
+            AS enc,
+          'Song é' || CAST(doc_id AS VARCHAR) AS t,
+          'Artist' || CAST(doc_id % 7 AS VARCHAR) AS ar,
+          'Album' || CAST(doc_id % 5 AS VARCHAR) AS al,
+          CAST(1970 + doc_id % 50 AS VARCHAR) AS yr,
+          doc_id % 30 AS pad,
+          doc_id % 13 = 0 OR doc_id % 11 = 0 AS cut
+        FROM documents),
+      c AS (SELECT *,
+        -- text bytes by encoding: 0 Latin-1 = chars, 1 UTF-16+BOM =
+        -- 2 + 2*chars, 2 UTF-16BE = 2*chars, 3 UTF-8 = bytes
+        CASE enc WHEN 0 THEN length(t) WHEN 1 THEN 2 + 2 * length(t)
+          WHEN 2 THEN 2 * length(t) ELSE strlen(t) END
+        + CASE enc WHEN 0 THEN length(ar) WHEN 1 THEN 2 + 2 * length(ar)
+          WHEN 2 THEN 2 * length(ar) ELSE strlen(ar) END
+        + CASE enc WHEN 0 THEN length(al) WHEN 1 THEN 2 + 2 * length(al)
+          WHEN 2 THEN 2 * length(al) ELSE strlen(al) END
+        + CASE enc WHEN 0 THEN length(yr) WHEN 1 THEN 2 + 2 * length(yr)
+          WHEN 2 THEN 2 * length(yr) ELSE strlen(yr) END AS textb
+        FROM p)
+      SELECT id AS doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE ver END AS INT) AS version,
+        CAST(CASE WHEN cut THEN NULL
+          ELSE 10 + 4 * 11 + textb + pad END AS INT) AS tag_bytes,
+        CASE WHEN cut THEN NULL ELSE t END AS title,
+        CASE WHEN cut THEN NULL ELSE ar END AS artist,
+        CASE WHEN cut THEN NULL ELSE al END AS album,
+        CASE WHEN cut THEN NULL ELSE yr END AS year,
+        CAST(CASE WHEN cut THEN NULL ELSE 4 END AS INT) AS n_frames
+      FROM c"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7492,7 +7664,7 @@ object PipelineQueries {
   val pipeline: Seq[QueryDef] = Seq(
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
-    q181_ogg_meta, q182_pdf_meta,
+    q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
