@@ -6702,6 +6702,92 @@ object PipelineQueries {
       FROM c"""),
   )
 
+  /** Content triage over a MIXED binary column — the composition gate
+    * for the whole format family: per doc_id % 7 a JPEG, a PDF, a
+    * ZIP, an ID3-TAGGED MP3 (the router must surface the tag's title
+    * AND the stream's duration — [[graft.ops.Id3]] and
+    * [[graft.ops.Mpeg]] composing on one buffer), a FLAC, an Ogg
+    * Opus, and plain UTF-8 text, all routed by magic sniff into one
+    * flat (kind, qty1, qty2, label) row. The mp3 average-bitrate
+    * oracle carries the 417-byte-frame floor arithmetic end to end.
+    */
+  val q185_content_route = QueryDef(
+    "q185_content_route",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("c", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes: Array[Byte] = (id % 7) match {
+            case 0 => graft.ops.Exif.build(640 + (id % 5).toInt * 8, 480,
+              orientation = 1, make = "Make" + (id % 5), model = "M",
+              dtOrig = "2020:01:01 00:00:00", pixelW = 9, pixelH = 9,
+              iso = 100, gps = false, littleEndian = true)
+            case 1 => graft.ops.Pdf.build("1.7", (1 + id % 6).toInt,
+              "T", "A", "P" + (id % 3))
+            case 2 => graft.ops.Zip.build((0 until (1 + id % 3).toInt).map(
+              i => (s"e$i.txt", s"z$i-$id".getBytes("UTF-8"), 8, false)))
+            case 3 => graft.ops.Id3.build(4, "T" + id, "A", "B", "2000",
+              enc = 0, audio = graft.ops.Mpeg.build((10 + id % 5).toInt,
+                samplerateIdx = 0, bitrateIdx = 9))
+            case 4 => graft.ops.Flac.build(44100, 2, 16,
+              44100L * (1 + id % 4))
+            case 5 => graft.ops.Ogg.build("opus", (id % 2 + 1).toInt,
+              48000, preSkip = 0, serial = 1L,
+              dataPages = (2 + id % 3).toInt, granulePerPage = 960L)
+            case _ => s"text-$id é".getBytes("UTF-8")
+          }
+          Row(id, bytes)
+        }
+      }
+      graft.ops.ContentRouter.routeMeta(withBytes, "c")
+        .select(col("doc_id"),
+          col("c_route.kind").as("kind"),
+          col("c_route.qty1").as("qty1"),
+          col("c_route.qty2").as("qty2"),
+          col("c_route.label").as("label"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, doc_id % 7 AS kind
+        FROM documents)
+      SELECT id AS doc_id,
+        CASE kind WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pdf' WHEN 2 THEN 'zip'
+          WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac' WHEN 5 THEN 'ogg'
+          ELSE 'text' END AS kind,
+        CAST(CASE kind
+          WHEN 0 THEN 640 + (id % 5) * 8
+          WHEN 1 THEN 1 + id % 6
+          WHEN 2 THEN 1 + id % 3
+          WHEN 3 THEN (10 + id % 5) * 1152 * 1000 // 44100
+          WHEN 4 THEN (1 + id % 4) * 1000
+          WHEN 5 THEN 960 * (2 + id % 3) * 1000 // 48000
+          ELSE strlen('text-' || CAST(id AS VARCHAR) || ' é')
+          END AS BIGINT) AS qty1,
+        CAST(CASE kind
+          WHEN 0 THEN 480
+          WHEN 1 THEN 5 + id % 6
+          WHEN 2 THEN CAST(list_sum([strlen('z' || CAST(i AS VARCHAR)
+              || '-' || CAST(id AS VARCHAR))
+            for i in generate_series(0, CAST(id % 3 AS INT))]) AS BIGINT)
+          WHEN 3 THEN ((144000 * 128 // 44100) * 8 * 44100)
+            // (1152 * 1000)
+          WHEN 4 THEN 44100
+          WHEN 5 THEN id % 2 + 1
+          ELSE NULL END AS BIGINT) AS qty2,
+        CASE kind
+          WHEN 0 THEN 'Make' || CAST(id % 5 AS VARCHAR)
+          WHEN 1 THEN 'P' || CAST(id % 3 AS VARCHAR)
+          WHEN 2 THEN 'zip'
+          WHEN 3 THEN 'T' || CAST(id AS VARCHAR)
+          WHEN 5 THEN 'opus'
+          ELSE NULL END AS label
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7665,6 +7751,7 @@ object PipelineQueries {
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
+    q185_content_route,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
