@@ -266,11 +266,37 @@ object Pdf {
     }
     if (xrefAt < 0 || xrefAt >= b.length) err("startxref out of range")
 
-    // offsets per object number + the trailer dict
+    // walk the /Prev chain of xref sections, NEWEST first: an
+    // incrementally-updated PDF appends a section whose entries
+    // supersede older ones for the same object number, so earlier
+    // sections only CONTRIBUTE objects the newer map lacks
     var offsets = Map.empty[Int, Long]
     var trailer: Map[String, Any] = null
     var kind: String = null
-    val rd = new Rd(b, xrefAt.toInt)
+    var sectionAt = xrefAt
+    var seen = Set.empty[Long]
+    while (sectionAt >= 0 && sectionAt < b.length && !seen(sectionAt) &&
+      seen.size < 16) {
+      seen += sectionAt
+      val (offs, tr, k) = parseSection(b, sectionAt)
+      if (trailer == null) { trailer = tr; kind = k } // newest wins
+      offsets = offs ++ offsets // newer entries override on conflict
+      sectionAt = tr.get("Prev") match {
+        case Some(n: java.lang.Long) => n.longValue()
+        case _ => -1L
+      }
+    }
+    if (trailer == null) err("no xref section parsed")
+    finishExtract(b, version, offsets, trailer, kind)
+  }
+
+  /** One xref section (classic table or XRef stream) at `at`. */
+  private def parseSection(b: Array[Byte], at: Long)
+      : (Map[Int, Long], Map[String, Any], String) = {
+    var offsets = Map.empty[Int, Long]
+    var trailer: Map[String, Any] = null
+    var kind: String = null
+    val rd = new Rd(b, at.toInt)
     if (rd.tryKeyword("xref")) {
       kind = "table"
       var go = true
@@ -327,7 +353,12 @@ object Pdf {
         }
       }
     }
+    (offsets, trailer, kind)
+  }
 
+  private def finishExtract(b: Array[Byte], version: String,
+      offsets: Map[Int, Long], trailer: Map[String, Any], kind: String)
+      : Meta = {
     def getObj(num: Int): Any = offsets.get(num) match {
       case Some(off) if off >= 0 && off < b.length =>
         val r = new Rd(b, off.toInt)
@@ -545,6 +576,48 @@ object Pdf {
       w("\nendstream\nendobj\n")
       w(s"startxref\n$xrefAt\n%%EOF\n")
     }
+    out.toByteArray
+  }
+
+  /** An INCREMENTAL UPDATE over `base` (the save-in-place layout
+    * every edited PDF carries): a replacement /Info object with
+    * `newTitle` appended after the original bytes, plus a one-entry
+    * classic xref section whose trailer carries /Prev to the base's
+    * section — appenders write classic tables even over xref-stream
+    * originals. The superseded object's old bytes remain in the file;
+    * only the newest section's entry may win.
+    */
+  def buildIncremental(base: Array[Byte], newTitle: String): Array[Byte] = {
+    val s = new String(base, "ISO-8859-1")
+    val sx = s.lastIndexOf("startxref")
+    require(sx >= 0, "base has no startxref")
+    val prevAt = s.substring(sx + 9).trim.takeWhile(_.isDigit).toLong
+    // the base trailer's /Info target and /Size carry over
+    val infoM = "/Info (\\d+) 0 R".r.findFirstMatchIn(s)
+      .getOrElse(sys.error("base has no /Info"))
+    val infoNum = infoM.group(1).toInt
+    val sizeM = "/Size (\\d+)".r
+      .findFirstMatchIn(s.substring(math.max(0, sx - 600)))
+      .getOrElse(sys.error("base has no /Size"))
+    val size = sizeM.group(1).toInt
+    val rootM = "/Root (\\d+) 0 R".r.findFirstMatchIn(s)
+      .getOrElse(sys.error("base has no /Root"))
+    // an updater PRESERVES /Encrypt — dropping it would decrypt by fiat
+    val encryptRef = "/Encrypt (\\d+) 0 R".r.findFirstMatchIn(s)
+      .map(m => s" /Encrypt ${m.group(1)} 0 R").getOrElse("")
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+    val objAt = out.size()
+    w(s"$infoNum 0 obj\n<< /Title (${newTitle.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")}) " +
+      "/Author (updated) /Producer (graft-incr) >>\nendobj\n")
+    val xrefAt = out.size()
+    w(s"xref\n$infoNum 1\n")
+    w(f"$objAt%010d 00000 n\r\n")
+    w(s"trailer\n<< /Size $size /Root ${rootM.group(1)} 0 R " +
+      s"/Info $infoNum 0 R$encryptRef /Prev $prevAt >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

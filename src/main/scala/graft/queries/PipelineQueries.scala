@@ -6475,13 +6475,19 @@ object PipelineQueries {
       val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val full = graft.ops.Pdf.build(
+          val base = graft.ops.Pdf.build(
             version = "1." + (4 + id % 4),
             nPages = (1 + id % 12).toInt,
             title = "T" + id, author = "A" + (id % 9),
             producer = "graft " + (id % 3),
             xrefStream = id % 2 == 1, predictor = id % 4 == 3,
             encrypted = id % 7 == 0, hexTitle = id % 5 == 0)
+          // every id % 3 == 2: a save-in-place update replaces /Info —
+          // the /Prev chain must surface the NEW strings over the old
+          // bytes (appenders write classic tables even on stream bases)
+          val full =
+            if (id % 3 == 2) graft.ops.Pdf.buildIncremental(base, "U" + id)
+            else base
           val bytes =
             if (id % 13 == 0) full.take(2)
             else if (id % 11 == 0) {
@@ -6508,6 +6514,7 @@ object PipelineQueries {
           1 + doc_id % 12 AS np,
           doc_id % 7 = 0 AS enc,
           doc_id % 2 = 1 AS strm,
+          doc_id % 3 = 2 AS incr,
           doc_id % 13 = 0 AS cut,
           doc_id % 11 = 0 AND doc_id % 13 <> 0 AS torn
         FROM documents)
@@ -6518,14 +6525,18 @@ object PipelineQueries {
           ELSE 4 + np + CASE WHEN enc THEN 1 ELSE 0 END
             + CASE WHEN strm THEN 1 ELSE 0 END END AS INT) AS n_objects,
         CASE WHEN cut OR torn THEN NULL
+          WHEN incr THEN 'table'
           WHEN strm THEN 'stream' ELSE 'table' END AS xref_kind,
         CAST(CASE WHEN cut OR torn THEN NULL
           WHEN enc THEN 1 ELSE 0 END AS INT) AS encrypted,
         CASE WHEN cut OR torn THEN NULL
+          WHEN incr THEN 'U' || CAST(id AS VARCHAR)
           ELSE 'T' || CAST(id AS VARCHAR) END AS title,
         CASE WHEN cut OR torn THEN NULL
+          WHEN incr THEN 'updated'
           ELSE 'A' || CAST(id % 9 AS VARCHAR) END AS author,
         CASE WHEN cut OR torn THEN NULL
+          WHEN incr THEN 'graft-incr'
           ELSE 'graft ' || CAST(id % 3 AS VARCHAR) END AS producer
       FROM p"""),
   )

@@ -60,6 +60,20 @@ class PdfSpec extends AnyFunSuite {
     assert(cut.version == "1.6")
   }
 
+  test("incremental update: the /Prev chain surfaces the newest /Info") {
+    for (strm <- Seq(false, true); enc <- Seq(false, true)) {
+      val base = Pdf.build("1.6", 3, "Old", "A", "P", xrefStream = strm,
+        encrypted = enc)
+      val upd = Pdf.buildIncremental(base, "New(er)")
+      val m = Pdf.parseMeta(upd).get
+      assert(m.title == "New(er)" && m.author == "updated")
+      assert(m.xrefKind == "table") // the NEWEST section names the kind
+      assert(m.nPages == 3) // catalog resolves through the prev hop
+      assert(m.encrypted == enc) // the updater preserves /Encrypt
+      assert(Pdf.parseMeta(base).get.title == "Old") // base unchanged
+    }
+  }
+
   test("hex strings: whitespace and odd nibble counts per spec") {
     // build a tiny PDF then splice is overkill — drive the dict parse
     // through a title built to exercise it: odd-length hex pads a 0
