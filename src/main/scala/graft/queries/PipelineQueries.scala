@@ -6328,7 +6328,10 @@ object PipelineQueries {
               WarcIo.writeRecordGzip(fos, "response",
                 f"urn:graft:http:$id", s"2026-03-01T00:00:00Z",
                 s"https://e.example/p$id",
-                "application/http;msgtype=response", http)
+                "application/http;msgtype=response", http,
+                // every 17th fetch was length-capped by the crawler
+                extraHeaders = if (id % 17 == 0)
+                  Seq("WARC-Truncated" -> "length") else Nil)
             } finally fos.close()
             ()
           }
@@ -6354,7 +6357,7 @@ object PipelineQueries {
         .select(col("record_id"),
           md5(col("payload")).as("payload_md5"), col("payload_len"),
           col("payload_decoded").cast("int").as("payload_decoded"),
-          col("http_status"))
+          col("http_status"), col("truncated"))
     },
     Some("""WITH p AS (SELECT doc_id AS id,
           'payload-' || CAST(doc_id AS VARCHAR) || '-'
@@ -6368,7 +6371,8 @@ object PipelineQueries {
           AS payload_len,
         CAST(CASE WHEN id % 13 = 0 THEN 0 ELSE 1 END AS INT)
           AS payload_decoded,
-        CAST(200 AS INT) AS http_status
+        CAST(200 AS INT) AS http_status,
+        CASE WHEN id % 17 = 0 THEN 'length' ELSE NULL END AS truncated
       FROM p"""),
   )
 

@@ -111,7 +111,8 @@ object WarcDataSource {
     StructField("payload_digest", StringType), // WARC-Payload-Digest
     StructField("refers_to", StringType),      // WARC-Refers-To (revisit)
     StructField("warc_profile", StringType),   // WARC-Profile (revisit)
-    StructField("payload_decoded", BooleanType))) // TE/CE honesty flag
+    StructField("payload_decoded", BooleanType), // TE/CE honesty flag
+    StructField("truncated", StringType))) // WARC-Truncated reason
 
   /** Segment files named by `_MANIFEST.json` (the [[WarcSink]] commit
     * protocol's atomic publish point), in manifest = APPEND order. A
@@ -303,6 +304,7 @@ final class WarcReaderFactory(required: StructType, typeFilter: Option[String],
               case "refers_to"         => utf8(r.refersTo)
               case "warc_profile"      => utf8(r.warcProfile)
               case "payload_decoded"   => r.payloadDecoded
+              case "truncated"         => utf8(r.truncated)
             }
             k += 1
           }

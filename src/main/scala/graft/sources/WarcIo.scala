@@ -59,7 +59,8 @@ object WarcIo {
       payloadDigest: String = null,
       refersTo: String = null,
       warcProfile: String = null,
-      payloadDecoded: Boolean = true)
+      payloadDecoded: Boolean = true,
+      truncated: String = null) // WARC-Truncated reason (length/time/...)
 
   // ------------------------------------------------------------- writing
 
@@ -195,6 +196,7 @@ object WarcIo {
     var payloadDigest: String = null
     var refersTo: String = null
     var warcProfile: String = null
+    var truncated: String = null
     var h = readLine(in)
     while (h != null && h.nonEmpty) {
       val c = h.indexOf(':')
@@ -212,6 +214,8 @@ object WarcIo {
         case "warc-payload-digest" => payloadDigest = value
         case "warc-refers-to" => refersTo = value.stripPrefix("<").stripSuffix(">")
         case "warc-profile"   => warcProfile = value
+        case "warc-truncated" =>
+          truncated = if (value.isEmpty) "unspecified" else value
         case _                 => () // concurrent-to, ip-address, ...
       }
       h = readLine(in)
@@ -289,7 +293,7 @@ object WarcIo {
     }
     Record(recordId, warcType, targetUri, warcDate, contentType,
       httpStatus, httpContentType, payload, payloadLen,
-      payloadDigest, refersTo, warcProfile, payloadDecoded)
+      payloadDigest, refersTo, warcProfile, payloadDecoded, truncated)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

@@ -153,6 +153,7 @@ final class WarcWriter(tmpDirPath: String, schemaJson: String, gzipped: Boolean)
   private val oDigest = optIdx("payload_digest")
   private val oRefers = optIdx("refers_to")
   private val oProfile = optIdx("warc_profile")
+  private val oTrunc = optIdx("truncated")
 
   private val tmpName = java.util.UUID.randomUUID.toString +
     (if (gzipped) ".warc.gz" else ".warc")
@@ -190,6 +191,8 @@ final class WarcWriter(tmpDirPath: String, schemaJson: String, gzipped: Boolean)
       } else body
     val uri = if (row.isNullAt(oUri)) null else row.getUTF8String(oUri).toString
     var extra = List.empty[(String, String)]
+    if (oTrunc >= 0 && !row.isNullAt(oTrunc))
+      extra = ("WARC-Truncated" -> row.getUTF8String(oTrunc).toString) :: extra
     if (oProfile >= 0 && !row.isNullAt(oProfile))
       extra = ("WARC-Profile" -> row.getUTF8String(oProfile).toString) :: extra
     if (oRefers >= 0 && !row.isNullAt(oRefers))
