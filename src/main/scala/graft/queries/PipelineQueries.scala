@@ -6803,6 +6803,91 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** Subtitle cues — the transcript layer of a video corpus: per-doc
+    * SRT (comma stamps, numeric indexes) or WebVTT (header metadata,
+    * NOTE blocks, cue ids, settings after the arrow) with inline
+    * markup stripped from the text; every 13th doc is not subtitles
+    * at all (honest null). Cue timing (speech density), the stripped
+    * transcript's md5, and char counts all reconstruct analytically —
+    * the oracle string_aggs the per-cue text in cue order. Grammar
+    * pinned in SubtitlesSpec.
+    */
+  val q186_subtitles = QueryDef(
+    "q186_subtitles",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StringType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("t", StringType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withText = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val vtt = id % 2 == 0
+          val n = (2 + id % 6).toInt
+          def stamp(ms: Long, sep: String): String = {
+            val h = ms / 3600000; val m = ms / 60000 % 60
+            val sec = ms / 1000 % 60; val f = ms % 1000
+            f"$h%02d:$m%02d:$sec%02d$sep$f%03d"
+          }
+          val sep = if (vtt) "." else ","
+          val sb = new StringBuilder()
+          if (vtt) sb.append("WEBVTT - graft\nKind: captions\n\n")
+            .append("NOTE\nsynthetic fixture\n\n")
+          (0 until n).foreach { i =>
+            val a = 4000L * i + id % 1000
+            val b = a + 1500 + (i % 3) * 500
+            if (vtt) sb.append(s"c$i\n")
+            else sb.append(s"${i + 1}\n")
+            sb.append(stamp(a, sep)).append(" --> ").append(stamp(b, sep))
+            if (vtt) sb.append(" align:start")
+            sb.append('\n')
+            sb.append(s"w$i <i>x$i</i>\n\n")
+          }
+          Row(id,
+            if (id % 13 == 0) "not subtitles\nat all" else sb.toString)
+        }
+      }
+      graft.ops.Subtitles.cueMeta(withText, "t")
+        .select(col("doc_id"),
+          col("t_subs.kind").as("kind"),
+          col("t_subs.n_cues").as("n_cues"),
+          col("t_subs.first_start_ms").as("first_start_ms"),
+          col("t_subs.last_end_ms").as("last_end_ms"),
+          col("t_subs.speech_ms").as("speech_ms"),
+          col("t_subs.text_md5").as("text_md5"),
+          col("t_subs.text_chars").as("text_chars"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          doc_id % 2 = 0 AS vtt,
+          CAST(2 + doc_id % 6 AS INT) AS n,
+          doc_id % 1000 AS base,
+          doc_id % 13 = 0 AS cut
+        FROM documents),
+      cue AS (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM p),
+      txt AS (SELECT id,
+          md5(string_agg('w' || CAST(i AS VARCHAR) || ' x'
+            || CAST(i AS VARCHAR), chr(10) ORDER BY i)) AS m,
+          CAST(SUM(3 + 2 * strlen(CAST(i AS VARCHAR))) AS BIGINT) AS chars,
+          CAST(SUM(1500 + (i % 3) * 500) AS BIGINT) AS speech
+        FROM cue GROUP BY id)
+      SELECT id AS doc_id,
+        CASE WHEN cut THEN NULL WHEN vtt THEN 'vtt' ELSE 'srt' END AS kind,
+        CAST(CASE WHEN cut THEN NULL ELSE n END AS INT) AS n_cues,
+        CAST(CASE WHEN cut THEN NULL ELSE base END AS BIGINT)
+          AS first_start_ms,
+        CAST(CASE WHEN cut THEN NULL
+          ELSE 4000 * (n - 1) + base + 1500 + ((n - 1) % 3) * 500
+          END AS BIGINT) AS last_end_ms,
+        CAST(CASE WHEN cut THEN NULL ELSE speech END AS BIGINT)
+          AS speech_ms,
+        CASE WHEN cut THEN NULL ELSE m END AS text_md5,
+        CAST(CASE WHEN cut THEN NULL ELSE chars END AS BIGINT)
+          AS text_chars
+      FROM p JOIN txt USING (id)"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7766,7 +7851,7 @@ object PipelineQueries {
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
-    q185_content_route,
+    q185_content_route, q186_subtitles,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
