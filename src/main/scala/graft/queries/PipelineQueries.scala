@@ -6888,6 +6888,92 @@ object PipelineQueries {
       FROM p JOIN txt USING (id)"""),
   )
 
+  /** RSS/Atom feed parsing — the freshness-bearing discovery source
+    * next to sitemaps (q160): per-doc feeds alternate grammar, and
+    * the gate pins the places they differ — RSS links as ELEMENT TEXT
+    * + pubDate vs Atom links as href ATTRIBUTES + published/updated
+    * precedence — plus CDATA-wrapped titles, absent titles as honest
+    * nulls, and a commented-out entry that must not surface. Pure
+    * codegen'd regexp Columns end to end (the q160 idiom); the
+    * fixture is built as Columns too, so the whole query stays inside
+    * whole-stage codegen.
+    */
+  val q187_feed_parse = QueryDef(
+    "q187_feed_parse",
+    (s, d) => {
+      val did = col("doc_id")
+      val host = concat(lit("https://f"), pmod(did, lit(9L)).cast("string"),
+        lit(".example/p/"), did.cast("string"), lit("/"))
+      val stamp = (i: org.apache.spark.sql.Column) =>
+        (pmod(i, lit(9L)) + 1).cast("string")
+      val rssItems = transform(sequence(lit(0L), pmod(did, lit(5L))), i =>
+        concat(lit("\n<item>"),
+          when((did + i) % 7 === 0, lit(""))
+            .otherwise(when((did + i) % 4 === 0,
+              concat(lit("<title><![CDATA[Title "), did.cast("string"),
+                lit("-"), i.cast("string"), lit("]]></title>")))
+              .otherwise(concat(lit("<title>Title "), did.cast("string"),
+                lit("-"), i.cast("string"), lit("</title>")))),
+          lit("<link>"), host, i.cast("string"), lit("</link>"),
+          when((did + i) % 3 === 0,
+            concat(lit("<pubDate>Mon, 0"), stamp(i),
+              lit(" Jan 2026 00:00:00 GMT</pubDate>")))
+            .otherwise(lit("")),
+          lit("</item>")))
+      val atomEntries = transform(sequence(lit(0L), pmod(did, lit(5L))), i =>
+        concat(lit("\n<entry>"),
+          when((did + i) % 7 === 0, lit(""))
+            .otherwise(concat(lit("<title type=\"text\">Title "),
+              did.cast("string"), lit("-"), i.cast("string"),
+              lit("</title>"))),
+          lit("<link rel=\"alternate\" href=\""), host, i.cast("string"),
+          lit("\"/>"),
+          when((did + i) % 3 === 0,
+            concat(lit("<published>2026-02-0"), stamp(i),
+              lit("</published>")))
+            .otherwise(concat(lit("<updated>2026-01-0"), stamp(i),
+              lit("</updated>"))),
+          lit("</entry>")))
+      val trap = lit("\n<!-- <item><link>https://fake.example/no</link>" +
+        "</item><entry><link href=\"https://fake.example/no\"/></entry> -->")
+      val xml = when(did % 2 === 1,
+        concat(lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>"),
+          trap, array_join(rssItems, ""), lit("\n</channel></rss>")))
+        .otherwise(
+          concat(lit("<?xml version=\"1.0\"?>\n<feed " +
+            "xmlns=\"http://www.w3.org/2005/Atom\">"), trap,
+            array_join(atomEntries, ""), lit("\n</feed>")))
+      docs(s, d).select(did,
+          graft.ops.Feed.feedKind(xml).as("kind"),
+          graft.ops.Feed.feedEntries(xml).as("__es"))
+        .select(col("doc_id"), col("kind"),
+          posexplode(col("__es")).as(Seq("idx", "e")))
+        .select(col("doc_id"), col("kind"), col("idx").cast("long").as("idx"),
+          col("e.link").as("link"), col("e.title").as("title"),
+          col("e.published").as("published"))
+    },
+    Some("""WITH e AS (SELECT doc_id,
+          unnest(generate_series(0, CAST(doc_id % 5 AS INT))) AS i
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 1 THEN 'rss' ELSE 'atom' END AS kind,
+        CAST(i AS BIGINT) AS idx,
+        'https://f' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+          || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS link,
+        CASE WHEN (doc_id + i) % 7 = 0 THEN NULL
+          ELSE 'Title ' || CAST(doc_id AS VARCHAR) || '-'
+            || CAST(i AS VARCHAR) END AS title,
+        CASE WHEN doc_id % 2 = 1 THEN
+          CASE WHEN (doc_id + i) % 3 = 0 THEN 'Mon, 0'
+            || CAST((i % 9) + 1 AS VARCHAR) || ' Jan 2026 00:00:00 GMT' END
+        ELSE
+          CASE WHEN (doc_id + i) % 3 = 0
+            THEN '2026-02-0' || CAST((i % 9) + 1 AS VARCHAR)
+            ELSE '2026-01-0' || CAST((i % 9) + 1 AS VARCHAR) END
+        END AS published
+      FROM e"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7851,7 +7937,7 @@ object PipelineQueries {
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
-    q185_content_route, q186_subtitles,
+    q185_content_route, q186_subtitles, q187_feed_parse,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
