@@ -6974,6 +6974,117 @@ object PipelineQueries {
       FROM e"""),
   )
 
+  /** PNG chunk metadata — provenance the pixel decode cannot see:
+    * per-doc PNGs vary dimensions/depth/color/interlace, pHYs DPI,
+    * APNG animation (a "PNG" that is a video — a routing signal),
+    * eXIf presence, and text chunks in BOTH spellings (tEXt and
+    * uncompressed iTXt), including the AI-generator keys
+    * (`parameters`) that flag synthetic images in a modern crawl.
+    * Every chunk's CRC32 verifies in the walk; every 11th doc tears
+    * its tail (chunks before the cut kept, complete = 0) and every
+    * 13th is not a PNG. Byte grammar pinned in PngSpec.
+    */
+  val q188_png_meta = QueryDef(
+    "q188_png_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("img", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (depth, color) = (id % 4) match {
+            case 1 => (16, 2); case 3 => (8, 3); case _ => (8, 6)
+          }
+          val texts =
+            (if (id % 2 == 0) Seq("Software" -> s"graft ${id % 4}")
+             else Seq.empty) ++
+            (if (id % 9 == 0) Seq("parameters" -> s"prompt p$id")
+             else Seq.empty)
+          val full = graft.ops.Png.build(
+            width = 64 + (id % 50).toInt * 4, height = 64 + (id % 30).toInt * 4,
+            bitDepth = depth, colorType = color, interlaced = id % 6 == 0,
+            dpi = if (id % 3 == 0) Array(72, 96, 150, 300)((id % 4).toInt)
+              else -1,
+            animFrames = if (id % 7 == 0) (2 + id % 5).toInt else -1,
+            exif = id % 5 == 0, texts = texts, itxt = id % 8 == 0)
+          Row(id,
+            if (id % 13 == 0) full.take(10)
+            else if (id % 11 == 0) full.dropRight(5)
+            else full)
+        }
+      }
+      graft.ops.Png.imageMeta(withBytes, "img")
+        .select(col("doc_id"),
+          col("img_png.width").as("width"),
+          col("img_png.height").as("height"),
+          col("img_png.bit_depth").as("bit_depth"),
+          col("img_png.color_type").as("color_type"),
+          col("img_png.interlaced").cast("int").as("interlaced"),
+          col("img_png.n_chunks").as("n_chunks"),
+          col("img_png.animated").cast("int").as("animated"),
+          col("img_png.n_frames").as("n_frames"),
+          col("img_png.dpi").as("dpi"),
+          col("img_png.has_exif").cast("int").as("has_exif"),
+          array_join(col("img_png.text_keys"), "|").as("keys_s"),
+          array_join(col("img_png.text_values"), "|", "?").as("vals_s"),
+          col("img_png.ai_generated").cast("int").as("ai_generated"),
+          col("img_png.complete").cast("int").as("complete"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          doc_id % 13 = 0 AS cut,
+          doc_id % 11 = 0 AND doc_id % 13 <> 0 AS torn,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS ntexts,
+          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS extras
+        FROM documents)
+      SELECT id AS doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE 64 + (id % 50) * 4 END AS INT)
+          AS width,
+        CAST(CASE WHEN cut THEN NULL ELSE 64 + (id % 30) * 4 END AS INT)
+          AS height,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 4 = 1 THEN 16
+          ELSE 8 END AS INT) AS bit_depth,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 4 = 1 THEN 2
+          WHEN id % 4 = 3 THEN 3 ELSE 6 END AS INT) AS color_type,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 6 = 0 THEN 1 ELSE 0 END
+          AS INT) AS interlaced,
+        CAST(CASE WHEN cut THEN NULL
+          ELSE 3 + extras + ntexts - CASE WHEN torn THEN 1 ELSE 0 END
+          END AS INT) AS n_chunks,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 7 = 0 THEN 1 ELSE 0 END
+          AS INT) AS animated,
+        CAST(CASE WHEN cut OR id % 7 <> 0 THEN NULL
+          ELSE 2 + id % 5 END AS INT) AS n_frames,
+        CAST(CASE WHEN cut OR id % 3 <> 0 THEN NULL
+          WHEN id % 4 = 0 THEN 72 WHEN id % 4 = 1 THEN 96
+          WHEN id % 4 = 2 THEN 150 ELSE 300 END AS INT) AS dpi,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 5 = 0 THEN 1 ELSE 0 END
+          AS INT) AS has_exif,
+        CASE WHEN cut THEN NULL
+          WHEN id % 2 = 0 AND id % 9 = 0 THEN 'Software|parameters'
+          WHEN id % 2 = 0 THEN 'Software'
+          WHEN id % 9 = 0 THEN 'parameters'
+          ELSE '' END AS keys_s,
+        CASE WHEN cut THEN NULL
+          WHEN id % 2 = 0 AND id % 9 = 0
+            THEN 'graft ' || CAST(id % 4 AS VARCHAR) || '|prompt p'
+              || CAST(id AS VARCHAR)
+          WHEN id % 2 = 0 THEN 'graft ' || CAST(id % 4 AS VARCHAR)
+          WHEN id % 9 = 0 THEN 'prompt p' || CAST(id AS VARCHAR)
+          ELSE '' END AS vals_s,
+        CAST(CASE WHEN cut THEN NULL WHEN id % 9 = 0 THEN 1 ELSE 0 END
+          AS INT) AS ai_generated,
+        CAST(CASE WHEN cut THEN NULL WHEN torn THEN 0 ELSE 1 END AS INT)
+          AS complete
+      FROM p"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -7937,7 +8048,7 @@ object PipelineQueries {
     q174_wds_compact_select, q175_wds_transcode, q176_charset_recover,
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
-    q185_content_route, q186_subtitles, q187_feed_parse,
+    q185_content_route, q186_subtitles, q187_feed_parse, q188_png_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
