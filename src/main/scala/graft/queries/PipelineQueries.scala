@@ -7085,6 +7085,88 @@ object PipelineQueries {
       FROM p"""),
   )
 
+  /** OOXML text extraction — [[q183_zip_meta]]'s routing turned into
+    * TRAINING TEXT: per-doc DOCX (paragraph/run structure, explicit
+    * tabs, escaped entities) or XLSX (shared-string table with
+    * rich-text runs), the canonical text member read through the ZIP
+    * local header and reduced to transcript; every 13th doc is not a
+    * ZIP (honest null). The oracle string_aggs the decoded paragraph/
+    * string text in order, so run concatenation, tab placement, and
+    * entity decoding are all hash-pinned. Grammar in OoxmlSpec.
+    */
+  val q189_ooxml_text = QueryDef(
+    "q189_ooxml_text",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("doc", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          def b(x: String) = x.getBytes("UTF-8")
+          val n = (1 + id % 4).toInt
+          val bytes: Array[Byte] =
+            if (id % 13 == 0) b("just text, no archive")
+            else if (id % 2 == 1) {
+              val body = (0 until n).map { i =>
+                "<w:p><w:r><w:t>P" + i + "-a&amp;b</w:t></w:r>" +
+                  (if (i % 2 == 1) "<w:r><w:tab/></w:r>" else "") +
+                  "<w:r><w:t xml:space=\"preserve\">&lt;e" + id +
+                  "&gt;</w:t></w:r></w:p>"
+              }.mkString
+              graft.ops.Zip.build(Seq(
+                ("[Content_Types].xml", b("<Types/>"), 8, false),
+                ("word/document.xml", b("<?xml version=\"1.0\"?>" +
+                  s"<w:document><w:body>$body</w:body></w:document>"), 8,
+                  false)))
+            } else {
+              val sis = (0 until n).map { i =>
+                if (i % 3 == 2)
+                  "<si><r><t>v" + i + "</t></r><r><t xml:space=" +
+                    "\"preserve\"> &amp; w</t></r></si>"
+                else "<si><t>v" + i + " &amp; w</t></si>"
+              }.mkString
+              graft.ops.Zip.build(Seq(
+                ("[Content_Types].xml", b("<Types/>"), 8, false),
+                ("xl/sharedStrings.xml", b(s"<sst>$sis</sst>"), 8, false)))
+            }
+          Row(id, bytes)
+        }
+      }
+      graft.ops.Ooxml.textMeta(withBytes, "doc")
+        .select(col("doc_id"),
+          col("doc_ooxml.kind").as("kind"),
+          col("doc_ooxml.n_units").as("n_units"),
+          md5(col("doc_ooxml.text")).as("text_md5"),
+          length(col("doc_ooxml.text")).cast("long").as("n_chars"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, CAST(1 + doc_id % 4 AS INT) AS n,
+          doc_id % 13 = 0 AS cut, doc_id % 2 = 1 AS isdocx
+        FROM documents),
+      u AS (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM p),
+      agg AS (SELECT u.id,
+          string_agg('P' || CAST(i AS VARCHAR) || '-a&b'
+            || CASE WHEN i % 2 = 1 THEN chr(9) ELSE '' END
+            || '<e' || CAST(u.id AS VARCHAR) || '>', chr(10)
+            ORDER BY i) AS dtext,
+          string_agg('v' || CAST(i AS VARCHAR) || ' & w', chr(10)
+            ORDER BY i) AS xtext
+        FROM u GROUP BY u.id)
+      SELECT p.id AS doc_id,
+        CASE WHEN cut THEN NULL WHEN isdocx THEN 'docx' ELSE 'xlsx' END
+          AS kind,
+        CAST(CASE WHEN cut THEN NULL ELSE n END AS INT) AS n_units,
+        CASE WHEN cut THEN NULL
+          WHEN isdocx THEN md5(dtext) ELSE md5(xtext) END AS text_md5,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN isdocx THEN length(dtext) ELSE length(xtext) END AS BIGINT)
+          AS n_chars
+      FROM p JOIN agg ON p.id = agg.id"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -8049,6 +8131,7 @@ object PipelineQueries {
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
     q185_content_route, q186_subtitles, q187_feed_parse, q188_png_meta,
+    q189_ooxml_text,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
