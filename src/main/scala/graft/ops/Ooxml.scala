@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   */
 object Ooxml {
 
-  private def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val numeric = "&#(x[0-9a-fA-F]+|\\d+);".r
     val n = numeric.replaceAllIn(s, m => {
       val g = m.group(1)

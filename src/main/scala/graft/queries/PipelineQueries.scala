@@ -7167,6 +7167,86 @@ object PipelineQueries {
       FROM p JOIN agg ON p.id = agg.id"""),
   )
 
+  /** EPUB chapter extraction — books to training text: per-doc EPUBs
+    * (stored mimetype, container → OPF → manifest/spine, Dublin Core
+    * metadata) whose chapters extract IN SPINE ORDER — every 4th book
+    * declares its spine reversed relative to manifest order, and the
+    * hash proves reading order wins over storage order. Entities
+    * decode, heads discard, every 13th doc is not an EPUB. Torn-book
+    * semantics (missing chapter member skips) pinned in EpubSpec.
+    */
+  val q190_epub_text = QueryDef(
+    "q190_epub_text",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("doc", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          def b(x: String) = x.getBytes("UTF-8")
+          val n = (1 + id % 3).toInt
+          val order =
+            if (id % 4 == 0) (0 until n).reverse else 0 until n
+          val items = (0 until n).map(i =>
+            s"""<item id="c$i" href="c$i.xhtml" """ +
+              """media-type="application/xhtml+xml"/>""").mkString
+          val spine = order.map(i => s"""<itemref idref="c$i"/>""").mkString
+          val opf = """<?xml version="1.0"?><package><metadata>""" +
+            s"<dc:title>Book $id</dc:title>" +
+            s"<dc:creator>Author ${id % 5}</dc:creator>" +
+            "<dc:language>" + Seq("en", "fr", "de")((id % 3).toInt) +
+            "</dc:language></metadata>" +
+            s"<manifest>$items</manifest><spine>$spine</spine></package>"
+          val chapters = (0 until n).map(i =>
+            (s"OEBPS/c$i.xhtml", b("<html><head><title>h</title></head>" +
+              s"<body><h1>Ch $i</h1>\n<p>Text &amp; $id-$i.</p>\n" +
+              "</body></html>"), 8, false))
+          val full = graft.ops.Zip.build(Seq(
+            ("mimetype", b("application/epub+zip"), 0, false),
+            ("META-INF/container.xml", b("<container><rootfiles>" +
+              """<rootfile full-path="OEBPS/content.opf"/>""" +
+              "</rootfiles></container>"), 8, false),
+            ("OEBPS/content.opf", b(opf), 8, false)) ++ chapters)
+          Row(id, if (id % 13 == 0) b(s"plain text $id") else full)
+        }
+      }
+      graft.ops.Epub.bookMeta(withBytes, "doc")
+        .select(col("doc_id"),
+          col("doc_epub.title").as("title"),
+          col("doc_epub.creator").as("creator"),
+          col("doc_epub.language").as("language"),
+          col("doc_epub.n_chapters").as("n_chapters"),
+          md5(col("doc_epub.text")).as("text_md5"),
+          length(col("doc_epub.text")).cast("long").as("n_chars"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS n,
+          doc_id % 4 = 0 AS rev, doc_id % 13 = 0 AS cut
+        FROM documents),
+      u AS (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM p),
+      agg AS (SELECT u.id, p2.rev,
+          string_agg('Ch ' || CAST(i AS VARCHAR) || chr(10) || 'Text & '
+              || CAST(u.id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+              || '.' || chr(10), chr(10)
+            ORDER BY CASE WHEN p2.rev THEN -i ELSE i END) AS t
+        FROM u JOIN p p2 ON u.id = p2.id GROUP BY u.id, p2.rev)
+      SELECT p.id AS doc_id,
+        CASE WHEN cut THEN NULL ELSE 'Book ' || CAST(p.id AS VARCHAR) END
+          AS title,
+        CASE WHEN cut THEN NULL
+          ELSE 'Author ' || CAST(p.id % 5 AS VARCHAR) END AS creator,
+        CASE WHEN cut THEN NULL WHEN p.id % 3 = 0 THEN 'en'
+          WHEN p.id % 3 = 1 THEN 'fr' ELSE 'de' END AS language,
+        CAST(CASE WHEN cut THEN NULL ELSE n END AS INT) AS n_chapters,
+        CASE WHEN cut THEN NULL ELSE md5(t) END AS text_md5,
+        CAST(CASE WHEN cut THEN NULL ELSE length(t) END AS BIGINT)
+          AS n_chars
+      FROM p JOIN agg ON p.id = agg.id"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -8131,7 +8211,7 @@ object PipelineQueries {
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
     q185_content_route, q186_subtitles, q187_feed_parse, q188_png_meta,
-    q189_ooxml_text,
+    q189_ooxml_text, q190_epub_text,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
