@@ -7247,6 +7247,90 @@ object PipelineQueries {
       FROM p JOIN agg ON p.id = agg.id"""),
   )
 
+  /** GIF structure metadata — the animation routing signal for the
+    * last legacy web-image format: per-doc GIFs vary dimensions,
+    * global-color-table size, frame count (multi-frame = video for
+    * curation purposes, the APNG story), per-frame delays (total
+    * duration), NETSCAPE loop counts, and comments; every 11th doc
+    * tears mid-stream (frames before the cut kept, complete = 0) and
+    * every 13th is not a GIF. Sub-block skipping never decodes LZW.
+    * Byte grammar pinned in GifSpec.
+    */
+  val q191_gif_meta = QueryDef(
+    "q191_gif_meta",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField,
+        StructType}
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("img", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (1 + id % 6).toInt
+          val delays =
+            if (id % 3 == 0) (0 until frames).map(i => (5 + (id + i) % 20).toInt)
+            else Seq.empty[Int]
+          val full = graft.ops.Gif.build(
+            width = 32 + (id % 40).toInt * 8,
+            height = 32 + (id % 25).toInt * 8,
+            frames = frames, delaysCs = delays,
+            loop = if (id % 4 == 0) (id % 7).toInt else -1,
+            gctSize = (id % 7).toInt,
+            comment = if (id % 5 == 0) "c" + id else null)
+          Row(id,
+            if (id % 13 == 0) full.take(4)
+            else if (id % 11 == 0) full.dropRight(8)
+            else full)
+        }
+      }
+      graft.ops.Gif.imageMeta(withBytes, "img")
+        .select(col("doc_id"),
+          col("img_gif.width").as("width"),
+          col("img_gif.height").as("height"),
+          col("img_gif.gct_colors").as("gct_colors"),
+          col("img_gif.n_frames").as("n_frames"),
+          col("img_gif.animated").cast("int").as("animated"),
+          col("img_gif.total_delay_ms").as("total_delay_ms"),
+          col("img_gif.loop_count").as("loop_count"),
+          col("img_gif.has_comment").cast("int").as("has_comment"),
+          col("img_gif.complete").cast("int").as("complete"))
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          CAST(1 + doc_id % 6 AS INT) AS nf,
+          doc_id % 13 = 0 AS cut,
+          doc_id % 11 = 0 AND doc_id % 13 <> 0 AS torn,
+          doc_id % 3 = 0 AS timed
+        FROM documents),
+      dl AS (SELECT id, CAST(COALESCE(SUM(5 + (id + i) % 20), 0) AS BIGINT)
+          AS delaysum
+        FROM (SELECT id, unnest(generate_series(0, nf - 1)) AS i FROM p) t
+        GROUP BY id)
+      SELECT p.id AS doc_id,
+        CAST(CASE WHEN cut THEN NULL ELSE 32 + (p.id % 40) * 8 END AS INT)
+          AS width,
+        CAST(CASE WHEN cut THEN NULL ELSE 32 + (p.id % 25) * 8 END AS INT)
+          AS height,
+        CAST(CASE WHEN cut THEN NULL
+          ELSE 2 ** ((p.id % 7) + 1) END AS INT) AS gct_colors,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN torn THEN nf - 1 ELSE nf END AS INT) AS n_frames,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN (CASE WHEN torn THEN nf - 1 ELSE nf END) > 1 THEN 1
+          ELSE 0 END AS INT) AS animated,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN timed THEN delaysum * 10 ELSE 0 END AS BIGINT)
+          AS total_delay_ms,
+        CAST(CASE WHEN cut OR p.id % 4 <> 0 THEN NULL
+          ELSE p.id % 7 END AS INT) AS loop_count,
+        CAST(CASE WHEN cut THEN NULL
+          WHEN p.id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS has_comment,
+        CAST(CASE WHEN cut THEN NULL WHEN torn THEN 0 ELSE 1 END AS INT)
+          AS complete
+      FROM p JOIN dl ON p.id = dl.id"""),
+  )
+
   /** WebDataset ingestion: per-doc ustar archives holding samples as
     * basename-keyed member groups (s0.txt + s0.json [+ s0.cls],
     * under a directory prefix — the published convention's shard
@@ -8211,7 +8295,7 @@ object PipelineQueries {
     q177_flac_meta, q178_exif_meta, q179_warc_revisit, q180_http_decode,
     q181_ogg_meta, q182_pdf_meta, q183_zip_meta, q184_id3_tags,
     q185_content_route, q186_subtitles, q187_feed_parse, q188_png_meta,
-    q189_ooxml_text, q190_epub_text,
+    q189_ooxml_text, q190_epub_text, q191_gif_meta,
     q154_exact_substr, q155_warc_sink, q156_cdx_lookup, q157_frontier_schedule,
     q158_wet_roundtrip, q159_mp4_meta, q160_sitemap_parse, q161_link_graph,
     q162_discovery_loop, q163_charset_sniff, q164_mp3_meta, q165_webdataset,
