@@ -36,6 +36,10 @@ object ContentRouter {
     if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "mp3"
     else if (at(0) == 0xff && (at(1) & 0xfe) == 0xfa) "mp3"
     else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      "png"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      "gif"
     else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C')
       "flac"
     else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S')
@@ -76,6 +80,15 @@ object ContentRouter {
     kind match {
       case "jpeg" => Exif.parseMeta(b) match {
         case Some(m) => (kind, opt(m.sofW), opt(m.sofH), m.make)
+        case None => (kind, null, null, null)
+      }
+      case "png" => Png.parseMeta(b) match {
+        case Some(m) => (kind, l(m.width), l(m.height),
+          if (m.aiGenerated) "ai" else null)
+        case None => (kind, null, null, null)
+      }
+      case "gif" => Gif.parseMeta(b) match {
+        case Some(m) => (kind, l(m.nFrames), l(m.totalDelayMs), null)
         case None => (kind, null, null, null)
       }
       case "pdf" => Pdf.parseMeta(b) match {

@@ -6718,11 +6718,12 @@ object PipelineQueries {
   )
 
   /** Content triage over a MIXED binary column — the composition gate
-    * for the whole format family: per doc_id % 7 a JPEG, a PDF, a
+    * for the whole format family: per doc_id % 9 a JPEG, a PDF, a
     * ZIP, an ID3-TAGGED MP3 (the router must surface the tag's title
     * AND the stream's duration — [[graft.ops.Id3]] and
     * [[graft.ops.Mpeg]] composing on one buffer), a FLAC, an Ogg
-    * Opus, and plain UTF-8 text, all routed by magic sniff into one
+    * Opus, a PNG (the ai-generator flag as label), a GIF (frame
+    * count), and plain UTF-8 text, all routed by magic sniff into one
     * flat (kind, qty1, qty2, label) row. The mp3 average-bitrate
     * oracle carries the 417-byte-frame floor arithmetic end to end.
     */
@@ -6738,7 +6739,7 @@ object PipelineQueries {
       val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes: Array[Byte] = (id % 7) match {
+          val bytes: Array[Byte] = (id % 9) match {
             case 0 => graft.ops.Exif.build(640 + (id % 5).toInt * 8, 480,
               orientation = 1, make = "Make" + (id % 5), model = "M",
               dtOrig = "2020:01:01 00:00:00", pixelW = 9, pixelH = 9,
@@ -6755,6 +6756,9 @@ object PipelineQueries {
             case 5 => graft.ops.Ogg.build("opus", (id % 2 + 1).toInt,
               48000, preSkip = 0, serial = 1L,
               dataPages = (2 + id % 3).toInt, granulePerPage = 960L)
+            case 6 => graft.ops.Png.build(100 + (id % 7).toInt, 50,
+              texts = if (id % 2 == 0) Seq("parameters" -> "p") else Nil)
+            case 7 => graft.ops.Gif.build(80, 60, (1 + id % 4).toInt)
             case _ => s"text-$id é".getBytes("UTF-8")
           }
           Row(id, bytes)
@@ -6767,11 +6771,12 @@ object PipelineQueries {
           col("c_route.qty2").as("qty2"),
           col("c_route.label").as("label"))
     },
-    Some("""WITH p AS (SELECT doc_id AS id, doc_id % 7 AS kind
+    Some("""WITH p AS (SELECT doc_id AS id, doc_id % 9 AS kind
         FROM documents)
       SELECT id AS doc_id,
         CASE kind WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pdf' WHEN 2 THEN 'zip'
           WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac' WHEN 5 THEN 'ogg'
+          WHEN 6 THEN 'png' WHEN 7 THEN 'gif'
           ELSE 'text' END AS kind,
         CAST(CASE kind
           WHEN 0 THEN 640 + (id % 5) * 8
@@ -6780,6 +6785,8 @@ object PipelineQueries {
           WHEN 3 THEN (10 + id % 5) * 1152 * 1000 // 44100
           WHEN 4 THEN (1 + id % 4) * 1000
           WHEN 5 THEN 960 * (2 + id % 3) * 1000 // 48000
+          WHEN 6 THEN 100 + id % 7
+          WHEN 7 THEN 1 + id % 4
           ELSE strlen('text-' || CAST(id AS VARCHAR) || ' é')
           END AS BIGINT) AS qty1,
         CAST(CASE kind
@@ -6792,6 +6799,8 @@ object PipelineQueries {
             // (1152 * 1000)
           WHEN 4 THEN 44100
           WHEN 5 THEN id % 2 + 1
+          WHEN 6 THEN 50
+          WHEN 7 THEN 0
           ELSE NULL END AS BIGINT) AS qty2,
         CASE kind
           WHEN 0 THEN 'Make' || CAST(id % 5 AS VARCHAR)
@@ -6799,6 +6808,7 @@ object PipelineQueries {
           WHEN 2 THEN 'zip'
           WHEN 3 THEN 'T' || CAST(id AS VARCHAR)
           WHEN 5 THEN 'opus'
+          WHEN 6 THEN CASE WHEN id % 2 = 0 THEN 'ai' END
           ELSE NULL END AS label
       FROM p"""),
   )

@@ -16,6 +16,9 @@ class ContentRouterSpec extends AnyFunSuite {
     assert(ContentRouter.sniff(b("OggSxxxx")) == "ogg")
     assert(ContentRouter.sniff(b("%PDF-1.7")) == "pdf")
     assert(ContentRouter.sniff(Array[Byte]('P', 'K', 3, 4)) == "zip")
+    assert(ContentRouter.sniff(Array(0x89, 'P', 'N', 'G')
+      .map(_.toByte)) == "png")
+    assert(ContentRouter.sniff(b("GIF89a")) == "gif")
     assert(ContentRouter.sniff(b("plain text é")) == "text")
   }
 
