@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object ImageDedup {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write
+  // spins up a FileCache*ImageStream temp file under java.io.tmpdir —
+  // one create+delete per image, serialized through the filesystem.
+  // For corpus-scale decode scans (thousands of small payloads per
+  // task, 32 concurrent tasks) that is pure overhead and tmp churn;
+  // memory-backed streams decode the same bytes to the same pixels.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Hash grid: 9x8 lumas -> 8x8 = 64 horizontal comparisons. */
   val GridW: Int = 9
   val GridH: Int = 8

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Memory-backed ImageIO streams (see the ImageDedup note): the
+  // default disk cache costs a temp-file create+delete per decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The metadata contract for a multimodal asset column. */
   val metaType: StructType = StructType(Seq(
     StructField("modality", StringType),   // image | audio | video

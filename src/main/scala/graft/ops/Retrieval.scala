@@ -50,9 +50,16 @@ object Retrieval {
     val avgdl = sumDl.toDouble / n.toDouble // IEEE division, replayed as
     // CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) in the oracle
     val q = broadcast(queries.select(col("qid"), col("term").as("__t")))
+    // df census AFTER a semi-join on the query terms: counting first
+    // would aggregate the ENTIRE vocabulary (billions of distinct grams
+    // at 100 TB) and then discard all but the handful of query terms —
+    // the semi-join prunes tf map-side, so the census shuffle carries
+    // only query-term partial counts. Same (__t, __df) rows: the census
+    // per term is over all docs either way.
     val dfq = broadcast(
-      tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-        .join(broadcast(queries.select(col("term").as("__t")).distinct()), "__t"))
+      tf.join(broadcast(queries.select(col("term").as("__t")).distinct()),
+          Seq("__t"), "left_semi")
+        .groupBy("__t").agg(count(lit(1)).as("__df")))
     val scored = tf.join(q, "__t").join(dfq, "__t").join(dl, "__doc")
     val idf = (lit(n.toDouble) - col("__df").cast("double") + lit(0.5)) /
       (col("__df").cast("double") + lit(0.5))
