@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{PipelineQueries, Queries, QueryDef}
+import scala.util.chaining._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -2482,9 +2483,7 @@ object SynthQueries {
         val streamDir = java.nio.file.Files.createTempDirectory("g111_events")
         // four single-file triggers, processed in write order (thirds +
         // sentinel — see eventThirdFiles for why thirds)
-        eventThirdFiles(s, d).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(eventThirdFiles(s, d), streamDir)
         val name = "g111_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val q = typeCountStream(s, streamDir, evRaw.schema)
           .writeStream.format("memory").queryName(name)
@@ -2544,18 +2543,14 @@ object SynthQueries {
         // sentinel's trailing batch performs the final flush.
         val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
         val oldNoData = s.conf.get(noDataKey)
-        files.take(2).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(files.take(2), streamDir)
         s.conf.set(noDataKey, "false")
         val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
         require(rows1 > 0L, "phase 1 processed no rows")
         // phase 2: the last third + sentinel land; a NEW query resumes
         // from the checkpoint
         val tailRows = files(2)._2.count() + 1L
-        files.drop(2).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(files.drop(2), streamDir)
         val rows2 = runIncarnation()
         require(rows2 == tailRows,
           s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
@@ -2604,9 +2599,7 @@ object SynthQueries {
           .select(col("event_type"),
             expr(s"nb * 3600000L div ${spanS}L").as("expected_milli"))
         val streamDir = java.nio.file.Files.createTempDirectory("g117_events")
-        eventThirdFiles(s, d).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(eventThirdFiles(s, d), streamDir)
         val name = "g117_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val windowed = graft.queries.EventTs.toNanos(
           s.readStream.schema(evRaw.schema)
@@ -2691,9 +2684,7 @@ object SynthQueries {
             org.apache.spark.sql.functions.count(lit(1)).as("nv"))
           .select(expr("sv div nv")).collect()(0).getLong(0)
         val streamDir = java.nio.file.Files.createTempDirectory("g118_events")
-        eventThirdFiles(s, d).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(eventThirdFiles(s, d), streamDir)
         val name = "g118_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val scored = graft.queries.EventTs.toNanos(
           s.readStream.schema(evRaw.schema)
@@ -2791,16 +2782,12 @@ object SynthQueries {
         }
         val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
         val oldNoData = s.conf.get(noDataKey)
-        files.take(2).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(files.take(2), streamDir)
         s.conf.set(noDataKey, "false")
         val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
         require(rows1 > 0L, "phase 1 processed no rows")
         val tailRows = files(2)._2.count() + 1L
-        files.drop(2).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(files.drop(2), streamDir)
         val rows2 = runIncarnation()
         require(rows2 == tailRows,
           s"restart must resume, not reprocess: phase 2 read $rows2 rows, " +
@@ -2838,9 +2825,7 @@ object SynthQueries {
           .toSeq.map(_.asInstanceOf[Long]).toArray
         val t2 = minNs + 2L * (maxNs - minNs) / 3
         val streamDir = java.nio.file.Files.createTempDirectory("g123_events")
-        eventThirdFiles(s, d).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(eventThirdFiles(s, d), streamDir)
         val name = "g123_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val scored = graft.queries.EventTs.toNanos(
           s.readStream.schema(evRaw.schema)
@@ -2974,7 +2959,7 @@ object SynthQueries {
           "a_low" -> fixture.filter(col("id") <= half),
           "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
           "c_dups" -> fixture.filter(col("id") >= 10000000L)
-        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        ).pipe(fs => graft.streaming.StreamFiles.writeMany(fs, streamDir))
         val name = "g119_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val hashed = graft.ops.ImageDedup.dHash(
           s.readStream.schema(fixture.schema)
@@ -3051,10 +3036,10 @@ object SynthQueries {
             (org.apache.spark.sql.functions.when(col("ts") <= t1, 1)
               .when(col("ts") <= t2, 2).otherwise(3)) + col("__disp") * 2)
         val streamDir = java.nio.file.Files.createTempDirectory("g120_events")
-        (1 to 5).foreach { k =>
-          writeStreamFile(tagged.filter(col("__file") === k)
-            .drop("__disp", "__file"), streamDir, s"${('a' + k - 1).toChar}_f$k")
-        }
+        graft.streaming.StreamFiles.writeMany((1 to 5).map { k =>
+          s"${('a' + k - 1).toChar}_f$k" -> tagged.filter(col("__file") === k)
+            .drop("__disp", "__file")
+        }, streamDir)
         val name = "g120_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val counts = s.readStream
           .schema(tagged.drop("__disp", "__file").schema)
@@ -3170,7 +3155,7 @@ object SynthQueries {
           "a_low" -> fixture.filter(col("id") <= half),
           "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
           "c_dups" -> fixture.filter(col("id") >= 10000000L)
-        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        ).pipe(fs => graft.streaming.StreamFiles.writeMany(fs, streamDir))
         val name = "g122_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val hashed = graft.ops.ImageDedup.dHash(
           s.readStream.schema(fixture.schema)
@@ -3281,7 +3266,7 @@ object SynthQueries {
           "a_low" -> fixture.filter(col("id") <= half),
           "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
           "c_dups" -> fixture.filter(col("id") >= 10000000L)
-        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        ).pipe(fs => graft.streaming.StreamFiles.writeMany(fs, streamDir))
         val name = "g124_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val banded = s.readStream.schema(fixture.schema)
           .option("maxFilesPerTrigger", "1")
@@ -3378,9 +3363,10 @@ object SynthQueries {
           q.recentProgress.map(_.numInputRows).sum
         }
         // phase 1: the base corpus only (two id-ordered files)
-        Seq("a_low" -> fixture.filter(col("id") <= half),
-          "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L))
-          .foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        graft.streaming.StreamFiles.writeMany(
+          Seq("a_low" -> fixture.filter(col("id") <= half),
+            "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L)),
+          streamDir)
         val rows1 = runIncarnation()
         require(rows1 > 0L, "phase 1 processed no rows")
         // phase 2: the twins land; a NEW query resumes from the checkpoint
@@ -3530,9 +3516,7 @@ object SynthQueries {
         }
         val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
         val oldNoData = s.conf.get(noDataKey)
-        files.take(2).foreach { case (sub, df) =>
-          writeStreamFile(df, streamDir, sub)
-        }
+        graft.streaming.StreamFiles.writeMany(files.take(2), streamDir)
         s.conf.set(noDataKey, "false")
         val rows1 = try runIncarnation() finally s.conf.set(noDataKey, oldNoData)
         require(rows1 > 0L, "phase 1 processed no rows")
@@ -4176,7 +4160,7 @@ object SynthQueries {
           "a_low" -> fixture.filter(col("id") <= half),
           "b_high" -> fixture.filter(col("id") > half && col("id") < 10000000L),
           "c_dups" -> fixture.filter(col("id") >= 10000000L)
-        ).foreach { case (sub, df) => writeStreamFile(df, streamDir, sub) }
+        ).pipe(fs => graft.streaming.StreamFiles.writeMany(fs, streamDir))
         val name = "g128_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val banded = s.readStream.schema(fixture.schema)
           .option("maxFilesPerTrigger", "1")
