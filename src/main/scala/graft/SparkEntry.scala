@@ -93,14 +93,21 @@ object SynthQueries {
     */
   private def withRocksDb(s: SparkSession)(f: => DataFrame): DataFrame = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val oldProv = s.conf.getOption(provKey)
+    // changelog checkpointing: commit appends a delta instead of
+    // uploading a full RocksDB snapshot per store per micro-batch — the
+    // production setting for frequent-commit stateful queries, and the
+    // same restart semantics (g133/g135 prove checkpoint recovery under
+    // it; state content is unchanged either way). Without it every
+    // bounded replay pays a snapshot upload per partition per batch.
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val olds = Seq(provKey, clogKey).map(k => k -> s.conf.getOption(k))
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try f finally {
-      oldProv match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None    => s.conf.unset(provKey)
-      }
+    s.conf.set(clogKey, "true")
+    try f finally olds.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None)    => s.conf.unset(k)
     }
   }
 
