@@ -220,6 +220,29 @@ object Bench {
     }.mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_s":${fmt(batchTotal)},"streaming_s":${fmt(streamTotal)},"reps":$reps,"loadavg_start":${fmt(loadavgStart)},"noisy_passes":${noisy.map(jstr).mkString("[", ",", "]")},"load":$loadJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // ADDITIONALLY emit the queries map as <=2 KB chunk lines (r14
+    // verdict ask #2): the one-line total above exceeds the driver's
+    // tail-capture byte budget at 291 queries and truncates mid-object,
+    // leaving PERF_*.json without per-query timings. Each chunk is a
+    // complete JSON object on its own line; the existing contract lines
+    // (the total line above, the summary line below) are unchanged.
+    locally {
+      val entries = results.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var curLen = 0
+      entries.foreach { e =>
+        if (curLen + e.length + 1 > 1900 && cur.nonEmpty) {
+          chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]()
+          curLen = 0
+        }
+        cur += e; curLen += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"queries_chunk","i":$i,"n_chunks":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+      }
+    }
     // compact summary LAST so any tail-window truncation of the long line
     // above still leaves the total and the queries that matter most
     val slowest = results.sortBy(-_._2).take(10)
