@@ -88,6 +88,29 @@ object SynthQueries {
     }
   }
 
+  /** CDX split target for a rig-written WARC directory: every segment
+    * the warc sink writes carries a `.cdx` sidecar, so the reader can
+    * split a segment at record boundaries — without it one segment is
+    * ONE scan partition and the whole per-record pipeline (gzip decode,
+    * HTML sniff/decode, link extraction, URL canonicalization) of a
+    * micro-batch runs on one core (measured: the extract stage of each
+    * g133 micro-batch was a single 1.5 s task at sf0.1). The target is
+    * derived from the data, not a local-mode constant: largest segment
+    * over the session's parallelism, floored at 64 KiB (below which
+    * per-task open/seek cost dominates — the same rationale as
+    * [[graft.sources.WarcDataSource.TargetSplitBytes]]).
+    */
+  private def warcCdxTarget(dir: String, s: SparkSession): Long = {
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val maxSeg =
+      try ls.filter { p =>
+        val n = p.toString
+        n.endsWith(".warc") || n.endsWith(".warc.gz")
+      }.mapToLong(p => java.nio.file.Files.size(p)).max.orElse(0L)
+      finally ls.close()
+    math.max(65536L, maxSeg / s.sparkContext.defaultParallelism)
+  }
+
   /** Scope a streaming replay to the RocksDB state-store provider,
     * restoring the session's previous provider afterwards.
     */
@@ -3435,6 +3458,10 @@ object SynthQueries {
           java.util.UUID.randomUUID.toString.replace("-", "")
         val q = s.readStream.format("warc")
           .option("filesPerBatch", "1")
+          // intra-segment parallelism via the CDX sidecars (see
+          // warcCdxTarget): without it each micro-batch's whole
+          // extract pipeline is one task
+          .option("cdxTargetBytes", warcCdxTarget(dir, s).toString)
           .load(dir)
           .filter(col("http_status") === 200)
           // the sniff-decode chain, streaming too — byte-identical on
@@ -3660,6 +3687,11 @@ object SynthQueries {
         // this whole extract pipeline EVERY micro-batch
         val candBatch = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id").cast("long").as("doc_id"))
+          // spread the HTML render + link extraction over the cluster:
+          // a single-file scan is ONE partition (one parquet row group
+          // at bench SFs), which serialized this 2 s pipeline on one
+          // core (the Dedup.minHashSignatures spread, same rationale)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(graft.queries.PipelineQueries.linkFixtureBase(did).as("__base"),
             graft.ops.HtmlExtract.extractLinks(
               graft.queries.PipelineQueries.linkFixtureHtml(did)).as("__ls"))
@@ -3682,6 +3714,10 @@ object SynthQueries {
         def runIncarnation(): Long = {
           val scheduled = s.readStream.format("warc")
             .option("manifestOnly", "true").option("filesPerBatch", "1")
+            // intra-segment parallelism via the CDX sidecars (see
+            // warcCdxTarget): without it each micro-batch's extract
+            // pipeline is one task
+            .option("cdxTargetBytes", warcCdxTarget(warcDir, s).toString)
             .load(warcDir)
             .filter(col("http_status") === 200)
             .select(col("target_uri").as("url"),
@@ -3812,6 +3848,9 @@ object SynthQueries {
         def runIncarnation(): Unit = {
           val q = s.readStream.format("warc")
             .option("manifestOnly", "true").option("filesPerBatch", "1")
+            // intra-segment parallelism via the CDX sidecars (see
+            // warcCdxTarget)
+            .option("cdxTargetBytes", warcCdxTarget(warcDir, s).toString)
             .load(warcDir)
             .filter(col("http_status") === 200)
             .select(md5(col("target_uri")).as("key"), col("target_uri"),
@@ -3946,6 +3985,9 @@ object SynthQueries {
         def runIncarnation(): Long = {
           val scheduled = s.readStream.format("warc")
             .option("manifestOnly", "true").option("filesPerBatch", "1")
+            // intra-segment parallelism via the CDX sidecars (see
+            // warcCdxTarget)
+            .option("cdxTargetBytes", warcCdxTarget(warcDir, s).toString)
             .load(warcDir)
             .filter(col("http_status") === 200)
             .select(col("target_uri").as("url"),

@@ -313,8 +313,11 @@ object Dedup {
     // persist() barrier: without it CollapseProject inlines the split into
     // every lambda element_at (no CSE inside lambdas) and the shingle
     // stage re-splits the text per element — measured quadratic in doc
-    // length
+    // length. The repartition spreads the shingle hashing over the
+    // cluster even when the input is one small file (single-file scan =
+    // ONE partition; see minHashSignatures above for the same spread).
     val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__w"))
       .persist()
     val sh = tokens

@@ -87,8 +87,16 @@ object ExactSubstrDedup {
     require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
     val l = minTokens
     // persist barrier: one tokenization shared by the gram explode and
-    // the final kept-text projection (see SpanDedup.spanDedupReport)
-    val tokens = df.select(col(idCol).as("doc_id"),
+    // the final kept-text projection (see SpanDedup.spanDedupReport).
+    // The repartition spreads the per-token md5 gram hashing and the
+    // cleaned-text rebuild over the cluster even when the input is one
+    // small file — a single-file scan is ONE partition (one parquet row
+    // group at bench SFs), serializing ~2/3 of this operator's CPU on
+    // one core (measured: two >1 s single-task stages at sf0.1). Same
+    // rationale and shape as Dedup.minHashSignatures' spread.
+    val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
         split(coalesce(col(textCol), lit("")), " ").as("__ws"))
       .persist()
     val occ = tokens

@@ -30,7 +30,16 @@ object SemanticDedup {
     */
   def hashClusterAssign(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
-    scoredTopN(vectors, idCol, vecCol, k, 1)
+    // CORPUS-side assignment: spread the k-centroid scoring (k × dim
+    // multiply-adds per row) over the cluster even when the input is
+    // one small file — a single-file scan is ONE partition (the
+    // Dedup.minHashSignatures spread). hashClusterProbes stays
+    // unspread: its callers pass dimension-sized QUERY batches where an
+    // extra exchange (per serve micro-batch) would cost more than it
+    // parallelizes.
+    scoredTopN(
+      vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism),
+      idCol, vecCol, k, 1)
       .select(col(idCol), col("c").as("cluster"), col("score"))
 
   /** The nProbe best pseudo-centroids per vector — the deterministic

@@ -51,8 +51,12 @@ object SetSimJoin {
       s"tauPpm must be in [1, 1000000]: $tauPpm")
     // distinct shingles per doc = set semantics; persist barrier keeps
     // the split from re-running inside the shingle lambda (no CSE inside
-    // lambda bodies — the repo-wide staging rule)
+    // lambda bodies — the repo-wide staging rule). The repartition
+    // spreads the shingle hashing over the cluster even when the input
+    // is one small file (single-file scan = ONE partition; the
+    // Dedup.minHashSignatures spread, same rationale).
     val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__w"))
       .persist()
     val postings = tokens

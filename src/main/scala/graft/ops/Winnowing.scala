@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Winnowing document sketches (Schleimer, Wilkerson, Aiken: "Winnowing:
   * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
@@ -13,12 +12,19 @@ import org.apache.spark.sql.expressions.Window
   * COMMON fingerprint — overlap detection robust to local edits, at a
   * sketch ~2/(window+1) the size of the full gram set.
   *
-  * Spark-first shape: NO lambda/HOF chains (a transform over an inlined
-  * split re-evaluates the split per element — the lambda-CSE trap), just
-  * posexplode + doc-keyed windows: one shuffle on doc_id, per-doc sorts
-  * run parallel across docs, every aggregate and frame is bounded. Gram
-  * hashes are md5 hex strings and the window min is lexicographic —
-  * portable to any SQL engine bit-for-bit.
+  * Spark-first shape: the whole sketch is per-document array math over
+  * a MATERIALIZED token attribute — gram hashes and sliding-window
+  * minima never leave their row, so the operator is a pure scan-side
+  * map with NO shuffle until the final distinct (the r15 rewrite: the
+  * previous posexplode + doc-keyed window form shuffled every gram hash
+  * (~40 B/position) just to run a per-doc sliding min that an array
+  * lambda computes in place — guide §2.4, remove shuffles outright).
+  * The persist barriers keep `split` and the gram-hash array as
+  * attributes (no CSE inside lambda bodies — the repo-wide staging
+  * rule; without them CollapseProject re-splits/re-hashes per element).
+  * Gram hashes are md5 hex strings and the window min is lexicographic
+  * (array_min on strings), bit-for-bit what the doc-keyed window form
+  * produced — portable to any SQL engine.
   *
   * Docs with fewer than k words emit no fingerprints; docs with fewer
   * than window grams emit one (the min over all their grams), matching
@@ -29,31 +35,39 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, s"k=$k and window=$window must be positive")
-    val words = df
+    // spread the per-token hashing over the cluster even when the input
+    // is one small file (single-file scan = ONE partition; the
+    // Dedup.minHashSignatures spread, same rationale)
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(coalesce(col(textCol), lit(""))), " "))
-          .as(Seq("__pos0", "__w")))
-      .select(col("doc_id"), (col("__pos0") + 1).as("pos"), col("__w"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val gramParts = (0 until k).map(j =>
-      if (j == 0) col("__w") else lead(col("__w"), j).over(byPos))
-    val grams = words
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", gramParts: _*)).as("h"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("__n"))
-      // full k-grams only: the lead()s past the doc end are NULL and
-      // concat_ws skips them, which would hash a short gram
-      .filter(col("pos") <= col("__n") - (k - 1))
-      .withColumn("__m", col("__n") - (k - 1))
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, window - 1)
-    grams
-      .select(col("doc_id"), col("pos"), col("__m"),
-        min(col("h")).over(frame).as("fp"))
-      // one window per start position 1..m-window+1; short docs (m <
-      // window) keep the single clipped window at pos 1
-      .filter(col("pos") <= greatest(col("__m") - (window - 1), lit(1)))
+        split(lower(coalesce(col(textCol), lit(""))), " ").as("__ws"))
+      .persist()
+    // full k-grams only: positions 1..n-k+1 (docs shorter than k words
+    // emit nothing — the when() guard, sequence() would DESCEND on an
+    // empty range)
+    val m = size(col("__ws")) - (k - 1)
+    val grams = toks
+      .filter(m >= 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), m), i =>
+          md5(array_join(slice(col("__ws"), i, lit(k)), " "))).as("__gh"))
+      .persist() // barrier: keep the gram-hash array an attribute
+    // one window per start position 1..g-window+1; short docs
+    // (g < window) keep the single clipped window at position 1
+    // (slice() clips at the array end, so the last windows of a long
+    // doc and the only window of a short one share one expression)
+    val g = size(col("__gh"))
+    val out = grams
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(g - (window - 1), lit(1))),
+          p => array_min(slice(col("__gh"), p, lit(window))))).as("fp"))
       .select(col("doc_id"), col("fp"))
       .distinct()
+      .localCheckpoint(true) // free both persist barriers below
+    toks.unpersist()
+    grams.unpersist()
+    out
   }
 }
