@@ -42,7 +42,13 @@ object Pca {
     // stage the quantized vector as an attribute: lambdas reference it
     // twice and Catalyst does not CSE inside lambda bodies — inline, the
     // cast+round tree would re-run per product row (the q68 lesson)
+    // the repartition spreads the O(d²) per-row outer products over the
+    // cluster even when the input is one small file (single-file scan =
+    // ONE partition; the Dedup.minHashSignatures spread, same rationale
+    // — 4096 multiplies/row dwarf the vector-bytes exchange, and the
+    // partial aggregation still combines map-side after it)
     val rows = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(transform(col(vecCol).cast("array<double>"),
         x => round(x * 1000000d).cast("long")).as("__qv"))
       .select(posexplode(transform(col("__qv"),

@@ -385,7 +385,13 @@ object Quantization {
           x * (lit(1L) - lit(2L) * xxhash64(lit(j.toLong), i).bitwiseAND(lit(1L)))),
         lit(0L), (acc, z) => acc + z)
     }: _*)
-    df.select(col(idCol), posexplode(projections).as(Seq("__j", "proj")))
+    // the repartition spreads the per-(row, j, i) xxhash64 sign-chain
+    // evaluation over the cluster even when the input is one small file
+    // (single-file scan = ONE partition; the Dedup.minHashSignatures
+    // spread, same rationale — the per-row hash work dwarfs the
+    // vector-bytes exchange)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), posexplode(projections).as(Seq("__j", "proj")))
       .select(col(idCol), col("__j").cast("long").as("j"), col("proj"))
   }
 }

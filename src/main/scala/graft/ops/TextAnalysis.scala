@@ -118,7 +118,11 @@ object TextAnalysis {
     * the text per bigram — see Dedup.shinglesFromTokens).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the repartition spreads the tokenize/bigram hashing over the
+    // cluster even when the input is one small file (single-file scan =
+    // ONE partition; the Dedup.minHashSignatures spread, same rationale)
     val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
       .persist()
     val base = tokens.select(col("__id"),
@@ -262,7 +266,12 @@ object TextAnalysis {
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long = 0L): DataFrame = {
-    val postings = df.select(col(idCol).as("__doc"),
+    // the repartition spreads the tokenize/posting build over the
+    // cluster even when the input is one small file (single-file scan =
+    // ONE partition; the Dedup.minHashSignatures spread, same rationale)
+    val postings = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__doc"),
       posexplode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
         .as(Seq("__pos", "term")))
     val base =
@@ -451,7 +460,12 @@ object TextAnalysis {
     // chunk — quadratic in document length (the SpanDedup trap).
     // CollapseProject cannot re-inline __toks: split() is non-cheap and
     // the consumer references it twice (size + slice).
-    val tokens = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
+    // The repartition spreads the chunk slicing/concat over the cluster
+    // even when the input is one small file (single-file scan = ONE
+    // partition; the Dedup.minHashSignatures spread, same rationale).
+    val tokens = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
     // ceil(size / chunkTokens) in exact double range (token counts << 2^53)
     val nChunks = ((size(col("__toks")) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
     val chunks = tokens.select(col("__id"),

@@ -390,7 +390,13 @@ object PipelineQueries {
     QueryDef(
       "q64_quality_sampling",
       (s, d) => {
-        val scored = docs(s, d).select(col("doc_id"),
+        // the repartition spreads the per-token lexicon scoring over
+        // the cluster even when the input is one small file
+        // (single-file scan = ONE partition; the
+        // Dedup.minHashSignatures spread, same rationale)
+        val scored = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
           graft.ops.TextAnalysis.unigramScore(coalesce(col("text"), lit("")))
             .as("s"))
         graft.ops.Sampling.qualityBucketSample(scored, "doc_id", "s",
@@ -1156,7 +1162,12 @@ object PipelineQueries {
     "q67_quantize_int8",
     (s, d) => {
       val v = col("embedding").cast("array<double>")
+      // the repartition spreads the per-component rounding over the
+      // cluster even when the input is one small file (single-file scan
+      // = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale)
       embs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"),
           posexplode(graft.ops.Quantization.int8Codes(v)).as(Seq("i", "q")))
         .select(col("vec_id"), col("i").cast("int").as("i"), col("q"))
@@ -4250,8 +4261,13 @@ object PipelineQueries {
     (s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      // the repartition spreads the payload encode + decode probe over
+      // the cluster even when the input is one small file (single-file
+      // scan = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale — the exchange carries two longs per row)
       val rig = docs(s, d).select(col("doc_id").cast("long").as("base_id"),
         pmod(xxhash64(col("doc_id").cast("long")), lit(8L)).cast("int").as("kind"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = StructType(Seq(StructField("base_id", LongType),
         StructField("img", BinaryType)))
       implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -4572,7 +4588,12 @@ object PipelineQueries {
         lit("<html><head><title>Doc "), did, lit("</title>"), robots,
         canonLink, lit("</head><body><!-- hdr --><p>"), col("text"),
         lit("</p></body></html>"))
-      val paged = crawled.select(col("doc_id"), messyUrlCol.as("url"),
+      // the repartition spreads the page build + tag-strip extraction
+      // over the cluster even when the input is one small file
+      // (single-file scan = ONE partition; the Dedup.minHashSignatures
+      // spread, same rationale)
+      val paged = crawled.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), messyUrlCol.as("url"),
         html.as("html"))
         .select(col("doc_id"), col("url"),
           graft.ops.HtmlExtract.extractText(col("html")).as("body_text"),
@@ -5026,7 +5047,13 @@ object PipelineQueries {
         .when(variant === 2, when(oversize, k2big).otherwise(k2small))
         .otherwise(lit(""))
       val agent = lit("GraftBot/1.0")
-      docs(s, d).select(col("doc_id"),
+      // the repartition spreads the robots build + parse (585k-char
+      // files on every 64th doc) over the cluster even when the input
+      // is one small file (single-file scan = ONE partition; the
+      // Dedup.minHashSignatures spread, same rationale)
+      docs(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
         call_function("robots_allowed", rules, agent, lit("/private/x"))
           .cast("int").as("allowed_p"),
         call_function("robots_allowed", rules, agent, lit("/x/q"))
@@ -5079,8 +5106,13 @@ object PipelineQueries {
       // every 4th document: 72 pinned macroblocks per image is already
       // exhaustive; the full corpus only multiplied encode/decode wall
       // time (5.6 s -> ~1.4 s at sf0.1)
+      // the repartition spreads the VP8 encode + pure-Scala decode over
+      // the cluster even when the input is one small file (single-file
+      // scan = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale — the exchange carries one long per row)
       val rig = docs(s, d).filter(col("doc_id") % 4 === 0)
         .select(col("doc_id").cast("long").as("base_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("c", LongType), StructField("r", LongType),
         StructField("luma", LongType)))
@@ -5635,7 +5667,13 @@ object PipelineQueries {
       val did = col("doc_id")
       val base = linkFixtureBase(did)
       val html = linkFixtureHtml(did)
-      docs(s, d).select(did, base.as("__base"),
+      // the repartition spreads the HTML render + link extraction over
+      // the cluster even when the input is one small file (single-file
+      // scan = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale — the exchange carries one long per row)
+      docs(s, d).select(did)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(did, base.as("__base"),
           graft.ops.HtmlExtract.extractLinks(html).as("__ls"))
         .select(col("doc_id"), col("__base"),
           posexplode(col("__ls")).as(Seq("idx", "href")))
@@ -5694,7 +5732,14 @@ object PipelineQueries {
     "q162_discovery_loop",
     (s, d) => {
       val did = col("doc_id")
-      val pages = docs(s, d).select(did, linkFixtureBase(did).as("url"),
+      // the repartition spreads the HTML render + link extraction +
+      // canonicalization over the cluster even when the input is one
+      // small file (single-file scan = ONE partition; the
+      // Dedup.minHashSignatures spread, same rationale — the exchange
+      // carries one long per row, the fixture builds after it)
+      val pages = docs(s, d).select(did)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(did, linkFixtureBase(did).as("url"),
         linkFixtureHtml(did).as("html"))
       // staged projections: `resolved` materializes as an attribute so
       // canonicalizeUrl's six try_parse_url calls each reference ONE
@@ -5848,7 +5893,13 @@ object PipelineQueries {
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("a", BinaryType)))
       implicit val enc = org.apache.spark.sql.Encoders.row(schema)
-      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      // the repartition spreads the MP3 frame build + header walk over
+      // the cluster even when the input is one small file (single-file
+      // scan = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale — the exchange carries one long per row)
+      val withBytes = docs(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val nf = (10 + id % 23).toInt
@@ -6953,7 +7004,13 @@ object PipelineQueries {
           concat(lit("<?xml version=\"1.0\"?>\n<feed " +
             "xmlns=\"http://www.w3.org/2005/Atom\">"), trap,
             array_join(atomEntries, ""), lit("\n</feed>")))
-      docs(s, d).select(did,
+      // the repartition spreads the feed XML build + parse over the
+      // cluster even when the input is one small file (single-file scan
+      // = ONE partition; the Dedup.minHashSignatures spread, same
+      // rationale — the exchange carries one long per row)
+      docs(s, d).select(did)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(did,
           graft.ops.Feed.feedKind(xml).as("kind"),
           graft.ops.Feed.feedEntries(xml).as("__es"))
         .select(col("doc_id"), col("kind"),
@@ -7194,7 +7251,13 @@ object PipelineQueries {
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("doc", BinaryType)))
       implicit val enc = org.apache.spark.sql.Encoders.row(schema)
-      val withBytes = docs(s, d).select(col("doc_id")).mapPartitions { rows =>
+      // the repartition spreads the EPUB zip build + chapter extraction
+      // over the cluster even when the input is one small file
+      // (single-file scan = ONE partition; the Dedup.minHashSignatures
+      // spread, same rationale — the exchange carries one long per row)
+      val withBytes = docs(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           def b(x: String) = x.getBytes("UTF-8")
